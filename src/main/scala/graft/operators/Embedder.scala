@@ -1,0 +1,76 @@
+package graft.operators
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** V1 embedding generation (SURVEY.md §2.6).
+  *
+  * The reference encodes chunk text with sentence-transformers
+  * all-MiniLM-L6-v2 into 384-dim normalized vectors
+  * (/root/reference/src/feature_pipeline/document_processor.py:125-150,
+  * src/config/settings.py:40,44). This environment is offline (no model
+  * download), so the operator keeps the exact shape — `embed(content) ->
+  * 384-dim l2-normalized Array[Float]` with a model tag — but computes a
+  * deterministic signed feature-hashing projection of word unigrams + char
+  * trigrams (MurmurHash3, fixed seeds, stable across JVMs). Swappable for an
+  * ONNX MiniLM without touching any caller.
+  *
+  * Runs as `mapPartitions` per executor — the same physical shape a real
+  * model needs (per-partition init, batched encode, batch 32 per
+  * rag_config.py:68).
+  */
+object Embedder {
+
+  val Dim = 384
+  val ModelName = "hashing-ngram-v1"
+  private val TokenSeed = 0x7a11
+  private val TrigramSeed = 0x9e37
+
+  /** Deterministic hashing featurizer: lowercase, word unigrams + char
+    * trigrams of '#'-padded tokens, signed bucket accumulation, l2 norm. */
+  def embedText(text: String, dim: Int = Dim): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text == null || text.isEmpty) return v
+    val tokens = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    var ti = 0
+    while (ti < tokens.length) {
+      val tok = tokens(ti)
+      accumulate(v, MurmurHash3.stringHash(tok, TokenSeed), dim)
+      val padded = "#" + tok + "#"
+      var i = 0
+      while (i + 3 <= padded.length) {
+        accumulate(v, MurmurHash3.stringHash(padded.substring(i, i + 3), TrigramSeed), dim)
+        i += 1
+      }
+      ti += 1
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += v(i).toDouble * v(i); i += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm))
+      i = 0
+      while (i < dim) { v(i) = (v(i) * inv).toFloat; i += 1 }
+    }
+    v
+  }
+
+  @inline private def accumulate(v: Array[Float], h: Int, dim: Int): Unit = {
+    val idx = java.lang.Math.floorMod(h, dim)
+    v(idx) += (if (h >= 0) 1f else -1f)
+  }
+
+  private val embedUdfImpl = udf((s: String) => embedText(s))
+
+  /** Column form of the embedder. */
+  def embed(c: Column): Column = embedUdfImpl(c)
+
+  /** Attach embedding + model tag columns (the reference's generate() step,
+    * document_processor.py:138-150). Narrow map stage — no shuffle. */
+  def withEmbeddings(df: DataFrame, textCol: String = "content",
+                     outCol: String = "embedding"): DataFrame =
+    df.withColumn(outCol, embed(col(textCol)))
+      .withColumn("embedding_model", lit(ModelName))
+}

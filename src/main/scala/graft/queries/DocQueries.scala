@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Document-pipeline scalar operators (SURVEY.md §2.2 P5/P7/P9, §2.7 X2/X4,
+  * §2.8 F1-F10) registered as oracle-checked queries over the `documents`
+  * fixture. All are single-pass narrow transformations — no shuffle, fully
+  * codegen'd, scale linearly with input splits.
+  */
+object DocQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 content cleaning.
+    "doc_clean" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", cleanContent($"text").as("clean_text"))
+    }),
+
+    // F3 word count + F5 token estimate.
+    "doc_word_tokens" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          wordCount($"text").as("word_count"),
+          tokenEstimate($"text").as("token_estimate"))
+    }),
+
+    // F2 quality score (title/url absent in the fixture schema → null branches).
+    "doc_quality_scores" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          round(qualityScore($"text", lit(null).cast("string"), lit(null).cast("string")), 6)
+            .as("quality_score"))
+    }),
+
+    // P5 quality filter (rag_pipeline.py:46-68; threshold is a parameter,
+    // reference default 0.5 — 0.25 here so the fixture, whose plain-prose
+    // docs top out near 0.35, yields a non-trivial survivor set).
+    "doc_quality_filter" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("q", qualityScore($"text", lit(null).cast("string"), lit(null).cast("string")))
+        .filter($"q".isNull || $"q" >= 0.25)
+        .select($"doc_id", $"lang", $"source")
+    }),
+
+    // P7/P9 min-length + non-empty guard.
+    "doc_minlen_filter" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .filter(length(trim($"text")) >= 50)
+        .select($"doc_id", $"n_chars")
+    }),
+
+    // F4 md5 chunk-id derivation (idx 0 — the id of a document's first chunk).
+    "doc_chunk_ids" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", chunkId($"doc_id", lit(0), $"text").as("chunk_id"))
+    }),
+
+    // X2 intent classification applied to document text (X4 normalization is
+    // a no-op on the single-spaced fixture; exercised in unit tests instead).
+    "doc_intent" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", queryIntent($"text").as("intent"))
+    }),
+
+    // A6 collection stats: per-source doc counts + word totals.
+    "doc_source_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(wordCount($"text").cast("long")).as("total_words"),
+             sum($"n_chars").as("total_chars"))
+    }),
+
+    // A6 variant: per-language distribution.
+    "doc_lang_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             max($"n_chars").as("max_chars"),
+             min($"n_chars").as("min_chars"))
+    }))
+
+  /** DuckDB needs the 'g' flag to replace all matches (Spark/Python replace
+    * all by default) and e0-suffixed literals to force double arithmetic. */
+  private val duckClean =
+    """trim(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '\n\s*\n\s*\n', chr(10)||chr(10), 'g'),
+                   ' +', ' ', 'g'),
+                 'Cookie Policy|Privacy Policy|Terms of Service', '', 'gi'),
+               'Subscribe to.*newsletter', '', 'gi'),
+             'Follow us on.*', '', 'gi'),
+           '<[^>]+>|&\w+;', '', 'g'))"""
+
+  // NOTE: tags and entities are two reference rewrites; combined with | here
+  // — equivalent because the replacement is deletion for both.
+
+  private val duckWc =
+    "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+  private def duckWcOf(expr: String) =
+    s"CASE WHEN trim($expr) = '' THEN 0 ELSE len(string_split_regex(trim($expr), '\\s+')) END"
+
+  /** Quality score in DuckDB SQL, mirroring TextFunctions.qualityScore with
+    * null title/url (→ structure title term 0, credibility 0.5). */
+  private val duckQuality =
+    s"""LEAST(1.0e0, GREATEST(0.0e0,
+        (CASE WHEN $duckWc > 100 THEN 0.2e0 * LEAST(1.0e0, $duckWc / 1000.0e0) ELSE 0.0e0 END)
+        + 0.15e0 * LEAST(1.0e0,
+            (CASE WHEN len(regexp_extract_all(text, '(?m)^#{1,6}\\s+.+')) > 0 THEN 0.4e0 ELSE 0.0e0 END)
+          + (CASE WHEN len(regexp_extract_all(text, '(?m)^\\s*[-*+]\\s+.+')) > 0 THEN 0.3e0 ELSE 0.0e0 END))
+        + 0.25e0 * LEAST(1.0e0,
+            len(regexp_extract_all(text, '(?m)^#{1,6}\\s+.+|^\\s*[-*+]\\s+.+|^\\s*\\d+\\.\\s+.+')) / 10.0e0)
+        + 0.2e0 * GREATEST(0.0e0, 1.0e0 - ABS(
+            (list_sum(list_transform(string_split_regex(text, '[.!?]+'),
+               s -> CASE WHEN trim(s) = '' THEN 0 ELSE len(string_split_regex(trim(s), '\\s+')) END))
+             * 1.0e0 / len(string_split_regex(text, '[.!?]+'))) - 17.0e0) / 17.0e0)
+        + 0.2e0 * 0.5e0))"""
+
+  private val duckIntent =
+    """CASE
+       WHEN lower(text) LIKE '%api%' OR lower(text) LIKE '%code%' OR lower(text) LIKE '%function%'
+            OR lower(text) LIKE '%class%' OR lower(text) LIKE '%implement%' THEN 'technical'
+       WHEN lower(text) LIKE '%how to%' OR lower(text) LIKE '%how do%' OR lower(text) LIKE '%steps%'
+            OR lower(text) LIKE '%tutorial%' THEN 'how-to'
+       WHEN lower(text) LIKE '%error%' OR lower(text) LIKE '%problem%' OR lower(text) LIKE '%issue%'
+            OR lower(text) LIKE '%fix%' OR lower(text) LIKE '%debug%' THEN 'problem-solving'
+       WHEN lower(text) LIKE '%what is%' OR lower(text) LIKE '%explain%' OR lower(text) LIKE '%concept%'
+            OR lower(text) LIKE '%theory%' THEN 'conceptual'
+       ELSE 'general' END"""
+
+  val oracle: Map[String, String] = Map(
+    "doc_clean" ->
+      s"SELECT doc_id, $duckClean AS clean_text FROM documents",
+    "doc_word_tokens" ->
+      s"SELECT doc_id, CAST($duckWc AS INTEGER) AS word_count, CAST(length(text) // 4 AS BIGINT) AS token_estimate FROM documents",
+    "doc_quality_scores" ->
+      s"SELECT doc_id, round($duckQuality, 6) AS quality_score FROM documents",
+    "doc_quality_filter" ->
+      s"SELECT doc_id, lang, source FROM documents WHERE $duckQuality >= 0.25e0",
+    "doc_minlen_filter" ->
+      "SELECT doc_id, n_chars FROM documents WHERE length(trim(text)) >= 50",
+    "doc_chunk_ids" ->
+      "SELECT doc_id, md5(concat_ws('_', doc_id, 0, substring(text, 1, 100))) AS chunk_id FROM documents",
+    "doc_intent" ->
+      s"SELECT doc_id, $duckIntent AS intent FROM documents",
+    "doc_source_stats" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM($duckWc) AS BIGINT) AS total_words,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY source""",
+    "doc_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars
+         FROM documents GROUP BY lang""")
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream batch operators (SURVEY.md §2.10 W1-W2, T6) over the `events`
+  * fixture: last-N-per-key recency windows (the conversation-history shape)
+  * and time-bucketed aggregations (the batch twin of the Structured Streaming
+  * windowed aggregates in graft.streaming).
+  *
+  * NOTE on timestamps: the fixture stores nanosecond timestamps; Spark
+  * truncates to microseconds while DuckDB keeps nanos, so raw `ts` values can
+  * never appear in an oracle-checked output — only `date_trunc` buckets or
+  * epoch-derived integers. Window ORDER BY uses the microsecond-truncated key
+  * on both sides.
+  */
+object EventQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T6/W1: last 3 events per user by recency (conversation window shape).
+    "evt_user_last3" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"user_id", $"event_id", $"event_type", $"rn")
+    }),
+
+    // Tumbling 1-hour window aggregation (batch form of the streaming agg).
+    "evt_hourly_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+    }),
+
+    // Per-user daily activity (sessionization precursor).
+    "evt_user_daily" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
+    // Per-type global stats with order-independent double aggregation.
+    "evt_type_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             dsum($"value").as("total_value"),
+             countDistinct($"user_id").as("n_users"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "evt_user_last3" ->
+      """SELECT user_id, event_id, event_type, CAST(rn AS INT) AS rn FROM (
+           SELECT user_id, event_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+           FROM events) WHERE rn <= 3""",
+    "evt_hourly_stats" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "evt_user_daily" ->
+      """SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+         FROM events GROUP BY user_id, date_trunc('day', ts)""",
+    "evt_type_stats" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+         COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type""")
+}
