@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Python-`str.strip()`: ALL whitespace, both ends (Spark's `trim` only
+    * strips spaces — a newline at either end would skew counts). */
+  def pyStrip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Python-`str.split()` word count: whitespace runs as separators, empty
     * string counts 0 (document_processor.py:113). */
   def wordCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0))
-      .otherwise(size(split(trim(c), "\\s+")))
+    when(length(pyStrip(c)) === 0, lit(0))
+      .otherwise(size(split(pyStrip(c), "\\s+")))
 
   /** F1 content cleaning (document_processor.py:20-33): collapse 3+ blank
     * lines, collapse spaces, drop boilerplate phrases, strip HTML tags and
@@ -31,7 +35,7 @@ object TextFunctions {
     val noFollow    = regexp_replace(noSub, "(?i)Follow us on.*", "")
     val noTags      = regexp_replace(noFollow, "<[^>]+>", "")
     val noEntities  = regexp_replace(noTags, "&\\w+;", "")
-    trim(noEntities)
+    pyStrip(noEntities)
   }
 
   private def countMatches(c: Column, pattern: String): Column =
@@ -48,7 +52,7 @@ object TextFunctions {
     val headerCount = countMatches(content, "(?m)^#{1,6}\\s+.+")
     val listCount   = countMatches(content, "(?m)^\\s*[-*+]\\s+.+")
     val structureScore =
-      when(title.isNotNull && length(trim(title)) > 5, lit(0.3)).otherwise(lit(0.0)) +
+      when(title.isNotNull && length(pyStrip(title)) > 5, lit(0.3)).otherwise(lit(0.0)) +
       when(headerCount > 0, lit(0.4)).otherwise(lit(0.0)) +
       when(listCount > 0, lit(0.3)).otherwise(lit(0.0))
     val structureTerm = lit(0.15) * least(lit(1.0), structureScore)

@@ -49,11 +49,11 @@ object DocQueries {
         .select($"doc_id", $"lang", $"source")
     }),
 
-    // P7/P9 min-length + non-empty guard.
+    // P7/P9 min-length + non-empty guard (python-strip semantics).
     "doc_minlen_filter" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
-        .filter(length(trim($"text")) >= 50)
+        .filter(length(pyStrip($"text")) >= 50)
         .select($"doc_id", $"n_chars")
     }),
 
@@ -92,10 +92,14 @@ object DocQueries {
              min($"n_chars").as("min_chars"))
     }))
 
+  /** Python-str.strip() in DuckDB SQL: DuckDB's trim() only strips spaces. */
+  private def strip(e: String): String =
+    "regexp_replace(" + e + ", '^\\s+|\\s+$', '', 'g')"
+
   /** DuckDB needs the 'g' flag to replace all matches (Spark/Python replace
     * all by default) and e0-suffixed literals to force double arithmetic. */
   private val duckClean =
-    """trim(
+    strip("""
          regexp_replace(
            regexp_replace(
              regexp_replace(
@@ -106,16 +110,16 @@ object DocQueries {
                  'Cookie Policy|Privacy Policy|Terms of Service', '', 'gi'),
                'Subscribe to.*newsletter', '', 'gi'),
              'Follow us on.*', '', 'gi'),
-           '<[^>]+>|&\w+;', '', 'g'))"""
+           '<[^>]+>|&\w+;', '', 'g')""")
 
   // NOTE: tags and entities are two reference rewrites; combined with | here
   // — equivalent because the replacement is deletion for both.
 
-  private val duckWc =
-    "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
-
   private def duckWcOf(expr: String) =
-    s"CASE WHEN trim($expr) = '' THEN 0 ELSE len(string_split_regex(trim($expr), '\\s+')) END"
+    "CASE WHEN " + strip(expr) + " = '' THEN 0 ELSE len(string_split_regex(" +
+      strip(expr) + ", '\\s+')) END"
+
+  private val duckWc = duckWcOf("text")
 
   /** Quality score in DuckDB SQL, mirroring TextFunctions.qualityScore with
     * null title/url (→ structure title term 0, credibility 0.5). */
@@ -129,7 +133,7 @@ object DocQueries {
             len(regexp_extract_all(text, '(?m)^#{1,6}\\s+.+|^\\s*[-*+]\\s+.+|^\\s*\\d+\\.\\s+.+')) / 10.0e0)
         + 0.2e0 * GREATEST(0.0e0, 1.0e0 - ABS(
             (list_sum(list_transform(string_split_regex(text, '[.!?]+'),
-               s -> CASE WHEN trim(s) = '' THEN 0 ELSE len(string_split_regex(trim(s), '\\s+')) END))
+               s -> ${duckWcOf("s")}))
              * 1.0e0 / len(string_split_regex(text, '[.!?]+'))) - 17.0e0) / 17.0e0)
         + 0.2e0 * 0.5e0))"""
 
@@ -155,7 +159,7 @@ object DocQueries {
     "doc_quality_filter" ->
       s"SELECT doc_id, lang, source FROM documents WHERE $duckQuality >= 0.25e0",
     "doc_minlen_filter" ->
-      "SELECT doc_id, n_chars FROM documents WHERE length(trim(text)) >= 50",
+      ("SELECT doc_id, n_chars FROM documents WHERE length(" + strip("text") + ") >= 50"),
     "doc_chunk_ids" ->
       "SELECT doc_id, md5(concat_ws('_', doc_id, 0, substring(text, 1, 100))) AS chunk_id FROM documents",
     "doc_intent" ->

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Embedder
+
+class EmbedderSpec extends AnyFunSuite {
+
+  test("produces 384-dim l2-normalized vectors") {
+    val v = Embedder.embedText("the quick brown fox jumps over the lazy dog")
+    assert(v.length === Embedder.Dim)
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
+  test("deterministic across calls") {
+    val a = Embedder.embedText("spark catalyst tungsten")
+    val b = Embedder.embedText("spark catalyst tungsten")
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("empty/null text maps to the zero vector") {
+    assert(Embedder.embedText("").forall(_ == 0f))
+    assert(Embedder.embedText(null).forall(_ == 0f))
+  }
+
+  test("distinct texts map to distinct vectors") {
+    val a = Embedder.embedText("completely different subject matter")
+    val b = Embedder.embedText("spark catalyst tungsten")
+    assert(a.toSeq !== b.toSeq)
+  }
+
+  test("bag-of-features: token order does not change the vector") {
+    val a = Embedder.embedText("alpha beta gamma")
+    val b = Embedder.embedText("gamma alpha beta")
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("similar texts are closer than dissimilar ones (cosine)") {
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (a, b) => a.toDouble * b }.sum
+    val base  = Embedder.embedText("spark sql query engine optimizer")
+    val near  = Embedder.embedText("spark sql query engine planner")
+    val far   = Embedder.embedText("banana smoothie breakfast recipe")
+    assert(cos(base, near) > cos(base, far))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def evalStr(input: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(input).toDF("c").select(f($"c")).collect()(0).getString(0)
+  }
+
+  test("cleanContent strips html, entities, boilerplate; collapses whitespace") {
+    assert(evalStr("<b>Hello</b> &amp; world", cleanContent) === "Hello  world")
+    assert(evalStr("keep Cookie Policy this", cleanContent) === "keep  this")
+    assert(evalStr("a\n\n\n\nb", cleanContent) === "a\n\nb")
+    assert(evalStr("x    y", cleanContent) === "x y")
+    assert(evalStr("intro Subscribe to our awesome newsletter outro", cleanContent) === "intro  outro")
+    assert(evalStr("before Follow us on twitter and more", cleanContent) === "before")
+  }
+
+  test("wordCount matches python str.split() semantics") {
+    import spark.implicits._
+    val rows = Seq("a b c", "  a   b ", "", "   ", "one").toDF("c")
+      .select(wordCount($"c")).collect().map(_.getInt(0))
+    assert(rows.toSeq === Seq(3, 2, 0, 0, 1))
+  }
+
+  test("quality score: hand-computed vector") {
+    import spark.implicits._
+    // 150 wc-ish text with headers and lists
+    val content = (1 to 150).map(i => s"w$i").mkString(" ") +
+      "\n# Header\n- item one\n- item two\n1. numbered\n"
+    val got = Seq(content).toDF("c")
+      .select(qualityScore($"c", lit("A meaningful title"), lit("https://example.google.com/x")))
+      .collect()(0).getDouble(0)
+    // length: wc=156 > 100 → 0.2*min(1,156/1000)=0.2*0.156
+    // structure: title(0.3)+headers(0.4)+lists(0.3)=1.0 → 0.15
+    // richness: 4 elements (#,-,-,1.) → 0.25*0.4
+    // readability: 1 sentence split "." in "1. numbered" splits... compute loosely below
+    // credibility: google → 0.8 → 0.16
+    val wc = content.trim.split("\\s+").length.toDouble
+    val lengthTerm = if (wc > 100) 0.2 * math.min(1.0, wc / 1000.0) else 0.0
+    val structureTerm = 0.15
+    val richnessTerm = 0.25 * 0.4
+    val credTerm = 0.16
+    // sentences: content split on [.!?]+ → 2 pieces ("...1", " numbered\n")
+    val sentences = content.split("[.!?]+", -1)
+    val avg = sentences.map(s => if (s.trim.isEmpty) 0 else s.trim.split("\\s+").length).sum.toDouble / sentences.length
+    val readTerm = 0.2 * math.max(0.0, 1 - math.abs(avg - 17) / 17)
+    val expected = math.min(1.0, lengthTerm + structureTerm + richnessTerm + readTerm + credTerm)
+    assert(math.abs(got - expected) < 1e-9)
+  }
+
+  test("quality score: empty content is 0, null url credibility 0.5") {
+    import spark.implicits._
+    val zero = Seq("").toDF("c")
+      .select(qualityScore($"c", lit(null).cast("string"), lit(null).cast("string")))
+      .collect()(0).getDouble(0)
+    assert(zero === 0.0)
+  }
+
+  test("intent classification buckets") {
+    import spark.implicits._
+    val rows = Seq(
+      "how to implement the api",    // technical wins (first match)
+      "how to bake bread",           // how-to
+      "debug this problem",          // problem-solving
+      "what is a monad", "explain monads please",
+      "hello world").toDF("c").select(queryIntent($"c")).collect().map(_.getString(0))
+    assert(rows.toSeq === Seq("technical", "how-to", "problem-solving",
+      "conceptual", "conceptual", "general"))
+  }
+
+  test("url extraction: markdown + bare, punctuation stripped, deduped") {
+    import spark.implicits._
+    val text = "see [docs](https://spark.apache.org/docs) and https://example.com/x. " +
+      "again https://example.com/x"
+    val urls = Seq(text).toDF("c").select(extractUrls($"c")).collect()(0).getSeq[String](0)
+    assert(urls.toSet === Set("https://spark.apache.org/docs", "https://example.com/x"))
+  }
+
+  test("token estimate and truncation") {
+    import spark.implicits._
+    val df = Seq("a" * 100).toDF("c")
+    assert(df.select(tokenEstimate($"c")).collect()(0).getLong(0) === 25L)
+    val truncated = df.select(truncateTokens($"c", 10)).collect()(0).getString(0)
+    assert(truncated === "a" * 40 + "...")
+  }
+
+  test("cosine similarity and jaccard") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 2f), Array(1f, 2f)))
+      .toDF("a", "b")
+    val cos = df.select(cosineSimilarity($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(cos(0)) < 1e-12)
+    assert(math.abs(cos(1) - 1.0) < 1e-12)
+    val jac = Seq(("a b c", "b c d"), ("", ""), ("a", ""))
+      .toDF("x", "y").select(jaccardWords($"x", $"y")).collect().map(_.getDouble(0))
+    assert(math.abs(jac(0) - 0.5) < 1e-12)
+    assert(jac(1) === 1.0)
+    assert(jac(2) === 0.0)
+  }
+}
