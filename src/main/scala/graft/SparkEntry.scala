@@ -35,7 +35,9 @@ object SparkEntry {
     RelationalQueries.queries ++
     DocQueries.queries ++
     EventQueries.queries ++
-    VectorQueries.queries
+    VectorQueries.queries ++
+    TextQueries.queries ++
+    FusionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +45,7 @@ object SparkEntry {
     RelationalQueries.oracle ++
     DocQueries.oracle ++
     EventQueries.oracle ++
-    VectorQueries.oracle
+    VectorQueries.oracle ++
+    TextQueries.oracle ++
+    FusionQueries.oracle
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Source attribution + context assembly (SURVEY.md §2.3 J1-J2, §2.4 A5,
+  * §2.2 P8).
+  *
+  * The reference attributes each search hit to its parent document via N
+  * point lookups with a hand-rolled cache
+  * (/root/reference/src/feature_pipeline/source_attribution.py:23-129) — in
+  * Spark that is a single broadcast hash join against the (small projected)
+  * documents dimension: build side shipped once per executor, no shuffle of
+  * the results stream at any corpus size.
+  */
+object Attribution {
+
+  /** J1: broadcast-join document payload onto results. `docCols` are the
+    * projected attribution columns (title/url/source/type equivalents). */
+  def attachSources(results: DataFrame, documents: DataFrame,
+                    resultKey: String, docKey: String,
+                    docCols: Seq[String]): DataFrame = {
+    val dims = documents.select((docKey +: docCols).map(col): _*)
+    results.join(broadcast(dims), results(resultKey) === dims(docKey), "left")
+      .drop(dims(docKey))
+  }
+
+  /** A5: unique sources, first-wins by score within a source key
+    * (source_attribution.py:131-173): rank rows per source, keep the top one,
+    * order by score. */
+  def dedupSources(sources: DataFrame, sourceKey: String = "source",
+                   scoreCol: String = "score", idCol: String = "id"): DataFrame = {
+    val w = Window.partitionBy(col(sourceKey))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    sources.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** P8 exact form (rag_engine.py:230-258): sequential greedy packing —
+    * skip any result that would overflow `maxTotalTokens` (using its
+    * UNtruncated size, like the reference), truncate any single result above
+    * `maxTokensPerDoc`, accumulate. Inherently sequential; run over the
+    * collected top-N results (the reference operates on ≤ 15 rows). */
+  def packContextExact(results: Seq[(String, String, Double)],
+                       maxTotalTokens: Int = 128000,
+                       maxTokensPerDoc: Int = 10000): Seq[(String, String, Double)] = {
+    var total = 0L
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    for ((id, content, score) <- results) {
+      val tokens = content.length / 4
+      if (total + tokens <= maxTotalTokens) {
+        val (outContent, outTokens) =
+          if (tokens > maxTokensPerDoc)
+            (content.substring(0, maxTokensPerDoc * 4) + "...", maxTokensPerDoc.toLong)
+          else (content, tokens.toLong)
+        kept += ((id, outContent, score))
+        total += outTokens
+      }
+    }
+    kept.toSeq
+  }
+
+  /** P8 scalable form: prefix-sum window packing — truncate each result to
+    * `maxTokensPerDoc`, keep the maximal score-ordered prefix whose
+    * cumulative (truncated) token count fits `maxTotalTokens`. Deviation
+    * from the reference's skip-and-continue greedy (which cannot be a
+    * prefix-sum at scale) is intentional and documented: a skipped row never
+    * readmits later rows here. */
+  def packContextWindow(results: DataFrame, maxTotalTokens: Long, maxTokensPerDoc: Long,
+                        idCol: String = "id", contentCol: String = "content",
+                        scoreCol: String = "score"): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    results
+      .withColumn("doc_tokens",
+        least(floor(length(col(contentCol)) / 4), lit(maxTokensPerDoc)).cast("long"))
+      .withColumn("cum_tokens", sum(col("doc_tokens")).over(w))
+      .filter(col("cum_tokens") <= maxTotalTokens)
+      .withColumn(contentCol,
+        when(floor(length(col(contentCol)) / 4) > maxTokensPerDoc,
+          concat(substring(col(contentCol), 1, (maxTokensPerDoc * 4).toInt), lit("...")))
+          .otherwise(col(contentCol)))
+  }
+}

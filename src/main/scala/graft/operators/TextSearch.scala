@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance search (SURVEY.md §2.7 X1).
+  *
+  * The reference delegates text search to MongoDB Atlas `$search` (Lucene
+  * BM25 over `content`, lucene.standard analyzer —
+  * /root/reference/src/feature_pipeline/vector_storage/index_manager.py:139-152,
+  * vector_search.py:143-159). Here BM25 is computed natively as a DataFrame
+  * program: tokenize → explode → term/document frequencies → per-(doc,term)
+  * BM25 → sum per doc. Every step is a hash aggregate or broadcast join —
+  * the doc-frequency side is |query terms| rows, always broadcastable; the
+  * only corpus-wide shuffle is the final per-doc sum, keyed on doc id.
+  *
+  * Determinism: per-doc term-score sums go through exact DECIMAL(38,12)
+  * accumulation so results are partition-order independent (and DuckDB-
+  * comparable bit for bit).
+  */
+object TextSearch {
+
+  val K1 = 1.2
+  val B  = 0.75
+
+  /** lucene.standard-ish tokenization: lowercase, split on non-alphanumeric. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Exploded (id, term) pairs for a corpus. */
+  def termTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+
+  /** BM25 scores of `queryTerms` over a corpus; returns (idCol, text_score)
+    * for docs matching ≥1 term, text_score rounded to 6 decimals. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = termTable(docs, idCol, textCol)
+
+    // per-doc length (all terms, not just query terms)
+    val docLen = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+
+    // corpus stats: N docs, avg doc length (exact-decimal mean)
+    val stats = docLen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avgdl"))
+
+    // per-(doc, query-term) term frequency
+    val tf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // document frequency per query term (tiny — broadcast)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * (col("tf") * (K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / col("avgdl")))
+
+    tf.join(broadcast(df), "term")
+      .join(docLen, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", termScore)
+      .groupBy(col(idCol))
+      .agg(round(sum(col("term_score").cast("decimal(38,12)")).cast("double"), 6)
+        .as("text_score"))
+  }
+
+  /** X1 search surface: BM25 top-k with deterministic tie-break — the
+    * reference's `$search` + `$limit limit*2` stage shape. */
+  def search(docs: DataFrame, queryText: String, limit: Int,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    bm25(docs, terms, idCol, textCol)
+      .orderBy(col("text_score").desc, col(idCol).asc)
+      .limit(limit)
+  }
+}

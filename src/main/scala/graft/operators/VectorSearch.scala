@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Vector KNN search (SURVEY.md §2.6 V2-V4, §2.3 J5/J6).
+  *
+  * Mirrors the reference's `$vectorSearch` surface
+  * (/root/reference/src/feature_pipeline/vector_storage/vector_search.py:61-95,
+  * base.py:16-23): cosine metric, top-k limit 1-100, optional score threshold
+  * (score scale (1+cos)/2 like Atlas), optional post-KNN filters, self/same-
+  * document exclusion.
+  *
+  * Physical shape at scale: the query side is broadcast (one vector or a
+  * small query table), the corpus side is scanned once — a narrow map stage
+  * plus `TakeOrderedAndProject` for single-query top-k, or one shuffle by
+  * query id for batch top-k. No corpus self-shuffle anywhere; this is the
+  * plan that survives 100 TB. The exact brute-force path needs no
+  * numCandidates over-fetch (that knob belongs to the ANN/LSH variant in
+  * graft.operators.Similarity).
+  */
+object VectorSearch {
+
+  /** Search request mirroring the reference's VectorSearchQuery (base.py:16-23). */
+  case class SearchRequest(
+      queryVector: Array[Float],
+      limit: Int = 10,
+      minScore: Option[Double] = None,
+      excludeId: Option[String] = None,
+      excludeDocumentId: Option[String] = None)
+
+  /** Atlas-style score in [0,1] from cosine similarity. */
+  def score(embCol: Column, queryVec: Column): Column =
+    (cosineSimilarity(embCol, queryVec) + 1.0) / 2.0
+
+  private def litVector(v: Array[Float]): Column =
+    array(v.map(x => lit(x)): _*)
+
+  /** V2: exact cosine KNN of one query vector against a corpus DataFrame.
+    * Keeps all corpus columns, adds `score`; deterministic tie-break on
+    * `idCol`. */
+  def knn(corpus: DataFrame, request: SearchRequest,
+          embCol: String = "embedding", idCol: String = "id"): DataFrame = {
+    val scored = corpus
+      .withColumn("score", score(col(embCol), litVector(request.queryVector)))
+    val excluded = Seq(
+      request.excludeId.map(x => col(idCol) =!= lit(x)),
+      request.excludeDocumentId.map(x => col("document_id") =!= lit(x)))
+      .flatten.foldLeft(scored) { (df, cond) => df.filter(cond) }
+    val thresholded = request.minScore match {
+      case Some(t) => excluded.filter(col("score") >= lit(t)) // V4 threshold path
+      case None    => excluded
+    }
+    thresholded
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(math.min(math.max(request.limit, 1), 100))
+  }
+
+  /** Batch KNN: every row of `queries` (qidCol, qvecCol) against the corpus.
+    * The query table is broadcast; per-query top-k runs as a window over the
+    * scored cross product — one shuffle by query id, scales with corpus ×
+    * queries / executors. */
+  def knnBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+               embCol: String = "embedding", idCol: String = "id",
+               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", score(col(embCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop(qvecCol)
+  }
+
+  /** V3/J5: chunks most similar to a given chunk, excluding itself and
+    * (optionally) its own document (vector_search.py:488-533 + P6). */
+  def similarToId(corpus: DataFrame, targetId: String, k: Int,
+                  excludeSameDocument: Boolean = false,
+                  embCol: String = "embedding", idCol: String = "id"): DataFrame = {
+    val target = corpus.filter(col(idCol) === lit(targetId))
+      .select(col(embCol).as("__qvec"),
+        (if (excludeSameDocument) col("document_id") else lit(null)).as("__qdoc"))
+    val scored = corpus.crossJoin(broadcast(target))
+      .filter(col(idCol) =!= lit(targetId))
+    val filtered =
+      if (excludeSameDocument) scored.filter(col("document_id") =!= col("__qdoc"))
+      else scored
+    filtered
+      .withColumn("score", score(col(embCol), col("__qvec")))
+      .drop("__qvec", "__qdoc")
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs similarity join above a cosine threshold, LSH-free exact form
+    * for moderate corpora; the scale path is Similarity.annJoin. Keyed output
+    * (left id, right id, score), left id < right id to halve the pairs. */
+  def similarityJoin(corpus: DataFrame, minCosine: Double,
+                     embCol: String = "embedding", idCol: String = "id"): DataFrame = {
+    val left  = corpus.select(col(idCol).as("left_id"), col(embCol).as("left_vec"))
+    val right = corpus.select(col(idCol).as("right_id"), col(embCol).as("right_vec"))
+    left.join(right, col("left_id") < col("right_id"))
+      .withColumn("cosine", cosineSimilarity(col("left_vec"), col("right_vec")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("left_id"), col("right_id"), col("cosine"))
+  }
+}

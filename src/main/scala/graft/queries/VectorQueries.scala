@@ -46,6 +46,33 @@ object VectorQueries {
         .select($"vec_id", round((($"cos" + 1.0) / 2.0), 6).as("score"))
     }),
 
+    // Batch KNN (V2 at fleet scale): 5 query vectors against the corpus in
+    // one pass — broadcast queries, window top-k per query id.
+    "vec_knn_batch" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter($"vec_id" < 5L)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      graft.operators.VectorSearch
+        .knnBatch(emb, queries, k = 5, embCol = "embedding", idCol = "vec_id")
+        .select($"qid", $"vec_id", $"rank", round($"score", 6).as("score"))
+    }),
+
+    // V3/J5+P6: nearest neighbours of vec 5 outside its own label group
+    // (the similar-chunks-excluding-own-document shape).
+    "vec_similar_diff_label" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter($"vec_id" === 5L)
+        .select($"embedding".as("qvec"), $"label".as("qlabel"))
+      emb.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= 5L && $"label" =!= $"qlabel")
+        .withColumn("score", (cosineSimilarity($"embedding", $"qvec") + 1.0) / 2.0)
+        .orderBy($"score".desc, $"vec_id".asc)
+        .limit(10)
+        .select($"vec_id", $"label", round($"score", 6).as("score"))
+    }),
+
     // Per-label centroid norms: array aggregation exercise (element-wise mean
     // via explode + posexplode-free aggregation).
     "vec_label_counts" -> ((s, dir) => {
@@ -74,6 +101,23 @@ object VectorQueries {
             AND (${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0 >= 0.6e0
           ORDER BY ${duckCos("e.embedding", "q.embedding")} DESC, e.vec_id ASC
           LIMIT 100""",
+    "vec_knn_batch" ->
+      s"""SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score FROM (
+            SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                   (${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0 AS score,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY (${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0 DESC,
+                              e.vec_id ASC) AS rank
+            FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
+          WHERE rank <= 5""",
+    "vec_similar_diff_label" ->
+      s"""SELECT e.vec_id, e.label,
+            round((${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0, 6) AS score
+          FROM embeddings e,
+               (SELECT embedding, label FROM embeddings WHERE vec_id = 5) q
+          WHERE e.vec_id <> 5 AND e.label <> q.label
+          ORDER BY (${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
+          LIMIT 10""",
     "vec_label_counts" ->
       """SELECT label, COUNT(*) AS n_vectors,
          round(CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
