@@ -37,7 +37,8 @@ object SparkEntry {
     EventQueries.queries ++
     VectorQueries.queries ++
     TextQueries.queries ++
-    FusionQueries.queries
+    FusionQueries.queries ++
+    DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
     EventQueries.oracle ++
     VectorQueries.oracle ++
     TextQueries.oracle ++
-    FusionQueries.oracle
+    FusionQueries.oracle ++
+    DedupQueries.oracle
 }

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication suite (builder north star: dedup operators a
+  * large-scale LLM data pipeline needs, beyond the reference's own surface).
+  *
+  * Five families, all shuffle-shaped for 100 TB:
+  *  - exact: one hash-groupBy on a content digest — a single shuffle keyed
+  *    by digest, no pairwise work.
+  *  - MinHash+LSH: shingle → k-min-hash signature (narrow) → band keys →
+  *    groupBy band key (shuffle on band buckets only) → verify candidate
+  *    pairs. Pairwise work is confined to hash buckets; never all-pairs.
+  *  - SimHash: 64(here 60)-bit signed-projection signature (narrow) →
+  *    block-key banding (pigeonhole: hamming ≤ 3 over 4 blocks ⇒ ≥1 block
+  *    equal) → verify hamming on candidates.
+  *  - n-gram Jaccard: exact pair verification via shingle-explode equi-join —
+  *    the ground-truth (quadratic-in-bucket) path used to validate LSH.
+  *  - embedding cosine: VectorSearch.similarityJoin exact form; the ANN
+  *    variant lives in graft.operators.Similarity.
+  *
+  * Hash family: every hash is derived from md5 (first 15 hex chars → 60-bit
+  * non-negative long), seeded by prefixing the seed — deliberately chosen
+  * because DuckDB computes the identical value
+  * (CAST('0x'||substr(md5(...),1,15) AS BIGINT)), making every signature and
+  * every pair list oracle-checkable bit-for-bit. At production scale the
+  * same operators accept `fastHash` (xxhash64) for ~10× cheaper signatures.
+  */
+object Dedup {
+
+  /** Seeded 60-bit hash from md5 — cross-engine reproducible. */
+  def md5Hash60(c: Column, seed: Column): Column =
+    conv(substring(md5(concat_ws("_", seed, c)), 1, 15), 16, 10).cast("long")
+
+  /** Fast path: xxhash64 (not DuckDB-reproducible; for scale runs). */
+  def fastHash(c: Column, seed: Column): Column = xxhash64(seed, c)
+
+  /** lucene-ish word tokens (shared with TextSearch). */
+  def words(c: Column): Column = TextSearch.tokens(c)
+
+  /** Distinct word n-gram shingles; a document shorter than n words
+    * contributes its whole token string as one shingle. */
+  def shingles(c: Column, n: Int): Column = {
+    val w = words(c)
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          off => concat_ws(" ", slice(w, off + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", w))))
+  }
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups by content digest: (content_hash, n_copies,
+    * canonical_id, dup_ids) for groups with >1 member. One shuffle. */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+           min(col(idCol)).as("canonical_id"),
+           // numeric sort BEFORE stringify (lexicographic would misorder ids)
+           array_join(transform(sort_array(collect_list(col(idCol))),
+             x => x.cast("string")), ",").as("dup_ids"))
+      .filter(col("n_copies") > 1)
+
+  /** Exact dedup survivors: keep the min-id row per content digest. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val canonical = docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("content_hash")
+    docs.join(canonical, idCol) // inner join on id keeps only canonicals
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** k-permutation MinHash signature column over shingles. */
+  def minHashSignature(shingleCol: Column, k: Int,
+                       hash: (Column, Column) => Column = md5Hash60): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, s => hash(s, i))))
+
+  /** LSH band keys: `bands` keys, each hashing `rows` consecutive signature
+    * slots. Two docs share a band key iff that slice matches exactly. */
+  def bandKeys(sigCol: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(sigCol, b * rows + 1, lit(rows))))
+
+  /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+    * Candidates come only from shared LSH buckets; each candidate pair is
+    * verified on its true shingle sets. Output: (id_a, id_b, jaccard). */
+  def minHashPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
+                   bands: Int = 4, rows: Int = 4, threshold: Double = 0.8,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   hash: (Column, Column) => Column = md5Hash60): DataFrame = {
+    require(bands * rows == k, "bands*rows must equal signature length")
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    val banded = sh
+      .select(col(idCol),
+        posexplode(bandKeys(minHashSignature(col("sh"), k, hash), bands, rows))
+          .as(Seq("band_idx", "band_key")))
+    val left  = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
+    val right = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
+    val candidates = left.join(right, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(candidates, sh, idCol, threshold)
+  }
+
+  /** Exact n-gram Jaccard pairs (ground truth for the LSH path): candidate
+    * pairs = docs sharing ≥1 shingle (equi-join on exploded shingles), then
+    * exact verification. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    val exploded = sh.select(col(idCol), explode(col("sh")).as("shingle"))
+    val candidates = exploded.select(col("shingle"), col(idCol).as("id_a"))
+      .join(exploded.select(col("shingle"), col(idCol).as("id_b")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(candidates, sh, idCol, threshold)
+  }
+
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                            idCol: String, threshold: Double): DataFrame = {
+    val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  val SimHashBits = 60
+
+  /** SimHash bit signature (array of 60 0/1 longs): per bit, sign of the
+    * vote sum over token hashes. Kept as a bit array (not packed) so the
+    * same expression is directly reproducible in SQL oracles. */
+  def simHashBits(textCol: Column,
+                  hash: (Column, Column) => Column = md5Hash60): Column = {
+    val hashes = transform(words(textCol), t => hash(t, lit(0)))
+    array((0 until SimHashBits).map { j =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1)) > 0, lit(1L))
+        .otherwise(lit(0L))
+    }: _*)
+  }
+
+  /** Packed bit-string form, e.g. "0110…" (msb-first by bit index order). */
+  def simHashString(textCol: Column,
+                    hash: (Column, Column) => Column = md5Hash60): Column =
+    array_join(simHashBits(textCol, hash), "")
+
+  /** SimHash near-duplicate pairs: banding on `blocks` equal bit-blocks
+    * (pigeonhole guarantees recall for hamming < blocks), hamming-verified.
+    * Output: (id_a, id_b, hamming). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   hash: (Column, Column) => Column = md5Hash60): DataFrame = {
+    require(maxHamming < blocks, "pigeonhole recall needs maxHamming < blocks")
+    require(SimHashBits % blocks == 0)
+    val blockLen = SimHashBits / blocks
+    val sigs = docs.select(col(idCol), simHashBits(col(textCol), hash).as("bits"))
+    val banded = sigs
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(blocks - 1)),
+          b => concat_ws(",", slice(col("bits"), b * blockLen + 1, lit(blockLen)))))
+          .as(Seq("block_idx", "block_key")))
+    val candidates = banded.select(col("block_idx"), col("block_key"), col(idCol).as("id_a"))
+      .join(banded.select(col("block_idx"), col("block_key"), col(idCol).as("id_b")),
+        Seq("block_idx", "block_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = sigs.select(col(idCol).as("id_a"), col("bits").as("bits_a"))
+    val b = sigs.select(col(idCol).as("id_b"), col("bits").as("bits_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("hamming",
+        aggregate(zip_with(col("bits_a"), col("bits_b"),
+          (x, y) => when(x === y, 0L).otherwise(1L)), lit(0L), (acc, v) => acc + v))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs (exact; LSH-bucketed variant in
+    * Similarity.annJoin). */
+  def embeddingPairs(docs: DataFrame, minCosine: Double,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    VectorSearch.similarityJoin(docs, minCosine, embCol, idCol)
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication operator queries (north-star LLM-pipeline surface). All
+  * oracle-checked: the md5-derived 60-bit hash family makes MinHash/SimHash
+  * signatures bit-identical between Spark and DuckDB.
+  *
+  * The fixture has no byte-identical duplicate texts, so the exact-dedup
+  * queries run over documents ∪ documents(doc_id<50 re-tagged) — the
+  * re-crawl scenario; the near-dup generators DID plant ~0.99-Jaccard pairs,
+  * which MinHash/SimHash/n-gram must all surface. */
+object DedupQueries {
+
+  /** documents plus a re-crawled copy of the first 50 docs under shifted ids. */
+  private def withRecrawl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    docs.unionByName(
+      docs.filter($"doc_id" < 50).select(($"doc_id" + 100000).as("doc_id"), $"text"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: duplicate groups by content digest.
+    "dedup_exact_groups" -> ((s, dir) =>
+      Dedup.exactDuplicateGroups(withRecrawl(s, dir))),
+
+    // Exact dedup survivors (min-id canonical per digest).
+    "dedup_exact_survivors" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.dropExactDuplicates(withRecrawl(s, dir)).select($"doc_id")
+    }),
+
+    // MinHash + LSH banded near-dup pairs, Jaccard-verified at 0.8.
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minHashPairs(Tables.documents(s, dir))
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    }),
+
+    // Ground-truth n-gram Jaccard pairs (validates the LSH path's recall).
+    "dedup_ngram_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.jaccardPairs(Tables.documents(s, dir))
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    }),
+
+    // SimHash signatures as bit-strings.
+    "dedup_simhash_sigs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", Dedup.simHashString($"text").as("simhash"))
+    }),
+
+    // SimHash near-dup pairs, hamming ≤ 3 over 60 bits, 4-block banding.
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.documents(s, dir))),
+
+    // Embedding-cosine near-dup pairs (exact all-pairs at fixture scale).
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.embeddingPairs(Tables.embeddings(s, dir), minCosine = 0.45)
+        .select($"left_id", $"right_id", round($"cosine", 6).as("cosine"))
+    }))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val recrawl =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50"""
+
+  private def duckWords(e: String) =
+    s"list_filter(string_split_regex(lower($e), '[^a-z0-9]+'), t -> length(t) > 0)"
+
+  /** Distinct word 3-gram shingles (whole-token-string fallback under 3 words). */
+  private val duckShingles =
+    s"""list_distinct(CASE WHEN len(w) >= 3
+          THEN list_transform(generate_series(1, len(w) - 2),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+          ELSE [array_to_string(w, ' ')] END)"""
+
+  /** Seeded 60-bit md5 hash — mirrors Dedup.md5Hash60. */
+  private def duckHash(seed: String, e: String) =
+    s"CAST(concat('0x', substr(md5(concat_ws('_', $seed, $e)), 1, 15)) AS BIGINT)"
+
+  private val duckSig16 =
+    s"""list_transform(generate_series(0, 15),
+          i -> list_min(list_transform(sh, s -> ${duckHash("i", "s")})))"""
+
+  private val duckShinglesCte =
+    s"""sh AS (SELECT doc_id, $duckShingles AS sh
+               FROM (SELECT doc_id, ${duckWords("text")} AS w FROM documents))"""
+
+  private val duckVerify =
+    """SELECT c.id_a, c.id_b,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0e0 /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       FROM candidates c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+       WHERE len(list_intersect(a.sh, b.sh)) * 1.0e0 /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8e0"""
+
+  private val duckSimBits =
+    s"""list_transform(generate_series(0, 59),
+          j -> CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+                    THEN 1 ELSE 0 END)"""
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      s"""SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+            MIN(doc_id) AS canonical_id,
+            array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
+          FROM ($recrawl) GROUP BY md5(text) HAVING COUNT(*) > 1""",
+    "dedup_exact_survivors" ->
+      s"""SELECT doc_id FROM ($recrawl)
+          WHERE doc_id IN (SELECT MIN(doc_id) FROM ($recrawl) GROUP BY md5(text))""",
+    "dedup_minhash_pairs" ->
+      s"""WITH $duckShinglesCte,
+          banded AS (
+            SELECT doc_id, band_idx, array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',') AS band_key
+            FROM (SELECT doc_id, sh, $duckSig16 AS sig FROM sh),
+                 (SELECT unnest(generate_series(0, 3)) AS band_idx)),
+          candidates AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+          $duckVerify""",
+    "dedup_ngram_pairs" ->
+      s"""WITH $duckShinglesCte,
+          exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+          candidates AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM exploded l JOIN exploded r
+              ON l.shingle = r.shingle AND l.doc_id < r.doc_id)
+          $duckVerify""",
+    "dedup_simhash_sigs" ->
+      s"""SELECT doc_id, array_to_string($duckSimBits, '') AS simhash
+          FROM (SELECT doc_id, list_transform(${duckWords("text")}, t -> ${duckHash("0", "t")}) AS hs
+                FROM documents)""",
+    "dedup_simhash_pairs" ->
+      s"""WITH sigs AS (
+            SELECT doc_id, $duckSimBits AS bits
+            FROM (SELECT doc_id, list_transform(${duckWords("text")}, t -> ${duckHash("0", "t")}) AS hs
+                  FROM documents)),
+          banded AS (
+            SELECT doc_id, block_idx,
+                   array_to_string(bits[block_idx*15+1 : block_idx*15+15], ',') AS block_key
+            FROM sigs, (SELECT unnest(generate_series(0, 3)) AS block_idx)),
+          candidates AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.block_idx = r.block_idx AND l.block_key = r.block_key AND l.doc_id < r.doc_id)
+          SELECT c.id_a, c.id_b,
+            CAST(list_sum(list_transform(list_zip(a.bits, b.bits),
+              p -> CASE WHEN p[1] = p[2] THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+          FROM candidates c JOIN sigs a ON c.id_a = a.doc_id JOIN sigs b ON c.id_b = b.doc_id
+          WHERE list_sum(list_transform(list_zip(a.bits, b.bits),
+                  p -> CASE WHEN p[1] = p[2] THEN 0 ELSE 1 END)) <= 3""",
+    "dedup_embedding_pairs" ->
+      """SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""")
+}
