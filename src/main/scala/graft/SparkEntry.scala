@@ -38,7 +38,8 @@ object SparkEntry {
     VectorQueries.queries ++
     TextQueries.queries ++
     FusionQueries.queries ++
-    DedupQueries.queries
+    DedupQueries.queries ++
+    AnalysisQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
     VectorQueries.oracle ++
     TextQueries.oracle ++
     FusionQueries.oracle ++
-    DedupQueries.oracle
+    DedupQueries.oracle ++
+    AnalysisQueries.oracle
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbour search (builder north star: similarity
+  * search over an embedding column with a scale path).
+  *
+  * Baseline: exact brute force (VectorSearch.knn / knnBatch) — one corpus
+  * scan per query batch.
+  *
+  * Scale path: IVF (inverted-file) partitioning, FAISS-style. A small
+  * deterministic centroid set partitions the corpus by nearest centroid
+  * (narrow pass against broadcast centroids); a query probes only the
+  * `nprobe` nearest centroid cells. At 100 TB the corpus would additionally
+  * be WRITTEN partitioned by `centroid_id` so a probe prunes whole files —
+  * the assignment column is exactly that partition key. Recall is tunable
+  * via nprobe; candidates are exact-scored so precision is 1.
+  *
+  * Centroids here are seeded deterministically (every `step`-th vector by
+  * id) so results are reproducible and SQL-oracle-checkable; swap in k-means
+  * (MLlib) centroids for production quality without changing the plan shape.
+  */
+object Similarity {
+
+  /** Deterministic centroid sample: vectors whose id ≡ 0 (mod step), first
+    * `c` of them by id. */
+  def seededCentroids(corpus: DataFrame, c: Int, step: Long,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    corpus.filter(col(idCol) % step === 0)
+      .orderBy(col(idCol).asc).limit(c)
+      .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_vec"))
+
+  /** IVF assignment: nearest centroid per corpus vector (broadcast
+    * centroids, window argmax with deterministic tie-break). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("cos", cosineSimilarity(col(embCol), col("centroid_vec")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("centroid_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "centroid_vec", "cos")
+  }
+
+  /** IVF search: probe the `nprobe` centroids nearest to the query, then
+    * exact top-k over the vectors assigned to those cells. */
+  def ivfSearch(corpus: DataFrame, centroids: DataFrame, queryVec: Array[Float],
+                k: Int, nprobe: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val qv = array(queryVec.map(x => lit(x)): _*)
+    val probed = centroids
+      .withColumn("qcos", cosineSimilarity(col("centroid_vec"), qv))
+      .orderBy(col("qcos").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    val assigned = ivfAssign(corpus, centroids, idCol, embCol)
+    assigned.join(broadcast(probed), "centroid_id")
+      .withColumn("score", (cosineSimilarity(col(embCol), qv) + 1.0) / 2.0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Text-analysis + ANN similarity queries (north-star LLM-pipeline surface):
+  * language ID, token counting, rolling-hash fingerprints, quality ratios,
+  * IVF approximate nearest neighbours. */
+object AnalysisQueries {
+
+  private val IvfCentroids = 16
+  private val IvfStep      = 31L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Stopword-vote language ID per document.
+    "ana_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("det", TextAnalysis.detectLanguage($"text"))
+        .select($"doc_id", $"det.lang".as("detected_lang"), $"det.votes".as("votes"))
+    }),
+
+    // Detected vs labeled language confusion counts.
+    "ana_lang_confusion" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("det", TextAnalysis.detectLanguage($"text"))
+        .groupBy($"lang", $"det.lang".as("detected_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Whitespace vs BPE-ish vs len/4 token counts.
+    "ana_token_counts" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          TextAnalysis.whitespaceTokens($"text").as("ws_tokens"),
+          TextAnalysis.bpeIshTokens($"text").as("bpe_tokens"),
+          graft.functions.TextFunctions.tokenEstimate($"text").as("est_tokens"))
+    }),
+
+    // Bottom-4 rolling-shingle fingerprints.
+    "ana_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fingerprint"))
+    }),
+
+    // Length/punct/stopword quality screens.
+    "ana_quality_ratios" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("q", TextAnalysis.qualityRatios($"text"))
+        .select($"doc_id",
+          round($"q.stopword_ratio", 6).as("stopword_ratio"),
+          round($"q.punct_ratio", 6).as("punct_ratio"),
+          round($"q.alpha_ratio", 6).as("alpha_ratio"),
+          round($"q.mean_word_len", 6).as("mean_word_len"))
+    }),
+
+    // IVF cell occupancy (the partition-pruning key at scale).
+    "ann_ivf_cells" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.seededCentroids(emb, IvfCentroids, IvfStep)
+      Similarity.ivfAssign(emb, cents)
+        .groupBy($"centroid_id").agg(count(lit(1)).as("n_vectors"))
+    }),
+
+    // IVF probe search: query = vec 7, k=10, nprobe=4.
+    "ann_ivf_top10" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.seededCentroids(emb, IvfCentroids, IvfStep)
+      val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+      Similarity.ivfSearch(emb, cents, qv, k = 10, nprobe = 4)
+        .select($"vec_id", $"centroid_id", round($"score", 6).as("score"))
+    }))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def duckWords(e: String) =
+    s"list_filter(string_split_regex(lower($e), '[^a-z0-9]+'), t -> length(t) > 0)"
+
+  private def prof(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val duckLang: String = {
+    val scores = TextAnalysis.LanguageProfiles.map { case (lang, words) =>
+      s"s_$lang" -> s"len(list_filter(w, x -> list_contains(${prof(words)}, x))) AS s_$lang"
+    }
+    val mx = scores.map(_._1).mkString("GREATEST(", ", ", ")")
+    val chain = TextAnalysis.LanguageProfiles
+      .map { case (lang, _) => s"WHEN s_$lang = mx THEN '$lang'" }.mkString(" ")
+    s"""SELECT doc_id, lang, CASE WHEN mx = 0 THEN 'und' $chain END AS detected_lang,
+          CAST(mx AS INT) AS votes
+        FROM (SELECT doc_id, lang, ${scores.map(_._2).mkString(", ")}, $mx AS mx
+              FROM (SELECT doc_id, lang, ${duckWords("text")} AS w FROM documents))"""
+  }
+
+  private val duckCos = (a: String, b: String) =>
+    s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private val duckIvf =
+    s"""cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+                  WHERE vec_id % $IvfStep = 0 ORDER BY vec_id ASC LIMIT $IvfCentroids),
+        assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+            FROM embeddings e, cents c)
+          WHERE rn = 1)"""
+
+  val oracle: Map[String, String] = Map(
+    "ana_lang_id" ->
+      s"SELECT doc_id, detected_lang, votes FROM ($duckLang)",
+    "ana_lang_confusion" ->
+      s"SELECT lang, detected_lang, COUNT(*) AS n_docs FROM ($duckLang) GROUP BY lang, detected_lang",
+    "ana_token_counts" ->
+      s"""SELECT doc_id,
+          CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0
+               ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS INT) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS INT) AS bpe_tokens,
+          CAST(length(text) // 4 AS BIGINT) AS est_tokens
+          FROM documents""",
+    "ana_fingerprints" ->
+      """SELECT doc_id,
+           array_to_string(list_sort(list_transform(
+             generate_series(1, GREATEST(length(text) - 7, 1)),
+             i -> CAST(concat('0x', substr(md5(concat_ws('_', 0, substr(text, i, 8))), 1, 15)) AS BIGINT)))[1:4],
+             ',') AS fingerprint
+         FROM documents""",
+    "ana_quality_ratios" ->
+      s"""SELECT doc_id,
+          round(CASE WHEN len(w) = 0 THEN 0.0e0
+                ELSE len(list_filter(w, x -> list_contains(${prof(TextAnalysis.LanguageProfiles.head._2)}, x))) * 1.0e0 / len(w) END, 6) AS stopword_ratio,
+          round(CASE WHEN length(text) = 0 THEN 0.0e0
+                ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0e0 / length(text) END, 6) AS punct_ratio,
+          round(CASE WHEN length(text) = 0 THEN 0.0e0
+                ELSE len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0e0 / length(text) END, 6) AS alpha_ratio,
+          round(CASE WHEN len(w) = 0 THEN 0.0e0
+                ELSE len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0e0 / len(w) END, 6) AS mean_word_len
+          FROM (SELECT doc_id, text, ${duckWords("text")} AS w FROM documents)""",
+    "ann_ivf_cells" ->
+      s"""WITH $duckIvf
+          SELECT centroid_id, COUNT(*) AS n_vectors FROM assign GROUP BY centroid_id""",
+    "ann_ivf_top10" ->
+      s"""WITH $duckIvf,
+          q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+          probed AS (
+            SELECT centroid_id FROM cents, q
+            ORDER BY ${duckCos("cvec", "qvec")} DESC, centroid_id ASC LIMIT 4)
+          SELECT a.vec_id, a.centroid_id,
+                 round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
+          FROM assign a
+          JOIN probed USING (centroid_id)
+          JOIN embeddings e ON a.vec_id = e.vec_id
+          CROSS JOIN q
+          ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, a.vec_id ASC
+          LIMIT 10""")
+}
