@@ -14,21 +14,12 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship (SURVEY.md §7.3 minimum slice): documents → clean (F1) →
-    * quality score (F2) → quality filter (P5) → top-10 by score — scan,
-    * projection, codegen'd scalar tree, filter, TakeOrderedAndProject.
-    * Grows to the full chunk→embed→KNN→attribution slice as slabs land. */
-  def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, "/root/testdata/sf0.001")
-      .withColumn("clean_text", cleanContent($"text"))
-      .withColumn("quality_score",
-        qualityScore($"clean_text", lit(null).cast("string"), lit(null).cast("string")))
-      .filter($"quality_score" >= 0.3)
-      .orderBy($"quality_score".desc, $"doc_id".asc)
-      .limit(10)
-      .select($"doc_id", $"lang", $"source", round($"quality_score", 6).as("quality_score"))
-  }
+  /** Flagship (SURVEY.md §7.3 minimum slice): documents → quality filter →
+    * clean → chunk → embed → cosine KNN for an embedded text query →
+    * broadcast attribution join → ranked hits. One operator from every major
+    * family, end to end. */
+  def entry(spark: SparkSession): DataFrame =
+    graft.pipelines.Pipelines.flagship(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -39,7 +30,8 @@ object SparkEntry {
     TextQueries.queries ++
     FusionQueries.queries ++
     DedupQueries.queries ++
-    AnalysisQueries.queries
+    AnalysisQueries.queries ++
+    PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +43,6 @@ object SparkEntry {
     TextQueries.oracle ++
     FusionQueries.oracle ++
     DedupQueries.oracle ++
-    AnalysisQueries.oracle
+    AnalysisQueries.oracle ++
+    PipelineQueries.oracle
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Advanced-search orchestration (SURVEY.md §2.7 X2-X3, §3.1): the
+  * driver-side control flow that mirrors the reference's
+  * AdvancedSearchOrchestrator (/root/reference/src/feature_pipeline/
+  * advanced_search.py:68-226) — normalize the query, classify intent, pick
+  * strategies, execute each as a DataFrame plan, threshold-filter, fuse,
+  * diversity-filter.
+  *
+  * Strategy selection is plan construction, not data flow: it decides WHICH
+  * sub-plans get composed, then Catalyst optimizes the composed plan as one.
+  */
+object Orchestrator {
+
+  /** Per-strategy configuration (advanced_search.py:53-66). */
+  case class StrategyConfig(name: String, weight: Double, maxResults: Int, threshold: Double)
+
+  val SimilarityConfig  = StrategyConfig("similarity", 0.6, 15, 0.7)
+  val ParentChildConfig = StrategyConfig("parent_child", 0.4, 8, 0.65)
+
+  /** X4 + X2 driver-side: normalize then classify intent (same buckets as
+    * TextFunctions.queryIntent, for plan-construction use). */
+  def queryIntent(query: String): String = {
+    val q = query.trim.replaceAll("\\s+", " ").toLowerCase
+    if (Seq("api", "code", "function", "class", "implement").exists(q.contains)) "technical"
+    else if (Seq("how to", "how do", "steps", "tutorial").exists(q.contains)) "how-to"
+    else if (Seq("error", "problem", "issue", "fix", "debug").exists(q.contains)) "problem-solving"
+    else if (Seq("what is", "explain", "concept", "theory").exists(q.contains)) "conceptual"
+    else "general"
+  }
+
+  /** X3: which strategies run for an intent (advanced_search.py:172-206):
+    * similarity always; parent_child for conceptual/general/technical/how-to. */
+  def selectStrategies(intent: String, parentChildEnabled: Boolean = true): Seq[StrategyConfig] = {
+    val parentChildIntents = Set("conceptual", "general", "technical", "how-to")
+    Seq(Some(SimilarityConfig),
+        if (parentChildEnabled && parentChildIntents.contains(intent)) Some(ParentChildConfig)
+        else None).flatten
+  }
+
+  /** §3.1 end-to-end: embed query → run selected strategies over flat and
+    * parent-child chunk corpora → threshold per strategy → weighted fusion →
+    * driver-side diversity filter over the collected top-N. Returns the final
+    * ranked results re-parallelized as a DataFrame. */
+  def search(spark: SparkSession, flatChunks: DataFrame, childChunks: DataFrame,
+             queryText: String, maxResults: Int = 10,
+             idCol: String = "chunk_id", embCol: String = "embedding",
+             contentCol: String = "content"): DataFrame = {
+    import spark.implicits._
+    val intent = queryIntent(queryText)
+    val qv = Embedder.embedText(queryText)
+    val corpusFor = Map("similarity" -> flatChunks, "parent_child" -> childChunks)
+
+    val strategies = selectStrategies(intent).map { cfg =>
+      val scored = VectorSearch.knn(
+        corpusFor(cfg.name),
+        VectorSearch.SearchRequest(qv, limit = cfg.maxResults, minScore = Some(cfg.threshold)),
+        embCol, idCol)
+      Fusion.Strategy(cfg.name, cfg.weight, scored.select(col(idCol), col("score")))
+    }
+
+    val fused = Fusion.fuseStrategies(strategies, maxResults, idCol)
+    // payload join for diversity filtering (content needed for Jaccard)
+    val payload = flatChunks.select(col(idCol), col(contentCol))
+      .unionByName(childChunks.select(col(idCol), col(contentCol)))
+      .dropDuplicates(idCol)
+    val collected = fused.join(payload, idCol)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .collect().toSeq // ≤ maxResults rows — the reference's driver-side step
+    val diverse = Fusion.diversityFilter[org.apache.spark.sql.Row](
+      collected, r => r.getAs[String](contentCol))
+    val rows = diverse.map(r => (r.getAs[String](idCol), r.getAs[Double]("score"),
+      r.getAs[String]("strategies"), r.getAs[String](contentCol)))
+    rows.toDF(idCol, "score", "strategies", contentCol)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Attribution, ChunkOps, Embedder, VectorSearch}
+
+/** The reference's two batch pipelines as lazy DataFrame compositions
+  * (SURVEY.md §3.2-3.3). The ZenML step DAG collapses into a single logical
+  * plan per pipeline: Catalyst fuses the scalar steps into one codegen stage,
+  * and the only materialization points are the final writes/actions.
+  */
+object Pipelines {
+
+  val QualityThreshold = 0.5 // reference default, rag_pipeline.py:49
+
+  /** ETL pipeline (etl_pipeline.py:185-232): combine → quality-score →
+    * status-mark. Collection connectors (Notion/crawl) are out of engine
+    * scope; input is an already-collected documents DataFrame. */
+  def etlPipeline(docs: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  titleCol: Option[String] = None, urlCol: Option[String] = None): DataFrame = {
+    val title = titleCol.map(col).getOrElse(lit(null).cast("string"))
+    val url   = urlCol.map(col).getOrElse(lit(null).cast("string"))
+    docs
+      .withColumn("word_count", wordCount(col(textCol)))
+      .withColumn("quality_score", qualityScore(col(textCol), title, url))
+      .withColumn("processing_status",
+        when(length(col(textCol)) === 0, "failed").otherwise("completed"))
+      .withColumn("processed_at", current_timestamp())
+  }
+
+  /** Feature pipeline (rag_pipeline.py:190-236): fetch → quality-filter →
+    * clean → chunk (C1 flat) → embed. Returns the chunks-with-embeddings
+    * DataFrame (the reference's `chunks` collection). */
+  def featurePipeline(docs: DataFrame, qualityThreshold: Double = QualityThreshold,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val filtered = docs
+      .withColumn("__q", qualityScore(col(textCol), lit(null).cast("string"), lit(null).cast("string")))
+      .filter(col("__q").isNull || col("__q") >= qualityThreshold)
+      .withColumn("__clean", cleanContent(col(textCol)))
+    val chunks = ChunkOps.chunkFlat(
+      filtered.select(col(idCol), col("__clean")), idCol, "__clean")
+    Embedder.withEmbeddings(chunks.toDF(), "content", "embedding")
+  }
+
+  /** S6/J2/T3: one document joined to its chunks in index order (the
+    * reference's get_chunks_by_document + get_document_with_chunks). */
+  def documentWithChunks(docs: DataFrame, chunks: DataFrame, docId: Long,
+                         idCol: String = "doc_id"): DataFrame =
+    docs.filter(col(idCol) === docId)
+      .join(chunks, col(idCol) === col("document_id"))
+      .orderBy(col("chunk_index").asc)
+
+  /** J4/S12: remap chunk foreign keys after canonical ids are assigned —
+    * the insert-time old→new id remap as a broadcast join (the id map is
+    * small by construction). */
+  def remapForeignKeys(chunks: DataFrame, idMap: DataFrame,
+                       fkCol: String = "document_id",
+                       oldCol: String = "old_id", newCol: String = "new_id"): DataFrame =
+    chunks.join(broadcast(idMap), chunks(fkCol) === idMap(oldCol), "left")
+      .withColumn(fkCol, coalesce(col(newCol), col(fkCol)))
+      .drop(oldCol, newCol)
+
+  /** S8: chunk sink — partitioned by document co-location, sorted by chunk
+    * order inside each file (the parquet stand-in for the reference's
+    * batched insert + document_id/chunk_index index). */
+  def writeChunks(chunks: DataFrame, path: String, numPartitions: Int = 32): Unit =
+    chunks.repartition(numPartitions, col("document_id"))
+      .sortWithinPartitions(col("document_id"), col("chunk_index"))
+      .write.mode("overwrite").parquet(path)
+
+  /** S11: timestamped JSON backup dump (etl_pipeline.py:155-182). */
+  def writeJsonBackup(docs: DataFrame, path: String): Unit =
+    docs.withColumn("backed_up_at", date_format(current_timestamp(),
+        "yyyy-MM-dd'T'HH:mm:ss"))
+      .write.mode("overwrite").json(path)
+
+  /** §7.3 flagship slice: feature pipeline + query-side embed + KNN +
+    * attribution join. One operator from every major family. */
+  def flagship(spark: SparkSession, dir: String, queryText: String = "spark join vector query",
+               k: Int = 10): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    // fixture prose tops out near quality 0.35 — threshold 0 keeps the full
+    // corpus flowing through the clean→chunk→embed path
+    val chunks = featurePipeline(docs, qualityThreshold = 0.0)
+    val hits = VectorSearch.knn(
+      chunks, VectorSearch.SearchRequest(Embedder.embedText(queryText), limit = k),
+      embCol = "embedding", idCol = "chunk_id")
+    Attribution.attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"))
+      .select(col("chunk_id"), col("document_id"), round(col("score"), 6).as("score"),
+        col("lang"), col("source"), col("word_count"))
+      .orderBy(col("score").desc, col("chunk_id").asc)
+  }
+}

@@ -47,6 +47,34 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // Gap-based sessionization (batch twin of StreamingOps.sessionize):
+    // 30-min inactivity gap per user → session groups via lag + cumsum.
+    "evt_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || $"us" - $"prev_us" > 30L * 60L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n_events"),
+             ((max($"us") - min($"us")) / lit(1000000L)).cast("long").as("duration_sec"),
+             dsum($"value").as("total_value"))
+    }),
+
+    // Sliding 2h/1h window counts (batch twin of StreamingOps.windowedStats).
+    "evt_sliding_2h" -> ((s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "2 hours", "1 hour").getField("start").as("win_start"),
+                 $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // Per-type global stats with order-independent double aggregation.
     "evt_type_stats" -> ((s, dir) => {
       import s.implicits._
@@ -71,6 +99,31 @@ object EventQueries {
     "evt_user_daily" ->
       """SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_events
          FROM events GROUP BY user_id, date_trunc('day', ts)""",
+    "evt_sessions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+                  epoch_us(date_trunc('microseconds', ts)) AS us
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, value, us,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+         numbered AS (
+           SELECT user_id, event_id, value, us,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM flagged)
+         SELECT user_id, session_seq, COUNT(*) AS n_events,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+         FROM numbered GROUP BY user_id, session_seq""",
+    "evt_sliding_2h" ->
+      """SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR * off AS win_start,
+                event_type, COUNT(*) AS n_events
+         FROM events, (SELECT unnest([0, 1]) AS off)
+         GROUP BY date_trunc('hour', ts) - INTERVAL 1 HOUR * off, event_type""",
     "evt_type_stats" ->
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ChunkOps, Orchestrator}
+import graft.pipelines.Pipelines
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("feature pipeline produces embedded chunks with stable schema") {
+    val chunks = Pipelines.featurePipeline(Tables.documents(spark, dir), qualityThreshold = 0.0)
+    val row = chunks.head
+    assert(chunks.columns.toSet.contains("embedding"))
+    assert(row.getAs[Seq[Float]]("embedding").length === 384)
+    assert(chunks.filter(col("word_count") <= 0).count() === 0)
+  }
+
+  test("writeChunks round-trips partitioned+sorted parquet") {
+    val out = Files.createTempDirectory("graft_chunks").toString
+    val chunks = Pipelines.featurePipeline(Tables.documents(spark, dir), qualityThreshold = 0.0)
+    Pipelines.writeChunks(chunks, s"$out/chunks", numPartitions = 4)
+    val back = spark.read.parquet(s"$out/chunks")
+    assert(back.count() === chunks.count())
+    assert(back.columns.sorted === chunks.columns.sorted)
+  }
+
+  test("writeJsonBackup writes readable json with backup timestamp") {
+    val out = Files.createTempDirectory("graft_json").toString
+    Pipelines.writeJsonBackup(Tables.documents(spark, dir).limit(20), s"$out/backup")
+    val back = spark.read.json(s"$out/backup")
+    assert(back.count() === 20)
+    assert(back.columns.contains("backed_up_at"))
+  }
+
+  test("remapForeignKeys rewrites mapped ids and keeps unmapped ones") {
+    import spark.implicits._
+    val chunks = Seq(("c1", 10L), ("c2", 11L), ("c3", 12L)).toDF("chunk_id", "document_id")
+    val idMap  = Seq((10L, 100L), (11L, 110L)).toDF("old_id", "new_id")
+    val out = Pipelines.remapForeignKeys(chunks, idMap)
+      .orderBy("chunk_id").collect().map(_.getLong(1)).toSeq
+    assert(out === Seq(100L, 110L, 12L))
+  }
+
+  test("documentWithChunks restores chunk order for one document") {
+    val docs = Tables.documents(spark, dir)
+    val chunks = ChunkOps.chunkFlat(docs).toDF()
+    val got = Pipelines.documentWithChunks(docs.select(col("doc_id")), chunks, docId = 1L)
+    val indexes = got.select("chunk_index").collect().map(_.getInt(0)).toSeq
+    assert(indexes === indexes.sorted)
+    assert(got.count() > 0)
+  }
+
+  test("orchestrator selects strategies by intent") {
+    assert(Orchestrator.queryIntent("how to implement the api") === "technical")
+    assert(Orchestrator.selectStrategies("technical").map(_.name) ===
+      Seq("similarity", "parent_child"))
+    assert(Orchestrator.selectStrategies("problem-solving").map(_.name) ===
+      Seq("similarity"))
+    assert(Orchestrator.selectStrategies("general", parentChildEnabled = false).map(_.name) ===
+      Seq("similarity"))
+  }
+
+  test("orchestrated search returns fused, diverse, ranked results") {
+    import graft.operators.Embedder
+    val docs = Tables.documents(spark, dir)
+    val flat = Pipelines.featurePipeline(docs, qualityThreshold = 0.0)
+    val children = Embedder.withEmbeddings(
+      ChunkOps.chunkHierarchy(docs).toDF().filter(col("chunk_type") === "child"),
+      "content", "embedding")
+    val out = Orchestrator.search(spark, flat, children, "explain the concept of a sort merge join")
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // scores descending
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sortBy(-_))
+    // parent_child strategy engaged for a conceptual query
+    assert(rows.exists(_.getAs[String]("strategies").contains("similarity")))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Structured Streaming operators driven through real streaming queries
+  * (MemoryStream source → memory sink, processAllAvailable). */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // offset from epoch: ts==0 equals the initial watermark and is dropped as late
+  private val Base = 86400000L
+  private def ts(minutes: Long): Timestamp = new Timestamp(Base + minutes * 60000L)
+
+  test("windowed stats aggregate a stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    source.addData(
+      Event(ts(5), 1L, "view", 1.0), Event(ts(20), 1L, "view", 2.0),
+      Event(ts(65), 2L, "click", 3.0), Event(ts(70), 1L, "view", 4.0))
+    val q = StreamingOps.windowedStats(source.toDF(), "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_out")
+      .selectExpr("window.start", "event_type", "n_events", "total_value")
+      .collect().map(r => ((r.getTimestamp(0).getTime - Base) / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows === Set((0L, "view", 2L, 3.0), (60L, "click", 1L, 3.0), (60L, "view", 1L, 4.0)))
+  }
+
+  test("sessionize closes sessions after the inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    // user 1: events at 0,10 min (one session), then 120 min (new session);
+    // watermark pushed forward by a late marker event from user 99
+    source.addData(
+      Event(ts(0), 1L, "view", 1.0), Event(ts(10), 1L, "view", 2.0),
+      Event(ts(120), 1L, "view", 4.0), Event(ts(300), 99L, "view", 0.0))
+    val q = StreamingOps.sessionize(source.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    // second batch advances the watermark so timed-out sessions flush
+    source.addData(Event(ts(400), 99L, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 60000,
+        (r.getTimestamp(2).getTime - Base) / 60000, r.getLong(3))).toSet
+    // user 1's first session (0-10, 2 events) and second (120, 1 event) closed
+    assert(sessions.contains((1L, 0L, 10L, 2L)))
+    assert(sessions.contains((1L, 120L, 120L, 1L)))
+  }
+
+  test("batch sessionization twin agrees on the same events") {
+    import spark.implicits._
+    val events = Seq(
+      Event(ts(0), 1L, "view", 1.0), Event(ts(10), 1L, "view", 2.0),
+      Event(ts(120), 1L, "view", 4.0)).toDS()
+    // batch lag/cumsum form (as in EventQueries.evt_sessions)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc)
+    val sessions = events.toDF()
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev", lag($"us", 1).over(w))
+      .withColumn("new_sess", when($"prev".isNull || $"us" - $"prev" > 30L * 60 * 1000000L, 1L).otherwise(0L))
+      .withColumn("seq", sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"seq").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sessions === Set((1L, 1L, 2L), (1L, 2L, 1L)))
+  }
+}
