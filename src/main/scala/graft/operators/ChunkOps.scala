@@ -47,9 +47,28 @@ object ChunkOps {
   val ChildOverlap  = 100
   val MinChunkChars = 50
 
-  def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def md5Bytes(s: String): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    md.digest(s.getBytes("UTF-8"))
+  }
+
+  def md5Hex(s: String): String = {
+    val bytes = md5Bytes(s)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** C1: flat chunking of one document (document_processor.py:96-120):
     * split at 1000/200, drop stripped-<50-char chunks, md5 ids from the

@@ -33,6 +33,53 @@ object Dedup {
   def md5Hash60(c: Column, seed: Column): Column =
     conv(substring(md5(concat_ws("_", seed, c)), 1, 15), 16, 10).cast("long")
 
+  /** Scala twin of md5Hash60 — identical values, compiled speed: the first
+    * 15 hex chars of the md5 are exactly the top 60 bits of the big-endian
+    * first 8 digest bytes, so no hex string is ever built. */
+  def md5Hash60Scala(s: String, seed: Int): Long = {
+    val b = ChunkOps.md5Bytes(seed + "_" + s)
+    val top64 =
+      ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
+      ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    top64 >>> 4
+  }
+
+  /** Scala twin of the tokenizer (same regex semantics as TextSearch.tokens). */
+  def wordsScala(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** Scala twin of `shingles`. */
+  def shinglesScala(text: String, n: Int): Array[String] = {
+    val w = wordsScala(text)
+    if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toArray.distinct
+    else Array(w.mkString(" "))
+  }
+
+  /** Scala twin of `minHashSignature`. */
+  def minHashSignatureScala(shingles: Seq[String], k: Int): Array[Long] =
+    Array.tabulate(k) { i =>
+      var min = Long.MaxValue
+      for (s <- shingles) { val h = md5Hash60Scala(s, i); if (h < min) min = h }
+      min
+    }
+
+  /** Scala twin of `simHashBits`. */
+  def simHashBitsScala(text: String): Array[Long] = {
+    val hashes = wordsScala(text).map(md5Hash60Scala(_, 0))
+    Array.tabulate(SimHashBits) { j =>
+      var votes = 0L
+      var i = 0
+      while (i < hashes.length) { votes += ((hashes(i) >> j) & 1L) * 2 - 1; i += 1 }
+      if (votes > 0) 1L else 0L
+    }
+  }
+
+  private val shinglesUdf = udf((text: String, n: Int) => shinglesScala(text, n))
+  private val minHashSigUdf = udf((sh: Seq[String], k: Int) => minHashSignatureScala(sh, k))
+  private val simHashBitsUdf = udf((text: String) => simHashBitsScala(text))
+
   /** Fast path: xxhash64 (not DuckDB-reproducible; for scale runs). */
   def fastHash(c: Column, seed: Column): Column = xxhash64(seed, c)
 
@@ -93,14 +140,17 @@ object Dedup {
     * verified on its true shingle sets. Output: (id_a, id_b, jaccard). */
   def minHashPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
                    bands: Int = 4, rows: Int = 4, threshold: Double = 0.8,
-                   idCol: String = "doc_id", textCol: String = "text",
-                   hash: (Column, Column) => Column = md5Hash60): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(bands * rows == k, "bands*rows must equal signature length")
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    // persist: the shingle/signature subtrees feed BOTH sides of the
+    // candidate self-join plus verification — without it they recompute
+    // (md5-per-shingle-per-seed) once per downstream stage
+    val sh = docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")).persist()
     val banded = sh
       .select(col(idCol),
-        posexplode(bandKeys(minHashSignature(col("sh"), k, hash), bands, rows))
+        posexplode(bandKeys(minHashSigUdf(col("sh"), lit(k)), bands, rows))
           .as(Seq("band_idx", "band_key")))
+      .persist()
     val left  = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
     val right = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
     val candidates = left.join(right, Seq("band_idx", "band_key"))
@@ -114,10 +164,14 @@ object Dedup {
     * exact verification. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    val sh = docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")).persist()
+    // candidate pairs = docs sharing ≥1 shingle, via hash-keyed equi-join on
+    // the exploded shingle table (the hash shrinks the shuffle payload; a
+    // collision can only ADD a candidate, which exact verification removes)
     val exploded = sh.select(col(idCol), explode(col("sh")).as("shingle"))
-    val candidates = exploded.select(col("shingle"), col(idCol).as("id_a"))
-      .join(exploded.select(col("shingle"), col(idCol).as("id_b")), "shingle")
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle_h"))
+    val candidates = exploded.select(col("shingle_h"), col(idCol).as("id_a"))
+      .join(exploded.select(col("shingle_h"), col(idCol).as("id_b")), "shingle_h")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     verifyJaccard(candidates, sh, idCol, threshold)
@@ -153,20 +207,19 @@ object Dedup {
   }
 
   /** Packed bit-string form, e.g. "0110…" (msb-first by bit index order). */
-  def simHashString(textCol: Column,
-                    hash: (Column, Column) => Column = md5Hash60): Column =
-    array_join(simHashBits(textCol, hash), "")
+  def simHashString(textCol: Column): Column =
+    array_join(simHashBitsUdf(textCol), "")
 
   /** SimHash near-duplicate pairs: banding on `blocks` equal bit-blocks
     * (pigeonhole guarantees recall for hamming < blocks), hamming-verified.
     * Output: (id_a, id_b, hamming). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
-                   idCol: String = "doc_id", textCol: String = "text",
-                   hash: (Column, Column) => Column = md5Hash60): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming < blocks, "pigeonhole recall needs maxHamming < blocks")
     require(SimHashBits % blocks == 0)
     val blockLen = SimHashBits / blocks
-    val sigs = docs.select(col(idCol), simHashBits(col(textCol), hash).as("bits"))
+    // persist: the signature kernel feeds banding + both verify join sides
+    val sigs = docs.select(col(idCol), simHashBitsUdf(col(textCol)).as("bits")).persist()
     val banded = sigs
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(blocks - 1)),

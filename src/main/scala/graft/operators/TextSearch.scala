@@ -35,7 +35,9 @@ object TextSearch {
     * for docs matching ≥1 term, text_score rounded to 6 decimals. */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val terms = termTable(docs, idCol, textCol)
+    // persisted: the exploded term table feeds doc-length, tf AND df
+    // aggregates — three downstream stages off one tokenization pass
+    val terms = termTable(docs, idCol, textCol).persist()
 
     // per-doc length (all terms, not just query terms)
     val docLen = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))

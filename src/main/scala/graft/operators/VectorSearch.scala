@@ -93,16 +93,35 @@ object VectorSearch {
       .limit(k)
   }
 
-  /** All-pairs similarity join above a cosine threshold, LSH-free exact form
-    * for moderate corpora; the scale path is Similarity.annJoin. Keyed output
-    * (left id, right id, score), left id < right id to halve the pairs. */
+  /** All-pairs similarity join above a cosine threshold — the exact form.
+    * One side is collected and broadcast (an n×dim float matrix: 2k vectors
+    * × 64 dims = 512 KB; even 1M × 384 = 1.5 GB is broadcast-feasible), the
+    * other side streams through a tight primitive loop per partition — the
+    * O(n²) kernel runs at memory bandwidth instead of per-row join overhead.
+    * Above broadcast capacity this exact operator is the wrong tool by
+    * definition: use Dedup.minHashPairs / Similarity IVF cells to bucket
+    * first. Output (left_id, right_id, cosine), left_id < right_id. */
   def similarityJoin(corpus: DataFrame, minCosine: Double,
                      embCol: String = "embedding", idCol: String = "id"): DataFrame = {
-    val left  = corpus.select(col(idCol).as("left_id"), col(embCol).as("left_vec"))
-    val right = corpus.select(col(idCol).as("right_id"), col(embCol).as("right_vec"))
-    left.join(right, col("left_id") < col("right_id"))
-      .withColumn("cosine", cosineSimilarity(col("left_vec"), col("right_vec")))
-      .filter(col("cosine") >= minCosine)
-      .select(col("left_id"), col("right_id"), col("cosine"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col(idCol).cast("long"), col(embCol)).as[(Long, Array[Float])]
+    val bc = spark.sparkContext.broadcast(rows.collect().sortBy(_._1))
+    rows.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (id, vec) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < all.length) {
+          val (otherId, otherVec) = all(i)
+          if (otherId > id) {
+            val c = graft.functions.VectorFunctions.cosineArrays(vec, otherVec)
+            if (c >= minCosine) out += ((id, otherId, c))
+          }
+          i += 1
+        }
+        out
+      }
+    }.toDF("left_id", "right_id", "cosine")
   }
 }
