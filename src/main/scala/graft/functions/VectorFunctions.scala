@@ -61,11 +61,15 @@ object VectorFunctions {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
-  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosineScala(a, b))
-
   /** Cosine similarity in [-1, 1]; null-safe, 0.0 when either norm is 0.
-    * Compiled UDF — bit-identical to the sequential-fold expression form. */
-  def cosineSimilarity(a: Column, b: Column): Column = cosineUdf(a, b)
+    * Backed by the native codegen Catalyst expression
+    * (graft.expressions.CosineSimilarityExpr) — no UDF boundary, stays
+    * inside whole-stage codegen, bit-identical to the sequential-fold forms. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.expressions.CosineSimilarityExpr(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** Column-expression cosine (kept for contexts that must stay UDF-free;
     * same fold order and results as cosineSimilarity). */

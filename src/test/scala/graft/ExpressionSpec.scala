@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.GraftExtensions
+import graft.functions.VectorFunctions
+
+class ExpressionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("codegen cosine expression matches the scala/expr forms bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 200).map { _ =>
+      (Array.fill(64)(rnd.nextFloat() - 0.5f), Array.fill(64)(rnd.nextFloat() - 0.5f))
+    }
+    val df = data.toDF("a", "b")
+    val viaExpr = df.select(VectorFunctions.cosineSimilarity($"a", $"b")).collect().map(_.getDouble(0))
+    val viaHof  = df.select(VectorFunctions.cosineSimilarityExpr($"a", $"b")).collect().map(_.getDouble(0))
+    val viaScala = data.map { case (a, b) => VectorFunctions.cosineScala(a, b) }
+    viaExpr.zip(viaHof).foreach { case (x, y) => assert(x === y) }
+    viaExpr.zip(viaScala).foreach { case (x, y) => assert(x === y) }
+  }
+
+  test("cosine expression null/zero semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1f, 0f)), None: Option[Array[Float]]),
+      (Some(Array(0f, 0f)), Some(Array(1f, 1f)))).toDF("a", "b")
+    val out = df.select(VectorFunctions.cosineSimilarity($"a", $"b")).collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(0.0, 0.0))
+  }
+
+  test("graft_cosine is SQL-callable after registration") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((Array(1f, 2f, 3f), Array(1f, 2f, 3f))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val got = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs").head.getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("whole-stage codegen survives (no fallback) for the cosine plan") {
+    import spark.implicits._
+    // non-literal input so the optimizer cannot constant-fold the expression
+    val df = spark.range(100)
+      .select(
+        array((1 to 8).map(i => (col("id") + i).cast("float")): _*).as("a"),
+        array((1 to 8).map(i => (col("id") * i).cast("float")): _*).as("b"))
+      .select(VectorFunctions.cosineSimilarity($"a", $"b").as("c"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_cosine"))
+    assert(df.count() === 100)
+  }
+}
