@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Operator-level behavior specs for VectorSearch / Dedup / TextSearch /
+  * Similarity / TextAnalysis over the sf0.001 fixtures. */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, dir)
+  private lazy val docs = Tables.documents(spark, dir)
+
+  // ------------------------------------------------------------ VectorSearch
+
+  test("knn returns k results, self at rank 1, scores descending in [0,1]") {
+    val qv = emb.filter(col("vec_id") === 3L).select("embedding").head.getSeq[Float](0).toArray
+    val hits = VectorSearch.knn(emb, VectorSearch.SearchRequest(qv, limit = 5),
+      idCol = "vec_id").collect()
+    assert(hits.length === 5)
+    assert(hits.head.getAs[Long]("vec_id") === 3L) // self is most similar
+    val scores = hits.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sortBy(-_))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(math.abs(scores.head - 1.0) < 1e-9)
+  }
+
+  test("knn minScore threshold and limit clamping") {
+    val qv = emb.filter(col("vec_id") === 3L).select("embedding").head.getSeq[Float](0).toArray
+    val hits = VectorSearch.knn(emb,
+      VectorSearch.SearchRequest(qv, limit = 500, minScore = Some(0.9)), idCol = "vec_id")
+    assert(hits.count() <= 100) // limit clamps to the reference's 1..100
+    assert(hits.filter(col("score") < 0.9).count() === 0)
+  }
+
+  test("knnBatch emits per-query ranked blocks") {
+    val queries = emb.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = VectorSearch.knnBatch(emb, queries, k = 4, idCol = "vec_id")
+    val grouped = out.groupBy("qid").count().collect().map(_.getLong(1)).toSeq
+    assert(grouped === Seq(4L, 4L, 4L))
+    // rank 1 of each block is the query itself
+    val self = out.filter(col("rank") === 1)
+      .select(col("qid"), col("vec_id")).collect()
+    assert(self.forall(r => r.getLong(0) === r.getLong(1)))
+  }
+
+  test("similarityJoin pairs are ordered, thresholded, symmetric-free") {
+    val pairs = VectorSearch.similarityJoin(emb.limit(100), minCosine = -1.0, idCol = "vec_id")
+    assert(pairs.count() === 100L * 99 / 2)
+    assert(pairs.filter(col("left_id") >= col("right_id")).count() === 0)
+  }
+
+  // ------------------------------------------------------------------ Dedup
+
+  test("exact dedup finds planted copies and keeps min-id canonicals") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text")
+    val withCopies = base.unionByName(
+      base.filter($"doc_id" < 10).select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    val groups = Dedup.exactDuplicateGroups(withCopies).collect()
+    assert(groups.length === 10)
+    assert(groups.forall(_.getAs[Long]("n_copies") === 2L))
+    assert(groups.forall(r => r.getAs[Long]("canonical_id") < 1000))
+    val survivors = Dedup.dropExactDuplicates(withCopies)
+    assert(survivors.count() === base.count())
+    assert(survivors.filter($"doc_id" >= 1000).count() === 0)
+  }
+
+  test("minhash LSH recall matches exact ngram ground truth on the fixture") {
+    val lsh = Dedup.minHashPairs(docs).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(docs).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh) || lsh === exact) // banding may not lose planted dups
+    assert(lsh === exact)
+  }
+
+  test("simhash near-identical texts give hamming 0, unrelated differ") {
+    import spark.implicits._
+    val a = Dedup.simHashBitsScala("the quick brown fox jumps over the lazy dog")
+    val b = Dedup.simHashBitsScala("the quick brown fox jumps over the lazy dog")
+    val c = Dedup.simHashBitsScala("completely unrelated subject matter entirely")
+    assert(a.toSeq === b.toSeq)
+    assert(a.zip(c).count { case (x, y) => x != y } > 5)
+  }
+
+  test("shingles: n-gram construction and short-text fallback") {
+    assert(Dedup.shinglesScala("a b c d", 3).toSeq === Seq("a b c", "b c d"))
+    assert(Dedup.shinglesScala("a b", 3).toSeq === Seq("a b"))
+    assert(Dedup.shinglesScala("", 3).toSeq === Seq(""))
+  }
+
+  // -------------------------------------------------------------- TextSearch
+
+  test("bm25 ranks term-dense docs higher; missing terms score nothing") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark spark spark join"),
+      (2L, "spark filter table"),
+      (3L, "window sort merge")).toDF("doc_id", "text")
+    val scores = TextSearch.bm25(corpus, Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.contains(1L) && scores.contains(2L))
+    assert(!scores.contains(3L))
+    assert(scores(1L) > scores(2L))
+  }
+
+  test("search top-k is deterministic under ties") {
+    val a = TextSearch.search(docs, "spark join vector", 10).collect().map(_.getLong(0)).toSeq
+    val b = TextSearch.search(docs, "spark join vector", 10).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+  }
+
+  // -------------------------------------------------------------- Similarity
+
+  test("IVF assignment is total and probe search ranks within probed cells") {
+    val cents = Similarity.seededCentroids(emb, 16, 31L)
+    assert(cents.count() === 16)
+    val assigned = Similarity.ivfAssign(emb, cents)
+    assert(assigned.count() === emb.count()) // every vector lands in one cell
+    val qv = emb.filter(col("vec_id") === 2L).select("embedding").head.getSeq[Float](0).toArray
+    val hits = Similarity.ivfSearch(emb, cents, qv, k = 10, nprobe = 4).collect()
+    assert(hits.length === 10)
+    val scores = hits.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sortBy(-_))
+  }
+
+  test("IVF with nprobe=all equals exact brute force") {
+    val cents = Similarity.seededCentroids(emb, 16, 31L)
+    val qv = emb.filter(col("vec_id") === 2L).select("embedding").head.getSeq[Float](0).toArray
+    val ivf = Similarity.ivfSearch(emb, cents, qv, k = 10, nprobe = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = VectorSearch.knn(emb, VectorSearch.SearchRequest(qv, limit = 10), idCol = "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivf === exact)
+  }
+
+  // ------------------------------------------------------------ TextAnalysis
+
+  test("language ID votes for the profile present in the text") {
+    import spark.implicits._
+    val out = Seq(
+      "the cat sat on the mat and it is happy",
+      "el gato y la casa de que en un dia",
+      "xyzzy qwerty plugh").toDF("text")
+      .select(TextAnalysis.detectLanguage($"text").getField("lang")).collect().map(_.getString(0))
+    assert(out.toSeq === Seq("en", "es", "und"))
+  }
+
+  test("token counts: bpe-ish >= whitespace for punctuated text") {
+    import spark.implicits._
+    val row = Seq("hello, world! it's 2024.").toDF("text")
+      .select(TextAnalysis.whitespaceTokens($"text"), TextAnalysis.bpeIshTokens($"text")).head
+    assert(row.getInt(0) === 4)
+    assert(row.getInt(1) > row.getInt(0))
+  }
+
+  test("fingerprints are stable and text-sensitive") {
+    import spark.implicits._
+    // bottom-k sampling: a single-char change may be missed by design, so
+    // the differing text is fully distinct
+    val fp = Seq("abcdefghijklmnop", "abcdefghijklmnop", "zyxwvutsrqponmlk")
+      .toDF("text").select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+}

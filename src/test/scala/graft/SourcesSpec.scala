@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("documents round-trip through orc, json, and csv") {
+    val docs = Tables.documents(spark, dir)
+    val out = Files.createTempDirectory("graft_src").toString
+    val sorted = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    Sources.writeOrc(docs, s"$out/orc")
+    assert(Sources.readOrc(spark, s"$out/orc")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq === sorted)
+
+    Sources.writeJson(docs, s"$out/json")
+    assert(Sources.readJson(spark, s"$out/json", docs.schema)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq === sorted)
+
+    Sources.writeCsv(docs, s"$out/csv")
+    assert(Sources.readCsv(spark, s"$out/csv", docs.schema)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq === sorted)
+  }
+
+  test("salted join equals plain join, with the small side replicated") {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(
+        orders.withColumnRenamed("o_custkey", "k"),
+        customer.withColumnRenamed("c_custkey", "k"), "k", saltBuckets = 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("key histogram surfaces the heaviest join keys") {
+    val hist = Skew.keyHistogram(Tables.lineitem(spark, dir), "l_suppkey", topN = 3).collect()
+    assert(hist.length === 3)
+    assert(hist.map(_.getLong(1)).toSeq === hist.map(_.getLong(1)).toSeq.sortBy(-_))
+  }
+}
