@@ -25,6 +25,38 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** MLlib-backed ANN join: BucketedRandomProjectionLSH over L2-normalized
+    * vectors (euclidean distance on the unit sphere is monotone in cosine:
+    * d² = 2 − 2·cos). Returns candidate pairs within `maxCosDistance` of
+    * each other (cosine ≥ 1 − maxCosDistance²/2), deterministic via fixed
+    * seed. The fully-distributed alternative to the broadcast exact join —
+    * both sides stay DataFrames, pairs come from shared LSH buckets. */
+  def lshJoin(corpus: DataFrame, minCosine: Double, bucketLength: Double = 1.0,
+              numHashTables: Int = 4,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) => {
+      var norm = 0.0
+      a.foreach(x => norm += x.toDouble * x)
+      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+      Vectors.dense(a.map(_.toDouble * inv).toArray)
+    })
+    val featurized = corpus.select(col(idCol), toVec(col(embCol)).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setInputCol("features").setOutputCol("hashes").setSeed(42L)
+    val model = lsh.fit(featurized)
+    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+    model.approxSimilarityJoin(featurized, featurized, maxDist, "dist")
+      .select(col(s"datasetA.$idCol").as("left_id"),
+              col(s"datasetB.$idCol").as("right_id"),
+              (lit(1.0) - col("dist") * col("dist") / 2.0).as("cosine"))
+      .filter(col("left_id") < col("right_id"))
+  }
+
   /** Deterministic centroid sample: vectors whose id ≡ 0 (mod step), first
     * `c` of them by id. */
   def seededCentroids(corpus: DataFrame, c: Int, step: Long,

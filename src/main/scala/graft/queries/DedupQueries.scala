@@ -59,6 +59,18 @@ object DedupQueries {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashPairs(Tables.documents(s, dir))),
 
+    // End-to-end near-dup removal: drop the higher id of every verified
+    // MinHash pair, keep the rest — the "dedup the corpus" surface a
+    // training-data pipeline actually calls.
+    "dedup_neardup_survivors" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val dropIds = graft.operators.Dedup.minHashPairs(docs)
+        .select($"id_b".as("doc_id")).distinct()
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source")
+    }),
+
     // Embedding-cosine near-dup pairs (exact all-pairs at fixture scale).
     "dedup_embedding_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -159,6 +171,19 @@ object DedupQueries {
           FROM candidates c JOIN sigs a ON c.id_a = a.doc_id JOIN sigs b ON c.id_b = b.doc_id
           WHERE list_sum(list_transform(list_zip(a.bits, b.bits),
                   p -> CASE WHEN p[1] = p[2] THEN 0 ELSE 1 END)) <= 3""",
+    "dedup_neardup_survivors" ->
+      s"""WITH $duckShinglesCte,
+          banded AS (
+            SELECT doc_id, band_idx, array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',') AS band_key
+            FROM (SELECT doc_id, sh, $duckSig16 AS sig FROM sh),
+                 (SELECT unnest(generate_series(0, 3)) AS band_idx)),
+          candidates AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+          pairs AS ($duckVerify)
+          SELECT doc_id, source FROM documents
+          WHERE doc_id NOT IN (SELECT id_b FROM pairs)""",
     "dedup_embedding_pairs" ->
       """SELECT a.vec_id AS left_id, b.vec_id AS right_id,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

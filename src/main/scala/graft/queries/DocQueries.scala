@@ -72,6 +72,19 @@ object DocQueries {
         .select($"doc_id", queryIntent($"text").as("intent"))
     }),
 
+    // F6 URL extraction: the fixture prose has no URLs, so each doc gets a
+    // synthetic markdown link + bare URL appended IN the query — extraction,
+    // punctuation-stripping, and dedup then run on real non-empty input.
+    "doc_url_extract" -> ((s, dir) => {
+      import s.implicits._
+      val withUrls = Tables.documents(s, dir).select($"doc_id",
+        concat($"text",
+          lit(" see [ref](https://docs.example.org/d"), ($"doc_id" % 7).cast("string"),
+          lit(") or https://mirror"), ($"doc_id" % 3).cast("string"),
+          lit(".example.com/x.")).as("text"))
+      withUrls.select($"doc_id", explode(extractUrls($"text")).as("url"))
+    }),
+
     // A6 collection stats: per-source doc counts + word totals.
     "doc_source_stats" -> ((s, dir) => {
       import s.implicits._
@@ -160,6 +173,17 @@ object DocQueries {
       s"SELECT doc_id, lang, source FROM documents WHERE $duckQuality >= 0.25e0",
     "doc_minlen_filter" ->
       ("SELECT doc_id, n_chars FROM documents WHERE length(" + strip("text") + ") >= 50"),
+    "doc_url_extract" ->
+      """WITH t AS (
+           SELECT doc_id,
+             text || ' see [ref](https://docs.example.org/d' || (doc_id % 7)
+                  || ') or https://mirror' || (doc_id % 3) || '.example.com/x.' AS text
+           FROM documents)
+         SELECT DISTINCT doc_id,
+           regexp_replace(unnest(
+             regexp_extract_all(text, '\[[^\]]+\]\(([^)]+)\)', 1)
+             || regexp_extract_all(text, 'https?://[^\s\)\]]+')), '[.,;:!?]+$', '') AS url
+         FROM t""",
     "doc_chunk_ids" ->
       "SELECT doc_id, md5(concat_ws('_', doc_id, 0, substring(text, 1, 100))) AS chunk_id FROM documents",
     "doc_intent" ->

@@ -75,6 +75,20 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // W1 conversation-context assembly (rag_engine.py:260-294 shape): the
+    // last 3 events per user, newest first, folded into one context string.
+    "evt_conversation_context" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .groupBy($"user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"rn", $"event_type"))),
+            x => x.getField("event_type")), " | ").as("context"))
+    }),
+
     // Per-type global stats with order-independent double aggregation.
     "evt_type_stats" -> ((s, dir) => {
       import s.implicits._
@@ -124,6 +138,15 @@ object EventQueries {
                 event_type, COUNT(*) AS n_events
          FROM events, (SELECT unnest([0, 1]) AS off)
          GROUP BY date_trunc('hour', ts) - INTERVAL 1 HOUR * off, event_type""",
+    "evt_conversation_context" ->
+      """SELECT user_id,
+           array_to_string(list(event_type ORDER BY rn ASC), ' | ') AS context
+         FROM (
+           SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn <= 3 GROUP BY user_id""",
     "evt_type_stats" ->
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,

@@ -135,6 +135,26 @@ object RelationalQueries {
       rich.union(bld).distinct()
     }),
 
+    // Ranking window: top-5 customers by balance within each segment.
+    "rel_segment_top_customers" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      Tables.customer(s, dir)
+        .withColumn("bal_rank", rank().over(w))
+        .filter($"bal_rank" <= 5)
+        .select($"c_mktsegment", $"bal_rank", $"c_custkey", $"c_acctbal")
+    }),
+
+    // Temporal rollup: orders per month with exact-decimal totals.
+    "rel_orders_monthly" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum($"o_totalprice").as("total_price"))
+    }),
+
     // Point lookup (S7): equality filter pushed to the parquet scan.
     "rel_order_lookup" -> ((s, dir) => {
       import s.implicits._
@@ -197,5 +217,15 @@ object RelationalQueries {
          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
     "rel_order_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         FROM orders WHERE o_orderkey = 42""")
+         FROM orders WHERE o_orderkey = 42""",
+    "rel_segment_top_customers" ->
+      """SELECT c_mktsegment, CAST(bal_rank AS INT) AS bal_rank, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+                  RANK() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_rank
+           FROM customer) WHERE bal_rank <= 5""",
+    "rel_orders_monthly" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY date_trunc('month', o_orderdate)""")
 }

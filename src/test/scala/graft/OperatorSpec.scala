@@ -54,6 +54,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(self.forall(r => r.getLong(0) === r.getLong(1)))
   }
 
+  test("similarToId excludes self and same document") {
+    val chunks = graft.pipelines.Pipelines.featurePipeline(docs, qualityThreshold = 0.0)
+    val target = chunks.select("chunk_id", "document_id").head
+    val hits = VectorSearch.similarToId(chunks, target.getString(0), k = 5,
+      excludeSameDocument = true, idCol = "chunk_id").collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getAs[String]("chunk_id") != target.getString(0)))
+    assert(hits.forall(_.getAs[Long]("document_id") != target.getLong(1)))
+  }
+
+  test("MLlib LSH join recovers the strongest exact pairs") {
+    val exact = VectorSearch.similarityJoin(emb, minCosine = 0.4, idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshJoin(emb, minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ANN: every LSH pair must be a true pair-candidate; recall on the
+    // fixture's strong pairs should be high (allow some loss)
+    if (exact.nonEmpty) {
+      val recall = exact.intersect(lsh).size.toDouble / exact.size
+      assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
   test("similarityJoin pairs are ordered, thresholded, symmetric-free") {
     val pairs = VectorSearch.similarityJoin(emb.limit(100), minCosine = -1.0, idCol = "vec_id")
     assert(pairs.count() === 100L * 99 / 2)
