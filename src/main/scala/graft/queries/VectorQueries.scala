@@ -46,6 +46,22 @@ object VectorQueries {
         .select($"vec_id", round((($"cos" + 1.0) / 2.0), 6).as("score"))
     }),
 
+    // SQL surface: the same KNN expressed as SQL text over a temp view,
+    // planning the native graft_cosine expression registered via
+    // GraftExtensions (query vector = vec 2).
+    "vec_knn_sql" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+      s.sql("""
+        SELECT vec_id, round(score, 6) AS score FROM (
+          SELECT e.vec_id,
+                 (graft_cosine(e.embedding, q.embedding) + 1.0d) / 2.0d AS score
+          FROM graft_embeddings e,
+               (SELECT embedding FROM graft_embeddings WHERE vec_id = 2) q
+          WHERE e.vec_id <> 2)
+        ORDER BY score DESC, vec_id ASC LIMIT 10""")
+    }),
+
     // Batch KNN (V2 at fleet scale): 5 query vectors against the corpus in
     // one pass — broadcast queries, window top-k per query id.
     "vec_knn_batch" -> ((s, dir) => {
@@ -101,6 +117,12 @@ object VectorQueries {
             AND (${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0 >= 0.6e0
           ORDER BY ${duckCos("e.embedding", "q.embedding")} DESC, e.vec_id ASC
           LIMIT 100""",
+    "vec_knn_sql" ->
+      s"""SELECT vec_id, round(score, 6) AS score FROM (
+            SELECT e.vec_id, (${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0 AS score
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 2) q
+            WHERE e.vec_id <> 2)
+          ORDER BY score DESC, vec_id ASC LIMIT 10""",
     "vec_knn_batch" ->
       s"""SELECT qid, vec_id, CAST(rank AS INT) AS rank, round(score, 6) AS score FROM (
             SELECT q.vec_id AS qid, e.vec_id AS vec_id,
