@@ -142,11 +142,16 @@ object DedupQueries {
           $duckVerify""",
     "dedup_ngram_pairs" ->
       s"""WITH $duckShinglesCte,
-          exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+          prefixes AS (
+            SELECT doc_id,
+              unnest(hs[1 : CAST(len(hs) - ceil(0.8e0 * len(hs)) + 1 AS BIGINT)]) AS h
+            FROM (SELECT doc_id,
+                    list_sort(list_transform(sh, s -> ${duckHash("0", "s")})) AS hs
+                  FROM sh)),
           candidates AS (
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-            FROM exploded l JOIN exploded r
-              ON l.shingle = r.shingle AND l.doc_id < r.doc_id)
+            FROM prefixes l JOIN prefixes r
+              ON l.h = r.h AND l.doc_id < r.doc_id)
           $duckVerify""",
     "dedup_simhash_sigs" ->
       s"""SELECT doc_id, array_to_string($duckSimBits, '') AS simhash
