@@ -155,6 +155,29 @@ object RelationalQueries {
              dsum($"o_totalprice").as("total_price"))
     }),
 
+    // ROLLUP: revenue at (region, nation), per-region, and grand-total
+    // levels in one pass (partial aggregation handles all levels map-side).
+    "rel_revenue_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_balance"))
+    }),
+
+    // CASE-pivot: order counts per status spread into columns per priority
+    // (the A5 counts-by-type matrix shape, no PIVOT syntax dependency).
+    "rel_status_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
+          count(when($"o_orderstatus" === "O", 1)).as("n_open"),
+          count(when($"o_orderstatus" === "P", 1)).as("n_pending"))
+    }),
+
     // Point lookup (S7): equality filter pushed to the parquet scan.
     "rel_order_lookup" -> ((s, dir) => {
       import s.implicits._
@@ -227,5 +250,18 @@ object RelationalQueries {
     "rel_orders_monthly" ->
       """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
-         FROM orders GROUP BY date_trunc('month', o_orderdate)""")
+         FROM orders GROUP BY date_trunc('month', o_orderdate)""",
+    "rel_revenue_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+    "rel_status_pivot" ->
+      """SELECT o_orderpriority,
+         COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+         COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+         COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+         FROM orders GROUP BY o_orderpriority""")
 }
