@@ -89,6 +89,22 @@ object VectorQueries {
         .select($"vec_id", $"label", round($"score", 6).as("score"))
     }),
 
+    // Single-pass bounded-heap top-k via the typed Aggregator (no sort of
+    // the scored corpus; finalization of the 10-row result is driver-side).
+    "vec_topk_singlepass" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter($"vec_id" === 4L).select($"embedding".as("qvec"))
+      val scored = emb.crossJoin(broadcast(q))
+        .select($"vec_id",
+          round((cosineSimilarity($"embedding", $"qvec") + 1.0) / 2.0, 6).as("score"))
+        .as[(Long, Double)]
+      val top = scored.select(new graft.functions.TopKAggregator(10).toColumn).head()
+      top.zipWithIndex
+        .map { case ((id, score), i) => (i + 1, id, score) }
+        .toDF("rank", "vec_id", "score")
+    }),
+
     // Per-label centroid norms: array aggregation exercise (element-wise mean
     // via explode + posexplode-free aggregation).
     "vec_label_counts" -> ((s, dir) => {
@@ -140,6 +156,14 @@ object VectorQueries {
           WHERE e.vec_id <> 5 AND e.label <> q.label
           ORDER BY (${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
           LIMIT 10""",
+    "vec_topk_singlepass" ->
+      s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank,
+                 vec_id, score
+          FROM (
+            SELECT e.vec_id,
+                   round((${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0, 6) AS score
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 4) q)
+          ORDER BY score DESC, vec_id ASC LIMIT 10""",
     "vec_label_counts" ->
       """SELECT label, COUNT(*) AS n_vectors,
          round(CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
