@@ -15,11 +15,10 @@ import org.apache.spark.sql.functions._
   * 384-dim l2-normalized Array[Float]` with a model tag — but computes a
   * deterministic signed feature-hashing projection of word unigrams + char
   * trigrams (MurmurHash3, fixed seeds, stable across JVMs). Swappable for an
-  * ONNX MiniLM without touching any caller.
-  *
-  * Runs as `mapPartitions` per executor — the same physical shape a real
-  * model needs (per-partition init, batched encode, batch 32 per
-  * rag_config.py:68).
+  * ONNX MiniLM without touching any caller: `embedPartitions` keeps the
+  * mapPartitions shape a real model needs (per-partition init, batched
+  * encode, batch 32 per rag_config.py:68); `embed` is the cheap per-row
+  * Column form for the hashing featurizer.
   */
 object Embedder {
 
@@ -64,7 +63,8 @@ object Embedder {
 
   private val embedUdfImpl = udf((s: String) => embedText(s))
 
-  /** Column form of the embedder. */
+  /** Column form of the embedder (per-row UDF — fine for the hashing
+    * featurizer, which has no init cost). */
   def embed(c: Column): Column = embedUdfImpl(c)
 
   /** Attach embedding + model tag columns (the reference's generate() step,
@@ -73,4 +73,26 @@ object Embedder {
                      outCol: String = "embedding"): DataFrame =
     df.withColumn(outCol, embed(col(textCol)))
       .withColumn("embedding_model", lit(ModelName))
+
+  /** mapPartitions form: per-partition init + fixed-size batches — the
+    * physical shape a real model (ONNX MiniLM) needs (batch 32 per
+    * rag_config.py:68). Emits (idCol, embedding) keyed rows to join back,
+    * keeping the operator schema-agnostic. */
+  def embedPartitions(df: DataFrame, idCol: String, textCol: String,
+                      batchSize: Int = BatchSize): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("string"), col(textCol))
+      .as[(String, String)]
+      .mapPartitions { rows =>
+        // a real encoder initializes its model session HERE, once per partition
+        rows.grouped(batchSize).flatMap { batch =>
+          // ...and encodes the whole batch in one inference call
+          batch.map { case (id, text) => (id, embedText(text)) }
+        }
+      }
+      .toDF(idCol, "embedding")
+  }
+
+  val BatchSize = 32
 }

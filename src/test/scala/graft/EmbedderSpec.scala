@@ -35,6 +35,17 @@ class EmbedderSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("mapPartitions batch form agrees with the per-row form") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val docs = Seq((1L, "spark engine"), (2L, "quality filter"), (3L, "")).toDF("id", "text")
+    val batched = Embedder.embedPartitions(docs, "id", "text", batchSize = 2)
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(batched("1") === Embedder.embedText("spark engine").toSeq)
+    assert(batched("3").forall(_ == 0f))
+  }
+
   test("similar texts are closer than dissimilar ones (cosine)") {
     def cos(x: Array[Float], y: Array[Float]): Double =
       x.zip(y).map { case (a, b) => a.toDouble * b }.sum

@@ -51,6 +51,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("salted left join preserves unmatched rows") {
+    import spark.implicits._
+    val large = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val small = Seq((1L, "X")).toDF("k", "w")
+    val out = Skew.saltedJoin(large, small, "k", saltBuckets = 4, joinType = "left")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq === Seq((1L, "a", "X"), (2L, "b", null), (3L, "c", null)))
+  }
+
   test("key histogram surfaces the heaviest join keys") {
     val hist = Skew.keyHistogram(Tables.lineitem(spark, dir), "l_suppkey", topN = 3).collect()
     assert(hist.length === 3)

@@ -66,6 +66,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((1L, 120L, 120L, 1L)))
   }
 
+  test("lastNPerKey keeps a bounded rolling window in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    source.addData((1 to 5).map(i => Event(ts(i), 7L, "view", i.toDouble)): _*)
+    val q = StreamingOps.lastNPerKey(source.toDS(), n = 3)
+      .writeStream.outputMode("append").format("memory").queryName("lastn_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable(); q.stop()
+    val window = spark.table("lastn_out").collect().last.getSeq[Long](1)
+    assert(window.length === 3)
+    assert(window === Seq(ts(3), ts(4), ts(5)).map(_.getTime))
+  }
+
   test("batch sessionization twin agrees on the same events") {
     import spark.implicits._
     val events = Seq(
