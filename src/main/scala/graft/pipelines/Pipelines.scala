@@ -70,6 +70,19 @@ object Pipelines {
       .sortWithinPartitions(col("document_id"), col("chunk_index"))
       .write.mode("overwrite").parquet(path)
 
+  /** S8 at catalog scale: bucketed chunk table — hash-bucketed by
+    * document_id and sorted by chunk order, so chunk⋈chunk / doc⋈chunk
+    * equi-joins on document_id read co-located buckets with NO shuffle
+    * exchange on the bucketed side (the parquet stand-in for the
+    * reference's document_id index; at 100 TB this erases the biggest join
+    * shuffle in the retrieval path). */
+  def writeBucketedChunks(chunks: DataFrame, tableName: String, buckets: Int = 32): Unit =
+    chunks.write.mode("overwrite")
+      .bucketBy(buckets, "document_id")
+      .sortBy("document_id", "chunk_index")
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** S11: timestamped JSON backup dump (etl_pipeline.py:155-182). */
   def writeJsonBackup(docs: DataFrame, path: String): Unit =
     docs.withColumn("backed_up_at", date_format(current_timestamp(),

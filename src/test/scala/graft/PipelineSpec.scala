@@ -62,6 +62,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("bucketed chunk table joins without a shuffle exchange") {
+    val chunks = Pipelines.featurePipeline(Tables.documents(spark, dir), qualityThreshold = 0.0)
+      .select("chunk_id", "document_id", "chunk_index", "word_count")
+    Pipelines.writeBucketedChunks(chunks, "graft_chunks_bucketed", buckets = 4)
+    val t = spark.table("graft_chunks_bucketed")
+    val joined = t.as("a").join(t.as("b"), "document_id")
+      .groupBy(col("document_id")).count()
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides read co-located buckets: no ShuffleExchange below the join
+    assert(!plan.contains("Exchange hashpartitioning(document_id"))
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE graft_chunks_bucketed")
+  }
+
   test("orchestrator selects strategies by intent") {
     assert(Orchestrator.queryIntent("how to implement the api") === "technical")
     assert(Orchestrator.selectStrategies("technical").map(_.name) ===
