@@ -17,6 +17,9 @@ object Bench {
     def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // operators persist() intermediates; drop them so cached blocks from
+      // one query can't skew the next query's timing
+      spark.sqlContext.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (pass1, pass2) = (timeAll(), timeAll())

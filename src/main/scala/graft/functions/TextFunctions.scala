@@ -100,8 +100,7 @@ object TextFunctions {
   /** F6 URL extraction (notion_collector.py:340-398): markdown links + bare
     * URLs, trailing punctuation stripped, deduplicated downstream. */
   def extractUrls(c: Column): Column = {
-    val mdUrls   = transform(
-      regexp_extract_all(c, lit("\\[[^\\]]+\\]\\(([^)]+)\\)"), lit(1)), u => u)
+    val mdUrls   = regexp_extract_all(c, lit("\\[[^\\]]+\\]\\(([^)]+)\\)"), lit(1))
     val bareUrls = regexp_extract_all(c, lit("https?://[^\\s\\)\\]]+"), lit(0))
     array_distinct(transform(concat(mdUrls, bareUrls),
       u => regexp_replace(u, "[.,;:!?]+$", "")))

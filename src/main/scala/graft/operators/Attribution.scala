@@ -62,12 +62,16 @@ object Attribution {
     kept.toSeq
   }
 
-  /** P8 scalable form: prefix-sum window packing — truncate each result to
+  /** P8 window form: prefix-sum packing — truncate each result to
     * `maxTokensPerDoc`, keep the maximal score-ordered prefix whose
     * cumulative (truncated) token count fits `maxTotalTokens`. Deviation
     * from the reference's skip-and-continue greedy (which cannot be a
     * prefix-sum at scale) is intentional and documented: a skipped row never
-    * readmits later rows here. */
+    * readmits later rows here.
+    *
+    * NOTE: the unpartitioned window funnels input through one task by
+    * design — context packing consumes a top-N result set (≤ thousands of
+    * rows), never a corpus. Feed it `limit(...)` output. */
   def packContextWindow(results: DataFrame, maxTotalTokens: Long, maxTokensPerDoc: Long,
                         idCol: String = "id", contentCol: String = "content",
                         scoreCol: String = "score"): DataFrame = {

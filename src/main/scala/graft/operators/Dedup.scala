@@ -45,10 +45,12 @@ object Dedup {
     top64 >>> 4
   }
 
-  /** Scala twin of the tokenizer (same regex semantics as TextSearch.tokens). */
+  /** Scala twin of the tokenizer (same semantics as TextSearch.tokens;
+    * Locale.ROOT so 'I'→'i' regardless of JVM default locale — tr/az locales
+    * would otherwise break bit-parity with the Column/oracle forms). */
   def wordsScala(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
 
   /** Scala twin of `shingles`. */
   def shinglesScala(text: String, n: Int): Array[String] = {

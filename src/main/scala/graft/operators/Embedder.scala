@@ -32,7 +32,8 @@ object Embedder {
   def embedText(text: String, dim: Int = Dim): Array[Float] = {
     val v = new Array[Float](dim)
     if (text == null || text.isEmpty) return v
-    val tokens = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val tokens = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
     var ti = 0
     while (ti < tokens.length) {
       val tok = tokens(ti)

@@ -84,8 +84,8 @@ object Fusion {
   /** V6: Jaccard word-set similarity of two strings (driver-side twin of
     * VectorFunctions.jaccardWords; advanced_search.py:297-311). */
   def jaccardSimilarity(a: String, b: String): Double = {
-    val wa = a.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
-    val wb = b.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val wa = a.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSet
+    val wb = b.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSet
     if (wa.isEmpty && wb.isEmpty) 1.0
     else if (wa.isEmpty || wb.isEmpty) 0.0
     else wa.intersect(wb).size.toDouble / wa.union(wb).size.toDouble
@@ -107,17 +107,19 @@ object Fusion {
     kept.toSeq
   }
 
-  /** A4: confidence aggregation — 0.6·top score + 0.2·min(n/3,1) +
-    * 0.2·min(distinct source types/2,1), one row. */
+  /** A4: confidence aggregation — min(1, 0.6·top score + 0.2·min(n/3,1) +
+    * 0.2·min(distinct source types/2,1)), one row (the final 1.0 clamp is
+    * the reference's, source_attribution.py:205 — scores above 1, e.g. raw
+    * BM25, would otherwise overflow the [0,1] confidence range). */
   def confidence(results: DataFrame, scoreCol: String = "score",
                  sourceTypeCol: String = "source"): DataFrame =
     results.agg(
       max(col(scoreCol)).as("top_score"),
       count(lit(1)).as("n_results"),
       countDistinct(col(sourceTypeCol)).as("n_source_types"))
-      .select(round(
+      .select(round(least(lit(1.0),
         coalesce(col("top_score"), lit(0.0)) * 0.6 +
         least(col("n_results") / 3.0, lit(1.0)) * 0.2 +
-        least(col("n_source_types") / 2.0, lit(1.0)) * 0.2, 6).as("confidence"),
+        least(col("n_source_types") / 2.0, lit(1.0)) * 0.2), 6).as("confidence"),
         col("top_score"), col("n_results"), col("n_source_types"))
 }

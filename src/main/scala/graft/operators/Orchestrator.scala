@@ -24,7 +24,7 @@ object Orchestrator {
   /** X4 + X2 driver-side: normalize then classify intent (same buckets as
     * TextFunctions.queryIntent, for plan-construction use). */
   def queryIntent(query: String): String = {
-    val q = query.trim.replaceAll("\\s+", " ").toLowerCase
+    val q = query.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
     if (Seq("api", "code", "function", "class", "implement").exists(q.contains)) "technical"
     else if (Seq("how to", "how do", "steps", "tutorial").exists(q.contains)) "how-to"
     else if (Seq("error", "problem", "issue", "fix", "debug").exists(q.contains)) "problem-solving"

@@ -21,6 +21,10 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    // right/full-outer would emit each unmatched small-side row once per
+    // replica — not equivalent to the unsalted join
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
     // deterministic per-row spread: row identity → bucket (not rand(), so
     // retried tasks salt identically)
     val salted = large.withColumn("__salt",

@@ -66,11 +66,14 @@ object TextAnalysis {
     val nStop = langScore(w, LanguageProfiles.head._2)
     val nPunct = size(regexp_extract_all(c, lit("[^a-zA-Z0-9\\s]"), lit(0)))
     val nAlpha = size(regexp_extract_all(c, lit("[a-zA-Z]"), lit(0)))
+    // mean TOKEN length — numeric tokens included (alpha-char count would
+    // understate digit-bearing text)
+    val tokenChars = aggregate(transform(w, t => length(t)), lit(0), (acc, x) => acc + x)
     struct(
       when(nWords === 0, lit(0.0)).otherwise(nStop.cast("double") / nWords).as("stopword_ratio"),
       when(length(c) === 0, lit(0.0)).otherwise(nPunct.cast("double") / length(c)).as("punct_ratio"),
       when(length(c) === 0, lit(0.0)).otherwise(nAlpha.cast("double") / length(c)).as("alpha_ratio"),
       when(nWords === 0, lit(0.0))
-        .otherwise(nAlpha.cast("double") / nWords).as("mean_word_len"))
+        .otherwise(tokenChars.cast("double") / nWords).as("mean_word_len"))
   }
 }

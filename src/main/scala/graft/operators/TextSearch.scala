@@ -35,17 +35,20 @@ object TextSearch {
     * for docs matching ≥1 term, text_score rounded to 6 decimals. */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // persisted: the exploded term table feeds doc-length, tf AND df
-    // aggregates — three downstream stages off one tokenization pass
-    val terms = termTable(docs, idCol, textCol).persist()
-
-    // per-doc length (all terms, not just query terms)
-    val docLen = terms.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // per-doc length over ALL documents, including zero-token ones — Lucene
+    // docCount semantics (deriving N/avgdl from the exploded term table
+    // would silently drop token-less docs and inflate every idf).
+    // persisted: feeds the corpus stats AND the per-doc scoring join.
+    val docLen = docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("dl"))
+      .persist()
 
     // corpus stats: N docs, avg doc length (exact-decimal mean)
     val stats = docLen.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avgdl"))
+
+    val terms = termTable(docs, idCol, textCol)
 
     // per-(doc, query-term) term frequency
     val tf = terms.filter(col("term").isin(queryTerms: _*))
@@ -72,7 +75,9 @@ object TextSearch {
     * reference's `$search` + `$limit limit*2` stage shape. */
   def search(docs: DataFrame, queryText: String, limit: Int,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val terms = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    // Locale.ROOT: must tokenize exactly like the Column-side lower()
+    val terms = queryText.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
     bm25(docs, terms, idCol, textCol)
       .orderBy(col("text_score").desc, col(idCol).asc)
       .limit(limit)

@@ -81,8 +81,7 @@ object AnalysisQueries {
 
   // ------------------------------------------------------------- oracle SQL
 
-  private def duckWords(e: String) =
-    s"list_filter(string_split_regex(lower($e), '[^a-z0-9]+'), t -> length(t) > 0)"
+  private def duckWords(e: String) = DuckSql.words(e)
 
   private def prof(words: Seq[String]) = words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -99,8 +98,7 @@ object AnalysisQueries {
               FROM (SELECT doc_id, lang, ${duckWords("text")} AS w FROM documents))"""
   }
 
-  private val duckCos = (a: String, b: String) =>
-    s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  private val duckCos = (a: String, b: String) => DuckSql.cos(a, b)
 
   private val duckIvf =
     s"""cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
@@ -141,7 +139,7 @@ object AnalysisQueries {
           round(CASE WHEN length(text) = 0 THEN 0.0e0
                 ELSE len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0e0 / length(text) END, 6) AS alpha_ratio,
           round(CASE WHEN len(w) = 0 THEN 0.0e0
-                ELSE len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0e0 / len(w) END, 6) AS mean_word_len
+                ELSE list_sum(list_transform(w, t -> length(t))) * 1.0e0 / len(w) END, 6) AS mean_word_len
           FROM (SELECT doc_id, text, ${duckWords("text")} AS w FROM documents)""",
     "ann_ivf_cells" ->
       s"""WITH $duckIvf

@@ -85,8 +85,7 @@ object DedupQueries {
        UNION ALL
        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50"""
 
-  private def duckWords(e: String) =
-    s"list_filter(string_split_regex(lower($e), '[^a-z0-9]+'), t -> length(t) > 0)"
+  private def duckWords(e: String) = DuckSql.words(e)
 
   /** Distinct word 3-gram shingles (whole-token-string fallback under 3 words). */
   private val duckShingles =

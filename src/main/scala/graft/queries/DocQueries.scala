@@ -106,8 +106,7 @@ object DocQueries {
     }))
 
   /** Python-str.strip() in DuckDB SQL: DuckDB's trim() only strips spaces. */
-  private def strip(e: String): String =
-    "regexp_replace(" + e + ", '^\\s+|\\s+$', '', 'g')"
+  private def strip(e: String): String = DuckSql.strip(e)
 
   /** DuckDB needs the 'g' flag to replace all matches (Spark/Python replace
     * all by default) and e0-suffixed literals to force double arithmetic. */
@@ -128,27 +127,13 @@ object DocQueries {
   // NOTE: tags and entities are two reference rewrites; combined with | here
   // — equivalent because the replacement is deletion for both.
 
-  private def duckWcOf(expr: String) =
-    "CASE WHEN " + strip(expr) + " = '' THEN 0 ELSE len(string_split_regex(" +
-      strip(expr) + ", '\\s+')) END"
+  private def duckWcOf(expr: String) = DuckSql.wc(expr)
 
   private val duckWc = duckWcOf("text")
 
   /** Quality score in DuckDB SQL, mirroring TextFunctions.qualityScore with
     * null title/url (→ structure title term 0, credibility 0.5). */
-  private val duckQuality =
-    s"""LEAST(1.0e0, GREATEST(0.0e0,
-        (CASE WHEN $duckWc > 100 THEN 0.2e0 * LEAST(1.0e0, $duckWc / 1000.0e0) ELSE 0.0e0 END)
-        + 0.15e0 * LEAST(1.0e0,
-            (CASE WHEN len(regexp_extract_all(text, '(?m)^#{1,6}\\s+.+')) > 0 THEN 0.4e0 ELSE 0.0e0 END)
-          + (CASE WHEN len(regexp_extract_all(text, '(?m)^\\s*[-*+]\\s+.+')) > 0 THEN 0.3e0 ELSE 0.0e0 END))
-        + 0.25e0 * LEAST(1.0e0,
-            len(regexp_extract_all(text, '(?m)^#{1,6}\\s+.+|^\\s*[-*+]\\s+.+|^\\s*\\d+\\.\\s+.+')) / 10.0e0)
-        + 0.2e0 * GREATEST(0.0e0, 1.0e0 - ABS(
-            (list_sum(list_transform(string_split_regex(text, '[.!?]+'),
-               s -> ${duckWcOf("s")}))
-             * 1.0e0 / len(string_split_regex(text, '[.!?]+'))) - 17.0e0) / 17.0e0)
-        + 0.2e0 * 0.5e0))"""
+  private val duckQuality = DuckSql.quality
 
   private val duckIntent =
     """CASE

@@ -101,53 +101,17 @@ object FusionQueries {
         .select($"doc_id", $"doc_tokens", $"cum_tokens")
     }))
 
-  private def duckCos(a: String, b: String) =
-    s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  private def duckCos(a: String, b: String) = DuckSql.cos(a, b)
 
   private def duckKnnScored(vecId: Long) =
     s"""SELECT e.vec_id, (${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0 AS score
         FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = $vecId) q"""
 
-  // BM25 over documents (identical to TextQueries.duckBm25 — corpus is 1:1)
-  private val duckTokens =
-    """SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-         t -> length(t) > 0)) AS term FROM documents"""
+  // BM25 over documents (corpus is 1:1 with embeddings, so document-table
+  // stats equal joined-corpus stats)
+  private val duckBm25 = DuckSql.bm25
 
-  private val duckBm25 =
-    s"""WITH tokens AS ($duckTokens),
-        doclen AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
-        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-                         CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avgdl
-                  FROM doclen),
-        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tokens
-               WHERE term IN ('spark', 'join', 'vector') GROUP BY doc_id, term),
-        dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
-        SELECT tf.doc_id AS doc_id,
-          round(CAST(SUM(CAST(
-            ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0)
-              * (tf * (1.2e0 + 1.0e0))
-              / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
-            AS DECIMAL(38,12))) AS DOUBLE), 6) AS text_score
-        FROM tf JOIN dfreq USING(term) JOIN doclen USING(doc_id) CROSS JOIN stats
-        GROUP BY tf.doc_id"""
-
-  private val duckQuality: String = {
-    def strip(e: String): String = "regexp_replace(" + e + ", '^\\s+|\\s+$', '', 'g')"
-    def wc(e: String): String =
-      "CASE WHEN " + strip(e) + " = '' THEN 0 ELSE len(string_split_regex(" + strip(e) + ", '\\s+')) END"
-    s"""LEAST(1.0e0, GREATEST(0.0e0,
-        (CASE WHEN ${wc("text")} > 100 THEN 0.2e0 * LEAST(1.0e0, ${wc("text")} / 1000.0e0) ELSE 0.0e0 END)
-        + 0.15e0 * LEAST(1.0e0,
-            (CASE WHEN len(regexp_extract_all(text, '(?m)^#{1,6}\\s+.+')) > 0 THEN 0.4e0 ELSE 0.0e0 END)
-          + (CASE WHEN len(regexp_extract_all(text, '(?m)^\\s*[-*+]\\s+.+')) > 0 THEN 0.3e0 ELSE 0.0e0 END))
-        + 0.25e0 * LEAST(1.0e0,
-            len(regexp_extract_all(text, '(?m)^#{1,6}\\s+.+|^\\s*[-*+]\\s+.+|^\\s*\\d+\\.\\s+.+')) / 10.0e0)
-        + 0.2e0 * GREATEST(0.0e0, 1.0e0 - ABS(
-            (list_sum(list_transform(string_split_regex(text, '[.!?]+'),
-               s -> ${wc("s")}))
-             * 1.0e0 / len(string_split_regex(text, '[.!?]+'))) - 17.0e0) / 17.0e0)
-        + 0.2e0 * 0.5e0))"""
-  }
+  private val duckQuality: String = DuckSql.quality
 
   val oracle: Map[String, String] = Map(
     "fus_hybrid_top10" ->
@@ -192,9 +156,10 @@ object FusionQueries {
             ORDER BY score DESC, vec_id ASC LIMIT 10),
           att AS (SELECT t.vec_id, t.score, d.source FROM top t
                   LEFT JOIN documents d ON t.vec_id = d.doc_id)
-          SELECT round(COALESCE(MAX(score), 0.0e0) * 0.6e0 +
+          SELECT round(LEAST(1.0e0,
+                       COALESCE(MAX(score), 0.0e0) * 0.6e0 +
                        LEAST(COUNT(*) / 3.0e0, 1.0e0) * 0.2e0 +
-                       LEAST(COUNT(DISTINCT source) / 2.0e0, 1.0e0) * 0.2e0, 6) AS confidence,
+                       LEAST(COUNT(DISTINCT source) / 2.0e0, 1.0e0) * 0.2e0), 6) AS confidence,
                  round(MAX(score), 6) AS top_score,
                  COUNT(*) AS n_results,
                  COUNT(DISTINCT source) AS n_source_types

@@ -85,31 +85,13 @@ object PipelineQueries {
     }))
 
   val oracle: Map[String, String] = Map(
-    "pipe_etl_status" -> {
-      val strip = (e: String) => "regexp_replace(" + e + ", '^\\s+|\\s+$', '', 'g')"
-      val wc = "CASE WHEN " + strip("text") + " = '' THEN 0 ELSE len(string_split_regex(" +
-        strip("text") + ", '\\s+')) END"
-      // duckQuality replica (null title/url branches)
-      val quality =
-        s"""LEAST(1.0e0, GREATEST(0.0e0,
-            (CASE WHEN $wc > 100 THEN 0.2e0 * LEAST(1.0e0, $wc / 1000.0e0) ELSE 0.0e0 END)
-            + 0.15e0 * LEAST(1.0e0,
-                (CASE WHEN len(regexp_extract_all(text, '(?m)^#{1,6}\\s+.+')) > 0 THEN 0.4e0 ELSE 0.0e0 END)
-              + (CASE WHEN len(regexp_extract_all(text, '(?m)^\\s*[-*+]\\s+.+')) > 0 THEN 0.3e0 ELSE 0.0e0 END))
-            + 0.25e0 * LEAST(1.0e0,
-                len(regexp_extract_all(text, '(?m)^#{1,6}\\s+.+|^\\s*[-*+]\\s+.+|^\\s*\\d+\\.\\s+.+')) / 10.0e0)
-            + 0.2e0 * GREATEST(0.0e0, 1.0e0 - ABS(
-                (list_sum(list_transform(string_split_regex(text, '[.!?]+'),
-                   s -> CASE WHEN ${strip("s")} = '' THEN 0 ELSE len(string_split_regex(${strip("s")}, '\\s+')) END))
-                 * 1.0e0 / len(string_split_regex(text, '[.!?]+'))) - 17.0e0) / 17.0e0)
-            + 0.2e0 * 0.5e0))"""
+    "pipe_etl_status" ->
       s"""SELECT CASE WHEN length(text) = 0 THEN 'failed' ELSE 'completed' END AS processing_status,
             COUNT(*) AS n_docs,
-            CAST(SUM($wc) AS BIGINT) AS total_words,
-            round(CAST(SUM(CAST(round($quality, 6) AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_quality
+            CAST(SUM(${DuckSql.wc("text")}) AS BIGINT) AS total_words,
+            round(CAST(SUM(CAST(round(${DuckSql.quality}, 6) AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_quality
           FROM documents
-          GROUP BY CASE WHEN length(text) = 0 THEN 'failed' ELSE 'completed' END"""
-    },
+          GROUP BY CASE WHEN length(text) = 0 THEN 'failed' ELSE 'completed' END""",
     "mm_frame_samples" ->
       """SELECT doc_id, CAST(unnest(generate_series(0, 15, 4)) AS INT) AS frame_idx
          FROM documents""")

@@ -32,34 +32,13 @@ object TextQueries {
              count(lit(1)).as("total_occurrences"))
     }))
 
-  private val duckTokens =
-    """SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-         t -> length(t) > 0)) AS term FROM documents"""
-
-  private val duckBm25 =
-    s"""WITH tokens AS ($duckTokens),
-        doclen AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id),
-        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-                         CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avgdl
-                  FROM doclen),
-        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tokens
-               WHERE term IN ('spark', 'join', 'vector') GROUP BY doc_id, term),
-        dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
-        SELECT tf.doc_id AS doc_id,
-          round(CAST(SUM(CAST(
-            ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1.0e0)
-              * (tf * (1.2e0 + 1.0e0))
-              / (tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl / avgdl))
-            AS DECIMAL(38,12))) AS DOUBLE), 6) AS text_score
-        FROM tf JOIN dfreq USING(term) JOIN doclen USING(doc_id) CROSS JOIN stats
-        GROUP BY tf.doc_id"""
-
   val oracle: Map[String, String] = Map(
-    "txt_bm25_scores" -> duckBm25,
+    "txt_bm25_scores" -> DuckSql.bm25,
     "txt_bm25_top10" ->
-      s"""SELECT doc_id, text_score FROM ($duckBm25)
+      s"""SELECT doc_id, text_score FROM (${DuckSql.bm25})
           ORDER BY text_score DESC, doc_id ASC LIMIT 10""",
     "txt_term_docfreq" ->
       s"""SELECT term, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_occurrences
-          FROM ($duckTokens) WHERE term IN ('spark', 'join', 'vector') GROUP BY term""")
+          FROM (SELECT doc_id, unnest(${DuckSql.words("text")}) AS term FROM documents)
+          WHERE term IN ('spark', 'join', 'vector') GROUP BY term""")
 }

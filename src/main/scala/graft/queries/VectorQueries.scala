@@ -116,8 +116,7 @@ object VectorQueries {
                / count(lit(1)), 6).as("avg_norm"))
     }))
 
-  private def duckCos(a: String, b: String) =
-    s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+  private def duckCos(a: String, b: String) = DuckSql.cos(a, b)
 
   val oracle: Map[String, String] = Map(
     "vec_knn_top10" ->

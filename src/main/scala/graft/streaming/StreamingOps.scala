@@ -64,7 +64,10 @@ object StreamingOps {
           for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
             cur match {
               case Some(s) if e.ts.getTime - s.end <= gapMs =>
-                cur = Some(SessionState(s.start, e.ts.getTime, s.n + 1, s.total + e.value))
+                // min/max: a late (but not watermark-dropped) event from an
+                // earlier micro-batch must never move the bounds backwards
+                cur = Some(SessionState(math.min(s.start, e.ts.getTime),
+                  math.max(s.end, e.ts.getTime), s.n + 1, s.total + e.value))
               case Some(s) =>
                 out += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
                 cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value))

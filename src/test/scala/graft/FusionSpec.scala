@@ -29,6 +29,16 @@ class FusionSpec extends AnyFunSuite {
     assert(Fusion.jaccardSimilarity("a b c d", "c d e f") === 1.0 / 3.0)
   }
 
+  test("confidence clamps to 1.0 for unbounded score scales") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val results = Seq((1L, 4.2, "a"), (2L, 3.0, "b"), (3L, 2.0, "c"))
+      .toDF("id", "score", "source")
+    val conf = Fusion.confidence(results).head.getDouble(0)
+    assert(conf === 1.0) // 0.6*4.2 + 0.2 + 0.2 would be 2.92 unclamped
+  }
+
   test("exact packing: skip oversized-for-budget, truncate oversized-per-doc") {
     // budget 100 tokens total, 30 per doc; token = len/4
     val results = Seq(

@@ -66,6 +66,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((1L, 120L, 120L, 1L)))
   }
 
+  test("sessionize absorbs a late in-gap event without moving bounds backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingOps.sessionize(source.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_late_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    source.addData(Event(ts(60), 1L, "view", 1.0), Event(ts(70), 1L, "view", 1.0))
+    q.processAllAvailable()
+    // late (but above-watermark) event inside the session window
+    source.addData(Event(ts(65), 1L, "view", 1.0))
+    q.processAllAvailable()
+    // two watermark advances flush the timed-out session
+    source.addData(Event(ts(300), 99L, "view", 0.0))
+    q.processAllAvailable()
+    source.addData(Event(ts(400), 99L, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sess_late_out")
+      .collect().map(r => (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 60000,
+        (r.getTimestamp(2).getTime - Base) / 60000, r.getLong(3))).toSet
+    // bounds stay [60, 70] and the late event is counted
+    assert(sessions.contains((1L, 60L, 70L, 3L)))
+  }
+
   test("lastNPerKey keeps a bounded rolling window in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
