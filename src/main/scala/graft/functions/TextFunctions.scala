@@ -98,12 +98,15 @@ object TextFunctions {
       .otherwise(c)
 
   /** F6 URL extraction (notion_collector.py:340-398): markdown links + bare
-    * URLs, trailing punctuation stripped, deduplicated downstream. */
+    * URLs, trailing punctuation stripped, notion.so links excluded (the
+    * reference's own-workspace filter), deduplicated. */
   def extractUrls(c: Column): Column = {
     val mdUrls   = regexp_extract_all(c, lit("\\[[^\\]]+\\]\\(([^)]+)\\)"), lit(1))
     val bareUrls = regexp_extract_all(c, lit("https?://[^\\s\\)\\]]+"), lit(0))
-    array_distinct(transform(concat(mdUrls, bareUrls),
-      u => regexp_replace(u, "[.,;:!?]+$", "")))
+    filter(
+      array_distinct(transform(concat(mdUrls, bareUrls),
+        u => regexp_replace(u, "[.,;:!?]+$", ""))),
+      u => !u.contains("notion.so"))
   }
 
   /** X4 query normalization (advanced_search.py:101): collapse whitespace, trim. */

@@ -164,11 +164,13 @@ object DocQueries {
              text || ' see [ref](https://docs.example.org/d' || (doc_id % 7)
                   || ') or https://mirror' || (doc_id % 3) || '.example.com/x.' AS text
            FROM documents)
-         SELECT DISTINCT doc_id,
-           regexp_replace(unnest(
-             regexp_extract_all(text, '\[[^\]]+\]\(([^)]+)\)', 1)
-             || regexp_extract_all(text, 'https?://[^\s\)\]]+')), '[.,;:!?]+$', '') AS url
-         FROM t""",
+         SELECT DISTINCT doc_id, url FROM (
+           SELECT doc_id,
+             regexp_replace(unnest(
+               regexp_extract_all(text, '\[[^\]]+\]\(([^)]+)\)', 1)
+               || regexp_extract_all(text, 'https?://[^\s\)\]]+')), '[.,;:!?]+$', '') AS url
+           FROM t)
+         WHERE url NOT LIKE '%notion.so%'""",
     "doc_chunk_ids" ->
       "SELECT doc_id, md5(concat_ws('_', doc_id, 0, substring(text, 1, 100))) AS chunk_id FROM documents",
     "doc_intent" ->

@@ -178,6 +178,17 @@ object RelationalQueries {
           count(when($"o_orderstatus" === "P", 1)).as("n_pending"))
     }),
 
+    // Skew-mitigated join: salted orders⋈customer aggregation — must equal
+    // the plain join (the oracle IS the plain join).
+    "rel_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val orders = Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey")
+      val customer = Tables.customer(s, dir).withColumnRenamed("c_custkey", "custkey")
+      graft.operators.Skew.saltedJoin(orders, customer, "custkey", saltBuckets = 8)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+    }),
+
     // Point lookup (S7): equality filter pushed to the parquet scan.
     "rel_order_lookup" -> ((s, dir) => {
       import s.implicits._
@@ -251,6 +262,11 @@ object RelationalQueries {
       """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
          FROM orders GROUP BY date_trunc('month', o_orderdate)""",
+    "rel_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "rel_revenue_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
          CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance

@@ -82,12 +82,25 @@ class TextFunctionsSpec extends AnyFunSuite {
       "conceptual", "conceptual", "general"))
   }
 
-  test("url extraction: markdown + bare, punctuation stripped, deduped") {
+  test("url extraction: markdown + bare, punctuation stripped, deduped, notion excluded") {
     import spark.implicits._
     val text = "see [docs](https://spark.apache.org/docs) and https://example.com/x. " +
-      "again https://example.com/x"
+      "again https://example.com/x plus [own](https://notion.so/page)"
     val urls = Seq(text).toDF("c").select(extractUrls($"c")).collect()(0).getSeq[String](0)
     assert(urls.toSet === Set("https://spark.apache.org/docs", "https://example.com/x"))
+  }
+
+  test("quality score credibility tiers") {
+    import spark.implicits._
+    def score(url: Option[String]): Double =
+      Seq("plain words only").toDF("c")
+        .select(qualityScore($"c", lit(null).cast("string"),
+          url.map(lit(_)).getOrElse(lit(null).cast("string"))))
+        .collect()(0).getDouble(0)
+    val base = score(None) // credibility 0.5
+    assert(math.abs(score(Some("https://nvidia.ai/x")) - base - 0.2 * 0.3) < 1e-9)   // 0.8 tier
+    assert(math.abs(score(Some("https://foo.com/x")) - base - 0.2 * 0.1) < 1e-9)     // 0.6 tier
+    assert(math.abs(score(Some("ftp://weird.xyz")) - base - 0.2 * (-0.1)) < 1e-9)    // 0.4 tier
   }
 
   test("token estimate and truncation") {
