@@ -32,13 +32,21 @@ object Orchestrator {
     else "general"
   }
 
+  val HybridConfig = StrategyConfig("hybrid", 0.5, 10, 0.0)
+
   /** X3: which strategies run for an intent (advanced_search.py:172-206):
-    * similarity always; parent_child for conceptual/general/technical/how-to. */
-  def selectStrategies(intent: String, parentChildEnabled: Boolean = true): Seq[StrategyConfig] = {
+    * similarity always; parent_child for conceptual/general/technical/how-to;
+    * hybrid behind its feature flag. (The reference enumerates a HYBRID
+    * strategy but ships no config for it, so its hybrid path silently
+    * returns [] — here it is a first-class strategy backed by
+    * Fusion.hybridSearch.) */
+  def selectStrategies(intent: String, parentChildEnabled: Boolean = true,
+                       hybridEnabled: Boolean = false): Seq[StrategyConfig] = {
     val parentChildIntents = Set("conceptual", "general", "technical", "how-to")
     Seq(Some(SimilarityConfig),
         if (parentChildEnabled && parentChildIntents.contains(intent)) Some(ParentChildConfig)
-        else None).flatten
+        else None,
+        if (hybridEnabled) Some(HybridConfig) else None).flatten
   }
 
   /** §3.1 end-to-end: embed query → run selected strategies over flat and
@@ -48,17 +56,24 @@ object Orchestrator {
   def search(spark: SparkSession, flatChunks: DataFrame, childChunks: DataFrame,
              queryText: String, maxResults: Int = 10,
              idCol: String = "chunk_id", embCol: String = "embedding",
-             contentCol: String = "content"): DataFrame = {
+             contentCol: String = "content", hybridEnabled: Boolean = false): DataFrame = {
     import spark.implicits._
     val intent = queryIntent(queryText)
     val qv = Embedder.embedText(queryText)
-    val corpusFor = Map("similarity" -> flatChunks, "parent_child" -> childChunks)
+    val corpusFor = Map("similarity" -> flatChunks, "parent_child" -> childChunks,
+      "hybrid" -> flatChunks)
 
-    val strategies = selectStrategies(intent).map { cfg =>
-      val scored = VectorSearch.knn(
-        corpusFor(cfg.name),
-        VectorSearch.SearchRequest(qv, limit = cfg.maxResults, minScore = Some(cfg.threshold)),
-        embCol, idCol)
+    val strategies = selectStrategies(intent, hybridEnabled = hybridEnabled).map { cfg =>
+      val scored = cfg.name match {
+        case "hybrid" =>
+          Fusion.hybridSearch(corpusFor(cfg.name), qv, queryText, cfg.maxResults,
+            idCol, contentCol, embCol)
+        case _ =>
+          VectorSearch.knn(
+            corpusFor(cfg.name),
+            VectorSearch.SearchRequest(qv, limit = cfg.maxResults, minScore = Some(cfg.threshold)),
+            embCol, idCol)
+      }
       Fusion.Strategy(cfg.name, cfg.weight, scored.select(col(idCol), col("score")))
     }
 

@@ -83,6 +83,17 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: first occurrence per key wins, with
+    * watermark-bounded state — the streaming twin of
+    * Dedup.dropExactDuplicates for continuous ingestion (re-crawled or
+    * re-delivered documents dropped at the door, state evicted once the
+    * watermark passes). `keyCols` would be the content digest column in the
+    * ingestion pipeline. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** W1/W2 streaming twin: running last-N conversation window per key kept
     * in state; emits the trimmed history on every update. */
   def lastNPerKey(events: Dataset[Event], n: Int = 10): Dataset[(Long, Seq[Long])] = {

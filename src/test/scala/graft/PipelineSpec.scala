@@ -102,4 +102,18 @@ class PipelineSpec extends AnyFunSuite {
     // parent_child strategy engaged for a conceptual query
     assert(rows.exists(_.getAs[String]("strategies").contains("similarity")))
   }
+
+  test("orchestrated search with hybrid enabled engages the hybrid strategy") {
+    import graft.operators.Embedder
+    val docs = Tables.documents(spark, dir)
+    val flat = Pipelines.featurePipeline(docs, qualityThreshold = 0.0)
+    val children = Embedder.withEmbeddings(
+      ChunkOps.chunkHierarchy(docs).toDF().filter(col("chunk_type") === "child"),
+      "content", "embedding")
+    val out = Orchestrator.search(spark, flat, children, "spark join vector",
+      hybridEnabled = true)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[String]("strategies").contains("hybrid")))
+  }
 }

@@ -104,6 +104,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(window === Seq(ts(3), ts(4), ts(5)).map(_.getTime))
   }
 
+  test("streaming dedup drops re-delivered keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(source.toDF(), Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    source.addData(
+      Event(ts(1), 1L, "view", 1.0), Event(ts(2), 1L, "view", 2.0), // dup key
+      Event(ts(3), 1L, "click", 3.0), Event(ts(4), 2L, "view", 4.0))
+    q.processAllAvailable()
+    source.addData(Event(ts(5), 1L, "view", 5.0)) // still within watermark → dup
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSeq
+    assert(rows.length === 3)
+    assert(rows.toSet === Set((1L, "view"), (1L, "click"), (2L, "view")))
+  }
+
   test("batch sessionization twin agrees on the same events") {
     import spark.implicits._
     val events = Seq(
