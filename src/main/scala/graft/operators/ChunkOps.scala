@@ -158,10 +158,13 @@ object ChunkOps {
   }
 
   /** C3: parent→children relationship map (parent_child_chunker.py:138-186),
-    * as a DataFrame aggregation instead of per-row helpers. */
+    * as a DataFrame aggregation instead of per-row helpers. `child_ids` is a
+    * sorted comma-joined string (not an array) so downstream comparisons and
+    * the correctness gate can hash it — same convention as
+    * Dedup.exactDuplicateGroups' dup_ids. */
   def parentChildRelationships(chunks: DataFrame): DataFrame =
     chunks.filter(col("chunk_type") === "child")
       .groupBy(col("parent_id"))
-      .agg(sort_array(collect_list(col("chunk_id"))).as("child_ids"),
+      .agg(array_join(sort_array(collect_list(col("chunk_id"))), ",").as("child_ids"),
            count(lit(1)).cast("int").as("n_children"))
 }

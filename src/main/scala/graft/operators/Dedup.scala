@@ -67,6 +67,24 @@ object Dedup {
       min
     }
 
+  /** Scala twin of the xxhash64 fast path (same kernel Spark's `xxhash64`
+    * Column function uses) — ~10× cheaper per hash than MD5; NOT DuckDB-
+    * reproducible, intended for scale runs where the oracle isn't in play. */
+  def fastHash64Scala(s: String, seed: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, seed.toLong)
+  }
+
+  /** minHashSignatureScala on the xxhash64 kernel. */
+  def minHashSignatureFastScala(shingles: Seq[String], k: Int): Array[Long] =
+    Array.tabulate(k) { i =>
+      var min = Long.MaxValue
+      for (s <- shingles) { val h = fastHash64Scala(s, i); if (h < min) min = h }
+      min
+    }
+
   /** Scala twin of `simHashBits`. */
   def simHashBitsScala(text: String): Array[Long] = {
     val hashes = wordsScala(text).map(md5Hash60Scala(_, 0))
@@ -80,6 +98,7 @@ object Dedup {
 
   private val shinglesUdf = udf((text: String, n: Int) => shinglesScala(text, n))
   private val minHashSigUdf = udf((sh: Seq[String], k: Int) => minHashSignatureScala(sh, k))
+  private val minHashSigFastUdf = udf((sh: Seq[String], k: Int) => minHashSignatureFastScala(sh, k))
   private val simHashBitsUdf = udf((text: String) => simHashBitsScala(text))
 
   /** Fast path: xxhash64 (not DuckDB-reproducible; for scale runs). */
@@ -139,18 +158,35 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
     * Candidates come only from shared LSH buckets; each candidate pair is
-    * verified on its true shingle sets. Output: (id_a, id_b, jaccard). */
+    * verified on its true shingle sets. Output: (id_a, id_b, jaccard).
+    * Oracle-reproducible md5 hash family; see [[minHashPairsFast]] for the
+    * xxhash64 production variant (same pair set, ~10× cheaper signatures). */
   def minHashPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
                    bands: Int = 4, rows: Int = 4, threshold: Double = 0.8,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minHashPairsImpl(docs, n, k, bands, rows, threshold, idCol, textCol, minHashSigUdf)
+
+  /** minHashPairs on the xxhash64 signature kernel — the scale default. The
+    * verified output is hash-family-independent (true-Jaccard filtered), so
+    * for any corpus where banding recall holds it emits the identical pair
+    * set, at a fraction of the signature cost. */
+  def minHashPairsFast(docs: DataFrame, n: Int = 3, k: Int = 16,
+                       bands: Int = 4, rows: Int = 4, threshold: Double = 0.8,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minHashPairsImpl(docs, n, k, bands, rows, threshold, idCol, textCol, minHashSigFastUdf)
+
+  private def minHashPairsImpl(docs: DataFrame, n: Int, k: Int,
+                               bands: Int, rows: Int, threshold: Double,
+                               idCol: String, textCol: String,
+                               sigUdf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     require(bands * rows == k, "bands*rows must equal signature length")
     // persist: the shingle/signature subtrees feed BOTH sides of the
     // candidate self-join plus verification — without it they recompute
-    // (md5-per-shingle-per-seed) once per downstream stage
+    // (hash-per-shingle-per-seed) once per downstream stage
     val sh = docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")).persist()
     val banded = sh
       .select(col(idCol),
-        posexplode(bandKeys(minHashSigUdf(col("sh"), lit(k)), bands, rows))
+        posexplode(bandKeys(sigUdf(col("sh"), lit(k)), bands, rows))
           .as(Seq("band_idx", "band_key")))
       .persist()
     val left  = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
@@ -251,9 +287,21 @@ object Dedup {
 
   // ---------------------------------------------------- embedding near-dup
 
-  /** Embedding-cosine near-duplicate pairs (exact; LSH-bucketed variant in
-    * Similarity.annJoin). */
+  /** Embedding-cosine near-duplicate pairs — exact all-pairs form. Collects
+    * and broadcasts the corpus matrix, so it is the right tool ONLY up to
+    * broadcast capacity (fixture scale / ≲1M small vectors); at 100 TB use
+    * [[embeddingPairsDistributed]], which keeps both sides distributed. */
   def embeddingPairs(docs: DataFrame, minCosine: Double,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     VectorSearch.similarityJoin(docs, minCosine, embCol, idCol)
+
+  /** Embedding-cosine near-duplicate pairs — the scale path: LSH-bucketed
+    * candidates (shuffle on bucket keys only, never all-pairs, no driver
+    * collect) exact-re-scored against the raw embeddings, so every emitted
+    * pair carries the same cosine the exact path would compute; only recall
+    * is approximate (OR-amplified across hash tables). */
+  def embeddingPairsDistributed(docs: DataFrame, minCosine: Double,
+                                idCol: String = "vec_id",
+                                embCol: String = "embedding"): DataFrame =
+    Similarity.lshJoin(docs, minCosine, idCol = idCol, embCol = embCol)
 }

@@ -25,36 +25,55 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** MLlib-backed ANN join: BucketedRandomProjectionLSH over L2-normalized
-    * vectors (euclidean distance on the unit sphere is monotone in cosine:
-    * d² = 2 − 2·cos). Returns candidate pairs within `maxCosDistance` of
-    * each other (cosine ≥ 1 − maxCosDistance²/2), deterministic via fixed
-    * seed. The fully-distributed alternative to the broadcast exact join —
-    * both sides stay DataFrames, pairs come from shared LSH buckets. */
+  /** MLlib-backed ANN pair join: BucketedRandomProjectionLSH over
+    * L2-normalized vectors (euclidean distance on the unit sphere is monotone
+    * in cosine: d² = 2 − 2·cos). The fully-distributed alternative to the
+    * broadcast exact join (VectorSearch.similarityJoin): both sides stay
+    * DataFrames, candidates come from shared LSH buckets (shuffle on bucket
+    * keys only — never all-pairs), deterministic via fixed seed.
+    *
+    * Two-phase for exactness where it matters:
+    *  1. candidate generation at a deliberately loose distance bound (5%
+    *     slack) — recall is governed by numHashTables (OR-amplified);
+    *  2. exact re-score of every candidate against the RAW embedding arrays
+    *     via the codegen cosine expression — bit-identical values to the
+    *     exact path, so precision is 1 and only recall is approximate.
+    *
+    * Zero-norm vectors are excluded up front: engine-wide (cosineScala /
+    * CosineSimilarityExpr) cosine is defined as 0.0 when either norm is 0,
+    * so such rows can never reach a positive minCosine — normalizing them to
+    * the zero vector would instead pair them at dist 0 / cosine "1". */
   def lshJoin(corpus: DataFrame, minCosine: Double, bucketLength: Double = 1.0,
-              numHashTables: Int = 4,
+              numHashTables: Int = 8,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.linalg.Vectors
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    require(minCosine > 0.0, "zero-norm exclusion assumes a positive cosine threshold")
     val toVec = udf((a: Seq[Float]) => {
       var norm = 0.0
       a.foreach(x => norm += x.toDouble * x)
-      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+      val inv = 1.0 / math.sqrt(norm)
       Vectors.dense(a.map(_.toDouble * inv).toArray)
     })
-    val featurized = corpus.select(col(idCol), toVec(col(embCol)).as("features"))
+    val featurized = corpus
+      .filter(normSq(col(embCol)) > 0.0)
+      .select(col(idCol), toVec(col(embCol)).as("features"))
     val lsh = new BucketedRandomProjectionLSH()
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
       .setInputCol("features").setOutputCol("hashes").setSeed(42L)
     val model = lsh.fit(featurized)
-    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
-    model.approxSimilarityJoin(featurized, featurized, maxDist, "dist")
+    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine)) * 1.05
+    val candidates = model.approxSimilarityJoin(featurized, featurized, maxDist, "dist")
       .select(col(s"datasetA.$idCol").as("left_id"),
-              col(s"datasetB.$idCol").as("right_id"),
-              (lit(1.0) - col("dist") * col("dist") / 2.0).as("cosine"))
+              col(s"datasetB.$idCol").as("right_id"))
       .filter(col("left_id") < col("right_id"))
+      .distinct()
+    val a = corpus.select(col(idCol).as("left_id"), col(embCol).as("__emb_a"))
+    val b = corpus.select(col(idCol).as("right_id"), col(embCol).as("__emb_b"))
+    candidates.join(a, "left_id").join(b, "right_id")
+      .withColumn("cosine", cosineSimilarity(col("__emb_a"), col("__emb_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("left_id"), col("right_id"), col("cosine"))
   }
 
   /** Deterministic centroid sample: vectors whose id ≡ 0 (mod step), first

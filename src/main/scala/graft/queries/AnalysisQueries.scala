@@ -77,6 +77,17 @@ object AnalysisQueries {
       val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
       Similarity.ivfSearch(emb, cents, qv, k = 10, nprobe = 4)
         .select($"vec_id", $"centroid_id", round($"score", 6).as("score"))
+    }),
+
+    // Distributed embedding near-dup pairs: LSH-bucketed candidates, exact
+    // re-score — the 100 TB twin of dedup_embedding_pairs (no driver collect).
+    // Oracle = the exact pair set: recall is 1.0 on the fixture (verified by
+    // SimilaritySpec), and precision is exactly 1 by construction.
+    "ann_lsh_pairs" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup
+        .embeddingPairsDistributed(Tables.embeddings(s, dir), minCosine = 0.45)
+        .select($"left_id", $"right_id", round($"cosine", 6).as("cosine"))
     }))
 
   // ------------------------------------------------------------- oracle SQL
@@ -157,5 +168,10 @@ object AnalysisQueries {
           JOIN embeddings e ON a.vec_id = e.vec_id
           CROSS JOIN q
           ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, a.vec_id ASC
-          LIMIT 10""")
+          LIMIT 10""",
+    "ann_lsh_pairs" ->
+      """SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""")
 }

@@ -41,6 +41,16 @@ object DedupQueries {
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
     }),
 
+    // MinHash on the xxhash64 signature kernel — the production/scale
+    // variant. The verified pair set is hash-family-independent, so the
+    // md5-path oracle applies unchanged; what this row buys is a benchmark
+    // of the signature stage at production cost.
+    "dedup_minhash_fast" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minHashPairsFast(Tables.documents(s, dir))
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    }),
+
     // Ground-truth n-gram Jaccard pairs (validates the LSH path's recall).
     "dedup_ngram_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -129,6 +139,19 @@ object DedupQueries {
       s"""SELECT doc_id FROM ($recrawl)
           WHERE doc_id IN (SELECT MIN(doc_id) FROM ($recrawl) GROUP BY md5(text))""",
     "dedup_minhash_pairs" ->
+      s"""WITH $duckShinglesCte,
+          banded AS (
+            SELECT doc_id, band_idx, array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',') AS band_key
+            FROM (SELECT doc_id, sh, $duckSig16 AS sig FROM sh),
+                 (SELECT unnest(generate_series(0, 3)) AS band_idx)),
+          candidates AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+          $duckVerify""",
+    // Same oracle as dedup_minhash_pairs: the fast variant differs only in
+    // candidate generation; the true-Jaccard-verified pair set is identical.
+    "dedup_minhash_fast" ->
       s"""WITH $duckShinglesCte,
           banded AS (
             SELECT doc_id, band_idx, array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',') AS band_key

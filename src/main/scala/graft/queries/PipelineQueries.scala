@@ -67,6 +67,39 @@ object PipelineQueries {
       Orchestrator.search(s, flat, children, "explain how to merge sort a table")
     }),
 
+    // J4/S12: FK remap after canonical ids are assigned (vector_store.py:
+    // 133-151) — chunk rows re-pointed through a broadcast old→new id map.
+    "pipe_fk_remap" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val chunks = docs.select(concat(lit("c_"), $"doc_id").as("chunk_id"),
+        $"doc_id".as("document_id"))
+      val idMap = docs.filter($"doc_id" % 7 === 0)
+        .select($"doc_id".as("old_id"), ($"doc_id" + 100000L).as("new_id"))
+      Pipelines.remapForeignKeys(chunks, idMap)
+    }),
+
+    // A7: rolling performance metrics (rag_engine.py:415-459) — the
+    // reference keeps the last N query timings in a deque and reports
+    // averages; the batch twin ranks events per type by recency and
+    // aggregates the most recent 100 alongside the all-time count.
+    "pipe_query_metrics" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"ts".desc, $"event_id".desc)
+      val wAll = Window.partitionBy($"event_type")
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_total", count(lit(1)).over(wAll))
+        .filter($"rn" <= 100)
+        .groupBy($"event_type")
+        .agg(max($"n_total").as("total_queries"),
+             count(lit(1)).as("n_recent"),
+             round(sum(round($"value", 6).cast("decimal(38,6)")).cast("double") /
+               count(lit(1)), 6).as("avg_recent_value"),
+             max(round($"value", 6)).as("max_recent_value"))
+    }),
+
     // Multimodal: batched feature extraction over binary media (rows-only).
     "mm_feature_stats" -> ((s, dir) => {
       import s.implicits._
@@ -94,5 +127,22 @@ object PipelineQueries {
           GROUP BY CASE WHEN length(text) = 0 THEN 'failed' ELSE 'completed' END""",
     "mm_frame_samples" ->
       """SELECT doc_id, CAST(unnest(generate_series(0, 15, 4)) AS INT) AS frame_idx
-         FROM documents""")
+         FROM documents""",
+    "pipe_fk_remap" ->
+      """SELECT concat('c_', doc_id) AS chunk_id,
+            CASE WHEN doc_id % 7 = 0 THEN doc_id + 100000 ELSE doc_id END AS document_id
+          FROM documents""",
+    "pipe_query_metrics" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n_total
+           FROM events)
+         SELECT event_type,
+                CAST(MAX(n_total) AS BIGINT) AS total_queries,
+                CAST(COUNT(*) AS BIGINT) AS n_recent,
+                round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_recent_value,
+                MAX(round(value, 6)) AS max_recent_value
+         FROM ranked WHERE rn <= 100 GROUP BY event_type""")
 }

@@ -64,17 +64,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(hits.forall(_.getAs[Long]("document_id") != target.getLong(1)))
   }
 
-  test("MLlib LSH join recovers the strongest exact pairs") {
+  test("MLlib LSH join: precision 1 vs exact pairs, recall >= 0.9") {
     val exact = VectorSearch.similarityJoin(emb, minCosine = 0.4, idCol = "vec_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val lsh = Similarity.lshJoin(emb, minCosine = 0.4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // ANN: every LSH pair must be a true pair-candidate; recall on the
-    // fixture's strong pairs should be high (allow some loss)
-    if (exact.nonEmpty) {
-      val recall = exact.intersect(lsh).size.toDouble / exact.size
-      assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
-    }
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty, "fixture should contain pairs above threshold")
+    // exact re-score ⇒ every LSH pair IS an exact pair with the same cosine
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"false positives: ${lsh.keySet.diff(exact.keySet)}")
+    lsh.foreach { case (k, c) => assert(c === exact(k), s"cosine mismatch at $k") }
+    val recall = exact.keySet.intersect(lsh.keySet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("LSH join excludes zero-norm vectors instead of pairing them at 1.0") {
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val zeros = Seq((900001L, Array.fill(dim)(0.0f)), (900002L, Array.fill(dim)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.lshJoin(
+      emb.select("vec_id", "embedding").unionByName(zeros), minCosine = 0.4).collect()
+    assert(pairs.forall(r => r.getLong(0) < 900001L && r.getLong(1) < 900001L))
   }
 
   test("similarityJoin pairs are ordered, thresholded, symmetric-free") {
@@ -84,6 +95,15 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------ Dedup
+
+  test("minHashPairsFast emits the identical verified pair set as the md5 path") {
+    val md5Pairs = Dedup.minHashPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val fast = Dedup.minHashPairsFast(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(md5Pairs.nonEmpty, "fixture should contain planted near-dup pairs")
+    assert(fast === md5Pairs)
+  }
 
   test("exact dedup finds planted copies and keeps min-id canonicals") {
     import spark.implicits._
