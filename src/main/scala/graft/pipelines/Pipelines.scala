@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.{Attribution, ChunkOps, Embedder, VectorSearch}
@@ -61,6 +61,40 @@ object Pipelines {
     chunks.join(broadcast(idMap), chunks(fkCol) === idMap(oldCol), "left")
       .withColumn(fkCol, coalesce(col(newCol), col(fkCol)))
       .drop(oldCol, newCol)
+
+  /** S9: join-based upsert/merge — the reference's `update_one({_id},
+    * {$set: updates})` (document_repository.py:176-208) as a derived-table
+    * rewrite. Every column present in `updates` (besides the id) is $set on
+    * matched rows; unmatched target rows pass through untouched; matched
+    * rows get `updated_at` restamped (the reference stamps
+    * `updates['updated_at'] = utcnow()` before the $set). With
+    * `insertMissing` the unmatched update rows are appended (Mongo
+    * upsert=True), carrying nulls for target-only columns.
+    *
+    * Scale shape: updates are the small side by construction (a batch of
+    * edits vs the corpus) — broadcast join, no corpus shuffle; the result
+    * overwrites the target partition-wise. `stamp` is a parameter so tests
+    * and oracles can pin a deterministic timestamp. */
+  def upsertDocuments(target: DataFrame, updates: DataFrame,
+                      idCol: String = "doc_id",
+                      stamp: Column = current_timestamp(),
+                      insertMissing: Boolean = false): DataFrame = {
+    val setCols = updates.columns.filterNot(_ == idCol).toSet
+    val joined = target.alias("t").join(
+      broadcast(updates.alias("u")),
+      col(s"t.$idCol") === col(s"u.$idCol"),
+      if (insertMissing) "full_outer" else "left")
+    val matched = col(s"u.$idCol").isNotNull
+    val prevStamp =
+      if (target.columns.contains("updated_at")) col("t.updated_at")
+      else lit(null).cast("timestamp")
+    val outCols = target.columns.filterNot(_ == "updated_at").map {
+      case c if c == idCol        => coalesce(col(s"t.$c"), col(s"u.$c")).as(c)
+      case c if setCols.contains(c) => when(matched, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
+      case c                      => col(s"t.$c").as(c)
+    } :+ when(matched, stamp).otherwise(prevStamp).as("updated_at")
+    joined.select(outCols.toIndexedSeq: _*)
+  }
 
   /** S8: chunk sink — partitioned by document co-location, sorted by chunk
     * order inside each file (the parquet stand-in for the reference's

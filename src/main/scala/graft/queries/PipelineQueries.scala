@@ -79,6 +79,23 @@ object PipelineQueries {
       Pipelines.remapForeignKeys(chunks, idMap)
     }),
 
+    // S9: join-based upsert — $set semantics with updated_at restamping
+    // (document_repository.py:176-208) plus Mongo upsert=True inserts.
+    // Updates: re-crawled source tag for doc_id%10==3, five brand-new docs.
+    "pipe_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val updates = docs.filter($"doc_id" % 10 === 3)
+        .select($"doc_id", lit("recrawl").as("source"))
+        .unionByName(docs.filter($"doc_id" < 5)
+          .select(($"doc_id" + 100000L).as("doc_id"), lit("new").as("source")))
+      Pipelines.upsertDocuments(docs, updates,
+          stamp = to_timestamp(lit("2026-01-01 00:00:00")), insertMissing = true)
+        // ISO-serialized (F10) — also keeps NULL comparable in the gate
+        .select($"doc_id", $"source", $"lang", $"n_chars",
+          date_format($"updated_at", "yyyy-MM-dd'T'HH:mm:ss").as("updated_at"))
+    }),
+
     // A7: rolling performance metrics (rag_engine.py:415-459) — the
     // reference keeps the last N query timings in a deque and reports
     // averages; the batch twin ranks events per type by recency and
@@ -128,6 +145,18 @@ object PipelineQueries {
     "mm_frame_samples" ->
       """SELECT doc_id, CAST(unnest(generate_series(0, 15, 4)) AS INT) AS frame_idx
          FROM documents""",
+    "pipe_upsert" ->
+      """WITH updates AS (
+           SELECT doc_id, 'recrawl' AS source FROM documents WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, 'new' AS source FROM documents WHERE doc_id < 5)
+         SELECT coalesce(t.doc_id, u.doc_id) AS doc_id,
+                CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE t.source END AS source,
+                t.lang AS lang,
+                t.n_chars AS n_chars,
+                CASE WHEN u.doc_id IS NOT NULL THEN '2026-01-01T00:00:00'
+                     ELSE CAST(NULL AS VARCHAR) END AS updated_at
+         FROM documents t FULL OUTER JOIN updates u ON t.doc_id = u.doc_id""",
     "pipe_fk_remap" ->
       """SELECT concat('c_', doc_id) AS chunk_id,
             CASE WHEN doc_id % 7 = 0 THEN doc_id + 100000 ELSE doc_id END AS document_id

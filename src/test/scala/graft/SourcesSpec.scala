@@ -37,6 +37,32 @@ class SourcesSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq === sorted)
   }
 
+  test("writeJsonBackup stamps backed_up_at in ISO-8601 seconds form (F10)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_backup").toString
+    graft.pipelines.Pipelines.writeJsonBackup(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), s"$out/backup")
+    val back = spark.read.json(s"$out/backup")
+    assert(back.count() === 2)
+    val stamps = back.select("backed_up_at").collect().map(_.getString(0))
+    val iso = "\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}".r
+    stamps.foreach(s => assert(iso.matches(s), s"not ISO-8601 seconds: $s"))
+  }
+
+  test("upsertDocuments: \\$set on matched, untouched otherwise, update-only drops strangers") {
+    import spark.implicits._
+    val target = Seq((1L, "a", "en"), (2L, "b", "de"), (3L, "c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val updates = Seq((2L, "B2"), (9L, "ghost")).toDF("doc_id", "text")
+    val merged = graft.pipelines.Pipelines
+      .upsertDocuments(target, updates, stamp = to_timestamp(lit("2026-01-01 00:00:00")))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.get(3) != null))
+    // update_one (no upsert): id 9 matches nothing and inserts nothing
+    assert(merged.toSeq === Seq(
+      (1L, "a", "en", false), (2L, "B2", "de", true), (3L, "c", "fr", false)))
+  }
+
   test("salted join equals plain join, with the small side replicated") {
     val orders = Tables.orders(spark, dir)
     val customer = Tables.customer(spark, dir)
