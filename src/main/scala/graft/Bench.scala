@@ -13,20 +13,27 @@ object Bench {
     // warmup: pay session init + parquet reader + codegen/JIT once, untimed
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // two timed passes, min per query — damps co-tenant noise without
-    // changing what is measured
-    def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // changing what is measured. A failed pass yields None (not its
+    // time-to-throw, which would read as a spuriously fast result).
+    def timeAll(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       // operators persist() intermediates; drop them so cached blocks from
       // one query can't skew the next query's timing
       spark.sqlContext.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
     val (pass1, pass2) = (timeAll(), timeAll())
-    val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // min over the SUCCESSFUL passes; a query that failed both passes is
+    // reported as -1 and excluded from the total
+    val results = pass1.map { case (name, t1) =>
+      name -> (t1.toSeq ++ pass2(name).toSeq).minOption
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.collect { case (k, None) => k }
+    if (failed.nonEmpty) System.err.println(s"[bench] FAILED queries: ${failed.mkString(",")}")
+    val total = results.values.flatten.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * (CAST('0x'||substr(md5(...),1,15) AS BIGINT)), making every signature and
   * every pair list oracle-checkable bit-for-bit. At production scale the
   * same operators accept `fastHash` (xxhash64) for ~10× cheaper signatures.
+  *
+  * Cache contract: the pair generators persist shingle/signature
+  * intermediates (each feeds the candidate self-join AND verification).
+  * Cached blocks live until the session drops them — long-lived callers
+  * should `spark.sqlContext.clearCache()` (as Bench/Verify do) once the
+  * returned plan is materialized.
   */
 object Dedup {
 

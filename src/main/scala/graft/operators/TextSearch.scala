@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * Determinism: per-doc term-score sums go through exact DECIMAL(38,12)
   * accumulation so results are partition-order independent (and DuckDB-
   * comparable bit for bit).
+  *
+  * Cache contract: `bm25` persists its per-doc length table (it feeds both
+  * the corpus stats and the scoring join). The cached blocks live until the
+  * session drops them — long-lived callers should
+  * `spark.sqlContext.clearCache()` (as Bench/Verify do) or unpersist via
+  * `spark.sharedState.cacheManager` once the returned plan is materialized.
   */
 object TextSearch {
 

@@ -128,9 +128,9 @@ object Pipelines {
   def flagship(spark: SparkSession, dir: String, queryText: String = "spark join vector query",
                k: Int = 10): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-    // fixture prose tops out near quality 0.35 — threshold 0 keeps the full
-    // corpus flowing through the clean→chunk→embed path
-    val chunks = featurePipeline(docs, qualityThreshold = 0.0)
+    // retrieval reads the stored chunk table (built once per session at
+    // quality threshold 0 — fixture prose tops out near quality 0.35)
+    val chunks = graft.ChunkCatalog.flatChunks(spark, dir)
     val hits = VectorSearch.knn(
       chunks, VectorSearch.SearchRequest(Embedder.embedText(queryText), limit = k),
       embCol = "embedding", idCol = "chunk_id")

@@ -26,10 +26,11 @@ object PipelineQueries {
     }),
 
     // Feature pipeline output shape: chunks per document (rows-only check;
-    // splitter semantics covered by ChunkerSpec).
+    // splitter semantics covered by ChunkerSpec). Reads the stored chunk
+    // table (ChunkCatalog) — the reference's chunks collection.
     "pipe_chunk_stats" -> ((s, dir) => {
       import s.implicits._
-      Pipelines.featurePipeline(Tables.documents(s, dir), qualityThreshold = 0.0)
+      graft.ChunkCatalog.flatChunks(s, dir)
         .groupBy($"document_id")
         .agg(count(lit(1)).as("n_chunks"),
              sum($"word_count".cast("long")).as("total_words"),
@@ -40,10 +41,11 @@ object PipelineQueries {
     "pipe_flagship" -> ((s, dir) => Pipelines.flagship(s, dir)),
 
     // S6/J2/T3: a document with its chunks in index order (rows-only).
+    // Bucketed chunk table ⋈ documents — shuffle-free on the chunk side.
     "pipe_doc_chunks" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val chunks = Pipelines.featurePipeline(docs, qualityThreshold = 0.0)
+      val chunks = graft.ChunkCatalog.flatChunks(s, dir)
       Pipelines.documentWithChunks(docs.select($"doc_id", $"lang"), chunks, docId = 22L)
         .select($"document_id", $"chunk_id", $"chunk_index", $"word_count", $"lang")
     }),
@@ -51,20 +53,18 @@ object PipelineQueries {
     // C3: parent→children relationship map over the hierarchy (rows-only).
     "pipe_hierarchy_rel" -> ((s, dir) => {
       import graft.operators.ChunkOps
-      val chunks = ChunkOps.chunkHierarchy(Tables.documents(s, dir)).toDF()
-      ChunkOps.parentChildRelationships(chunks)
+      ChunkOps.parentChildRelationships(graft.ChunkCatalog.hierarchyChunks(s, dir))
     }),
 
-    // §3.1 orchestrated multi-strategy search, end to end (rows-only).
+    // §3.1 orchestrated multi-strategy search over the STORED chunk tables
+    // (rows-only) — retrieval reads the chunk store, it does not re-run the
+    // feature pipeline per query (rag_pipeline.py:190-236).
     "pipe_orchestrator" -> ((s, dir) => {
-      import graft.operators.{Embedder, Orchestrator, ChunkOps}
-      import org.apache.spark.sql.functions.col
-      val docs = Tables.documents(s, dir)
-      val flat = Pipelines.featurePipeline(docs, qualityThreshold = 0.0)
-      val children = Embedder.withEmbeddings(
-        ChunkOps.chunkHierarchy(docs).toDF().filter(col("chunk_type") === "child"),
-        "content", "embedding")
-      Orchestrator.search(s, flat, children, "explain how to merge sort a table")
+      import graft.operators.Orchestrator
+      Orchestrator.search(s,
+        graft.ChunkCatalog.flatChunks(s, dir),
+        graft.ChunkCatalog.childChunks(s, dir),
+        "explain how to merge sort a table")
     }),
 
     // J4/S12: FK remap after canonical ids are assigned (vector_store.py:

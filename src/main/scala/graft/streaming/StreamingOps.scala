@@ -95,18 +95,33 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** W1/W2 streaming twin: running last-N conversation window per key kept
-    * in state; emits the trimmed history on every update. */
-  def lastNPerKey(events: Dataset[Event], n: Int = 10): Dataset[(Long, Seq[Long])] = {
+    * in state; emits the trimmed history on every update. Idle keys are
+    * evicted once the watermark passes `idleGapMs` beyond their newest
+    * event (an unbounded user-id space would otherwise grow the state store
+    * without bound); a timed-out key simply restarts its window on its next
+    * event. Event-time eviction (not processing-time) so timeouts advance
+    * with the data, never with wall-clock trigger loops. */
+  def lastNPerKey(events: Dataset[Event], n: Int = 10,
+                  watermarkDelay: String = "10 minutes",
+                  idleGapMs: Long = 60L * 60 * 1000): Dataset[(Long, Seq[Long])] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[Long], (Long, Seq[Long])](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[Seq[Long]]) =>
-          val prior = state.getOption.getOrElse(Seq.empty)
-          val updated = (prior ++ batch.toSeq.sortBy(_.ts.getTime).map(_.ts.getTime))
-            .takeRight(n)
-          state.update(updated)
-          Iterator((userId, updated))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.getOrElse(Seq.empty)
+            val updated = (prior ++ batch.toSeq.sortBy(_.ts.getTime).map(_.ts.getTime))
+              .takeRight(n)
+            state.update(updated)
+            state.setTimeoutTimestamp(
+              math.max(updated.max + idleGapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator((userId, updated))
+          }
       }
   }
 }

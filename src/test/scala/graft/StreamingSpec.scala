@@ -104,6 +104,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(window === Seq(ts(3), ts(4), ts(5)).map(_.getTime))
   }
 
+  test("lastNPerKey evicts idle keys once the watermark passes the idle gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = StreamingOps.lastNPerKey(source.toDS(), n = 3,
+        watermarkDelay = "0 seconds", idleGapMs = 5 * 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("evict_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    source.addData(Event(ts(1), 7L, "view", 1.0), Event(ts(2), 7L, "view", 2.0))
+    q.processAllAvailable()
+    // another key pushes the watermark far beyond key 7's idle gap → evict
+    source.addData(Event(ts(100), 8L, "view", 3.0))
+    q.processAllAvailable()
+    // key 7 returns: state restarted, window must NOT contain ts(1)/ts(2)
+    source.addData(Event(ts(101), 7L, "view", 4.0))
+    q.processAllAvailable(); q.stop()
+    val last7 = spark.table("evict_out").filter($"_1" === 7L)
+      .collect().map(_.getSeq[Long](1)).last
+    assert(last7 === Seq(ts(101).getTime))
+  }
+
   test("streaming dedup drops re-delivered keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
