@@ -144,6 +144,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSet === Set((1L, "view"), (1L, "click"), (2L, "view")))
   }
 
+  test("sessionize matches batch lag/cumsum sessions on the real events fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // ms-truncated fixture (SessionState tracks Timestamp.getTime ms; the
+    // batch form must diff at the same resolution for exact gap parity)
+    val fixture = Tables.events(spark, "/root/testdata/sf0.01")
+      .withColumn("ts", timestamp_millis(floor(unix_micros($"ts") / 1000).cast("long")))
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+      .collect().sortBy(_.ts.getTime)
+
+    val source = MemoryStream[Event]
+    val q = StreamingOps.sessionize(source.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("fix_sessions")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // four micro-batches in time order, then a far-future sentinel to push
+    // the watermark past every open session's gap
+    fixture.grouped(math.max(1, fixture.length / 4 + 1)).foreach { chunk =>
+      source.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    val sentinel = new Timestamp(fixture.last.ts.getTime + 48L * 3600 * 1000)
+    source.addData(Event(sentinel, -1L, "flush", 0.0))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("fix_sessions")
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+      .toSet
+
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc)
+    val batch = fixture.toSeq.toDS().toDF()
+      .withColumn("ms", floor(unix_micros($"ts") / 1000).cast("long"))
+      .withColumn("prev", lag($"ms", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"ms" - $"prev" > 30L * 60 * 1000, 1L).otherwise(0L))
+      .withColumn("seq", sum($"new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"seq")
+      .agg(min($"ms").as("start_ms"), max($"ms").as("end_ms"), count(lit(1)).as("n"))
+      .select($"user_id", $"start_ms", $"end_ms", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("batch sessionization twin agrees on the same events") {
     import spark.implicits._
     val events = Seq(
