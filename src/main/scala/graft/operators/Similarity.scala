@@ -43,10 +43,11 @@ object Similarity {
     * CosineSimilarityExpr) cosine is defined as 0.0 when either norm is 0,
     * so such rows can never reach a positive minCosine — normalizing them to
     * the zero vector would instead pair them at dist 0 / cosine "1". */
-  def lshJoin(corpus: DataFrame, minCosine: Double, bucketLength: Double = 1.0,
+  def lshJoin(corpus: DataFrame, minCosine: Double, bucketLength: Double = 0.25,
               numHashTables: Int = 8,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.ml.linalg.Vectors
     require(minCosine > 0.0, "zero-norm exclusion assumes a positive cosine threshold")
     val toVec = udf((a: Seq[Float]) => {
@@ -62,12 +63,19 @@ object Similarity {
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
       .setInputCol("features").setOutputCol("hashes").setSeed(42L)
     val model = lsh.fit(featurized)
-    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine)) * 1.05
-    val candidates = model.approxSimilarityJoin(featurized, featurized, maxDist, "dist")
-      .select(col(s"datasetA.$idCol").as("left_id"),
-              col(s"datasetB.$idCol").as("right_id"))
+    // band on (table, bucket) carrying IDS ONLY — MLlib's own
+    // approxSimilarityJoin drags the full vector structs through the
+    // candidate join/distinct, which is the dominant shuffle cost; the
+    // vectors are only needed afterwards, once per surviving pair
+    val hashed = model.transform(featurized)
+      .select(col(idCol), posexplode(col("hashes")).as(Seq("tbl", "hv")))
+      .select(col(idCol), col("tbl"),
+        element_at(vector_to_array(col("hv")), 1).as("hval"))
+    val candidates = hashed.select(col("tbl"), col("hval"), col(idCol).as("left_id"))
+      .join(hashed.select(col("tbl"), col("hval"), col(idCol).as("right_id")),
+        Seq("tbl", "hval"))
       .filter(col("left_id") < col("right_id"))
-      .distinct()
+      .select("left_id", "right_id").distinct()
     val a = corpus.select(col(idCol).as("left_id"), col(embCol).as("__emb_a"))
     val b = corpus.select(col(idCol).as("right_id"), col(embCol).as("__emb_b"))
     candidates.join(a, "left_id").join(b, "right_id")
