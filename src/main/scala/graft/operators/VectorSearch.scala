@@ -93,6 +93,27 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** J6 doc-level variant: documents most similar to the document owning
+    * `targetId`, ranked by their best chunk score (search_similar_chunks
+    * semantics — vector_search.py:488-533 — rolled up per document: one row
+    * per document, best-scoring chunk wins, self-document excluded).
+    * Output: (docCol, best_score unrounded, n_chunks). Same scale shape as
+    * knn (broadcast one-row query side, single corpus scan) plus one
+    * aggregation shuffle on docCol. */
+  def similarDocuments(corpus: DataFrame, targetId: Any, k: Int,
+                       docCol: String = "document_id",
+                       embCol: String = "embedding", idCol: String = "id"): DataFrame = {
+    val target = corpus.filter(col(idCol) === lit(targetId))
+      .select(col(embCol).as("__qvec"), col(docCol).as("__qdoc"))
+    corpus.crossJoin(broadcast(target))
+      .filter(col(idCol) =!= lit(targetId) && col(docCol) =!= col("__qdoc"))
+      .withColumn("score", score(col(embCol), col("__qvec")))
+      .groupBy(col(docCol))
+      .agg(max(col("score")).as("best_score"), count(lit(1)).as("n_chunks"))
+      .orderBy(col("best_score").desc, col(docCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs similarity join above a cosine threshold — the exact form.
     * One side is collected and broadcast (an n×dim float matrix: 2k vectors
     * × 64 dims = 512 KB; even 1M × 384 = 1.5 GB is broadcast-feasible), the

@@ -89,6 +89,18 @@ object VectorQueries {
         .select($"vec_id", $"label", round($"score", 6).as("score"))
     }),
 
+    // J6 doc-level: groups most similar to vec 7's neighbors rolled up one
+    // row per group, best chunk score wins (label stands in for document_id
+    // — the fixture's embeddings are one-per-doc, so labels give the rollup
+    // a real many-chunks-per-group shape).
+    "vec_similar_docs" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.VectorSearch
+        .similarDocuments(Tables.embeddings(s, dir), targetId = 7L, k = 5,
+          docCol = "label", idCol = "vec_id")
+        .select($"label", round($"best_score", 6).as("best_score"), $"n_chunks")
+    }),
+
     // Single-pass bounded-heap top-k via the typed Aggregator (no sort of
     // the scored corpus; finalization of the 10-row result is driver-side).
     "vec_topk_singlepass" -> ((s, dir) => {
@@ -155,6 +167,16 @@ object VectorQueries {
           WHERE e.vec_id <> 5 AND e.label <> q.label
           ORDER BY (${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
           LIMIT 10""",
+    "vec_similar_docs" ->
+      s"""SELECT e.label,
+            round(MAX((${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0), 6) AS best_score,
+            COUNT(*) AS n_chunks
+          FROM embeddings e,
+               (SELECT embedding, label FROM embeddings WHERE vec_id = 7) q
+          WHERE e.vec_id <> 7 AND e.label <> q.label
+          GROUP BY e.label
+          ORDER BY MAX((${duckCos("e.embedding", "q.embedding")} + 1.0e0) / 2.0e0) DESC, e.label ASC
+          LIMIT 5""",
     "vec_topk_singlepass" ->
       s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank,
                  vec_id, score
