@@ -65,13 +65,40 @@ object Dedup {
     else Array(w.mkString(" "))
   }
 
-  /** Scala twin of `minHashSignature`. */
-  def minHashSignatureScala(shingles: Seq[String], k: Int): Array[Long] =
-    Array.tabulate(k) { i =>
-      var min = Long.MaxValue
-      for (s <- shingles) { val h = md5Hash60Scala(s, i); if (h < min) min = h }
-      min
+  /** Per-thread memo of a shingle's full k-seed hash row. Shingles repeat
+    * heavily across documents (shared vocabulary n-grams), so hashing each
+    * DISTINCT shingle once per executor thread cuts the md5 kernel cost by
+    * the corpus' repetition factor — with bit-identical results. Capped to
+    * bound executor memory; cleared wholesale when full. */
+  private val sigRowCache = new ThreadLocal[scala.collection.mutable.HashMap[String, Array[Long]]] {
+    override def initialValue() = scala.collection.mutable.HashMap.empty
+  }
+  private val SigCacheMax = 1 << 20
+
+  private def hashRow(s: String, k: Int): Array[Long] = {
+    val cache = sigRowCache.get()
+    val row = cache.getOrElse(s, null)
+    if (row != null && row.length >= k) row
+    else {
+      val fresh = Array.tabulate(math.max(k, MinHashK))(i => md5Hash60Scala(s, i))
+      if (cache.size >= SigCacheMax) cache.clear()
+      cache.update(s, fresh)
+      fresh
     }
+  }
+
+  val MinHashK = 16
+
+  /** Scala twin of `minHashSignature`. */
+  def minHashSignatureScala(shingles: Seq[String], k: Int): Array[Long] = {
+    val out = Array.fill(k)(Long.MaxValue)
+    for (s <- shingles) {
+      val row = hashRow(s, k)
+      var i = 0
+      while (i < k) { if (row(i) < out(i)) out(i) = row(i); i += 1 }
+    }
+    out
+  }
 
   /** Scala twin of the xxhash64 fast path (same kernel Spark's `xxhash64`
     * Column function uses) — ~10× cheaper per hash than MD5; NOT DuckDB-
@@ -91,9 +118,10 @@ object Dedup {
       min
     }
 
-  /** Scala twin of `simHashBits`. */
+  /** Scala twin of `simHashBits` (word hashes served from the memo — words
+    * repeat across the corpus far more than shingles do). */
   def simHashBitsScala(text: String): Array[Long] = {
-    val hashes = wordsScala(text).map(md5Hash60Scala(_, 0))
+    val hashes = wordsScala(text).map(w => hashRow(w, 1)(0))
     Array.tabulate(SimHashBits) { j =>
       var votes = 0L
       var i = 0
