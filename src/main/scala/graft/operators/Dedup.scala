@@ -296,32 +296,46 @@ object Dedup {
   def simHashString(textCol: Column): Column =
     array_join(simHashBitsUdf(textCol), "")
 
+  /** Packed 60-bit SimHash signature (bit j of the long = bit j of
+    * simHashBitsScala) — one long per document instead of a 60-element
+    * array, so banding and hamming run as codegen'd integer ops. */
+  private val simHashPackedUdf = udf((text: String) => {
+    val bits = simHashBitsScala(text)
+    var p = 0L
+    var j = 0
+    while (j < bits.length) { p |= bits(j) << j; j += 1 }
+    p
+  })
+
   /** SimHash near-duplicate pairs: banding on `blocks` equal bit-blocks
     * (pigeonhole guarantees recall for hamming < blocks), hamming-verified.
-    * Output: (id_a, id_b, hamming). */
+    * Output: (id_a, id_b, hamming). Block keys are shift/mask slices of the
+    * packed signature and the verify is `bit_count(a XOR b)` — fully inside
+    * whole-stage codegen; on vocabulary-skewed corpora block collisions are
+    * common (~800k candidates on the sf0.1 fixture), so the per-candidate
+    * cost is what dominates. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming < blocks, "pigeonhole recall needs maxHamming < blocks")
     require(SimHashBits % blocks == 0)
     val blockLen = SimHashBits / blocks
     // persist: the signature kernel feeds banding + both verify join sides
-    val sigs = docs.select(col(idCol), simHashBitsUdf(col(textCol)).as("bits")).persist()
+    val sigs = docs.select(col(idCol), simHashPackedUdf(col(textCol)).as("sig")).persist()
+    val blockKeys = array((0 until blocks).map { b =>
+      shiftright(col("sig"), b * blockLen).bitwiseAND(lit((1L << blockLen) - 1))
+    }: _*)
     val banded = sigs
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(blocks - 1)),
-          b => concat_ws(",", slice(col("bits"), b * blockLen + 1, lit(blockLen)))))
-          .as(Seq("block_idx", "block_key")))
-    val candidates = banded.select(col("block_idx"), col("block_key"), col(idCol).as("id_a"))
-      .join(banded.select(col("block_idx"), col("block_key"), col(idCol).as("id_b")),
+      .select(col(idCol), col("sig"),
+        posexplode(blockKeys).as(Seq("block_idx", "block_key")))
+    val candidates = banded
+      .select(col("block_idx"), col("block_key"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("block_idx"), col("block_key"),
+          col(idCol).as("id_b"), col("sig").as("sig_b")),
         Seq("block_idx", "block_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val a = sigs.select(col(idCol).as("id_a"), col("bits").as("bits_a"))
-    val b = sigs.select(col(idCol).as("id_b"), col("bits").as("bits_b"))
-    candidates.join(a, "id_a").join(b, "id_b")
-      .withColumn("hamming",
-        aggregate(zip_with(col("bits_a"), col("bits_b"),
-          (x, y) => when(x === y, 0L).otherwise(1L)), lit(0L), (acc, v) => acc + v))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
