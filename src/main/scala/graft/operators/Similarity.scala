@@ -25,12 +25,12 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** MLlib-backed ANN pair join: BucketedRandomProjectionLSH over
-    * L2-normalized vectors (euclidean distance on the unit sphere is monotone
-    * in cosine: d² = 2 − 2·cos). The fully-distributed alternative to the
-    * broadcast exact join (VectorSearch.similarityJoin): both sides stay
-    * DataFrames, candidates come from shared LSH buckets (shuffle on bucket
-    * keys only — never all-pairs), deterministic via fixed seed.
+  /** ANN pair join: bucketed-random-projection LSH over L2-normalized
+    * vectors (euclidean distance on the unit sphere is monotone in cosine:
+    * d² = 2 − 2·cos). The fully-distributed alternative to the broadcast
+    * exact join (VectorSearch.similarityJoin): both sides stay DataFrames,
+    * candidates come from shared LSH buckets (shuffle on bucket keys only —
+    * never all-pairs), deterministic via fixed seed.
     *
     * Two-phase for exactness where it matters:
     *  1. candidate generation at a deliberately loose distance bound (5%
@@ -46,34 +46,43 @@ object Similarity {
   def lshJoin(corpus: DataFrame, minCosine: Double, bucketLength: Double = 0.25,
               numHashTables: Int = 8,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.functions.vector_to_array
-    import org.apache.spark.ml.linalg.Vectors
     require(minCosine > 0.0, "zero-norm exclusion assumes a positive cosine threshold")
-    val toVec = udf((a: Seq[Float]) => {
+    val dim = corpus.select(size(col(embCol)).as("d")).head.getInt(0)
+    // deterministic seeded unit projections (the same floor(x̂·r / w) bucket
+    // family BucketedRandomProjectionLSH uses, without the fit/transform
+    // passes or ml.Vector conversions)
+    val rng = new scala.util.Random(42L)
+    val projections = Array.fill(numHashTables) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val bl = bucketLength
+    val nt = numHashTables
+    val bucketsUdf = udf((a: Seq[Float]) => {
       var norm = 0.0
       a.foreach(x => norm += x.toDouble * x)
       val inv = 1.0 / math.sqrt(norm)
-      Vectors.dense(a.map(_.toDouble * inv).toArray)
+      val len = math.min(a.length, dim)
+      Array.tabulate(nt) { t =>
+        val p = projections(t)
+        var dot = 0.0
+        var i = 0
+        while (i < len) { dot += a(i) * inv * p(i); i += 1 }
+        math.floor(dot / bl).toLong
+      }
     })
-    val featurized = corpus
+    // band on (table, bucket) carrying IDS ONLY — dragging vectors through
+    // the candidate join/distinct (as MLlib's approxSimilarityJoin does) is
+    // the dominant shuffle cost; vectors are only needed afterwards, once
+    // per surviving pair
+    val hashed = corpus
       .filter(normSq(col(embCol)) > 0.0)
-      .select(col(idCol), toVec(col(embCol)).as("features"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-      .setInputCol("features").setOutputCol("hashes").setSeed(42L)
-    val model = lsh.fit(featurized)
-    // band on (table, bucket) carrying IDS ONLY — MLlib's own
-    // approxSimilarityJoin drags the full vector structs through the
-    // candidate join/distinct, which is the dominant shuffle cost; the
-    // vectors are only needed afterwards, once per surviving pair
-    val hashed = model.transform(featurized)
-      .select(col(idCol), posexplode(col("hashes")).as(Seq("tbl", "hv")))
-      .select(col(idCol), col("tbl"),
-        element_at(vector_to_array(col("hv")), 1).as("hval"))
-    val candidates = hashed.select(col("tbl"), col("hval"), col(idCol).as("left_id"))
-      .join(hashed.select(col("tbl"), col("hval"), col(idCol).as("right_id")),
-        Seq("tbl", "hval"))
+      .select(col(idCol), bucketsUdf(col(embCol)).as("bk"))
+      .select(col(idCol), posexplode(col("bk")).as(Seq("tbl", "bucket")))
+    val candidates = hashed.select(col("tbl"), col("bucket"), col(idCol).as("left_id"))
+      .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("right_id")),
+        Seq("tbl", "bucket"))
       .filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id").distinct()
     val a = corpus.select(col(idCol).as("left_id"), col(embCol).as("__emb_a"))
