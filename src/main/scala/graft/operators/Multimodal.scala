@@ -96,6 +96,19 @@ object Multimodal {
           .as("frame_idx"))
       .select(col(idCol), col("frame_idx"))
 
+  /** Spill-aware partition sizing for binary media: row counts are the
+    * wrong capacity unit when one column holds multi-MB payloads (the
+    * `maxPartitionBytes` analog for in-flight media), so repartition to
+    * ceil(total payload bytes / target). One cheap aggregation, then a
+    * round-robin exchange — at 100 TB this is what keeps a decode stage's
+    * partitions inside executor memory regardless of per-row skew. */
+  def repartitionByMediaBytes(df: DataFrame, targetBytesPerPartition: Long = 128L << 20,
+                              mediaCol: String = "media"): DataFrame = {
+    val total = df.agg(sum(length(col(mediaCol)).cast("long"))).head.getLong(0)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
+    df.repartition(parts)
+  }
+
   /** "Resize": metadata-level transform (real impl rewrites payload through
     * the codec; the metadata contract is what downstream operators read). */
   def resizeMeta(df: DataFrame, width: Int, height: Int): DataFrame =

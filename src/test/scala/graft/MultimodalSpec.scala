@@ -53,6 +53,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.getInt(1)).toSet === Set(0, 4, 8, 12))
   }
 
+  test("repartitionByMediaBytes sizes partitions by payload, not row count") {
+    import spark.implicits._
+    // 100 rows x 4096 B = 400 KiB; 64 KiB target => ceil(409600/65536) = 7
+    val media = Multimodal.withSyntheticMedia((0L until 100L).toDF("id"), "id")
+    val sized = Multimodal.repartitionByMediaBytes(media, targetBytesPerPartition = 64L << 10)
+    assert(sized.rdd.getNumPartitions === 7)
+    assert(sized.count() === 100)
+    // a tiny corpus collapses to one partition regardless of row count
+    val tiny = Multimodal.withSyntheticMedia((0L until 100L).toDF("id"), "id", nBytes = 8)
+    assert(Multimodal.repartitionByMediaBytes(tiny).rdd.getNumPartitions === 1)
+  }
+
   test("resize rewrites metadata contract") {
     import spark.implicits._
     val media = Multimodal.withSyntheticMedia((0L until 2L).toDF("id"), "id")

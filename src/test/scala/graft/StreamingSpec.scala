@@ -144,6 +144,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSet === Set((1L, "view"), (1L, "click"), (2L, "view")))
   }
 
+  test("windowedStats streaming matches its own batch run on the real events fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"ts", $"user_id", $"event_type", $"value").as[Event]
+      .collect().sortBy(_.ts.getTime)
+    val source = MemoryStream[Event]
+    val q = StreamingOps.windowedStats(source.toDF(), "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("win_fix")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    fixture.grouped(math.max(1, fixture.length / 4 + 1)).foreach { chunk =>
+      source.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def normalize(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("window.start AS ws", "event_type", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val streamed = normalize(spark.table("win_fix"))
+    // same operator over the same rows as one batch DataFrame (the
+    // streaming/batch contract: identical plan semantics)
+    val batch = normalize(StreamingOps.windowedStats(fixture.toSeq.toDF(), "1 hour"))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("sessionize matches batch lag/cumsum sessions on the real events fixture") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
