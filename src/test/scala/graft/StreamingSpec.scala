@@ -222,6 +222,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("featurePipeline runs unchanged on a stream and matches its batch output") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // the clean→chunk→embed composition is all narrow/stateless, so the SAME
+    // function body is a valid streaming query — the S8 continuous-ingestion
+    // story needs no separate code path
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").limit(50)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val source = MemoryStream[(Long, String)]
+    val q = graft.pipelines.Pipelines
+      .featurePipeline(source.toDF().toDF("doc_id", "text"), qualityThreshold = 0.0)
+      .select($"chunk_id", $"document_id", $"word_count", size($"embedding").as("dim"))
+      .writeStream.outputMode("append").format("memory").queryName("fp_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(20).foreach { chunk => source.addData(chunk.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("fp_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val batch = graft.pipelines.Pipelines
+      .featurePipeline(docs.toSeq.toDF("doc_id", "text"), qualityThreshold = 0.0)
+      .select($"chunk_id", $"document_id", $"word_count", size($"embedding").as("dim"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("batch sessionization twin agrees on the same events") {
     import spark.implicits._
     val events = Seq(
