@@ -33,31 +33,63 @@ object Similarity {
     * never all-pairs), deterministic via fixed seed.
     *
     * Two-phase for exactness where it matters:
-    *  1. candidate generation at a deliberately loose distance bound (5%
-    *     slack) — recall is governed by numHashTables (OR-amplified);
+    *  1. candidate generation from compound bucket keys — recall is OR-
+    *     amplified across numHashTables, selectivity AND-amplified across
+    *     hashesPerTable projections per key (auto-chosen from the
+    *     threshold);
     *  2. exact re-score of every candidate against the RAW embedding arrays
     *     via the codegen cosine expression — bit-identical values to the
     *     exact path, so precision is 1 and only recall is approximate.
+    *
+    * Pruning honesty: LSH prunes only when the threshold separates near
+    * pairs from the bulk of the random-pair cosine distribution. At real
+    * near-dup bars (≥ 0.8) candidates collapse to a sliver of all-pairs
+    * (asserted in OperatorSpec on a planted-near-dup corpus). The fixture's
+    * `ann_lsh_pairs` threshold (0.45, because the fixture's planted
+    * embedding pairs top out near cosine 0.5) sits inside the bulk, where
+    * every pair is a legitimate candidate — recall 1.0, no pruning possible
+    * for ANY method that must not miss pairs.
     *
     * Zero-norm vectors are excluded up front: engine-wide (cosineScala /
     * CosineSimilarityExpr) cosine is defined as 0.0 when either norm is 0,
     * so such rows can never reach a positive minCosine — normalizing them to
     * the zero vector would instead pair them at dist 0 / cosine "1". */
-  def lshJoin(corpus: DataFrame, minCosine: Double, bucketLength: Double = 0.25,
-              numHashTables: Int = 8,
-              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+  /** AND-composition width per table, by threshold: discriminating a high
+    * cosine bar needs compound bucket keys (each extra projection multiplies
+    * a random pair's per-table collision odds by ~p < 1), while a low bar —
+    * one sitting inside the bulk of the random-pair cosine distribution —
+    * gains nothing from compounding and would only lose recall. */
+  def defaultHashesPerTable(minCosine: Double): Int =
+    if (minCosine >= 0.8) 3 else if (minCosine >= 0.6) 2 else 1
+
+  /** Candidate pair generation for [[lshJoin]] — exposed as its own seam so
+    * pruning behaviour is testable (candidates ≪ all-pairs on corpora whose
+    * threshold actually separates near from random; see SimilaritySpec in
+    * OperatorSpec). Returns (left_id, right_id), left < right, distinct. */
+  def lshCandidates(corpus: DataFrame, minCosine: Double,
+                    bucketLength: Double = 0.0, numHashTables: Int = 8,
+                    hashesPerTable: Int = 0,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(minCosine > 0.0, "zero-norm exclusion assumes a positive cosine threshold")
+    val g = if (hashesPerTable > 0) hashesPerTable else defaultHashesPerTable(minCosine)
     val dim = corpus.select(size(col(embCol)).as("d")).head.getInt(0)
+    // auto bucket width: a pair at the threshold projects onto a random
+    // unit direction with std ~ d(minCosine)/sqrt(dim), so the width must
+    // scale with both — twice that spread keeps threshold-pairs colliding
+    // per projection while random pairs (d ~ sqrt(2)) mostly split
+    val w0 = 2.0 * math.sqrt(math.max(1e-12, 2.0 - 2.0 * minCosine)) / math.sqrt(dim.toDouble)
     // deterministic seeded unit projections (the same floor(x̂·r / w) bucket
     // family BucketedRandomProjectionLSH uses, without the fit/transform
-    // passes or ml.Vector conversions)
+    // passes or ml.Vector conversions); g projections per table, mixed into
+    // one compound key — equal compounds always produce equal keys, so key
+    // mixing can only merge buckets (extra candidates), never cost recall
     val rng = new scala.util.Random(42L)
-    val projections = Array.fill(numHashTables) {
+    val projections = Array.fill(numHashTables * g) {
       val v = Array.fill(dim)(rng.nextGaussian())
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(_ / n)
     }
-    val bl = bucketLength
+    val bl = if (bucketLength > 0) bucketLength else w0
     val nt = numHashTables
     val bucketsUdf = udf((a: Seq[Float]) => {
       var norm = 0.0
@@ -65,11 +97,17 @@ object Similarity {
       val inv = 1.0 / math.sqrt(norm)
       val len = math.min(a.length, dim)
       Array.tabulate(nt) { t =>
-        val p = projections(t)
-        var dot = 0.0
-        var i = 0
-        while (i < len) { dot += a(i) * inv * p(i); i += 1 }
-        math.floor(dot / bl).toLong
+        var key = 0L
+        var j = 0
+        while (j < g) {
+          val p = projections(t * g + j)
+          var dot = 0.0
+          var i = 0
+          while (i < len) { dot += a(i) * inv * p(i); i += 1 }
+          key = key * 0x9E3779B97F4A7C15L + math.floor(dot / bl).toLong
+          j += 1
+        }
+        key
       }
     })
     // band on (table, bucket) carrying IDS ONLY — dragging vectors through
@@ -80,11 +118,18 @@ object Similarity {
       .filter(normSq(col(embCol)) > 0.0)
       .select(col(idCol), bucketsUdf(col(embCol)).as("bk"))
       .select(col(idCol), posexplode(col("bk")).as(Seq("tbl", "bucket")))
-    val candidates = hashed.select(col("tbl"), col("bucket"), col(idCol).as("left_id"))
+    hashed.select(col("tbl"), col("bucket"), col(idCol).as("left_id"))
       .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("right_id")),
         Seq("tbl", "bucket"))
       .filter(col("left_id") < col("right_id"))
       .select("left_id", "right_id").distinct()
+  }
+
+  def lshJoin(corpus: DataFrame, minCosine: Double, bucketLength: Double = 0.0,
+              numHashTables: Int = 8, hashesPerTable: Int = 0,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val candidates = lshCandidates(corpus, minCosine, bucketLength, numHashTables,
+      hashesPerTable, idCol, embCol)
     val a = corpus.select(col(idCol).as("left_id"), col(embCol).as("__emb_a"))
     val b = corpus.select(col(idCol).as("right_id"), col(embCol).as("__emb_b"))
     candidates.join(a, "left_id").join(b, "right_id")

@@ -78,6 +78,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("LSH prunes and keeps full recall at a real near-dup threshold") {
+    import spark.implicits._
+    // synthetic corpus whose threshold genuinely separates: 300 random unit
+    // vectors plus 40 planted near-copies (small additive noise, cos ~0.99)
+    val rng = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat; v.map(_ / n)
+    }
+    val base = (0L until 300L).map(id => (id, unit(Array.fill(64)(rng.nextGaussian().toFloat))))
+    val dups = (0 until 40).map { i =>
+      val (srcId, v) = base(rng.nextInt(base.length))
+      (1000L + i, unit(v.map(x => x + 0.02f * rng.nextGaussian().toFloat)))
+    }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = VectorSearch.similarityJoin(corpus, minCosine = 0.9, idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 40)
+    val candidates = Similarity.lshCandidates(corpus, minCosine = 0.9).count()
+    val allPairs = 340L * 339 / 2
+    assert(candidates < allPairs / 5, s"no pruning: $candidates of $allPairs")
+    val lsh = Similarity.lshJoin(corpus, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact, "compound-hash LSH must recover every >=0.9 pair here")
+  }
+
   test("LSH join excludes zero-norm vectors instead of pairing them at 1.0") {
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
