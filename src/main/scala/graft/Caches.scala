@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Registry of the cached intermediates graft operators create (MinHash /
+  * SimHash / SSJoin shingle tables, BM25 doc lengths). Each persist() inside
+  * an operator is tracked here weakly; `release()` unpersists exactly those
+  * plans — unlike `spark.sqlContext.clearCache()`, it never touches caches
+  * the CALLER created. Long-lived sessions embedding this library should
+  * call `graft.Caches.release()` once the returned query results are
+  * materialized; Bench/Verify do the blunter clearCache() between queries.
+  *
+  * References are strong on purpose: the CacheManager holds cached blocks
+  * by plan, independent of the Dataset object's lifetime, so a weak
+  * registry would let entries vanish while their blocks stay resident —
+  * exactly the leak this exists to fix. */
+object Caches {
+
+  private val live = scala.collection.mutable.LinkedHashSet.empty[Dataset[_]]
+
+  /** Persist `d` and track it for release(). */
+  private[graft] def persistTracked[T](d: Dataset[T]): Dataset[T] = synchronized {
+    d.persist()
+    live.add(d)
+    d
+  }
+
+  /** Unpersist every live graft-created cache (non-blocking). */
+  def release(): Unit = synchronized {
+    live.foreach(d => d.unpersist(false))
+    live.clear()
+  }
+
+  /** Number of currently tracked cached plans (for tests/diagnostics). */
+  def trackedCount: Int = synchronized { live.size }
+}

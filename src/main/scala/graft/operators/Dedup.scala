@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
   * same operators accept `fastHash` (xxhash64) for ~10× cheaper signatures.
   *
   * Cache contract: the pair generators persist shingle/signature
-  * intermediates (each feeds the candidate self-join AND verification).
-  * Cached blocks live until the session drops them — long-lived callers
-  * should `spark.sqlContext.clearCache()` (as Bench/Verify do) once the
-  * returned plan is materialized.
+  * intermediates (each feeds the candidate self-join AND verification),
+  * tracked in [[graft.Caches]]. Long-lived callers should call
+  * `graft.Caches.release()` once the returned plan is materialized — it
+  * unpersists exactly the library's caches, never the caller's.
+  * Bench/Verify use the blunter `clearCache()` between queries.
   */
 object Dedup {
 
@@ -217,12 +218,11 @@ object Dedup {
     // persist: the shingle/signature subtrees feed BOTH sides of the
     // candidate self-join plus verification — without it they recompute
     // (hash-per-shingle-per-seed) once per downstream stage
-    val sh = docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")).persist()
-    val banded = sh
+    val sh = graft.Caches.persistTracked(docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")))
+    val banded = graft.Caches.persistTracked(sh
       .select(col(idCol),
         posexplode(bandKeys(sigUdf(col("sh"), lit(k)), bands, rows))
-          .as(Seq("band_idx", "band_key")))
-      .persist()
+          .as(Seq("band_idx", "band_key"))))
     val left  = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
     val right = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
     val candidates = left.join(right, Seq("band_idx", "band_key"))
@@ -247,7 +247,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")).persist()
+    val sh = graft.Caches.persistTracked(docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")))
     val tok = sh.select(col(idCol), size(col("sh")).as("len"), explode(col("sh")).as("s"))
     val dfreq = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
@@ -320,7 +320,7 @@ object Dedup {
     require(SimHashBits % blocks == 0)
     val blockLen = SimHashBits / blocks
     // persist: the signature kernel feeds banding + both verify join sides
-    val sigs = docs.select(col(idCol), simHashPackedUdf(col(textCol)).as("sig")).persist()
+    val sigs = graft.Caches.persistTracked(docs.select(col(idCol), simHashPackedUdf(col(textCol)).as("sig")))
     val blockKeys = array((0 until blocks).map { b =>
       shiftright(col("sig"), b * blockLen).bitwiseAND(lit((1L << blockLen) - 1))
     }: _*)

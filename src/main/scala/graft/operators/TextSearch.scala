@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * comparable bit for bit).
   *
   * Cache contract: `bm25` persists its per-doc length table (it feeds both
-  * the corpus stats and the scoring join). The cached blocks live until the
-  * session drops them — long-lived callers should
-  * `spark.sqlContext.clearCache()` (as Bench/Verify do) or unpersist via
-  * `spark.sharedState.cacheManager` once the returned plan is materialized.
+  * the corpus stats and the scoring join), tracked in [[graft.Caches]] —
+  * call `graft.Caches.release()` once the returned plan is materialized to
+  * unpersist exactly the library's caches (Bench/Verify use the blunter
+  * `clearCache()` between queries).
   */
 object TextSearch {
 
@@ -45,9 +45,8 @@ object TextSearch {
     // docCount semantics (deriving N/avgdl from the exploded term table
     // would silently drop token-less docs and inflate every idf).
     // persisted: feeds the corpus stats AND the per-doc scoring join.
-    val docLen = docs
-      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("dl"))
-      .persist()
+    val docLen = graft.Caches.persistTracked(docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("dl")))
 
     // corpus stats: N docs, avg doc length (exact-decimal mean)
     val stats = docLen.agg(

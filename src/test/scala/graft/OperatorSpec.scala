@@ -130,6 +130,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(fast === md5Pairs)
   }
 
+  test("Caches.release unpersists exactly the library's tracked caches") {
+    import spark.implicits._
+    graft.Caches.release() // clean slate
+    val mine = Seq((1L, "caller cache")).toDF("id", "v").persist()
+    mine.count()
+    val before = graft.Caches.trackedCount
+    Dedup.minHashPairs(docs.limit(50)).count() // persists shingles + bands
+    assert(graft.Caches.trackedCount > before)
+    graft.Caches.release()
+    assert(graft.Caches.trackedCount === 0)
+    // the caller's own cache is untouched
+    assert(mine.storageLevel.useMemory)
+    mine.unpersist()
+  }
+
   test("exact dedup finds planted copies and keeps min-id canonicals") {
     import spark.implicits._
     val base = docs.select($"doc_id", $"text")
