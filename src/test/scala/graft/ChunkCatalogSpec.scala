@@ -32,7 +32,10 @@ class ChunkCatalogSpec extends AnyFunSuite {
 
   test("a stale warehouse location from a dead JVM is cleared, not fatal") {
     val name = "graft_hier__root_testdata_sf0_001"
-    val loc = Paths.get("/tmp/graft_test_warehouse", name)
+    // suites share one JVM session — the warehouse this builder CONFIGURES
+    // may not be the one in effect; always resolve the live setting
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = Paths.get(warehouse, name)
     if (!spark.catalog.tableExists(name)) {
       // simulate a previous JVM's leftovers: files exist, catalog entry doesn't
       Files.createDirectories(loc)
