@@ -12,8 +12,15 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Buffer is a k-bounded ascending-sorted Vector — O(log k) lookup +
   * O(k) insert per row, k ≪ corpus.
+  *
+  * The output encoder defaults to kryo (fine for driver-side `.head()` use);
+  * pass an ExpressionEncoder-backed `Encoder[Seq[(Long, Double)]]` (e.g. from
+  * `spark.implicits`) when the result must stay distributed — kryo output is
+  * an opaque binary column that `posexplode` can't open.
   */
-class TopKAggregator(k: Int)
+class TopKAggregator(
+    k: Int,
+    outEnc: Encoder[Seq[(Long, Double)]] = Encoders.kryo[Seq[(Long, Double)]])
     extends Aggregator[(Long, Double), Vector[(Double, Long)], Seq[(Long, Double)]] {
 
   require(k > 0)
@@ -46,6 +53,5 @@ class TopKAggregator(k: Int)
   override def bufferEncoder: Encoder[Vector[(Double, Long)]] =
     Encoders.kryo[Vector[(Double, Long)]]
 
-  override def outputEncoder: Encoder[Seq[(Long, Double)]] =
-    Encoders.kryo[Seq[(Long, Double)]]
+  override def outputEncoder: Encoder[Seq[(Long, Double)]] = outEnc
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -59,18 +58,30 @@ object VectorSearch {
   }
 
   /** Batch KNN: every row of `queries` (qidCol, qvecCol) against the corpus.
-    * The query table is broadcast; per-query top-k runs as a window over the
-    * scored cross product — one shuffle by query id, scales with corpus ×
-    * queries / executors. */
+    * The query table is broadcast and the corpus scanned once; per-query
+    * top-k runs through the bounded-heap [[graft.functions.TopKAggregator]]
+    * under `groupBy(qid)`, so each partition reduces its scored rows to at
+    * most k per query BEFORE the exchange — the shuffle carries
+    * O(k × |queries| × partitions) rows, never the corpus × queries cross
+    * product (the reference's `$vectorSearch` likewise never materializes
+    * more than k candidates per query, vector_search.py:61-95). Output:
+    * (qidCol, idCol, rank, score) — re-join on idCol for payload columns.
+    */
   def knnBatch(corpus: DataFrame, queries: DataFrame, k: Int,
                embCol: String = "embedding", idCol: String = "id",
                qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("score", score(col(embCol), col(qvecCol)))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop(qvecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(
+      k, implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]))
+    corpus.crossJoin(broadcast(queries))
+      .select(col(qidCol), col(idCol).cast("long").as("__id"),
+        score(col(embCol), col(qvecCol)).as("__score"))
+      .groupBy(col(qidCol))
+      .agg(topk(col("__id"), col("__score")).as("__topk"))
+      .select(col(qidCol), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .select(col(qidCol), col("__hit._1").as(idCol),
+        (col("__pos") + 1).cast("int").as("rank"), col("__hit._2").as("score"))
   }
 
   /** V3/J5: chunks most similar to a given chunk, excluding itself and
