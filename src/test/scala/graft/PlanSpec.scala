@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression specs: the scale properties PLANS.md documents in prose,
+  * asserted from the live physical plans so an accidental `.repartition`,
+  * lost pushdown, or un-broadcast join fails the build instead of shipping.
+  * All assertions run on the sf0.001 fixture — plan SHAPE is scale-invariant
+  * even though the data isn't.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Formatted physical plan (pre-execution AQE initial plan — static
+    * properties like pushdown, broadcast sides and partial aggregation are
+    * all decided here). */
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** PushedFilters lists of every scan in the plan. */
+  private def pushedFilters(p: String): Seq[String] =
+    "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
+
+  // --- predicate pushdown reaches the parquet scans -------------------------
+
+  test("rel_pricing_summary pushes the shipdate filter into the scan") {
+    val filters = pushedFilters(plan("rel_pricing_summary"))
+    assert(filters.exists(_.contains("l_shipdate")),
+      s"expected a l_shipdate PushedFilter, got: $filters")
+  }
+
+  test("rel_order_lookup pushes the key equality into the scan") {
+    val filters = pushedFilters(plan("rel_order_lookup"))
+    assert(filters.exists(_.contains("EqualTo(o_orderkey")),
+      s"expected EqualTo(o_orderkey,...) pushed, got: $filters")
+  }
+
+  // --- bucketed chunk store joins without shuffling the chunk side ----------
+
+  test("pipe_doc_chunks: no hash exchange, docs side broadcast, filter pushed to chunk scan") {
+    val p = plan("pipe_doc_chunks")
+    assert(!p.contains("hashpartitioning"),
+      "chunk-side join must not hash-shuffle (bucketed store + broadcast doc side)")
+    assert(p.contains("BroadcastHashJoin"), "doc side must broadcast")
+    assert(pushedFilters(p).exists(_.contains("EqualTo(document_id")),
+      "document_id point filter must reach the chunk-store scan")
+  }
+
+  // --- top-k plans use TakeOrderedAndProject, never a full sort -------------
+
+  test("vec_knn_top10 and rel_top_orders plan as TakeOrderedAndProject") {
+    for (name <- Seq("vec_knn_top10", "rel_top_orders")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"), s"$name must TakeOrderedAndProject")
+      assert(!p.contains("rangepartitioning"), s"$name must not globally sort")
+    }
+  }
+
+  // --- attribution joins broadcast the small side ---------------------------
+
+  test("att_knn_sources joins via BroadcastHashJoin") {
+    assert(plan("att_knn_sources").contains("BroadcastHashJoin"))
+  }
+
+  // --- batch KNN: partial top-k BEFORE the exchange -------------------------
+
+  test("vec_knn_batch reduces to k rows per query per partition before the shuffle") {
+    val p = plan("vec_knn_batch")
+    assert(!p.contains("Window"), "batch KNN must not window over the scored cross product")
+    // tree prints top-down: final agg above the exchange above the partial agg
+    val shape = "(?s)ObjectHashAggregate.*?Exchange.*?ObjectHashAggregate".r
+    assert(shape.findFirstIn(p).isDefined,
+      "expected ObjectHashAggregate(final) <- Exchange <- ObjectHashAggregate(partial)")
+    assert(p.contains("partial_topkaggregator"),
+      "partial aggregation must run map-side, before the exchange")
+  }
+}
