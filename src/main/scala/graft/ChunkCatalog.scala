@@ -19,21 +19,11 @@ import graft.pipelines.Pipelines
 object ChunkCatalog {
 
   private def tableName(kind: String, dir: String): String =
-    s"graft_${kind}_" + dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
+    TableStore.tableName(kind, dir)
 
   private def getOrBuild(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
-    synchronized {
-      if (!spark.catalog.tableExists(name)) {
-        // the in-memory catalog forgets tables across JVMs but their files
-        // survive in the warehouse dir; clear the stale location so this
-        // session's build (from current pipeline code) wins
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase(java.util.Locale.ROOT))
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-        Pipelines.writeBucketedChunks(build, name)
-      }
-      spark.table(name)
+    TableStore.getOrBuild(spark, name) {
+      Pipelines.writeBucketedChunks(build, name)
     }
 
   /** Flat chunks + embeddings (featurePipeline output), stored bucketed. */

@@ -158,6 +158,30 @@ object Similarity {
       .drop("__rn", "centroid_vec", "cos")
   }
 
+  /** IVF search over a MATERIALIZED assignment (graft.IvfCatalog): the
+    * corpus was written `partitionBy(centroid_id)` at index-build time, so
+    * probing resolves the nprobe nearest centroid ids driver-side (the
+    * centroid table is the index metadata — tiny by construction) and the
+    * cell filter becomes a static `IN` over the partition key: the scan
+    * prunes whole partition directories (`PartitionFilters` in the plan,
+    * asserted by PlanSpec) instead of re-assigning the corpus per query as
+    * [[ivfSearch]] does. */
+  def ivfSearchPruned(assigned: DataFrame, centroids: DataFrame, queryVec: Array[Float],
+                      k: Int, nprobe: Int,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val qv = array(queryVec.map(x => lit(x)): _*)
+    val probedIds = centroids
+      .withColumn("qcos", cosineSimilarity(col("centroid_vec"), qv))
+      .orderBy(col("qcos").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+      .collect().map(_.getLong(0))
+    assigned.filter(col("centroid_id").isin(probedIds: _*))
+      .withColumn("score", (cosineSimilarity(col(embCol), qv) + 1.0) / 2.0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF search: probe the `nprobe` centroids nearest to the query, then
     * exact top-k over the vectors assigned to those cells. */
   def ivfSearch(corpus: DataFrame, centroids: DataFrame, queryVec: Array[Float],

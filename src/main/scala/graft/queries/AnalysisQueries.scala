@@ -79,6 +79,22 @@ object AnalysisQueries {
         .select($"vec_id", $"centroid_id", round($"score", 6).as("score"))
     }),
 
+    // IVF probe over the MATERIALIZED partitioned index (graft.IvfCatalog):
+    // same semantics as ann_ivf_top10, but the corpus assignment is a
+    // write-time partition key and the probe prunes partitions at the scan
+    // (PartitionFilters — asserted by PlanSpec) instead of re-assigning the
+    // corpus per query.
+    "ann_ivf_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.seededCentroids(emb, IvfCentroids, IvfStep)
+      val store = graft.IvfCatalog.assignedEmbeddings(s, dir, IvfCentroids, IvfStep)
+      val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+      Similarity.ivfSearchPruned(store, cents, qv, k = 10, nprobe = 4)
+        .select($"vec_id", $"centroid_id".cast("long").as("centroid_id"),
+          round($"score", 6).as("score"))
+    }),
+
     // Distributed embedding near-dup pairs: LSH-bucketed candidates, exact
     // re-score — the 100 TB twin of dedup_embedding_pairs (no driver collect).
     // Oracle = the exact pair set: recall is 1.0 on the fixture (verified by
@@ -156,6 +172,20 @@ object AnalysisQueries {
       s"""WITH $duckIvf
           SELECT centroid_id, COUNT(*) AS n_vectors FROM assign GROUP BY centroid_id""",
     "ann_ivf_top10" ->
+      s"""WITH $duckIvf,
+          q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+          probed AS (
+            SELECT centroid_id FROM cents, q
+            ORDER BY ${duckCos("cvec", "qvec")} DESC, centroid_id ASC LIMIT 4)
+          SELECT a.vec_id, a.centroid_id,
+                 round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
+          FROM assign a
+          JOIN probed USING (centroid_id)
+          JOIN embeddings e ON a.vec_id = e.vec_id
+          CROSS JOIN q
+          ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, a.vec_id ASC
+          LIMIT 10""",
+    "ann_ivf_pruned" ->
       s"""WITH $duckIvf,
           q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
           probed AS (

@@ -228,6 +228,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(ivf === exact)
   }
 
+  test("pruned IVF over the materialized index matches per-query assignment") {
+    val cents = Similarity.seededCentroids(emb, 16, 31L)
+    val qv = emb.filter(col("vec_id") === 2L).select("embedding").head.getSeq[Float](0).toArray
+    val store = IvfCatalog.assignedEmbeddings(spark, dir, 16, 31L)
+    val pruned = Similarity.ivfSearchPruned(store, cents, qv, k = 10, nprobe = 4)
+      .select(col("vec_id"), round(col("score"), 9).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val live = Similarity.ivfSearch(emb, cents, qv, k = 10, nprobe = 4)
+      .select(col("vec_id"), round(col("score"), 9).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned === live)
+  }
+
   // ------------------------------------------------------------ TextAnalysis
 
   test("language ID votes for the profile present in the text") {

@@ -74,6 +74,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("att_knn_sources").contains("BroadcastHashJoin"))
   }
 
+  // --- IVF probe prunes partitions of the materialized index ----------------
+
+  test("ann_ivf_pruned scans only the probed centroid partitions") {
+    val p = plan("ann_ivf_pruned")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("centroid_id") && f.nonEmpty),
+      s"probe must prune on the centroid_id partition key, got: $partFilters")
+    assert(!p.contains("Window"), "pruned IVF must not re-assign the corpus per query")
+  }
+
   // --- batch KNN: partial top-k BEFORE the exchange -------------------------
 
   test("vec_knn_batch reduces to k rows per query per partition before the shuffle") {
