@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,29 +14,35 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay session init + parquet reader + codegen/JIT once, untimed
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // two timed passes, min per query — damps co-tenant noise without
-    // changing what is measured. A failed pass yields None (not its
-    // time-to-throw, which would read as a spuriously fast result).
+    // N timed passes (default 5), min per query — the min of repeated runs is
+    // the stable estimator on a co-tenant-noisy VM (noise only ever ADDS
+    // time); one pass was not enough to tell a regression from a noisy
+    // neighbour. A failed pass yields None (not its time-to-throw, which
+    // would read as a spuriously fast result).
     def timeAll(): Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       // operators persist() intermediates; drop them so cached blocks from
-      // one query can't skew the next query's timing
+      // one query can't skew the next query's timing (release() also empties
+      // the tracked-cache registry, so plan objects don't accumulate)
+      Caches.release()
       spark.sqlContext.clearCache()
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
-    val (pass1, pass2) = (timeAll(), timeAll())
-    // min over the SUCCESSFUL passes; a query that failed both passes is
-    // reported as -1 and excluded from the total
-    val results = pass1.map { case (name, t1) =>
-      name -> (t1.toSeq ++ pass2(name).toSeq).minOption
-    }
+    val allPasses = Seq.fill(passes)(timeAll())
+    // min over the SUCCESSFUL passes; a query that failed every pass is
+    // reported as -1, excluded from the total, and listed in "failed" (so a
+    // broken query can never read as a total-time improvement)
+    val results = SparkEntry.queries.keys.map { name =>
+      name -> allPasses.flatMap(_(name)).minOption
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => k }
+    val failed = results.collect { case (k, None) => k }.toSeq.sorted
     if (failed.nonEmpty) System.err.println(s"[bench] FAILED queries: ${failed.mkString(",")}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson}""")
     spark.stop()
   }
 }

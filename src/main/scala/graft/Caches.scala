@@ -8,7 +8,9 @@ import org.apache.spark.sql.Dataset
   * plans — unlike `spark.sqlContext.clearCache()`, it never touches caches
   * the CALLER created. Long-lived sessions embedding this library should
   * call `graft.Caches.release()` once the returned query results are
-  * materialized; Bench/Verify do the blunter clearCache() between queries.
+  * materialized; Bench/Verify call release() between queries (plus the
+  * blunter clearCache() for any remaining caller-level caches), so registry
+  * entries never accumulate over a full sweep.
   *
   * References are strong on purpose: the CacheManager holds cached blocks
   * by plan, independent of the Dataset object's lifetime, so a weak

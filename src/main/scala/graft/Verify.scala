@@ -27,7 +27,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.sqlContext.clearCache() // release operator persist()s
+      finally { Caches.release(); spark.sqlContext.clearCache() } // release operator persist()s + registry entries
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

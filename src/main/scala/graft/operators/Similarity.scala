@@ -72,7 +72,16 @@ object Similarity {
                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(minCosine > 0.0, "zero-norm exclusion assumes a positive cosine threshold")
     val g = if (hashesPerTable > 0) hashesPerTable else defaultHashesPerTable(minCosine)
-    val dim = corpus.select(size(col(embCol)).as("d")).head.getInt(0)
+    val dimOpt = corpus.select(size(col(embCol)).as("d")).limit(1).collect().headOption
+    if (dimOpt.isEmpty) { // empty corpus → no pairs (not a NoSuchElementException)
+      val idField = corpus.schema(idCol).dataType
+      val spark = corpus.sparkSession
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("left_id", idField),
+          org.apache.spark.sql.types.StructField("right_id", idField))))
+    }
+    val dim = dimOpt.get.getInt(0)
     // auto bucket width: a pair at the threshold projects onto a random
     // unit direction with std ~ d(minCosine)/sqrt(dim), so the width must
     // scale with both — twice that spread keeps threshold-pairs colliding

@@ -74,11 +74,20 @@ object Pipelines {
     * Scale shape: updates are the small side by construction (a batch of
     * edits vs the corpus) — broadcast join, no corpus shuffle; the result
     * overwrites the target partition-wise. `stamp` is a parameter so tests
-    * and oracles can pin a deterministic timestamp. */
+    * and oracles can pin a deterministic timestamp.
+    *
+    * Precondition: `updates` carries ONE row per id (the reference's
+    * update_one applies one $set per _id). Duplicate ids would fan out each
+    * matched target row through the join, so they are rejected up front —
+    * there is no well-defined "last" update inside an unordered batch. */
   def upsertDocuments(target: DataFrame, updates: DataFrame,
                       idCol: String = "doc_id",
                       stamp: Column = current_timestamp(),
                       insertMissing: Boolean = false): DataFrame = {
+    val dup = updates.groupBy(col(idCol)).count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsertDocuments: duplicate $idCol ${dup.headOption.map(_.get(0)).orNull} in updates — " +
+        "update_one semantics need one update row per id")
     val setCols = updates.columns.filterNot(_ == idCol).toSet
     val joined = target.alias("t").join(
       broadcast(updates.alias("u")),

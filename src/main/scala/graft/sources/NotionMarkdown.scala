@@ -96,10 +96,15 @@ object NotionMarkdown {
   }
 
   /** Whole page (notion_collector.py:302-325): optional `# title` header,
-    * blocks in order, Python-strip of the result. */
+    * blocks in order, Python-strip of the result. Blocks sort by
+    * (block_idx, rendered markdown) — the same total order the distributed
+    * [[pagesToMarkdown]] struct sort applies — so duplicate block_idx values
+    * tiebreak identically on both paths instead of depending on input order
+    * (which a shuffle does not preserve anyway). */
   def pageToMarkdown(title: Option[String], blocks: Seq[NotionBlock]): String = {
     val head = title.filter(_.nonEmpty).map(t => s"# $t\n\n").getOrElse("")
-    val body = blocks.sortBy(_.block_idx).iterator.map(blockToMarkdown).mkString
+    val body = blocks.map(b => (b.block_idx, blockToMarkdown(b)))
+      .sorted.iterator.map(_._2).mkString
     pyStrip(head + body)
   }
 
@@ -118,8 +123,10 @@ object NotionMarkdown {
   }
 
   /** Page assembly: one shuffle on page_id; blocks concatenated in
-    * block_idx order (struct sort keys the index first), titles joined in
-    * when provided (page_id, title). */
+    * block_idx order (struct sort keys the index first, rendered markdown
+    * second — the same tiebreak [[pageToMarkdown]] uses, so the two paths
+    * agree even on pages with repeated indices), titles joined in when
+    * provided (page_id, title). */
   def pagesToMarkdown(blocks: Dataset[NotionBlock],
                       titles: Option[DataFrame] = None): DataFrame = {
     val perBlock = decodeBlocks(blocks)

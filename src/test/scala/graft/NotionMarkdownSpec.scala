@@ -102,4 +102,21 @@ class NotionMarkdownSpec extends AnyFunSuite {
     assert(got("pA") ===
       "# Alpha\n\n# A\n\nalpha [link](u)\n\n| h1 | h2 |\n|---|---|\n| v1 | v2 |")
   }
+
+  test("kernel and distributed paths agree on pages with duplicate block_idx") {
+    import spark.implicits._
+    // two paragraphs share idx 1 — both paths must tiebreak identically
+    // (by rendered markdown), independent of input order
+    val blocks = Seq(
+      NotionBlock("pD", 1, "paragraph", rt("zeta"), None, None, Nil),
+      NotionBlock("pD", 1, "paragraph", rt("alpha"), None, None, Nil),
+      NotionBlock("pD", 0, "heading_1", rt("H"), None, None, Nil))
+    val kernel = pageToMarkdown(None, blocks)
+    val kernelReordered = pageToMarkdown(None, blocks.reverse)
+    assert(kernel === kernelReordered)
+    assert(kernel === "# H\n\nalpha\n\nzeta")
+    val distributed = NotionMarkdown.pagesToMarkdown(blocks.toDS())
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(distributed("pD") === kernel)
+  }
 }

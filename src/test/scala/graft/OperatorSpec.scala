@@ -103,6 +103,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh === exact, "compound-hash LSH must recover every >=0.9 pair here")
   }
 
+  test("LSH join on an empty corpus returns an empty pair set, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.lshCandidates(empty, minCosine = 0.8).count() === 0)
+    assert(Similarity.lshJoin(empty, minCosine = 0.8).count() === 0)
+  }
+
   test("LSH join excludes zero-norm vectors instead of pairing them at 1.0") {
     import spark.implicits._
     val dim = emb.select(size(col("embedding"))).head.getInt(0)

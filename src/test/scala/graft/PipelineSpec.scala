@@ -62,6 +62,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("upsertDocuments rejects duplicate update ids up front") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source")
+    val dupUpdates = Seq((1L, "x"), (1L, "y")).toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Pipelines.upsertDocuments(target, dupUpdates)
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // unique ids still work
+    val ok = Pipelines.upsertDocuments(target,
+      Seq((1L, "x")).toDF("doc_id", "source"),
+      stamp = to_timestamp(lit("2026-01-01 00:00:00")))
+    assert(ok.filter(col("doc_id") === 1L).head.getAs[String]("source") === "x")
+  }
+
   test("bucketed chunk table joins without a shuffle exchange") {
     val chunks = Pipelines.featurePipeline(Tables.documents(spark, dir), qualityThreshold = 0.0)
       .select("chunk_id", "document_id", "chunk_index", "word_count")

@@ -49,6 +49,45 @@ class SourcesSpec extends AnyFunSuite {
     stamps.foreach(s => assert(iso.matches(s), s"not ISO-8601 seconds: $s"))
   }
 
+  test("NotionJson: block dump round-trips to the kernel's markdown (S1-S3)") {
+    import graft.sources.{NotionJson, NotionMarkdown, NotionBlock, NotionRichText, NotionTableRow}
+    val out = Files.createTempDirectory("graft_notion").toString
+    // a Notion /blocks/{id}/children dump in the API's own JSON shape
+    // (notion_collector.py:145-205), page_id/block_idx stamped, table
+    // children inlined
+    val dump = Seq(
+      """{"page_id":"pA","block_idx":0,"type":"heading_1","heading_1":{"rich_text":[{"type":"text","text":{"content":"Title"}}]}}""",
+      """{"page_id":"pA","block_idx":1,"type":"paragraph","paragraph":{"rich_text":[{"type":"text","text":{"content":"see "},"href":null},{"type":"text","text":{"content":"docs"},"href":"https://x.io"},{"type":"mention","text":{"content":"skipped"}}]}}""",
+      """{"page_id":"pA","block_idx":2,"type":"to_do","to_do":{"rich_text":[{"type":"text","text":{"content":"ship"}}],"checked":true}}""",
+      """{"page_id":"pA","block_idx":3,"type":"code","code":{"rich_text":[{"type":"text","text":{"content":"x=1"}}],"language":"python"}}""",
+      """{"page_id":"pB","block_idx":0,"type":"table","table":{},"children":[{"table_row":{"cells":[[{"type":"text","text":{"content":"h1"}}],[{"type":"text","text":{"content":"h2"}}]]}},{"table_row":{"cells":[[{"type":"text","text":{"content":"v1"}}],[{"type":"text","text":{"content":"v2"}}]]}}]}""",
+      """{"page_id":"pB","block_idx":1,"type":"divider","divider":{}}""")
+    Files.write(java.nio.file.Paths.get(out, "blocks.json"),
+      dump.mkString("\n").getBytes("UTF-8"))
+
+    val blocks = NotionJson.readBlocks(spark, s"$out/blocks.json").collect().toSeq
+    assert(blocks.size === 6)
+    val got = NotionJson.readPages(spark, s"$out/blocks.json")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // expected via the spec'd kernel over hand-built typed blocks
+    val rtx = (s: String, h: Option[String]) => Seq(NotionRichText("text", s, h))
+    val expectedA = NotionMarkdown.pageToMarkdown(None, Seq(
+      NotionBlock("pA", 0, "heading_1", rtx("Title", None), None, None, Nil),
+      NotionBlock("pA", 1, "paragraph",
+        rtx("see ", None) ++ rtx("docs", Some("https://x.io")), None, None, Nil),
+      NotionBlock("pA", 2, "to_do", rtx("ship", None), Some(true), None, Nil),
+      NotionBlock("pA", 3, "code", rtx("x=1", None), None, Some("python"), Nil)))
+    val expectedB = NotionMarkdown.pageToMarkdown(None, Seq(
+      NotionBlock("pB", 0, "table", Nil, None, None,
+        Seq(NotionTableRow(Seq(rtx("h1", None), rtx("h2", None))),
+            NotionTableRow(Seq(rtx("v1", None), rtx("v2", None))))),
+      NotionBlock("pB", 1, "divider", Nil, None, None, Nil)))
+    assert(got === Map("pA" -> expectedA, "pB" -> expectedB))
+    assert(got("pA").startsWith("# Title\n\nsee [docs](https://x.io)"))
+    assert(got("pA").contains("- [x] ship"))
+    assert(got("pB").contains("| h1 | h2 |\n|---|---|"))
+  }
+
   test("upsertDocuments: \\$set on matched, untouched otherwise, update-only drops strangers") {
     import spark.implicits._
     val target = Seq((1L, "a", "en"), (2L, "b", "de"), (3L, "c", "fr"))
