@@ -75,21 +75,25 @@ object Embedder {
     df.withColumn(outCol, embed(col(textCol)))
       .withColumn("embedding_model", lit(ModelName))
 
-  /** mapPartitions form: per-partition init + fixed-size batches — the
+  /** mapPartitions form: per-partition iteration + fixed-size batches — the
     * physical shape a real model (ONNX MiniLM) needs (batch 32 per
-    * rag_config.py:68). Emits (idCol, embedding) keyed rows to join back,
-    * keeping the operator schema-agnostic. */
+    * rag_config.py:68). The model is the [[TextEmbedder]] seam; the default
+    * is the deterministic hashing featurizer, a MiniLM drops in without
+    * touching this operator. Emits (idCol, embedding) keyed rows to join
+    * back, keeping the operator schema-agnostic. */
   def embedPartitions(df: DataFrame, idCol: String, textCol: String,
-                      batchSize: Int = BatchSize): DataFrame = {
+                      batchSize: Int = BatchSize,
+                      model: TextEmbedder = HashingEmbedder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("string"), col(textCol))
       .as[(String, String)]
       .mapPartitions { rows =>
-        // a real encoder initializes its model session HERE, once per partition
         rows.grouped(batchSize).flatMap { batch =>
-          // ...and encodes the whole batch in one inference call
-          batch.map { case (id, text) => (id, embedText(text)) }
+          // one inference call per batch (a real model's session lives in a
+          // @transient lazy val on the TextEmbedder — once per executor)
+          val vecs = model.embedBatch(batch.iterator.map(_._2))
+          batch.iterator.zip(vecs).map { case ((id, _), v) => (id, v) }
         }
       }
       .toDF(idCol, "embedding")

@@ -46,6 +46,25 @@ class EmbedderSpec extends AnyFunSuite {
     assert(batched("3").forall(_ == 0f))
   }
 
+  test("a custom TextEmbedder drops into embedPartitions without operator changes") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    // stand-in for an ONNX MiniLM: 4-dim unit vector keyed on text length
+    object FakeModel extends graft.operators.TextEmbedder {
+      val name = "fake-4d"; val dim = 4
+      def embedBatch(texts: Iterator[String]): Iterator[Array[Float]] =
+        texts.map { t =>
+          val v = new Array[Float](dim); v(t.length % dim) = 1f; v
+        }
+    }
+    val docs = Seq((1L, "ab"), (2L, "abcde")).toDF("id", "text")
+    val out = Embedder.embedPartitions(docs, "id", "text", batchSize = 1, model = FakeModel)
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(out("1") === Seq(0f, 0f, 1f, 0f))
+    assert(out("2") === Seq(0f, 1f, 0f, 0f))
+  }
+
   test("similar texts are closer than dissimilar ones (cosine)") {
     def cos(x: Array[Float], y: Array[Float]): Double =
       x.zip(y).map { case (a, b) => a.toDouble * b }.sum
