@@ -31,7 +31,12 @@ object GraftExtensions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     f("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays",
-      exprs => CosineSimilarityExpr(exprs(0), exprs(1))))
+      exprs => CosineSimilarityExpr(exprs(0), exprs(1))),
+    f("graft_chunk",
+      "graft_chunk(doc_id, text[, chunk_size, overlap]) - LATERAL VIEW table " +
+        "generator emitting (chunk_id, content, chunk_index, word_count, " +
+        "start_char, end_char) chunk rows; defaults 1000/200",
+      exprs => ChunkGenerator(exprs)))
 
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -45,6 +45,41 @@ class ExpressionSpec extends AnyFunSuite {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("graft_chunk LATERAL VIEW matches ChunkOps.chunkFlat row for row") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("graft_chunk_docs")
+    val viaSql = spark.sql("""
+        SELECT d.doc_id AS document_id, c.chunk_id, c.content, c.chunk_index,
+               c.word_count, c.start_char, c.end_char
+        FROM graft_chunk_docs d
+        LATERAL VIEW graft_chunk(d.doc_id, d.text, 1000, 200) c""")
+      .orderBy("document_id", "chunk_index")
+      .collect().map(_.toSeq).toSeq
+    val viaApi = graft.operators.ChunkOps.chunkFlat(docs).toDF()
+      .select("document_id", "chunk_id", "content", "chunk_index",
+        "word_count", "start_char", "end_char")
+      .orderBy("document_id", "chunk_index")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql.nonEmpty)
+    assert(viaSql === viaApi)
+  }
+
+  test("graft_chunk 2-arg form defaults to the reference's 1000/200") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val text = ("alpha beta gamma delta. " * 200).trim // ~4.8k chars -> several chunks
+    Seq((7L, text)).toDF("doc_id", "text").createOrReplaceTempView("graft_chunk_one")
+    val twoArg = spark.sql(
+      "SELECT c.* FROM graft_chunk_one LATERAL VIEW graft_chunk(doc_id, text) c")
+      .collect().map(_.toSeq).toSeq
+    val fourArg = spark.sql(
+      "SELECT c.* FROM graft_chunk_one LATERAL VIEW graft_chunk(doc_id, text, 1000, 200) c")
+      .collect().map(_.toSeq).toSeq
+    assert(twoArg.size > 1)
+    assert(twoArg === fourArg)
+  }
+
   test("whole-stage codegen survives (no fallback) for the cosine plan") {
     import spark.implicits._
     // non-literal input so the optimizer cannot constant-fold the expression
