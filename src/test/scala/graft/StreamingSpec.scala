@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
@@ -207,6 +209,73 @@ class StreamingSpec extends AnyFunSuite {
 
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc)
     val batch = fixture.toSeq.toDS().toDF()
+      .withColumn("ms", floor(unix_micros($"ts") / 1000).cast("long"))
+      .withColumn("prev", lag($"ms", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"ms" - $"prev" > 30L * 60 * 1000, 1L).otherwise(0L))
+      .withColumn("seq", sum($"new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"seq")
+      .agg(min($"ms").as("start_ms"), max($"ms").as("end_ms"), count(lit(1)).as("n"))
+      .select($"user_id", $"start_ms", $"end_ms", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("sessionize runs e2e from a FILE source under Trigger.AvailableNow") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // MemoryStream bypasses source discovery and offset tracking — the part
+    // that breaks in real deployments. This drives the same sessionize over
+    // a parquet DIRECTORY: files discovered by mtime, one per micro-batch
+    // (maxFilesPerTrigger=1), offsets checkpointed, a far-future sentinel
+    // file pushing the watermark so every real session times out and flushes.
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", timestamp_millis(floor(unix_micros($"ts") / 1000).cast("long")))
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.ts.getTime)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_filestream")
+    val inDir = root.resolve("in"); val ckpt = root.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(inDir)
+    val sentinel = Event(new Timestamp(events.last.ts.getTime + 48L * 3600 * 1000),
+      -1L, "flush", 0.0)
+    val chunks = events.grouped(events.length / 3 + 1).toSeq :+ Array(sentinel)
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val staging = root.resolve(s"stage_$i")
+      chunk.toSeq.toDS().coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val target = inDir.resolve(f"part-$i%04d.parquet")
+      java.nio.file.Files.move(part, target)
+      // strictly ascending mtimes: time order == discovery order
+      target.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .as[Event]
+    val q = StreamingOps.sessionize(stream)
+      .writeStream.outputMode("append").format("memory").queryName("file_sessions")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "AvailableNow query did not drain in time")
+
+    val streamed = spark.table("file_sessions")
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+      .toSet
+
+    // evt_sessions' batch lag/cumsum form over the same ms-truncated events
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc)
+    val batch = events.toSeq.toDS().toDF()
       .withColumn("ms", floor(unix_micros($"ts") / 1000).cast("long"))
       .withColumn("prev", lag($"ms", 1).over(w))
       .withColumn("new_sess",
