@@ -46,10 +46,31 @@ case class ChunkGenerator(children: Seq[Expression])
     }
     val textOk = children(1).dataType == StringType
     val sizesOk = children.drop(2).forall(c => c.dataType == IntegerType && c.foldable)
-    if (idOk && textOk && sizesOk) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (integral doc_id, string text[, int literal chunk_size, " +
-        s"int literal overlap]), got ${children.map(_.dataType.catalogString).mkString(", ")}")
+    if (!(idOk && textOk && sizesOk))
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (integral doc_id, string text[, int literal chunk_size, " +
+          s"int literal overlap]), got ${children.map(_.dataType.catalogString).mkString(", ")}")
+    // value-level checks mirroring the reference splitter's contract
+    // (document_processor.py: overlap must leave forward progress): a null
+    // or non-positive chunk_size, negative overlap, or overlap >= chunk_size
+    // would otherwise silently degrade to per-char splits / empty output.
+    if (children.length == 4) {
+      val sizeRaw = children(2).eval(null)
+      val overlapRaw = children(3).eval(null)
+      if (sizeRaw == null || overlapRaw == null)
+        return TypeCheckResult.TypeCheckFailure(
+          s"$prettyName chunk_size and overlap must be non-null literals")
+      val size = sizeRaw.asInstanceOf[Int]
+      val ov = overlapRaw.asInstanceOf[Int]
+      if (size <= 0)
+        return TypeCheckResult.TypeCheckFailure(
+          s"$prettyName chunk_size must be > 0, got $size")
+      if (ov < 0 || ov >= size)
+        return TypeCheckResult.TypeCheckFailure(
+          s"$prettyName overlap must be in [0, chunk_size), got overlap=$ov " +
+            s"chunk_size=$size")
+    }
+    TypeCheckResult.TypeCheckSuccess
   }
 
   private lazy val chunkSize: Int =

@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.reflect.ClassTag
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -10,31 +12,38 @@ import org.apache.spark.sql.expressions.Aggregator
   * plans; the Aggregator form composes inside `groupBy().agg(...)` (e.g.
   * per-query top-k without a window) and under streaming aggregation.
   *
+  * Generic over the id type `I` (Long for surrogate/TPC-H keys, String for
+  * the engine's own md5 chunk ids) with the tiebreak ordering supplied as an
+  * implicit — pass [[TopKAggregator.utf8Ordering]] for strings when the
+  * result must agree with Spark/DuckDB binary (UTF-8) string comparison.
+  *
   * Buffer is a k-bounded ascending-sorted Vector — O(log k) lookup +
   * O(k) insert per row, k ≪ corpus.
   *
   * The output encoder defaults to kryo (fine for driver-side `.head()` use);
-  * pass an ExpressionEncoder-backed `Encoder[Seq[(Long, Double)]]` (e.g. from
+  * pass an ExpressionEncoder-backed `Encoder[Seq[(I, Double)]]` (e.g. from
   * `spark.implicits`) when the result must stay distributed — kryo output is
   * an opaque binary column that `posexplode` can't open.
   */
-class TopKAggregator(
+class TopKAggregator[I: Ordering: ClassTag](
     k: Int,
-    outEnc: Encoder[Seq[(Long, Double)]] = Encoders.kryo[Seq[(Long, Double)]])
-    extends Aggregator[(Long, Double), Vector[(Double, Long)], Seq[(Long, Double)]] {
+    outEnc: Encoder[Seq[(I, Double)]] = Encoders.kryo[Seq[(I, Double)]])
+    extends Aggregator[(I, Double), Vector[(Double, I)], Seq[(I, Double)]] {
 
   require(k > 0)
 
+  private val idOrd = implicitly[Ordering[I]]
+
   // ordering: better = higher score, then lower id; buffer kept WORST-first
-  private def worseThan(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+  private def worseThan(a: (Double, I), b: (Double, I)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && idOrd.gt(a._2, b._2))
 
-  override def zero: Vector[(Double, Long)] = Vector.empty
+  override def zero: Vector[(Double, I)] = Vector.empty
 
-  override def reduce(buf: Vector[(Double, Long)], row: (Long, Double)): Vector[(Double, Long)] =
+  override def reduce(buf: Vector[(Double, I)], row: (I, Double)): Vector[(Double, I)] =
     insert(buf, (row._2, row._1))
 
-  private def insert(buf: Vector[(Double, Long)], e: (Double, Long)): Vector[(Double, Long)] = {
+  private def insert(buf: Vector[(Double, I)], e: (Double, I)): Vector[(Double, I)] = {
     if (buf.size >= k && worseThan(e, buf.head)) buf // worse than current worst
     else {
       val idx = buf.indexWhere(b => !worseThan(b, e)) // first not-worse-than-e
@@ -43,15 +52,22 @@ class TopKAggregator(
     }
   }
 
-  override def merge(b1: Vector[(Double, Long)], b2: Vector[(Double, Long)]): Vector[(Double, Long)] =
+  override def merge(b1: Vector[(Double, I)], b2: Vector[(Double, I)]): Vector[(Double, I)] =
     b2.foldLeft(b1)(insert)
 
   /** best-first output: (id, score) by score desc, id asc. */
-  override def finish(buf: Vector[(Double, Long)]): Seq[(Long, Double)] =
+  override def finish(buf: Vector[(Double, I)]): Seq[(I, Double)] =
     buf.reverse.map { case (s, id) => (id, s) }
 
-  override def bufferEncoder: Encoder[Vector[(Double, Long)]] =
-    Encoders.kryo[Vector[(Double, Long)]]
+  override def bufferEncoder: Encoder[Vector[(Double, I)]] =
+    Encoders.kryo[Vector[(Double, I)]]
 
-  override def outputEncoder: Encoder[Seq[(Long, Double)]] = outEnc
+  override def outputEncoder: Encoder[Seq[(I, Double)]] = outEnc
+}
+
+object TopKAggregator {
+
+  /** String-id tiebreak that agrees with Spark/DuckDB binary string sorts —
+    * see [[Orderings.utf8]]. */
+  val utf8Ordering: Ordering[String] = Orderings.utf8
 }

@@ -66,21 +66,42 @@ object VectorSearch {
     * product (the reference's `$vectorSearch` likewise never materializes
     * more than k candidates per query, vector_search.py:61-95). Output:
     * (qidCol, idCol, rank, score) — re-join on idCol for payload columns.
+    *
+    * Id-generic: integral ids aggregate as Long and are cast back to the
+    * column's own type; string ids (the engine's md5 chunk_id, the
+    * reference's `_id`) aggregate as String with UTF-8 binary tiebreak (the
+    * ordering Spark and DuckDB apply to strings). Any other id type fails
+    * fast at plan time rather than as an encoder NPE mid-job.
     */
   def knnBatch(corpus: DataFrame, queries: DataFrame, k: Int,
                embCol: String = "embedding", idCol: String = "id",
                qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.types._
     val spark = corpus.sparkSession
     import spark.implicits._
-    val topk = udaf(new graft.functions.TopKAggregator(
-      k, implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]))
-    corpus.crossJoin(broadcast(queries))
-      .select(col(qidCol), col(idCol).cast("long").as("__id"),
+    val idType = corpus.schema(idCol).dataType
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qidCol), col(idCol).as("__id"),
         score(col(embCol), col(qvecCol)).as("__score"))
-      .groupBy(col(qidCol))
-      .agg(topk(col("__id"), col("__score")).as("__topk"))
+    val aggregated = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val topk = udaf(new graft.functions.TopKAggregator[Long](
+          k, implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]))
+        scored.groupBy(col(qidCol))
+          .agg(topk(col("__id").cast("long"), col("__score")).as("__topk"))
+      case StringType =>
+        val topk = udaf(new graft.functions.TopKAggregator[String](
+          k, implicitly[org.apache.spark.sql.Encoder[Seq[(String, Double)]]])(
+          graft.functions.TopKAggregator.utf8Ordering, implicitly))
+        scored.groupBy(col(qidCol))
+          .agg(topk(col("__id"), col("__score")).as("__topk"))
+      case other => throw new IllegalArgumentException(
+        s"knnBatch id column '$idCol' must be integral or string, got " +
+          s"${other.catalogString}")
+    }
+    aggregated
       .select(col(qidCol), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
-      .select(col(qidCol), col("__hit._1").as(idCol),
+      .select(col(qidCol), col("__hit._1").cast(idType).as(idCol),
         (col("__pos") + 1).cast("int").as("rank"), col("__hit._2").as("score"))
   }
 

@@ -111,7 +111,7 @@ object VectorQueries {
         .select($"vec_id",
           round((cosineSimilarity($"embedding", $"qvec") + 1.0) / 2.0, 6).as("score"))
         .as[(Long, Double)]
-      val top = scored.select(new graft.functions.TopKAggregator(10).toColumn).head()
+      val top = scored.select(new graft.functions.TopKAggregator[Long](10).toColumn).head()
       top.zipWithIndex
         .map { case ((id, score), i) => (i + 1, id, score) }
         .toDF("rank", "vec_id", "score")

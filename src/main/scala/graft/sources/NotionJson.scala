@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** S1/S2 ingestion without connectors: read a Notion export dump (JSON
   * lines, one block per line in the Notion API's own block shape —
@@ -13,8 +14,8 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
   * but everything AFTER the bytes land is not — this reader turns the dump
   * into the typed block Dataset so `pagesToMarkdown` covers S1-S3 end to
   * end. Reading is schema-first (`spark.read.schema(...).json`): no
-  * inference pass, malformed lines surface as nulls, scales as a plain
-  * distributed JSON scan.
+  * inference pass, malformed lines are dropped (see [[readBlocks]]), scales
+  * as a plain distributed JSON scan.
   */
 object NotionJson {
 
@@ -30,7 +31,7 @@ object NotionJson {
   case class RawTableRow(table_row: Option[RawCells])
   case class RawBlock(
       page_id: String,
-      block_idx: Int,
+      block_idx: Option[Int], // Option: a malformed line must not kill the scan
       `type`: String,
       paragraph: Option[RawPayload],
       heading_1: Option[RawPayload],
@@ -71,7 +72,7 @@ object NotionJson {
     }
     NotionBlock(
       page_id = b.page_id,
-      block_idx = b.block_idx,
+      block_idx = b.block_idx.getOrElse(0),
       block_type = b.`type`,
       rich_text = toRichText(payload.flatMap(_.rich_text)),
       checked = payload.flatMap(_.checked),
@@ -79,12 +80,18 @@ object NotionJson {
       table_rows = tableRows)
   }
 
-  /** Read a block dump (JSON lines) into the typed block Dataset. */
+  /** Read a block dump (JSON lines) into the typed block Dataset. Malformed
+    * lines degrade, never throw: a line Jackson can't parse nulls every
+    * field (schema-first read), one missing a required key nulls that field
+    * — rows without a page_id, block_idx, or type are dropped so one bad
+    * line can't fail the whole scan. */
   def readBlocks(spark: SparkSession, path: String): Dataset[NotionBlock] = {
     import spark.implicits._
     spark.read
       .schema(Encoders.product[RawBlock].schema)
       .json(path)
+      .filter(col("page_id").isNotNull && col("block_idx").isNotNull &&
+        col("type").isNotNull)
       .as[RawBlock]
       .map(toBlock)
   }

@@ -100,11 +100,16 @@ object NotionMarkdown {
     * (block_idx, rendered markdown) — the same total order the distributed
     * [[pagesToMarkdown]] struct sort applies — so duplicate block_idx values
     * tiebreak identically on both paths instead of depending on input order
-    * (which a shuffle does not preserve anyway). */
+    * (which a shuffle does not preserve anyway). The markdown tiebreak
+    * compares UTF-8 bytes ([[graft.functions.Orderings.utf8]]), matching
+    * Spark's `array_sort` UTF8String binary order; `String.compareTo` would
+    * diverge when emoji mix with U+E000–U+FFFF characters. */
   def pageToMarkdown(title: Option[String], blocks: Seq[NotionBlock]): String = {
     val head = title.filter(_.nonEmpty).map(t => s"# $t\n\n").getOrElse("")
     val body = blocks.map(b => (b.block_idx, blockToMarkdown(b)))
-      .sorted.iterator.map(_._2).mkString
+      .sorted(Ordering.by[(Int, String), Int](_._1)
+        .orElseBy(_._2)(graft.functions.Orderings.utf8))
+      .iterator.map(_._2).mkString
     pyStrip(head + body)
   }
 

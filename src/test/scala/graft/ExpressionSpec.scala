@@ -80,6 +80,32 @@ class ExpressionSpec extends AnyFunSuite {
     assert(twoArg === fourArg)
   }
 
+  test("graft_chunk rejects degenerate size/overlap literals at analysis time") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    // text must clear the kernel's 50-char stripped-chunk minimum so the
+    // boundary case below actually emits rows
+    Seq((1L, "some text " * 12)).toDF("doc_id", "text")
+      .createOrReplaceTempView("graft_chunk_bad")
+    def analyze(sizeOverlap: String): String = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT c.* FROM graft_chunk_bad LATERAL VIEW " +
+          s"graft_chunk(doc_id, text, $sizeOverlap) c").queryExecution.analyzed
+      }
+      e.getMessage
+    }
+    assert(analyze("0, 0").contains("chunk_size must be > 0"))
+    assert(analyze("-5, 0").contains("chunk_size must be > 0"))
+    assert(analyze("100, -1").contains("overlap must be in [0, chunk_size)"))
+    assert(analyze("100, 100").contains("overlap must be in [0, chunk_size)"))
+    assert(analyze("100, 200").contains("overlap must be in [0, chunk_size)"))
+    assert(analyze("cast(null as int), 0").contains("non-null literals"))
+    // the boundary that must still work: overlap = chunk_size - 1
+    val ok = spark.sql("SELECT c.* FROM graft_chunk_bad LATERAL VIEW " +
+      "graft_chunk(doc_id, text, 100, 99) c")
+    assert(ok.count() > 0)
+  }
+
   test("whole-stage codegen survives (no fallback) for the cosine plan") {
     import spark.implicits._
     // non-literal input so the optimizer cannot constant-fold the expression

@@ -1,8 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Golden-output pins for the rows-only registered queries (the ones the
@@ -30,41 +28,19 @@ class GoldenSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
-  /** (rows, md5 of sorted "|"-joined rows): doubles rounded to 6, array
-    * columns dropped (embeddings — float textual form is not the contract),
-    * columns in name order. */
-  private def digest(df: DataFrame): (Long, String) = {
-    val cols = df.schema.fields
-      .filterNot(_.dataType.isInstanceOf[ArrayType])
-      .sortBy(_.name)
-      .map { f =>
-        val c = col(f.name)
-        val s = f.dataType match {
-          case DoubleType => format_number(round(c, 6), 6)
-          case _          => c.cast("string")
-        }
-        coalesce(s, lit("NULL"))
-      }
-    val rows = df.select(concat_ws("|", cols.toIndexedSeq: _*).as("r"))
-      .collect().map(_.getString(0)).sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(rows.mkString("\n").getBytes("UTF-8"))
-    (rows.length.toLong, md.map("%02x".format(_)).mkString)
-  }
-
   private def gold(name: String, expectedRows: Long, expectedMd5: String): Unit =
     test(s"$name matches its pinned sf0.01 golden output") {
-      val (rows, md5) = digest(SparkEntry.queries(name)(spark, dir))
+      val (rows, md5) = GoldenDigest.digest(SparkEntry.queries(name)(spark, dir))
       assert(rows === expectedRows, s"$name row count drifted")
       assert(md5 === expectedMd5,
         s"$name values drifted (rows=$rows, md5=$md5) — if the kernel change " +
           "is intentional, re-pin this digest")
     }
 
-  gold("pipe_flagship",      10L, "PENDING")
-  gold("pipe_orchestrator",   6L, "PENDING")
-  gold("pipe_chunk_stats",  498L, "PENDING")
-  gold("pipe_doc_chunks",     1L, "PENDING")
-  gold("pipe_hierarchy_rel", 500L, "PENDING")
-  gold("mm_feature_stats",  500L, "PENDING")
+  gold("pipe_flagship",      10L, "1a8a1eba31a8357b9ec4a04a87c08f5e")
+  gold("pipe_orchestrator",   6L, "21b70c797f26321a1619c3b73e41e0de")
+  gold("pipe_chunk_stats",  498L, "1e4a68e669db73b26441b34437fc5437")
+  gold("pipe_doc_chunks",     1L, "2a033e027d28a99769bd7614d6cdc0e2")
+  gold("pipe_hierarchy_rel", 500L, "828b389a808eab4a7c08fa8bded50f2f")
+  gold("mm_feature_stats",  500L, "84bb00dfb4b550a7d0b02d8c447ee25e")
 }

@@ -119,4 +119,22 @@ class NotionMarkdownSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(distributed("pD") === kernel)
   }
+
+  test("duplicate-idx tiebreak agrees across paths on emoji vs U+E000-FFFF text") {
+    import spark.implicits._
+    // "..." (3-byte UTF-8, E0 lead) vs "😀" = U+1F600 (4-byte UTF-8,
+    // F0 lead): UTF-16 compareTo puts the surrogate pair (D83D DE00) BELOW
+    // E000, UTF-8 binary puts it ABOVE — the kernel must use the UTF-8 order
+    // Spark's array_sort applies, or the two paths render different pages.
+    val blocks = Seq(
+      NotionBlock("pE", 1, "paragraph", rt("\uE000 private"), None, None, Nil),
+      NotionBlock("pE", 1, "paragraph", rt("😀 emoji"), None, None, Nil))
+    val kernel = pageToMarkdown(None, blocks)
+    assert(kernel === pageToMarkdown(None, blocks.reverse))
+    val distributed = NotionMarkdown.pagesToMarkdown(blocks.toDS())
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(distributed("pE") === kernel)
+    // and the order itself is the UTF-8 one: E000 before the emoji
+    assert(kernel.indexOf("private") < kernel.indexOf("emoji"))
+  }
 }

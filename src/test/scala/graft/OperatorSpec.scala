@@ -54,6 +54,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(self.forall(r => r.getLong(0) === r.getLong(1)))
   }
 
+  test("knnBatch keeps string ids (md5 chunk ids) instead of nulling them") {
+    val queries = emb.filter(col("vec_id") < 3L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val longIds = VectorSearch.knnBatch(emb, queries, k = 4, idCol = "vec_id")
+      .select(col("qid"), col("vec_id").cast("string").as("vec_id"),
+        col("rank"), col("score"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // same corpus with the id column as zero-padded strings (ASCII keeps
+    // lexicographic order = numeric order, so ranked output must match)
+    val strCorpus = emb.withColumn("vec_id", format_string("%06d", col("vec_id")))
+    val strIds = VectorSearch.knnBatch(strCorpus, queries, k = 4, idCol = "vec_id")
+      .select(col("qid"), col("vec_id").cast("int").cast("string").as("vec_id"),
+        col("rank"), col("score"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(strIds === longIds)
+    assert(strIds.nonEmpty)
+    // unsupported id types fail fast at plan time, not as an encoder NPE
+    val badCorpus = emb.withColumn("vec_id", col("vec_id").cast("double"))
+    val err = intercept[IllegalArgumentException] {
+      VectorSearch.knnBatch(badCorpus, queries, k = 4, idCol = "vec_id")
+    }
+    assert(err.getMessage.contains("must be integral or string"))
+  }
+
   test("similarToId excludes self and same document") {
     val chunks = graft.pipelines.Pipelines.featurePipeline(docs, qualityThreshold = 0.0)
     val target = chunks.select("chunk_id", "document_id").head
