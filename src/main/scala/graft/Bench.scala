@@ -36,13 +36,32 @@ object Bench {
     val results = SparkEntry.queries.keys.map { name =>
       name -> allPasses.flatMap(_(name)).minOption
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.getOrElse(-1.0) }
+    // Keep the line inside the harness's 2000-char stdout tail capture: full
+    // nanosecond doubles made it ~1.5x that, cutting the head of the
+    // per-query map in every round's record. Centisecond precision (noise on
+    // this VM is >>10ms), trailing zeros stripped, entries fastest-first so
+    // any residual truncation eats the cheap entries — the slow tails the
+    // perf audit reads land at the end of the line.
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    val qs = results.toSeq.sortBy(_._2.getOrElse(-1.0))
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v.getOrElse(-1.0)) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
     if (failed.nonEmpty) System.err.println(s"[bench] FAILED queries: ${failed.mkString(",")}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson =
+      if (failed.isEmpty) "" else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val total = results.values.flatten.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"failed":$failedJson}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}"$failedJson}"""
+    // belt and braces: the complete line also lands in the repo, so the full
+    // per-query record survives any stdout truncation
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }
