@@ -68,25 +68,42 @@ object Dedup {
 
   /** Per-thread memo of a shingle's full k-seed hash row. Shingles repeat
     * heavily across documents (shared vocabulary n-grams), so hashing each
-    * DISTINCT shingle once per executor thread cuts the md5 kernel cost by
+    * DISTINCT shingle once per executor thread cuts the hash kernel cost by
     * the corpus' repetition factor — with bit-identical results. Capped to
     * bound executor memory; cleared wholesale when full. */
-  private val sigRowCache = new ThreadLocal[scala.collection.mutable.HashMap[String, Array[Long]]] {
-    override def initialValue() = scala.collection.mutable.HashMap.empty
-  }
-  private val SigCacheMax = 1 << 20
+  private final class HashMemo(compute: (String, Int) => Array[Long]) {
+    private val cache = new ThreadLocal[scala.collection.mutable.HashMap[String, Array[Long]]] {
+      override def initialValue() = scala.collection.mutable.HashMap.empty
+    }
+    private val Max = 1 << 20
 
-  private def hashRow(s: String, k: Int): Array[Long] = {
-    val cache = sigRowCache.get()
-    val row = cache.getOrElse(s, null)
-    if (row != null && row.length >= k) row
-    else {
-      val fresh = Array.tabulate(math.max(k, MinHashK))(i => md5Hash60Scala(s, i))
-      if (cache.size >= SigCacheMax) cache.clear()
-      cache.update(s, fresh)
-      fresh
+    def row(s: String, k: Int): Array[Long] = {
+      val c = cache.get()
+      val cached = c.getOrElse(s, null)
+      if (cached != null && cached.length >= k) cached
+      else {
+        val fresh = compute(s, math.max(k, MinHashK))
+        if (c.size >= Max) c.clear()
+        c.update(s, fresh)
+        fresh
+      }
     }
   }
+
+  private val md5Memo = new HashMemo((s, k) => Array.tabulate(k)(i => md5Hash60Scala(s, i)))
+
+  // xxhash64 memo: encode the shingle to UTF8String ONCE, then hash all k
+  // seeds — without this the fast path re-encoded and re-hashed every
+  // repeated shingle k times per occurrence, which on vocabulary-heavy
+  // corpora made "fast" slower than the memoized md5 path
+  private val fastMemo = new HashMemo((s, k) => {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    Array.tabulate(k)(i => XxHash64Function.hash(u, StringType, i.toLong))
+  })
+
+  private def hashRow(s: String, k: Int): Array[Long] = md5Memo.row(s, k)
 
   val MinHashK = 16
 
@@ -111,13 +128,17 @@ object Dedup {
     XxHash64Function.hash(UTF8String.fromString(s), StringType, seed.toLong)
   }
 
-  /** minHashSignatureScala on the xxhash64 kernel. */
-  def minHashSignatureFastScala(shingles: Seq[String], k: Int): Array[Long] =
-    Array.tabulate(k) { i =>
-      var min = Long.MaxValue
-      for (s <- shingles) { val h = fastHash64Scala(s, i); if (h < min) min = h }
-      min
+  /** minHashSignatureScala on the xxhash64 kernel (memoized per distinct
+    * shingle like the md5 path). */
+  def minHashSignatureFastScala(shingles: Seq[String], k: Int): Array[Long] = {
+    val out = Array.fill(k)(Long.MaxValue)
+    for (s <- shingles) {
+      val row = fastMemo.row(s, k)
+      var i = 0
+      while (i < k) { if (row(i) < out(i)) out(i) = row(i); i += 1 }
     }
+    out
+  }
 
   /** Scala twin of `simHashBits` (word hashes served from the memo — words
     * repeat across the corpus far more than shingles do). */
