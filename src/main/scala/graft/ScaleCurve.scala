@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Similarity}
+
+/** Measured scale curve (SCALE.md): times the production-shaped bucketed
+  * paths on two fixture directories — normally sf0.1 and the ScaleGen ×10
+  * derivative — and prints wall-time growth per path. "Scale-safe by
+  * design" becomes a number: a bucketed path on 10× data should grow
+  * ≈ linearly (≲ ~12×, allowing for shuffle overhead), never quadratically.
+  *
+  * Registered queries are reused where they already run production
+  * parameters (dedup 0.8 bar, BM25, sessionization); the embedding paths run
+  * the operators directly at the production 0.9 cosine bar — the registered
+  * `ann_lsh_pairs` fixture threshold of 0.45 sits inside the bulk of the
+  * random-pair cosine distribution by design (oracle-checkable there), which
+  * would measure the all-pairs regime, not the scale path.
+  *
+  * Usage: `sbt "runMain graft.ScaleCurve [dirA dirB]"`; min of
+  * SPARK_GRAFT_CURVE_PASSES (default 3) timed passes per (path, dir), with
+  * caches dropped between passes.
+  */
+object ScaleCurve {
+
+  private val paths: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "dedup_exact_survivors" -> SparkEntry.queries("dedup_exact_survivors"),
+    "dedup_minhash_fast"    -> SparkEntry.queries("dedup_minhash_fast"),
+    "dedup_simhash_pairs"   -> SparkEntry.queries("dedup_simhash_pairs"),
+    "lsh_embedding_t090"    -> ((s, d) =>
+      Dedup.embeddingPairsDistributed(Tables.embeddings(s, d), minCosine = 0.9)),
+    "ivf_assign_c64"        -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfAssign(emb, Similarity.seededCentroids(emb, 64, 7))
+    }),
+    "txt_bm25_scores"       -> SparkEntry.queries("txt_bm25_scores"),
+    "feature_pipeline"      -> ((s, d) =>
+      pipelines.Pipelines.featurePipeline(Tables.documents(s, d), qualityThreshold = 0.0)),
+    "evt_sessions"          -> SparkEntry.queries("evt_sessions"))
+
+  def main(args: Array[String]): Unit = {
+    val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dirB = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_CURVE_PASSES", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(fn: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = fn
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    println(f"[curve] ${"path"}%-22s ${"rows A"}%9s ${"rows B"}%9s ${"t(A)"}%7s ${"t(B)"}%7s  growth")
+    val lines = paths.map { case (name, fn) =>
+      def run(dir: String): (Double, Long) = {
+        val runs = (1 to passes).map { _ =>
+          val r = time(fn(spark, dir).count())
+          Caches.release()
+          spark.sqlContext.clearCache()
+          r
+        }
+        (runs.map(_._1).min, runs.head._2)
+      }
+      val (ta, rowsA) = run(dirA)
+      val (tb, rowsB) = run(dirB)
+      val line = f"| $name%-22s | $rowsA%9d | $rowsB%9d | $ta%6.2f s | $tb%6.2f s | ${tb / ta}%5.1f× |"
+      println(f"[curve] $name%-22s $rowsA%9d $rowsB%9d $ta%6.2f  $tb%6.2f  ${tb / ta}%5.1f×")
+      line
+    }
+    println("[curve] markdown:")
+    println("| path | rows @A | rows @B | t @A | t @B | growth |")
+    println("|---|---|---|---|---|---|")
+    lines.foreach(println)
+    spark.stop()
+  }
+}
