@@ -94,6 +94,82 @@ object StreamingOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Document arriving on a stream (ts = ingestion event time). */
+  case class DocEvent(ts: Timestamp, doc_id: Long, text: String)
+
+  /** Near-duplicate verdict emitted by [[nearDupPairsStream]]; ids ordered
+    * (id_a < id_b), est_jaccard = fraction of equal MinHash slots. */
+  case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** Streaming MinHash near-dup detection — the streaming twin of
+    * `Dedup.minHashPairsFast` for continuous ingestion. Same LSH geometry as
+    * the batch path (shingle → k-slot signature → band keys), but state- not
+    * join-shaped: the stream is exploded to one row per band key, grouped by
+    * band key, and each bucket keeps the signatures it has seen. A new
+    * document is compared ONLY against its own buckets' residents — the
+    * exact streaming analogue of "pairwise work confined to hash buckets".
+    *
+    * Two deliberate deviations from the batch twin, both inherent to
+    * streaming:
+    *  - verification uses the signature Jaccard ESTIMATE (equal slots / k,
+    *    granularity 1/k) rather than true shingle-set Jaccard — state holds
+    *    k longs per doc instead of the full shingle set. Callers wanting the
+    *    batch bar verify flagged pairs against the stored corpus offline;
+    *    `estThreshold` defaults 2/k under the usual 0.8 bar to keep recall.
+    *  - a pair sharing several band keys is emitted once per shared bucket;
+    *    dedup downstream (the batch twin's `.distinct()` equivalent).
+    *
+    * State is bounded three ways: per-bucket FIFO cap (`maxPerBucket`),
+    * event-time idle eviction (`idleGapMs` past the bucket's newest doc),
+    * and the watermark bounding how late a document can arrive at all. */
+  def nearDupPairsStream(docs: Dataset[DocEvent], estThreshold: Double = 0.8 - 2.0 / 16,
+                         n: Int = 3, k: Int = 16, bands: Int = 4, rows: Int = 4,
+                         watermarkDelay: String = "10 minutes",
+                         idleGapMs: Long = 60L * 60 * 1000,
+                         maxPerBucket: Int = 256): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    require(bands * rows == k, "bands*rows must equal signature length")
+    val banded = docs.flatMap { d =>
+      val sig = graft.operators.Dedup
+        .minHashSignatureFastScala(graft.operators.Dedup.shinglesScala(d.text, n).toSeq, k)
+      (0 until bands).map { b =>
+        (s"$b|${sig.slice(b * rows, (b + 1) * rows).mkString(",")}",
+          d.doc_id, sig.toSeq, d.ts)
+      }
+    }.toDF("band_key", "doc_id", "sig", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Long, Seq[Long], Timestamp)]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, batch: Iterator[(String, Long, Seq[Long], Timestamp)],
+         state: GroupState[Seq[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
+            var seen = state.getOption.getOrElse(Seq.empty)
+            var maxTs = 0L
+            for ((_, id, sig, t) <- batch.toSeq.sortBy(x => (x._4.getTime, x._2))) {
+              maxTs = math.max(maxTs, t.getTime)
+              for ((sid, ssig) <- seen if sid != id) {
+                var eq = 0
+                var i = 0
+                while (i < k) { if (ssig(i) == sig(i)) eq += 1; i += 1 }
+                val est = eq.toDouble / k
+                if (est >= estThreshold)
+                  out += NearDupPair(math.min(sid, id), math.max(sid, id), est)
+              }
+              if (!seen.exists(_._1 == id))
+                seen = (seen :+ (id -> sig)).takeRight(maxPerBucket)
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + idleGapMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** W1/W2 streaming twin: running last-N conversation window per key kept
     * in state; emits the trimmed history on every update. Idle keys are
     * evicted once the watermark passes `idleGapMs` beyond their newest

@@ -337,4 +337,66 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(sessions === Set((1L, 1L, 2L), (1L, 2L, 1L)))
   }
+
+  test("streaming near-dup flags exact and near duplicates, not distinct docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val near = "the quick brown fox jumps over the lazy dog and then walks far away home"
+    val other = "completely different subject matter about spark shuffles and parquet readers"
+    val source = MemoryStream[StreamingOps.DocEvent]
+    val q = StreamingOps.nearDupPairsStream(source.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("neardup_unit")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    source.addData(
+      StreamingOps.DocEvent(ts(1), 10L, base),
+      StreamingOps.DocEvent(ts(2), 20L, base),  // exact dup of 10
+      StreamingOps.DocEvent(ts(3), 30L, near),  // near dup of both
+      StreamingOps.DocEvent(ts(4), 40L, other)) // unrelated
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("neardup_unit")
+      .select($"id_a", $"id_b", $"est_jaccard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.filter(p => p._1 == 10L && p._2 == 20L)
+    assert(exact.nonEmpty && exact.forall(_._3 === 1.0))
+    assert(pairs.exists(p => p._1 == 10L && p._2 == 30L))
+    assert(pairs.forall(p => p._1 != 40L && p._2 != 40L))
+    // ids always emitted ordered
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("streaming near-dup pairs cover the batch minhash pair set on the fixture") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val source = MemoryStream[StreamingOps.DocEvent]
+    val q = StreamingOps.nearDupPairsStream(source.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("neardup_fix")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // two micro-batches: pairs must also surface across batch boundaries.
+    // One SECOND per doc (not the minute-granular ts helper): the whole
+    // stream must span less than the operator's 1h idle-eviction gap, or
+    // early buckets are legitimately evicted before the second batch lands.
+    def secTs(s: Long) = new Timestamp(Base + s * 1000L)
+    docs.grouped(docs.length / 2 + 1).zipWithIndex.foreach { case (chunk, ci) =>
+      source.addData(chunk.zipWithIndex.map { case ((id, text), i) =>
+        StreamingOps.DocEvent(secTs(ci * 1000L + i), id, text)
+      }.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("neardup_fix").select($"id_a", $"id_b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin, true-Jaccard verified at the 0.8 production bar; the
+    // streaming estimator (default margin 2/k under the bar) must not miss
+    // any pair the batch path verifies
+    val batch = Dedup.minHashPairsFast(Tables.documents(spark, dir))
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(batch.subsetOf(streamed),
+      s"streaming missed batch-verified pairs: ${batch -- streamed}")
+  }
 }
