@@ -1,8 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.Bridge
 
 /** SQL surface for the engine's native expressions.
   *
@@ -29,6 +30,18 @@ object GraftExtensions {
       new ExpressionInfo("graft.expressions", name, usage),
       builder)
 
+  /** Column-tree function: the SQL name plans the same catalyst tree the
+    * Scala API builds (functions.* nodes — codegen'd, no UDF boundary),
+    * bridged child-Expressions → Columns → result-Expression. */
+  private def colFn(name: String, usage: String, arity: Int,
+                    build: Seq[Column] => Column) =
+    f(name, usage, exprs => {
+      if (exprs.length != arity)
+        throw new IllegalArgumentException(
+          s"$name takes $arity argument(s), got ${exprs.length}")
+      Bridge.convertedExpression(build(exprs.map(Bridge.column)))
+    })
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     f("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float arrays",
       exprs => CosineSimilarityExpr(exprs(0), exprs(1))),
@@ -36,7 +49,32 @@ object GraftExtensions {
       "graft_chunk(doc_id, text[, chunk_size, overlap]) - LATERAL VIEW table " +
         "generator emitting (chunk_id, content, chunk_index, word_count, " +
         "start_char, end_char) chunk rows; defaults 1000/200",
-      exprs => ChunkGenerator(exprs)))
+      exprs => ChunkGenerator(exprs)),
+    // text-analysis surface: the full north-star scalar kernel set is
+    // callable from pure spark.sql, same trees as the Scala API
+    colFn("graft_word_count", "graft_word_count(text) - whitespace token count", 1,
+      cols => graft.functions.TextFunctions.wordCount(cols(0))),
+    colFn("graft_token_estimate",
+      "graft_token_estimate(text) - ~len/4 LLM token estimate", 1,
+      cols => graft.functions.TextFunctions.tokenEstimate(cols(0))),
+    colFn("graft_bpe_tokens",
+      "graft_bpe_tokens(text) - GPT-style pre-tokenizer regex token count", 1,
+      cols => graft.operators.TextAnalysis.bpeIshTokens(cols(0))),
+    colFn("graft_lang",
+      "graft_lang(text) - stopword-vote language ID, returns struct(lang, votes)", 1,
+      cols => graft.operators.TextAnalysis.detectLanguage(cols(0))),
+    colFn("graft_fingerprint",
+      "graft_fingerprint(text) - bottom-4 rolling 8-char-shingle document fingerprint", 1,
+      cols => graft.operators.TextAnalysis.fingerprint(cols(0))),
+    colFn("graft_clean",
+      "graft_clean(text) - reference content cleaning (tags, entities, boilerplate)", 1,
+      cols => graft.functions.TextFunctions.cleanContent(cols(0))),
+    colFn("graft_quality",
+      "graft_quality(content, title, url) - reference 5-part quality score", 3,
+      cols => graft.functions.TextFunctions.qualityScore(cols(0), cols(1), cols(2))),
+    colFn("graft_intent",
+      "graft_intent(query) - reference query intent classification", 1,
+      cols => graft.functions.TextFunctions.queryIntent(cols(0))))
 
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit =

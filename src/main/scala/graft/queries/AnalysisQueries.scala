@@ -95,6 +95,20 @@ object AnalysisQueries {
           round($"score", 6).as("score"))
     }),
 
+    // The SQL function surface end-to-end: the same analysis kernels called
+    // through spark.sql via GraftExtensions (a user who never leaves SQL),
+    // oracle-checked against the same DuckDB fragments as the Column forms.
+    "ana_sql_functions" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_documents_sql")
+      s.sql("""SELECT doc_id,
+                      graft_word_count(text) AS ws_tokens,
+                      graft_token_estimate(text) AS est_tokens,
+                      graft_lang(text).lang AS detected_lang,
+                      graft_fingerprint(text) AS fingerprint
+               FROM graft_documents_sql""")
+    }),
+
     // Distributed embedding near-dup pairs: LSH-bucketed candidates, exact
     // re-score — the 100 TB twin of dedup_embedding_pairs (no driver collect).
     // Oracle = the exact pair set: recall is 1.0 on the fixture (verified by
@@ -138,6 +152,16 @@ object AnalysisQueries {
             FROM embeddings e, cents c)
           WHERE rn = 1)"""
 
+  private val duckWsTokens =
+    s"""CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0
+         ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS INT)"""
+
+  private val duckFingerprint =
+    """array_to_string(list_sort(list_transform(
+         generate_series(1, GREATEST(length(text) - 7, 1)),
+         i -> CAST(concat('0x', substr(md5(concat_ws('_', 0, substr(text, i, 8))), 1, 15)) AS BIGINT)))[1:4],
+         ',')"""
+
   val oracle: Map[String, String] = Map(
     "ana_lang_id" ->
       s"SELECT doc_id, detected_lang, votes FROM ($duckLang)",
@@ -145,18 +169,20 @@ object AnalysisQueries {
       s"SELECT lang, detected_lang, COUNT(*) AS n_docs FROM ($duckLang) GROUP BY lang, detected_lang",
     "ana_token_counts" ->
       s"""SELECT doc_id,
-          CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0
-               ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS INT) AS ws_tokens,
+          $duckWsTokens AS ws_tokens,
           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS INT) AS bpe_tokens,
           CAST(length(text) // 4 AS BIGINT) AS est_tokens
           FROM documents""",
     "ana_fingerprints" ->
-      """SELECT doc_id,
-           array_to_string(list_sort(list_transform(
-             generate_series(1, GREATEST(length(text) - 7, 1)),
-             i -> CAST(concat('0x', substr(md5(concat_ws('_', 0, substr(text, i, 8))), 1, 15)) AS BIGINT)))[1:4],
-             ',') AS fingerprint
-         FROM documents""",
+      s"""SELECT doc_id, $duckFingerprint AS fingerprint
+          FROM documents""",
+    "ana_sql_functions" ->
+      s"""SELECT d.doc_id,
+          $duckWsTokens AS ws_tokens,
+          CAST(length(text) // 4 AS BIGINT) AS est_tokens,
+          l.detected_lang,
+          $duckFingerprint AS fingerprint
+          FROM documents d JOIN ($duckLang) l ON d.doc_id = l.doc_id""",
     "ana_quality_ratios" ->
       s"""SELECT doc_id,
           round(CASE WHEN len(w) = 0 THEN 0.0e0

@@ -10,4 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column → catalyst Expression via the same converter the classic
+    * Dataset API applies. Unlike [[expression]] — which wraps the column's
+    * node tree in one opaque `ColumnNodeExpression` leaf that only the
+    * DataFrame path later unwraps — this produces a real catalyst tree
+    * (UnresolvedFunction etc.) that the ANALYZER resolves, so it is the
+    * right form for SQL `FunctionRegistry` builders. */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

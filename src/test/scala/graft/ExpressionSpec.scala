@@ -106,6 +106,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(ok.count() > 0)
   }
 
+  test("SQL text functions plan the same trees as the Column API") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import graft.operators.TextAnalysis
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    docs.createOrReplaceTempView("graft_sqlfn_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_clean(text) AS cleaned,
+                graft_quality(text, source, NULL) AS quality,
+                graft_intent(text) AS intent,
+                graft_bpe_tokens(text) AS bpe
+         FROM graft_sqlfn_docs""").collect().map(_.toSeq).sortBy(_.toString)
+    val viaCols = docs.select($"doc_id",
+        TextFunctions.cleanContent($"text").as("cleaned"),
+        TextFunctions.qualityScore($"text", $"source", lit(null).cast("string")).as("quality"),
+        TextFunctions.queryIntent($"text").as("intent"),
+        TextAnalysis.bpeIshTokens($"text").as("bpe"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(viaSql.nonEmpty)
+    assert(viaSql === viaCols)
+    // wrong arity fails at analysis, not mid-job
+    intercept[Exception] {
+      spark.sql("SELECT graft_quality(text) FROM graft_sqlfn_docs").queryExecution.analyzed
+    }
+  }
+
   test("whole-stage codegen survives (no fallback) for the cosine plan") {
     import spark.implicits._
     // non-literal input so the optimizer cannot constant-fold the expression
