@@ -133,6 +133,23 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL text functions stay inside whole-stage codegen (no opaque leaves)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    spark.range(50).select(concat(lit("some text nr "), col("id")).as("text"))
+      .createOrReplaceTempView("graft_sqlfn_codegen")
+    val df = spark.sql(
+      """SELECT graft_word_count(text) AS wc, graft_token_estimate(text) AS est,
+                graft_intent(text) AS intent
+         FROM graft_sqlfn_codegen""")
+    val plan = df.queryExecution.executedPlan.toString
+    // an unconverted Column bridge would leave a ColumnNodeExpression leaf,
+    // which is Unevaluable and kills the whole plan at codegen
+    assert(!plan.toLowerCase.contains("columnnode"))
+    assert(plan.contains("*(1)"), s"SQL function project fell out of codegen:\n$plan")
+    assert(df.count() === 50)
+  }
+
   test("whole-stage codegen survives (no fallback) for the cosine plan") {
     import spark.implicits._
     // non-literal input so the optimizer cannot constant-fold the expression
