@@ -208,4 +208,88 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // -------------------------------------------------------- int8 quantization
+
+  /** Quantized row: per-vector symmetric int8 codes + exact float norm.
+    * cos(a,b) ≈ (scaleA·scaleB·intDot(codeA,codeB)) / (normA·normB). */
+  case class QuantVec(code: Array[Byte], scale: Float, norm: Float)
+
+  /** Kernel shared by the distributed UDF and the driver-side query path. */
+  def quantScala(v: Array[Float]): QuantVec = {
+    val n = v.length
+    var maxAbs = 0f
+    var norm2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v(i)
+      if (math.abs(x) > maxAbs) maxAbs = math.abs(x)
+      norm2 += x.toDouble * x
+      i += 1
+    }
+    val scale = if (maxAbs == 0f) 1f else maxAbs / 127f
+    val code = new Array[Byte](n)
+    i = 0
+    while (i < n) { code(i) = math.round(v(i) / scale).toByte; i += 1 }
+    QuantVec(code, scale, math.sqrt(norm2).toFloat)
+  }
+
+  private val quantUdf = udf { (v: Seq[Float]) =>
+    if (v == null) null else quantScala(v.toArray)
+  }
+
+  /** Symmetric per-vector int8 quantization of an embedding column — the
+    * scan-side scale lever: codes are 4× smaller than float32 (a 100 TB
+    * embedding store reads 25 TB), integer dot products score candidates,
+    * and only the re-rank set touches the raw floats. At scale the
+    * quantized table is written once (ChunkCatalog-style), not derived per
+    * query. Output: (idCol, code binary, scale float, norm float). */
+  def quantizeInt8(corpus: DataFrame, idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), quantUdf(col(embCol)).as("q"))
+      .select(col(idCol), col("q.code").as("code"),
+        col("q.scale").as("scale"), col("q.norm").as("norm"))
+
+  private val intDotUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a(i).toLong * b(i); i += 1 }
+    acc
+  }
+
+  /** Approximate-then-exact KNN over int8 codes: score every code with the
+    * integer dot approximation (narrow scan over 1/4 the bytes), keep the
+    * top `k·rerankFactor` by approximate cosine (TakeOrderedAndProject),
+    * then re-score ONLY those against the raw embeddings with the exact
+    * codegen cosine — the emitted scores are bit-identical to the exact
+    * path, so quantization error can only cost recall at the candidate
+    * boundary, never precision. With 64-dim fixtures the relative dot error
+    * is ~0.5%; rerankFactor 4 absorbs it (equality with exact top-k pinned
+    * by OperatorSpec on the fixture).
+    *
+    * `quantized` = output of [[quantizeInt8]] (at scale: the stored table);
+    * `corpus` supplies the raw vectors for the re-rank join only. */
+  def int8Search(quantized: DataFrame, corpus: DataFrame, queryVec: Array[Float],
+                 k: Int, rerankFactor: Int = 4,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val q = quantScala(queryVec) // query quantized once, driver-side
+    // zero-norm rows (and a zero-norm query) score -2, below any true
+    // cosine — 0/0 would be NaN, which sorts ABOVE every number descending
+    val approx =
+      if (q.norm == 0f) lit(-2.0)
+      else when(col("norm") === 0f, lit(-2.0)).otherwise(
+        (intDotUdf(col("code"), lit(q.code)) * col("scale") * lit(q.scale)) /
+          (col("norm") * lit(q.norm)))
+    val candidates = quantized
+      .withColumn("__acos", approx)
+      .orderBy(col("__acos").desc, col(idCol).asc)
+      .limit(k * rerankFactor)
+      .select(col(idCol))
+    val qv = array(queryVec.map(x => lit(x)): _*)
+    corpus.join(broadcast(candidates), idCol)
+      .withColumn("score", (cosineSimilarity(col(embCol), qv) + 1.0) / 2.0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

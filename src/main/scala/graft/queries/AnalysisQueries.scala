@@ -95,6 +95,18 @@ object AnalysisQueries {
           round($"score", 6).as("score"))
     }),
 
+    // Int8-quantized KNN: integer-dot candidate scan over 4x-smaller codes,
+    // exact re-rank of k*4 candidates — emitted scores are bit-identical to
+    // brute force (oracle = exact top-10), quantization only moves the
+    // candidate boundary.
+    "ann_int8_top10" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+      Similarity.int8Search(Similarity.quantizeInt8(emb), emb, qv, k = 10)
+        .select($"vec_id", round($"score", 6).as("score"))
+    }),
+
     // The SQL function surface end-to-end: the same analysis kernels called
     // through spark.sql via GraftExtensions (a user who never leaves SQL),
     // oracle-checked against the same DuckDB fragments as the Column forms.
@@ -194,6 +206,12 @@ object AnalysisQueries {
           round(CASE WHEN len(w) = 0 THEN 0.0e0
                 ELSE list_sum(list_transform(w, t -> length(t))) * 1.0e0 / len(w) END, 6) AS mean_word_len
           FROM (SELECT doc_id, text, ${duckWords("text")} AS w FROM documents)""",
+    "ann_int8_top10" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7)
+          SELECT e.vec_id, round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
+          FROM embeddings e CROSS JOIN q
+          ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
+          LIMIT 10""",
     "ann_ivf_cells" ->
       s"""WITH $duckIvf
           SELECT centroid_id, COUNT(*) AS n_vectors FROM assign GROUP BY centroid_id""",

@@ -301,4 +301,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(fp(0) === fp(1))
     assert(fp(0) !== fp(2))
   }
+
+  // ------------------------------------------------------------- int8 ANN
+
+  test("int8 quantization bounds the cosine error and int8Search matches exact") {
+    import spark.implicits._
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // roundtrip error bound: approx cosine within 2% absolute of exact
+    // for every non-zero vector against a probe vector
+    val q7 = vecs(7L)
+    val q = Similarity.quantScala(q7)
+    for ((id, v) <- vecs.take(100) if v.exists(_ != 0f)) {
+      val c = Similarity.quantScala(v)
+      var intDot = 0L
+      for (i <- c.code.indices) intDot += c.code(i).toLong * q.code(i)
+      val approx = intDot * c.scale * q.scale / (c.norm * q.norm)
+      val exact = VectorFunctionsTestKit.cosine(v, q7)
+      assert(math.abs(approx - exact) < 0.02, s"vec $id approx=$approx exact=$exact")
+    }
+    // end to end: quantized candidate scan + exact re-rank == brute force
+    val got = Similarity.int8Search(Similarity.quantizeInt8(emb), emb, q7, k = 10)
+      .select($"vec_id", round($"score", 6).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = emb
+      .withColumn("score",
+        (graft.functions.VectorFunctions.cosineSimilarity($"embedding",
+          array(q7.map(x => lit(x)).toIndexedSeq: _*)) + 1.0) / 2.0)
+      .orderBy($"score".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id", round($"score", 6).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+  }
+}
+
+/** Tiny exact-cosine helper for spec-side math. */
+object VectorFunctionsTestKit {
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
