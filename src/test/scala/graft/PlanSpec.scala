@@ -97,4 +97,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_topkaggregator"),
       "partial aggregation must run map-side, before the exchange")
   }
+
+  // --- int8 ANN: bounded candidate heap, broadcast re-rank ------------------
+
+  test("ann_int8_top10 takes candidates via TakeOrderedAndProject and broadcasts the re-rank set") {
+    val p = plan("ann_int8_top10")
+    assert(p.contains("TakeOrderedAndProject"),
+      "candidate selection must be a bounded per-partition heap, not a global sort")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range-partitioned sort of the scored corpus defeats the quantized scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k*rerank candidate set must broadcast into the re-rank join")
+  }
 }
