@@ -338,6 +338,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions === Set((1L, 1L, 2L), (1L, 2L, 1L)))
   }
 
+  test("streaming near-dup runs e2e from a FILE source under Trigger.AvailableNow") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // same deployment shape as the sessionize file-source case: parquet
+    // directory, mtime-ordered discovery, one file per micro-batch,
+    // checkpointed offsets — the parts MemoryStream bypasses
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft_neardupstream")
+    val inDir = root.resolve("in"); val ckpt = root.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(inDir)
+    docs.grouped(docs.length / 2 + 1).zipWithIndex.foreach { case (chunk, i) =>
+      val staging = root.resolve(s"stage_$i")
+      chunk.zipWithIndex.map { case ((id, text), j) =>
+        StreamingOps.DocEvent(new Timestamp(Base + (i * 1000L + j) * 1000L), id, text)
+      }.toSeq.toDS().coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val target = inDir.resolve(f"part-$i%04d.parquet")
+      java.nio.file.Files.move(part, target)
+      target.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StreamingOps.DocEvent]].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .as[StreamingOps.DocEvent]
+    val q = StreamingOps.nearDupPairsStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("file_neardup")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "AvailableNow query did not drain in time")
+    val streamed = spark.table("file_neardup").select($"id_a", $"id_b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minHashPairsFast(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(batch.subsetOf(streamed),
+      s"file-source streaming missed batch-verified pairs: ${batch -- streamed}")
+  }
+
   test("streaming near-dup flags exact and near duplicates, not distinct docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
