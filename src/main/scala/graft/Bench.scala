@@ -36,32 +36,63 @@ object Bench {
     val results = SparkEntry.queries.keys.map { name =>
       name -> allPasses.flatMap(_(name)).minOption
     }.toMap
-    // Keep the line inside the harness's 2000-char stdout tail capture: full
-    // nanosecond doubles made it ~1.5x that, cutting the head of the
-    // per-query map in every round's record. Centisecond precision (noise on
-    // this VM is >>10ms), trailing zeros stripped, entries fastest-first so
-    // any residual truncation eats the cheap entries — the slow tails the
-    // perf audit reads land at the end of the line.
-    def fmt(v: Double): String = {
-      val s = f"$v%.2f"
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
-    }
-    val qs = results.toSeq.sortBy(_._2.getOrElse(-1.0))
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v.getOrElse(-1.0)) }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
     if (failed.nonEmpty) System.err.println(s"[bench] FAILED queries: ${failed.mkString(",")}")
+    val sfName = new java.io.File(sfDir).getName
+    // belt and braces: the complete per-query record lands in the repo, so it
+    // survives any stdout truncation
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      (renderLine(results, sfName, Int.MaxValue) + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(renderLine(results, sfName, StdoutBudget))
+    spark.stop()
+  }
+
+  /** The harness keeps only the last ~2000 chars of stdout, and sbt appends a
+    * ~75-char `[success] Total time: ...` line after ours. The full 81-query
+    * map is ~2050 chars, so for four rounds the line's head — including the
+    * `{"metric"` the harness parses on — fell outside the window and every
+    * BENCH_r*.json recorded `parsed: null`. 1800 leaves ~125 chars of slack
+    * for the sbt suffix and its variable-length timestamp. */
+  val StdoutBudget = 1800
+
+  def fmt(v: Double): String = {
+    val s = f"$v%.2f"
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+  }
+
+  /** One JSON line for the bench record, guaranteed ≤ `maxLen` chars.
+    *
+    * Per-query entries are emitted failed-first then slowest-first — the
+    * entries a perf audit reads — and greedily taken while they fit the
+    * budget; anything dropped (the cheapest queries) is summarized as
+    * `"omitted":{"count":N,"sum":S}` so the line still reconciles with
+    * `"value"`. Failed queries render as -1, are excluded from the total, and
+    * are listed by name in `"failed"` (never silently dropped: the failed
+    * list is part of the fixed suffix, not the budgeted map). */
+  def renderLine(results: Map[String, Option[Double]], sf: String, maxLen: Int): String = {
+    val total = results.values.flatten.sum
+    val failed = results.collect { case (k, None) => k }.toSeq.sorted
     val failedJson =
       if (failed.isEmpty) "" else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val total = results.values.flatten.sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}"$failedJson}"""
-    // belt and braces: the complete line also lands in the repo, so the full
-    // per-query record survives any stdout truncation
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    println(line)
-    spark.stop()
+    val entries = results.toSeq
+      .sortBy { case (k, v) => (-v.getOrElse(Double.PositiveInfinity), k) }
+      .map { case (k, v) => (s"\"" + k + "\":" + fmt(v.getOrElse(-1.0)), v.getOrElse(0.0)) }
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val suffix = s"""},"sf":"$sf"$failedJson}"""
+    // worst-case omitted clause length, reserved up front so the greedy fill
+    // can never overflow once the clause is actually needed
+    val omittedReserve = s""","omitted":{"count":${results.size},"sum":${fmt(total)}}""".length
+    var used = prefix.length + suffix.length + omittedReserve
+    val kept = entries.takeWhile { case (s, _) =>
+      val fits = used + s.length + 1 <= maxLen
+      if (fits) used += s.length + 1
+      fits
+    }
+    val dropped = entries.drop(kept.size)
+    val omittedJson =
+      if (dropped.isEmpty) ""
+      else s""","omitted":{"count":${dropped.size},"sum":${fmt(dropped.map(_._2).sum)}}"""
+    prefix + kept.map(_._1).mkString(",") + "}" + omittedJson + s""","sf":"$sf"$failedJson}"""
   }
 }
