@@ -86,6 +86,20 @@ object DedupQueries {
       import s.implicits._
       Dedup.embeddingPairs(Tables.embeddings(s, dir), minCosine = 0.45)
         .select($"left_id", $"right_id", round($"cosine", 6).as("cosine"))
+    }),
+
+    // Transitive near-dup clusters: every document labeled with the min doc
+    // id of its verified-pair connected component (own id if unpaired) —
+    // the keep-one-per-cluster surface, robust to chains where pair-wise
+    // dropping over- or under-deletes.
+    "dedup_cluster_ids" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val comp = graft.operators.Clusters
+        .connectedComponents(Dedup.minHashPairs(docs))
+        .withColumnRenamed("id", "doc_id")
+      docs.join(comp, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
     }))
 
   // ------------------------------------------------------------- oracle SQL
@@ -215,5 +229,27 @@ object DedupQueries {
       """SELECT a.vec_id AS left_id, b.vec_id AS right_id,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""")
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""",
+    // Transitive closure of the verified MinHash pair set via recursive CTE;
+    // min id per component, singletons keep their own id.
+    "dedup_cluster_ids" ->
+      s"""WITH RECURSIVE $duckShinglesCte,
+          banded AS (
+            SELECT doc_id, band_idx, array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',') AS band_key
+            FROM (SELECT doc_id, sh, $duckSig16 AS sig FROM sh),
+                 (SELECT unnest(generate_series(0, 3)) AS band_idx)),
+          candidates AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+          pairs AS ($duckVerify),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach AS (
+            SELECT src AS id, dst AS r FROM edges
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+          comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""")
 }
