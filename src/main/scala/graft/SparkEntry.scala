@@ -31,6 +31,7 @@ object SparkEntry {
     FusionQueries.queries ++
     DedupQueries.queries ++
     AnalysisQueries.queries ++
+    SamplingQueries.queries ++
     PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +45,6 @@ object SparkEntry {
     FusionQueries.oracle ++
     DedupQueries.oracle ++
     AnalysisQueries.oracle ++
+    SamplingQueries.oracle ++
     PipelineQueries.oracle
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the reproducible alternative to
+  * `DataFrame.sample` for corpus curation. `sample` draws from a per-task
+  * RNG: the kept set changes with partitioning, retries, and scale-factor,
+  * so a 10% sample taken today and the "same" sample taken after a backfill
+  * share nothing. Hashing a stable id instead makes membership a pure
+  * function of the row: the decision is reproducible across runs, engines
+  * (the md5-60-bit family is bit-identical in Spark, DuckDB, and the Scala
+  * kernels — see Dedup.md5Hash60), cluster sizes, and time, and a row keeps
+  * its fate when the corpus grows around it. Fully codegen'd column
+  * expressions, shuffle-free: the filter evaluates inside the scan stage
+  * and composes with predicate pushdown on other columns.
+  *
+  * Stratified form: per-stratum keep-rates (e.g. downsample the dominant
+  * language, keep the rare ones) as a literal CASE chain — no join, no
+  * shuffle, rates resolved at plan time.
+  */
+object Sampling {
+
+  /** Uniform hash bucket in [0, 1e6): seeded 60-bit md5 of the id, mod 1e6.
+    * Separate seeds give independent samples from the same corpus. */
+  def hashBucket(idCol: Column, seed: String): Column =
+    pmod(Dedup.md5Hash60(idCol.cast("string"), lit(seed)), lit(1000000L))
+
+  /** Keep each row iff its hash bucket falls under its stratum's rate.
+    * `rates` maps stratum value → keep fraction; `default` covers strata
+    * not listed. Expected kept fraction per stratum is exact to 1e-6. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], default: Double,
+                       seed: String = "samp"): DataFrame = {
+    def ppm(f: Double): Long = {
+      require(f >= 0.0 && f <= 1.0, s"rate $f outside [0,1]")
+      math.round(f * 1e6)
+    }
+    val threshold = rates.foldLeft(lit(ppm(default))) { case (acc, (k, v)) =>
+      when(col(strataCol) === lit(k), lit(ppm(v))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), seed) < threshold)
+  }
+
+  /** Deterministic train/validation/test split: fractions in order, e.g.
+    * Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05). Returns the input
+    * plus a `split` column; same id → same split, forever. */
+  def splitColumn(idCol: Column, fractions: Seq[(String, Double)],
+                  seed: String = "split"): Column = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket = hashBucket(idCol, seed)
+    val cuts = fractions.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 1e6) }
+    fractions.zip(cuts.tail).init.foldRight(lit(fractions.last._1)) {
+      case (((name, _), cut), acc) => when(bucket < lit(cut), lit(name)).otherwise(acc)
+    }
+  }
+}

@@ -41,6 +41,25 @@ object AnalysisQueries {
           graft.functions.TextFunctions.tokenEstimate($"text").as("est_tokens"))
     }),
 
+    // Exact token-length percentiles per language — the distribution view
+    // that sets truncation budgets and flags outlier strata. Single
+    // percentile(array) aggregate: one sort buffer per group, not one per
+    // quantile. At 100 TB swap in approx_percentile (t-digest, mergeable,
+    // no per-group sort buffer); the exact form is the oracle-checkable
+    // fixture variant of the same plan shape.
+    "ana_token_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"lang", TextAnalysis.whitespaceTokens($"text").as("ws"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             expr("percentile(ws, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))").as("ps"))
+        .select($"lang", $"n_docs",
+          round($"ps"(0), 6).as("p25"), round($"ps"(1), 6).as("p50"),
+          round($"ps"(2), 6).as("p75"), round($"ps"(3), 6).as("p90"),
+          round($"ps"(4), 6).as("p99"))
+    }),
+
     // Bottom-4 rolling-shingle fingerprints.
     "ana_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -185,6 +204,17 @@ object AnalysisQueries {
           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS INT) AS bpe_tokens,
           CAST(length(text) // 4 AS BIGINT) AS est_tokens
           FROM documents""",
+    // quantile_cont = Spark percentile: both linearly interpolate at rank
+    // q*(n-1) over the exact sorted values.
+    "ana_token_percentiles" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            round(quantile_cont(ws, 0.25e0), 6) AS p25,
+            round(quantile_cont(ws, 0.5e0), 6) AS p50,
+            round(quantile_cont(ws, 0.75e0), 6) AS p75,
+            round(quantile_cont(ws, 0.9e0), 6) AS p90,
+            round(quantile_cont(ws, 0.99e0), 6) AS p99
+          FROM (SELECT lang, $duckWsTokens AS ws FROM documents)
+          GROUP BY lang""",
     "ana_fingerprints" ->
       s"""SELECT doc_id, $duckFingerprint AS fingerprint
           FROM documents""",

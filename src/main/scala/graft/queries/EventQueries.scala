@@ -97,6 +97,24 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
              dsum($"value").as("total_value"),
              countDistinct($"user_id").as("n_users"))
+    }),
+
+    // As-of join: each purchase attached to the same user's most recent
+    // click at-or-before it (inclusive), via the single-shuffle union-scan
+    // operator. Clicks pre-deduped to one row per (user, ts) so "latest"
+    // is well-defined; micros (not raw nanos ts) on both engines.
+    "evt_asof_click" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"us", $"event_id")
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"us").agg(max($"event_id").as("click_event_id"))
+      graft.operators.AsOf.asOfJoin(purchases, clicks, Seq("user_id"), "us",
+          Seq("click_event_id"))
+        .select($"event_id", $"user_id",
+          $"asof_click_event_id".as("click_event_id"),
+          ($"us" - $"asof_us").as("gap_us"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -151,5 +169,16 @@ object EventQueries {
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
          COUNT(DISTINCT user_id) AS n_users
-         FROM events GROUP BY event_type""")
+         FROM events GROUP BY event_type""",
+    // DuckDB's native ASOF JOIN as the oracle for the union-scan operator;
+    // both sides on microsecond epochs so the inequality agrees with Spark's
+    // micros-truncated timestamps.
+    "evt_asof_click" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+                     epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+         p AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, us, MAX(event_id) AS click_event_id
+               FROM ev WHERE event_type = 'click' GROUP BY user_id, us)
+         SELECT p.event_id, p.user_id, c.click_event_id, p.us - c.us AS gap_us
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us""")
 }

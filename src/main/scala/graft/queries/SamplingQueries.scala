@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Sampling
+
+/** Deterministic sampling queries (north-star LLM-pipeline surface):
+  * hash-membership sampling is a pure function of the row id, so the kept
+  * set is reproducible across runs, engines, and corpus growth — unlike
+  * `DataFrame.sample`, whose RNG draw changes with partitioning and
+  * retries. The md5-60-bit hash family is bit-identical in Spark and
+  * DuckDB, so the oracle checks the exact membership, not just counts. */
+object SamplingQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-language keep rates: downsample dominant en hard, keep the rest
+    // at higher rates — the "rebalance the language mix" curation move.
+    "samp_stratified" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+          rates = Map("en" -> 0.1, "de" -> 0.25), default = 0.5)
+        .select($"doc_id", $"lang")
+    }),
+
+    // Deterministic 80/10/10 train/valid/test split, counted per language —
+    // same doc lands in the same split on every run at every scale.
+    "samp_split_counts" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("split", Sampling.splitColumn($"doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"))
+    }))
+
+  /** Mirrors Sampling.hashBucket: seeded 60-bit md5, mod 1e6. */
+  private def duckBucket(seed: String, e: String) =
+    s"""CAST(concat('0x', substr(md5(concat_ws('_', '$seed', $e)), 1, 15)) AS BIGINT) % 1000000"""
+
+  val oracle: Map[String, String] = Map(
+    "samp_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ${duckBucket("samp", "CAST(doc_id AS VARCHAR)")} <
+            CASE lang WHEN 'en' THEN 100000 WHEN 'de' THEN 250000 ELSE 500000 END""",
+    "samp_split_counts" ->
+      s"""SELECT lang,
+            CASE WHEN b < 800000 THEN 'train'
+                 WHEN b < 900000 THEN 'valid'
+                 ELSE 'test' END AS split,
+            CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM (SELECT lang, ${duckBucket("split", "CAST(doc_id AS VARCHAR)")} AS b
+                FROM documents)
+          GROUP BY 1, 2""")
+}

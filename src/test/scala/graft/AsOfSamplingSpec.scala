@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOf, Sampling}
+
+/** Edge-case specs for the as-of join (tie semantics the fixture data can't
+  * pin down) and deterministic sampling (reproducibility across
+  * partitionings — the property that distinguishes it from sample()). */
+class AsOfSamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import AsOf.asOfJoin
+
+  private def left(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "ts", "payload")
+  }
+  private def right(rows: (Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "ts", "rv")
+  }
+
+  test("as-of picks the latest right row at-or-before each left ts, inclusive") {
+    import spark.implicits._
+    val got = asOfJoin(
+      left((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c")),
+      right((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 3L, "r3")),
+      Seq("k"), "ts", Seq("rv"))
+      .select($"payload", $"asof_ts", $"asof_rv").as[(String, Long, String)]
+      .collect().toSet
+    // ts=10 matches the equal-ts right row (inclusive); ts=20 the newest
+    // prior (15); ts=5 reaches back to 3
+    assert(got === Set(("a", 10L, "r10"), ("b", 15L, "r15"), ("c", 3L, "r3")))
+  }
+
+  test("inner drops unmatched left rows; outer keeps them with null payload") {
+    import spark.implicits._
+    val l = left((1L, 1L, "early"), (2L, 50L, "other-key"))
+    val r = right((1L, 5L, "late"))
+    assert(asOfJoin(l, r, Seq("k"), "ts", Seq("rv")).count() === 0)
+    val outer = asOfJoin(l, r, Seq("k"), "ts", Seq("rv"), inner = false)
+      .select($"payload", $"asof_rv").as[(String, Option[String])].collect().toSet
+    assert(outer === Set(("early", None), ("other-key", None)))
+  }
+
+  test("keys never see each other's right rows") {
+    import spark.implicits._
+    val got = asOfJoin(
+      left((1L, 10L, "a"), (2L, 10L, "b")),
+      right((1L, 5L, "k1"), (2L, 8L, "k2")),
+      Seq("k"), "ts", Seq("rv"))
+      .select($"payload", $"asof_rv").as[(String, String)].collect().toSet
+    assert(got === Set(("a", "k1"), ("b", "k2")))
+  }
+
+  test("hash sampling is invariant under repartitioning (sample() is not)") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id").withColumn("lang", lit("en"))
+    def ids(parts: Int) =
+      Sampling.stratifiedSample(df.repartition(parts), "id", "lang",
+        rates = Map("en" -> 0.3), default = 0.5)
+        .select($"id").as[Long].collect().toSet
+    val a = ids(2)
+    assert(a === ids(7))
+    // rate lands near 30% (hash uniformity, 2000 draws)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+  }
+
+  test("split fractions partition every row exactly once, deterministically") {
+    import spark.implicits._
+    val df = (1L to 3000L).toDF("id")
+      .withColumn("split", Sampling.splitColumn(col("id"),
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+    val counts = df.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 3000L)
+    assert(math.abs(counts("train") / 3000.0 - 0.8) < 0.05)
+    assert(math.abs(counts("valid") / 3000.0 - 0.1) < 0.03)
+    assert(math.abs(counts("test") / 3000.0 - 0.1) < 0.03)
+    // same ids, same fates on a second evaluation
+    assert(df.select("id", "split").except(df.select("id", "split")).count() === 0)
+  }
+
+  test("invalid rates and fractions fail fast") {
+    import spark.implicits._
+    val df = Seq((1L, "en")).toDF("id", "lang")
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 1.5), 0.5)
+    }
+    assertThrows[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq("train" -> 0.8, "test" -> 0.1))
+    }
+  }
+}
