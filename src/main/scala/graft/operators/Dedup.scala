@@ -240,16 +240,59 @@ object Dedup {
     // candidate self-join plus verification — without it they recompute
     // (hash-per-shingle-per-seed) once per downstream stage
     val sh = graft.Caches.persistTracked(docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")))
-    val banded = graft.Caches.persistTracked(sh
-      .select(col(idCol),
-        posexplode(bandKeys(sigUdf(col("sh"), lit(k)), bands, rows))
-          .as(Seq("band_idx", "band_key"))))
+    val banded = graft.Caches.persistTracked(bandTable(sh, idCol, k, bands, rows, sigUdf))
     val left  = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
     val right = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
     val candidates = left.join(right, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     verifyJaccard(candidates, sh, idCol, threshold)
+  }
+
+  /** (id, band_idx, band_key) rows for LSH bucketing. */
+  private def bandTable(sh: DataFrame, idCol: String, k: Int, bands: Int, rows: Int,
+                        sigUdf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    sh.select(col(idCol),
+      posexplode(bandKeys(sigUdf(col("sh"), lit(k)), bands, rows))
+        .as(Seq("band_idx", "band_key")))
+
+  /** Incremental near-dup: verified pairs that INVOLVE the new batch —
+    * new×corpus and new×new, never corpus×corpus. This is the shape a
+    * production ingest actually runs: a daily increment lands against a
+    * 100 TB corpus, and re-banding the corpus against itself (what calling
+    * [[minHashPairs]] on the union would do) re-verifies every historical
+    * pair on every ingest. Here the band join is new-side × all-side, so
+    * candidate volume scales with |new| × bucket-mates; with corpus band
+    * tables persisted storage-side (ChunkCatalog-style, the documented
+    * deployment), the corpus cost per ingest is a bucket-key join against
+    * a bucketed table — no corpus re-hash at all.
+    *
+    * Recall is identical to running [[minHashPairs]] over corpus ∪ new and
+    * keeping the new-involving pairs: both sides band with the same
+    * signature scheme, so a pair shares a bucket in one formulation iff it
+    * does in the other. Output is canonical (id_a < id_b, true-Jaccard
+    * verified ≥ threshold). Ids must be unique across both inputs. */
+  def minHashPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
+                              n: Int = 3, k: Int = 16, bands: Int = 4, rows: Int = 4,
+                              threshold: Double = 0.8, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(bands * rows == k, "bands*rows must equal signature length")
+    val shNew = graft.Caches.persistTracked(
+      newDocs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")))
+    val shOld = graft.Caches.persistTracked(
+      corpus.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")))
+    val bandedNew = graft.Caches.persistTracked(
+      bandTable(shNew, idCol, k, bands, rows, minHashSigFastUdf))
+    val bandedAll = bandTable(shOld, idCol, k, bands, rows, minHashSigFastUdf)
+      .unionByName(bandedNew)
+    val candidates = bandedNew.select(col("band_idx"), col("band_key"), col(idCol).as("__new"))
+      .join(bandedAll.select(col("band_idx"), col("band_key"), col(idCol).as("__other")),
+        Seq("band_idx", "band_key"))
+      .filter(col("__new") =!= col("__other"))
+      .select(least(col("__new"), col("__other")).as("id_a"),
+              greatest(col("__new"), col("__other")).as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, shNew.unionByName(shOld), idCol, threshold)
   }
 
   /** Exact n-gram Jaccard pairs (ground truth for the LSH path) with

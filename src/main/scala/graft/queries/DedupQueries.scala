@@ -88,6 +88,18 @@ object DedupQueries {
         .select($"left_id", $"right_id", round($"cosine", 6).as("cosine"))
     }),
 
+    // Incremental ingest dedup: the re-crawled batch (doc_id<50 re-tagged
+    // +100000) banded against the existing corpus — new×corpus and new×new
+    // pairs only, never corpus×corpus. The production daily-ingest shape.
+    "dedup_incremental_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val batch = docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text")
+      Dedup.minHashPairsIncremental(batch, docs)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    }),
+
     // Transitive near-dup clusters: every document labeled with the min doc
     // id of its verified-pair connected component (own id if unpaired) —
     // the keep-one-per-cluster surface, robust to chains where pair-wise
@@ -230,6 +242,24 @@ object DedupQueries {
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""",
+    // Incremental = the full-union pair set restricted to new-involving
+    // pairs. Banding recall is hash-family-independent for the planted
+    // ~0.99-Jaccard fixtures (same argument as dedup_minhash_fast), so the
+    // md5-family SQL oracles the xxhash64 production path.
+    "dedup_incremental_pairs" ->
+      s"""WITH all_docs AS ($recrawl),
+          sh AS (SELECT doc_id, $duckShingles AS sh
+                 FROM (SELECT doc_id, ${duckWords("text")} AS w FROM all_docs)),
+          banded AS (
+            SELECT doc_id, band_idx, array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',') AS band_key
+            FROM (SELECT doc_id, sh, $duckSig16 AS sig FROM sh),
+                 (SELECT unnest(generate_series(0, 3)) AS band_idx)),
+          candidates AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+            WHERE l.doc_id >= 100000 OR r.doc_id >= 100000)
+          $duckVerify""",
     // Transitive closure of the verified MinHash pair set via recursive CTE;
     // min id per component, singletons keep their own id.
     "dedup_cluster_ids" ->

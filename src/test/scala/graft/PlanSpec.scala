@@ -109,4 +109,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "the k*rerank candidate set must broadcast into the re-rank join")
   }
+
+  // --- as-of join: one window exchange, filters pushed, partial dedup agg ---
+
+  test("evt_asof_click: pushed type filters, partial click-dedup agg, exactly two exchanges") {
+    val p = plan("evt_asof_click")
+    val filters = pushedFilters(p)
+    assert(filters.exists(_.contains("purchase")) && filters.exists(_.contains("click")),
+      "event_type equality must be pushed into both parquet scans")
+    // click pre-dedup combines map-side before its exchange
+    val dedupShape = "(?s)HashAggregate.*?Exchange.*?HashAggregate".r
+    assert(dedupShape.findFirstIn(p).isDefined,
+      "click (user, ts) dedup must partial-aggregate before the exchange")
+    // formatted mode prints each node twice (tree + detail); count the
+    // detail headers only
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges === 2,
+      s"as-of should cost exactly two exchanges (click dedup + window key), saw $exchanges")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must never plan as a range join product")
+  }
+
+  // --- hash sampling: shuffle-free codegen filter on a pruned scan ----------
+
+  test("samp_stratified filters inside the scan stage with no shuffle") {
+    val p = plan("samp_stratified")
+    assert(!p.contains("Exchange"), "hash-membership sampling must not shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "scan must prune to the two output columns")
+    assert("\\* Filter".r.findFirstIn(p).isDefined,
+      "the hash filter must run inside whole-stage codegen")
+  }
 }
