@@ -115,6 +115,28 @@ object EventQueries {
         .select($"event_id", $"user_id",
           $"asof_click_event_id".as("click_event_id"),
           ($"us" - $"asof_us").as("gap_us"))
+    }),
+
+    // Interval-containment join via binning: purchases inside "incident
+    // windows" (hours with >= 6 error events). The range predicate becomes
+    // an equi-join on a 30-min bin plus a residual filter — never a
+    // nested-loop product, whatever the interval count.
+    "evt_incident_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val incidents = ev.filter($"event_type" === "error")
+        .groupBy(date_trunc("hour", $"ts").as("hr"))
+        .agg(count(lit(1)).as("n_errors"))
+        .filter($"n_errors" >= 6)
+        .select(unix_micros($"hr").as("start_us"),
+          (unix_micros($"hr") + (3600L * 1000000L - 1L)).as("end_us"),
+          $"n_errors")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", unix_micros($"ts").as("us"))
+      graft.operators.RangeJoin
+        .intervalJoin(purchases, "us", incidents, "start_us", "end_us",
+          binWidth = 30L * 60L * 1000000L)
+        .select($"event_id", $"start_us", $"n_errors")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -180,5 +202,17 @@ object EventQueries {
          c AS (SELECT user_id, us, MAX(event_id) AS click_event_id
                FROM ev WHERE event_type = 'click' GROUP BY user_id, us)
          SELECT p.event_id, p.user_id, c.click_event_id, p.us - c.us AS gap_us
-         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us""")
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us""",
+    // plain BETWEEN join oracles the binned equi-join encoding
+    "evt_incident_join" ->
+      """WITH inc AS (
+           SELECT epoch_us(date_trunc('hour', ts)) AS start_us,
+                  epoch_us(date_trunc('hour', ts)) + (3600000000 - 1) AS end_us,
+                  CAST(COUNT(*) AS BIGINT) AS n_errors
+           FROM events WHERE event_type = 'error'
+           GROUP BY date_trunc('hour', ts) HAVING COUNT(*) >= 6),
+         p AS (SELECT event_id, epoch_us(date_trunc('microseconds', ts)) AS us
+               FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, i.start_us, i.n_errors
+         FROM p JOIN inc i ON p.us BETWEEN i.start_us AND i.end_us""")
 }

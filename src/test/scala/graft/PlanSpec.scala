@@ -130,6 +130,15 @@ class PlanSpec extends AnyFunSuite {
       "as-of must never plan as a range join product")
   }
 
+  // --- interval join: equi-join on the bin, never a nested-loop product ----
+
+  test("evt_incident_join plans as an equi-join on the time bin") {
+    val p = plan("evt_incident_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the range predicate must become a bin equi-join, not a product")
+    assert(p.contains("__bin"), "join must key on the quantized time bin")
+  }
+
   // --- hash sampling: shuffle-free codegen filter on a pruned scan ----------
 
   test("samp_stratified filters inside the scan stage with no shuffle") {
