@@ -36,7 +36,22 @@ object ScaleCurve {
     "txt_bm25_scores"       -> SparkEntry.queries("txt_bm25_scores"),
     "feature_pipeline"      -> ((s, d) =>
       pipelines.Pipelines.featurePipeline(Tables.documents(s, d), qualityThreshold = 0.0)),
-    "evt_sessions"          -> SparkEntry.queries("evt_sessions"))
+    "evt_sessions"          -> SparkEntry.queries("evt_sessions"),
+    // round-5 additions: clustering, incremental ingest, as-of, interval
+    // join, deterministic sampling
+    "cc_clusters"           -> ((s, d) =>
+      graft.operators.Clusters.connectedComponents(
+        Dedup.minHashPairsFast(Tables.documents(s, d)))),
+    "incremental_2pct"      -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      Dedup.minHashPairsIncremental(batch, docs)
+    }),
+    "asof_join"             -> SparkEntry.queries("evt_asof_click"),
+    "interval_join"         -> SparkEntry.queries("evt_incident_join"),
+    "stratified_sample"     -> SparkEntry.queries("samp_stratified"))
 
   def main(args: Array[String]): Unit = {
     val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
