@@ -108,7 +108,7 @@ object DedupQueries {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val comp = graft.operators.Clusters
-        .connectedComponents(Dedup.minHashPairs(docs))
+        .connectedComponents(Dedup.minHashPairsFast(docs))
         .withColumnRenamed("id", "doc_id")
       docs.join(comp, Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))

@@ -200,4 +200,86 @@ object StreamingOps {
           }
       }
   }
+
+  /** An emitted as-of match: a left event with the latest right event
+    * at-or-before it (inclusive), per key. */
+  case class AsOfMatch(user_id: Long, ts: Timestamp, value: Double,
+                       matched_ts: Timestamp, matched_value: Double)
+
+  /** (tsMs, value) buffers, each ascending by ts. `rights` holds at most
+    * one entry at-or-below the watermark (the candidate for every pending
+    * and future left) plus the not-yet-final tail — the bounded-state
+    * invariant. */
+  case class AsOfState(lefts: List[(Long, Double)], rights: List[(Long, Double)])
+
+  /** Streaming twin of [[graft.operators.AsOf.asOfJoin]]: events of
+    * `leftType` enriched with the latest `rightType` event at-or-before
+    * them for the same user — stream-side "which click preceded this
+    * purchase", emitted exactly once, correct under out-of-order arrival.
+    *
+    * Why buffering is necessary: the latest right for a left event may
+    * arrive in a LATER micro-batch (out-of-order within the watermark
+    * delay), so matching eagerly would emit wrong pairs. A left is final
+    * only once the watermark passes its event time — from then on no
+    * right with a smaller ts can arrive — so lefts buffer until finality,
+    * exactly one micro-batch's worth of lateness bound behind the data.
+    *
+    * State is bounded on both sides: lefts drain as the watermark
+    * advances; of the rights at-or-below the watermark only the latest one
+    * can ever match anything (pending and future lefts all have ts above
+    * it), so the rest are pruned every invocation. Idle keys evict after
+    * `idleGapMs` (their pending lefts flush first — the timeout timestamp
+    * never jumps past a pending left). Eviction is a deliberate
+    * state-size/completeness trade the batch join doesn't have: a left
+    * arriving more than `idleGapMs` after its key's last event finds no
+    * retained right — size `idleGapMs` to the longest gap that should
+    * still match (the parity spec disables it for exact batch agreement).
+    * Rights at equal (user, ts) keep the max value, the same tie rule the
+    * batch query pins with max(event_id). Unmatched lefts emit nothing
+    * (inner as-of, like the batch twin). */
+  def asOfStream(events: Dataset[Event], leftType: String = "purchase",
+                 rightType: String = "click",
+                 watermarkDelay: String = "30 minutes",
+                 idleGapMs: Long = 2L * 3600 * 1000): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == leftType || e.event_type == rightType)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[AsOfState]) =>
+          val prior = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          val evs = batch.toList
+          val lefts = (prior.lefts ++
+            evs.filter(_.event_type == leftType).map(e => (e.ts.getTime, e.value)))
+            .sorted
+          val rights = (prior.rights ++
+            evs.filter(_.event_type == rightType).map(e => (e.ts.getTime, e.value)))
+            .groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).max) }
+            .toList.sorted
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = lefts.partition(_._1 <= wm)
+          val out = ready.flatMap { case (lt, lv) =>
+            rights.takeWhile(_._1 <= lt).lastOption.map { case (rt, rv) =>
+              AsOfMatch(userId, new Timestamp(lt), lv, new Timestamp(rt), rv)
+            }
+          }
+          val (finalRights, tailRights) = rights.partition(_._1 <= wm)
+          val kept = finalRights.lastOption.toList ++ tailRights
+          // evict only on true idleness (watermark an idleGap past the last
+          // right), never on a pending-left flush timeout — that timeout
+          // must leave the retained right behind for later lefts
+          val idleExpired = pending.isEmpty && kept.nonEmpty && state.hasTimedOut &&
+            wm - kept.map(_._1).max >= idleGapMs
+          if (pending.isEmpty && (kept.isEmpty || idleExpired)) {
+            state.remove()
+          } else {
+            state.update(AsOfState(pending, kept))
+            val wake = pending.headOption.map(_._1)
+              .getOrElse(kept.map(_._1).max + idleGapMs)
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
+          out.iterator
+      }
+  }
 }
