@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-grams with an evaluation set — the curation step that keeps test data
+  * out of the training corpus (the GPT-3/PaLM-style n-gram overlap rule).
+  *
+  * Shape at 100 TB: the eval side is always small (benchmarks are KBs to
+  * MBs) — its distinct grams BROADCAST; the training side streams through
+  * scan → explode → broadcast-hash-join, so the only shuffle carries the
+  * matched (doc, gram) pairs, which the join has already reduced to
+  * near-nothing (unrelated prose shares no 8-grams). Never a train-side
+  * distinct before the join: de-duplicating the exploded corpus would
+  * shuffle |corpus|×grams rows to save work the broadcast join does for
+  * free.
+  */
+object Decontamination {
+
+  /** Per-training-doc count of distinct word n-grams shared with the eval
+    * set; docs with no overlap are absent (filter or anti-join against
+    * this to drop contaminated docs). Documents shorter than n words
+    * contribute their whole token string, so short exact copies still
+    * flag. */
+  def overlapCounts(train: DataFrame, evalSet: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalGrams = broadcast(
+      evalSet.select(explode(Dedup.shingles(col(textCol), n)).as("gram")).distinct())
+    train.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(evalGrams, "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_overlap"))
+  }
+}

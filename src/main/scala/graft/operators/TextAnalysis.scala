@@ -96,4 +96,22 @@ object TextAnalysis {
       when(nWords === 0, lit(0.0))
         .otherwise(tokenChars.cast("double") / nWords).as("mean_word_len"))
   }
+
+  /** Gopher-style repetition signals: the fraction of duplicated words and
+    * duplicated word 3-grams in a document — the boilerplate/loop detector
+    * (Rae et al., Gopher appendix A; RefinedWeb applies the same family).
+    * Pure codegen Column tree, shuffle-free. A doc under 3 words has one
+    * whole-string "3-gram", so its 3-gram fraction is 0 by construction. */
+  def repetitionScores(c: Column): Column = {
+    val w = TextSearch.tokens(c)
+    val nWords = size(w)
+    val n3 = greatest(nWords - 2, lit(1))
+    struct(
+      when(nWords === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(w)).cast("double") / nWords)
+        .as("dup_word_frac"),
+      when(nWords === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(Dedup.shingles(c, 3)).cast("double") / n3)
+        .as("dup_3gram_frac"))
+  }
 }

@@ -60,6 +60,16 @@ object AnalysisQueries {
           round($"ps"(4), 6).as("p99"))
     }),
 
+    // Gopher-style repetition fractions (boilerplate/loop detector).
+    "ana_repetition" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("r", TextAnalysis.repetitionScores($"text"))
+        .select($"doc_id",
+          round($"r.dup_word_frac", 6).as("dup_word_frac"),
+          round($"r.dup_3gram_frac", 6).as("dup_3gram_frac"))
+    }),
+
     // Bottom-4 rolling-shingle fingerprints.
     "ana_fingerprints" -> ((s, dir) => {
       import s.implicits._
@@ -204,6 +214,18 @@ object AnalysisQueries {
           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS INT) AS bpe_tokens,
           CAST(length(text) // 4 AS BIGINT) AS est_tokens
           FROM documents""",
+    "ana_repetition" ->
+      s"""SELECT doc_id,
+            round(CASE WHEN len(w) = 0 THEN 0.0e0
+                  ELSE 1.0e0 - len(list_distinct(w)) * 1.0e0 / len(w) END, 6) AS dup_word_frac,
+            round(CASE WHEN len(w) = 0 THEN 0.0e0
+                  ELSE 1.0e0 - len(list_distinct(
+                    CASE WHEN len(w) >= 3
+                      THEN list_transform(generate_series(1, len(w) - 2),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                      ELSE [array_to_string(w, ' ')] END)) * 1.0e0
+                    / greatest(len(w) - 2, 1) END, 6) AS dup_3gram_frac
+          FROM (SELECT doc_id, ${duckWords("text")} AS w FROM documents)""",
     // quantile_cont = Spark percentile: both linearly interpolate at rank
     // q*(n-1) over the exact sorted values.
     "ana_token_percentiles" ->

@@ -88,6 +88,16 @@ object DedupQueries {
         .select($"left_id", $"right_id", round($"cosine", 6).as("cosine"))
     }),
 
+    // Benchmark decontamination: training docs (doc_id>=50) sharing word
+    // 8-grams with the "eval set" stand-in (doc_id<50) — the planted
+    // near-dup partners of eval docs flag; unrelated prose doesn't.
+    "decon_flags" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontamination.overlapCounts(
+        docs.filter($"doc_id" >= 50), docs.filter($"doc_id" < 50), n = 8)
+    }),
+
     // Incremental ingest dedup: the re-crawled batch (doc_id<50 re-tagged
     // +100000) banded against the existing corpus — new×corpus and new×new
     // pairs only, never corpus×corpus. The production daily-ingest shape.
@@ -242,6 +252,17 @@ object DedupQueries {
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""",
+    "decon_flags" ->
+      s"""WITH tw AS (SELECT doc_id, ${duckWords("text")} AS w FROM documents),
+          grams AS (SELECT doc_id,
+            unnest(CASE WHEN len(w) >= 8
+              THEN list_transform(generate_series(1, len(w) - 7),
+                     i -> array_to_string(w[i : i+7], ' '))
+              ELSE [array_to_string(w, ' ')] END) AS gram FROM tw),
+          eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 50),
+          tg AS (SELECT doc_id, gram FROM grams WHERE doc_id >= 50)
+          SELECT tg.doc_id, CAST(COUNT(DISTINCT tg.gram) AS BIGINT) AS n_overlap
+          FROM tg JOIN eg ON tg.gram = eg.gram GROUP BY tg.doc_id""",
     // Incremental = the full-union pair set restricted to new-involving
     // pairs. Banding recall is hash-family-independent for the planted
     // ~0.99-Jaccard fixtures (same argument as dedup_minhash_fast), so the
