@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Dedup
+
+/** Stored corpus dedup index — the deployment model for incremental
+  * ingest at 100 TB: the corpus' MinHash band table and shingle table are
+  * materialized ONCE (at corpus build / previous ingest), and every daily
+  * increment joins against the stored tables instead of re-hashing the
+  * corpus. Same build-once TableStore pattern as ChunkCatalog/IvfCatalog.
+  *
+  * Bucketing IS the optimization: the band table buckets on the candidate
+  * join keys (band_idx, band_key) so the new-batch probe reads corpus
+  * buckets with no corpus-side exchange; the shingle table buckets on
+  * doc_id so pair verification joins it shuffle-free on the corpus side.
+  */
+object BandCatalog {
+
+  /** Corpus shingle table (doc_id, sh), bucketed by doc_id. */
+  def corpusShingles(spark: SparkSession, dir: String): DataFrame = {
+    val name = TableStore.tableName("dedup_sh", dir)
+    TableStore.getOrBuild(spark, name) {
+      Dedup.minHashShingleTable(Tables.documents(spark, dir))
+        .write.mode("overwrite")
+        .bucketBy(32, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(name)
+    }
+  }
+
+  /** Corpus MinHash band table (doc_id, band_idx, band_key), bucketed by
+    * the candidate-join keys. */
+  def corpusBands(spark: SparkSession, dir: String): DataFrame = {
+    val name = TableStore.tableName("dedup_bands", dir)
+    TableStore.getOrBuild(spark, name) {
+      Dedup.minHashBandTable(Dedup.minHashShingleTable(Tables.documents(spark, dir)))
+        .write.mode("overwrite")
+        .bucketBy(32, "band_idx", "band_key").sortBy("band_idx", "band_key")
+        .format("parquet").saveAsTable(name)
+    }
+  }
+}

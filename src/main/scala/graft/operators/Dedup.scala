@@ -256,6 +256,18 @@ object Dedup {
       posexplode(bandKeys(sigUdf(col("sh"), lit(k)), bands, rows))
         .as(Seq("band_idx", "band_key")))
 
+  /** (id, sh) shingle table — the storable corpus input to incremental
+    * dedup (see BandCatalog). */
+  def minHashShingleTable(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh"))
+
+  /** (id, band_idx, band_key) band table on the xxhash64 production
+    * kernel — the storable corpus index for incremental dedup. */
+  def minHashBandTable(sh: DataFrame, k: Int = 16, bands: Int = 4, rows: Int = 4,
+                       idCol: String = "doc_id"): DataFrame =
+    bandTable(sh, idCol, k, bands, rows, minHashSigFastUdf)
+
   /** Incremental near-dup: verified pairs that INVOLVE the new batch —
     * new×corpus and new×new, never corpus×corpus. This is the shape a
     * production ingest actually runs: a daily increment lands against a
@@ -293,6 +305,36 @@ object Dedup {
               greatest(col("__new"), col("__other")).as("id_b"))
       .distinct()
     verifyJaccard(candidates, shNew.unionByName(shOld), idCol, threshold)
+  }
+
+  /** [[minHashPairsIncremental]] against a STORED corpus index: the corpus
+    * shingle and band tables come from storage (BandCatalog — bucketed on
+    * their join keys) instead of being re-derived per ingest. The
+    * new×corpus candidate join reads the bucketed band table with no
+    * corpus-side exchange and no corpus re-hash; only the (small) new
+    * batch is hashed and shuffled to the corpus bucketing. The new×new
+    * candidates come from a separate self-join of the batch (unioning
+    * band tables first would discard the stored side's bucketing), and
+    * verification reads the stored shingles. Output is identical to the
+    * derive-everything form. */
+  def minHashPairsIncrementalStored(newDocs: DataFrame, corpusShingles: DataFrame,
+                                    corpusBands: DataFrame,
+                                    n: Int = 3, k: Int = 16, bands: Int = 4, rows: Int = 4,
+                                    threshold: Double = 0.8, idCol: String = "doc_id",
+                                    textCol: String = "text"): DataFrame = {
+    require(bands * rows == k, "bands*rows must equal signature length")
+    val shNew = graft.Caches.persistTracked(minHashShingleTable(newDocs, n, idCol, textCol))
+    val bandedNew = graft.Caches.persistTracked(minHashBandTable(shNew, k, bands, rows, idCol))
+    val newSide = bandedNew.select(col("band_idx"), col("band_key"), col(idCol).as("__new"))
+    def otherSide(b: DataFrame) =
+      b.select(col("band_idx"), col("band_key"), col(idCol).as("__other"))
+    val candidates = newSide.join(otherSide(corpusBands), Seq("band_idx", "band_key"))
+      .unionByName(newSide.join(otherSide(bandedNew), Seq("band_idx", "band_key")))
+      .filter(col("__new") =!= col("__other"))
+      .select(least(col("__new"), col("__other")).as("id_a"),
+              greatest(col("__new"), col("__other")).as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, shNew.unionByName(corpusShingles), idCol, threshold)
   }
 
   /** Exact n-gram Jaccard pairs (ground truth for the LSH path) with

@@ -110,6 +110,21 @@ object DedupQueries {
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
     }),
 
+    // Incremental dedup against the STORED corpus index (BandCatalog):
+    // bucketed band/shingle tables read shuffle-free on the corpus side,
+    // no corpus re-hash — the deployment form of dedup_incremental_pairs,
+    // same verified output.
+    "dedup_incremental_stored" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val batch = docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text")
+      Dedup.minHashPairsIncrementalStored(batch,
+          graft.BandCatalog.corpusShingles(s, dir),
+          graft.BandCatalog.corpusBands(s, dir))
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    }),
+
     // Transitive near-dup clusters: every document labeled with the min doc
     // id of its verified-pair connected component (own id if unpaired) —
     // the keep-one-per-cluster surface, robust to chains where pair-wise
@@ -267,8 +282,15 @@ object DedupQueries {
     // pairs. Banding recall is hash-family-independent for the planted
     // ~0.99-Jaccard fixtures (same argument as dedup_minhash_fast), so the
     // md5-family SQL oracles the xxhash64 production path.
-    "dedup_incremental_pairs" ->
-      s"""WITH all_docs AS ($recrawl),
+    "dedup_incremental_pairs" -> duckIncremental,
+    // stored-index form: identical semantics, identical oracle
+    "dedup_incremental_stored" -> duckIncremental,
+    // Transitive closure of the verified MinHash pair set via recursive CTE;
+    // min id per component, singletons keep their own id.
+    "dedup_cluster_ids" -> duckClusterIds)
+
+  private lazy val duckIncremental =
+    s"""WITH all_docs AS ($recrawl),
           sh AS (SELECT doc_id, $duckShingles AS sh
                  FROM (SELECT doc_id, ${duckWords("text")} AS w FROM all_docs)),
           banded AS (
@@ -280,10 +302,9 @@ object DedupQueries {
             FROM banded l JOIN banded r
               ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
             WHERE l.doc_id >= 100000 OR r.doc_id >= 100000)
-          $duckVerify""",
-    // Transitive closure of the verified MinHash pair set via recursive CTE;
-    // min id per component, singletons keep their own id.
-    "dedup_cluster_ids" ->
+          $duckVerify"""
+
+  private lazy val duckClusterIds =
       s"""WITH RECURSIVE $duckShinglesCte,
           banded AS (
             SELECT doc_id, band_idx, array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',') AS band_key
@@ -302,5 +323,5 @@ object DedupQueries {
             SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
           comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
           SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""")
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
 }

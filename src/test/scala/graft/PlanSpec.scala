@@ -139,6 +139,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__bin"), "join must key on the quantized time bin")
   }
 
+  // --- stored incremental dedup: corpus band table read bucketed ------------
+
+  test("dedup_incremental_stored probes the corpus band table as a bucketed scan") {
+    val p = plan("dedup_incremental_stored")
+    assert(p.contains("Bucketed: true"),
+      "the stored corpus band table must be read with its bucketing " +
+        "(corpus side of the candidate join shuffles nothing)")
+  }
+
   // --- hash sampling: shuffle-free codegen filter on a pruned scan ----------
 
   test("samp_stratified filters inside the scan stage with no shuffle") {
