@@ -25,9 +25,14 @@ object Decontamination {
     * flag. */
   def overlapCounts(train: DataFrame, evalSet: DataFrame, n: Int = 8,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val evalGrams = broadcast(
-      evalSet.select(explode(Dedup.shingles(col(textCol), n)).as("gram")).distinct())
-    train.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    // gram generation via the compiled shingle kernel (minHashShingleTable),
+    // not the transform/slice Column tree: Spark's array HOFs are
+    // interpreted, and per-doc interpretation was 30x the scan cost here
+    def grams(df: DataFrame) =
+      Dedup.minHashShingleTable(df, n, idCol, textCol)
+        .select(col(idCol), explode(col("sh")).as("gram"))
+    val evalGrams = broadcast(grams(evalSet).select("gram").distinct())
+    grams(train)
       .join(evalGrams, "gram")
       .groupBy(col(idCol))
       .agg(countDistinct(col("gram")).as("n_overlap"))
