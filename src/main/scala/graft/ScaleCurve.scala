@@ -50,6 +50,7 @@ object ScaleCurve {
       Dedup.minHashPairsIncremental(batch, docs)
     }),
     "asof_join"             -> SparkEntry.queries("evt_asof_click"),
+    "decon_8gram"           -> SparkEntry.queries("decon_flags"),
     "interval_join"         -> SparkEntry.queries("evt_incident_join"),
     "stratified_sample"     -> SparkEntry.queries("samp_stratified"))
 

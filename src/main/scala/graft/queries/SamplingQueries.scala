@@ -23,6 +23,24 @@ object SamplingQueries {
         .select($"doc_id", $"lang")
     }),
 
+    // Quality-weighted soft sampling (FineWeb/CCNet style): keep probability
+    // proportional to the document's quality score, decided by the same
+    // deterministic hash — a reproducible soft filter instead of a hard
+    // threshold cliff.
+    "samp_quality_weighted" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.qualityScore
+      Tables.documents(s, dir)
+        .withColumn("q",
+          qualityScore($"text", lit(null).cast("string"), lit(null).cast("string")))
+        // floor before the long cast: Spark's double->long cast truncates
+        // while DuckDB's rounds, so the boundary must be fixed by floor()
+        // on both engines
+        .filter(Sampling.hashBucket($"doc_id", "qw") <
+          floor(round($"q", 6) * lit(1000000.0)).cast("long"))
+        .select($"doc_id", $"lang", round($"q", 6).as("quality_score"))
+    }),
+
     // Deterministic 80/10/10 train/valid/test split, counted per language —
     // same doc lands in the same split on every run at every scale.
     "samp_split_counts" -> ((s, dir) => {
@@ -43,6 +61,11 @@ object SamplingQueries {
       s"""SELECT doc_id, lang FROM documents
           WHERE ${duckBucket("samp", "CAST(doc_id AS VARCHAR)")} <
             CASE lang WHEN 'en' THEN 100000 WHEN 'de' THEN 250000 ELSE 500000 END""",
+    "samp_quality_weighted" ->
+      s"""SELECT doc_id, lang, round(${DuckSql.quality}, 6) AS quality_score
+          FROM documents
+          WHERE ${duckBucket("qw", "CAST(doc_id AS VARCHAR)")} <
+            CAST(FLOOR(round(${DuckSql.quality}, 6) * 1000000e0) AS BIGINT)""",
     "samp_split_counts" ->
       s"""SELECT lang,
             CASE WHEN b < 800000 THEN 'train'
