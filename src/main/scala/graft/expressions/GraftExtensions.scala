@@ -74,7 +74,11 @@ object GraftExtensions {
       cols => graft.functions.TextFunctions.qualityScore(cols(0), cols(1), cols(2))),
     colFn("graft_intent",
       "graft_intent(query) - reference query intent classification", 1,
-      cols => graft.functions.TextFunctions.queryIntent(cols(0))))
+      cols => graft.functions.TextFunctions.queryIntent(cols(0))),
+    colFn("graft_repetition",
+      "graft_repetition(text) - Gopher repetition signals, returns " +
+        "struct(dup_word_frac, dup_3gram_frac)", 1,
+      cols => graft.operators.TextAnalysis.repetitionScores(cols(0))))
 
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -117,13 +117,15 @@ class ExpressionSpec extends AnyFunSuite {
       """SELECT doc_id, graft_clean(text) AS cleaned,
                 graft_quality(text, source, NULL) AS quality,
                 graft_intent(text) AS intent,
-                graft_bpe_tokens(text) AS bpe
+                graft_bpe_tokens(text) AS bpe,
+                graft_repetition(text) AS rep
          FROM graft_sqlfn_docs""").collect().map(_.toSeq).sortBy(_.toString)
     val viaCols = docs.select($"doc_id",
         TextFunctions.cleanContent($"text").as("cleaned"),
         TextFunctions.qualityScore($"text", $"source", lit(null).cast("string")).as("quality"),
         TextFunctions.queryIntent($"text").as("intent"),
-        TextAnalysis.bpeIshTokens($"text").as("bpe"))
+        TextAnalysis.bpeIshTokens($"text").as("bpe"),
+        TextAnalysis.repetitionScores($"text").as("rep"))
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(viaSql.nonEmpty)
     assert(viaSql === viaCols)
