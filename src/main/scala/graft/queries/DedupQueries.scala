@@ -304,8 +304,12 @@ object DedupQueries {
             WHERE l.doc_id >= 100000 OR r.doc_id >= 100000)
           $duckVerify"""
 
-  private lazy val duckClusterIds =
-      s"""WITH RECURSIVE $duckShinglesCte,
+  /** WITH-body (recursive) yielding comp(id, cluster_id) — the verified
+    * near-dup components over `documents`. Shared by dedup_cluster_ids and
+    * the end-to-end curation oracle (PipelineQueries). Callers must prefix
+    * with WITH RECURSIVE. */
+  private[queries] lazy val duckComponentCtes =
+      s"""$duckShinglesCte,
           banded AS (
             SELECT doc_id, band_idx, array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',') AS band_key
             FROM (SELECT doc_id, sh, $duckSig16 AS sig FROM sh),
@@ -321,7 +325,10 @@ object DedupQueries {
             SELECT src AS id, dst AS r FROM edges
             UNION
             SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-          comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+          comp AS (SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)"""
+
+  private lazy val duckClusterIds =
+      s"""WITH RECURSIVE $duckComponentCtes
           SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
 }

@@ -132,6 +132,29 @@ object PipelineQueries {
       import s.implicits._
       val media = Multimodal.withSyntheticMedia(Tables.documents(s, dir), "doc_id")
       Multimodal.sampleFrames(media, "doc_id", stride = 4)
+    }),
+
+    // The end-to-end training-data curation pass as ONE query: transitive
+    // near-dup removal (keep each cluster's min-id representative) →
+    // quality gate → deterministic train/valid/test split, counted per
+    // (lang, split). Every stage is an oracle-checked operator; this row
+    // checks their COMPOSITION.
+    "pipe_curation" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.qualityScore
+      import graft.operators.{Clusters, Dedup, Sampling}
+      val docs = Tables.documents(s, dir)
+      val comp = Clusters
+        .connectedComponents(Dedup.minHashPairsFast(docs.select($"doc_id", $"text")))
+        .withColumnRenamed("id", "doc_id")
+      docs.join(comp, Seq("doc_id"), "left")
+        .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
+        .filter(qualityScore($"text", lit(null).cast("string"),
+          lit(null).cast("string")) >= 0.25)
+        .withColumn("split", Sampling.splitColumn($"doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -173,5 +196,23 @@ object PipelineQueries {
                 CAST(COUNT(*) AS BIGINT) AS n_recent,
                 round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_recent_value,
                 MAX(round(value, 6)) AS max_recent_value
-         FROM ranked WHERE rn <= 100 GROUP BY event_type""")
+         FROM ranked WHERE rn <= 100 GROUP BY event_type""",
+    // composed from the per-stage oracles: comp CTEs from DedupQueries,
+    // quality from DuckSql, split bucket from SamplingQueries
+    "pipe_curation" ->
+      s"""WITH RECURSIVE ${DedupQueries.duckComponentCtes},
+          keep AS (
+            SELECT d.doc_id, d.lang, d.text
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id),
+          gated AS (
+            SELECT doc_id, lang,
+              ${SamplingQueries.duckBucket("split", "CAST(doc_id AS VARCHAR)")} AS b
+            FROM keep WHERE ${graft.queries.DuckSql.quality} >= 0.25e0)
+          SELECT lang,
+            CASE WHEN b < 800000 THEN 'train'
+                 WHEN b < 900000 THEN 'valid'
+                 ELSE 'test' END AS split,
+            CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM gated GROUP BY 1, 2""")
 }

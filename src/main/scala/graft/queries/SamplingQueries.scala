@@ -53,7 +53,7 @@ object SamplingQueries {
     }))
 
   /** Mirrors Sampling.hashBucket: seeded 60-bit md5, mod 1e6. */
-  private def duckBucket(seed: String, e: String) =
+  private[queries] def duckBucket(seed: String, e: String) =
     s"""CAST(concat('0x', substr(md5(concat_ws('_', '$seed', $e)), 1, 15)) AS BIGINT) % 1000000"""
 
   val oracle: Map[String, String] = Map(
