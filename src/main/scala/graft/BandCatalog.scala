@@ -28,11 +28,13 @@ object BandCatalog {
   }
 
   /** Corpus MinHash band table (doc_id, band_idx, band_key), bucketed by
-    * the candidate-join keys. */
+    * the candidate-join keys. Derived from the stored shingle table —
+    * shingling is the expensive pass and must run once per corpus, not
+    * once per derived table. */
   def corpusBands(spark: SparkSession, dir: String): DataFrame = {
     val name = TableStore.tableName("dedup_bands", dir)
     TableStore.getOrBuild(spark, name) {
-      Dedup.minHashBandTable(Dedup.minHashShingleTable(Tables.documents(spark, dir)))
+      Dedup.minHashBandTable(corpusShingles(spark, dir))
         .write.mode("overwrite")
         .bucketBy(32, "band_idx", "band_key").sortBy("band_idx", "band_key")
         .format("parquet").saveAsTable(name)

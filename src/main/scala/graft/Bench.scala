@@ -81,8 +81,12 @@ object Bench {
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val suffix = s"""},"sf":"$sf"$failedJson}"""
     // worst-case omitted clause length, reserved up front so the greedy fill
-    // can never overflow once the clause is actually needed
-    val omittedReserve = s""","omitted":{"count":${results.size},"sum":${fmt(total)}}""".length
+    // can never overflow once the clause is actually needed. The sum bound
+    // uses un-stripped 2-decimal formatting: fmt() strips trailing zeros, so
+    // fmt(total) can render SHORTER than fmt(some smaller dropped-sum)
+    // (1012.00 -> "1012" vs 999.99 -> "999.99") and under-reserve
+    val omittedReserve =
+      s""","omitted":{"count":${results.size},"sum":${f"$total%.2f"}}""".length
     var used = prefix.length + suffix.length + omittedReserve
     val kept = entries.takeWhile { case (s, _) =>
       val fits = used + s.length + 1 <= maxLen

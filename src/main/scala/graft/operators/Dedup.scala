@@ -265,8 +265,13 @@ object Dedup {
   /** (id, band_idx, band_key) band table on the xxhash64 production
     * kernel — the storable corpus index for incremental dedup. */
   def minHashBandTable(sh: DataFrame, k: Int = 16, bands: Int = 4, rows: Int = 4,
-                       idCol: String = "doc_id"): DataFrame =
+                       idCol: String = "doc_id"): DataFrame = {
+    // same invariant as every other banding entry point: inconsistent
+    // shapes would slice past the signature into empty band keys shared by
+    // EVERY document — an all-pairs candidate explosion, not an error
+    require(bands * rows == k, "bands*rows must equal signature length")
     bandTable(sh, idCol, k, bands, rows, minHashSigFastUdf)
+  }
 
   /** Incremental near-dup: verified pairs that INVOLVE the new batch —
     * new×corpus and new×new, never corpus×corpus. This is the shape a
@@ -316,15 +321,21 @@ object Dedup {
     * candidates come from a separate self-join of the batch (unioning
     * band tables first would discard the stored side's bucketing), and
     * verification reads the stored shingles. Output is identical to the
-    * derive-everything form. */
+    * derive-everything form.
+    *
+    * The MinHash shape (n, k, bands, rows) is deliberately NOT a
+    * parameter: it is baked into the stored tables at index-build time,
+    * and banding the new batch with a different shape would silently
+    * collapse recall (band keys from different gram/signature spaces
+    * almost never collide) rather than fail. The new side always uses the
+    * same defaults BandCatalog builds with; custom shapes belong on the
+    * derive-everything [[minHashPairsIncremental]]. */
   def minHashPairsIncrementalStored(newDocs: DataFrame, corpusShingles: DataFrame,
                                     corpusBands: DataFrame,
-                                    n: Int = 3, k: Int = 16, bands: Int = 4, rows: Int = 4,
                                     threshold: Double = 0.8, idCol: String = "doc_id",
                                     textCol: String = "text"): DataFrame = {
-    require(bands * rows == k, "bands*rows must equal signature length")
-    val shNew = graft.Caches.persistTracked(minHashShingleTable(newDocs, n, idCol, textCol))
-    val bandedNew = graft.Caches.persistTracked(minHashBandTable(shNew, k, bands, rows, idCol))
+    val shNew = graft.Caches.persistTracked(minHashShingleTable(newDocs, 3, idCol, textCol))
+    val bandedNew = graft.Caches.persistTracked(minHashBandTable(shNew, 16, 4, 4, idCol))
     val newSide = bandedNew.select(col("band_idx"), col("band_key"), col(idCol).as("__new"))
     def otherSide(b: DataFrame) =
       b.select(col("band_idx"), col("band_key"), col(idCol).as("__other"))

@@ -206,11 +206,22 @@ object StreamingOps {
   case class AsOfMatch(user_id: Long, ts: Timestamp, value: Double,
                        matched_ts: Timestamp, matched_value: Double)
 
-  /** (tsMs, value) buffers, each ascending by ts. `rights` holds at most
-    * one entry at-or-below the watermark (the candidate for every pending
-    * and future left) plus the not-yet-final tail — the bounded-state
-    * invariant. */
+  /** (tsMicros, value) buffers, each ascending by ts. `rights` holds at
+    * most one entry at-or-below the watermark (the candidate for every
+    * pending and future left) plus the not-yet-final tail — the
+    * bounded-state invariant. MICROSECOND event time: Timestamp.getTime
+    * would truncate to ms and let a right that fired sub-ms AFTER a left
+    * match it — diverging from the micros-resolution batch twin. */
   case class AsOfState(lefts: List[(Long, Double)], rights: List[(Long, Double)])
+
+  private def tsToUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Streaming twin of [[graft.operators.AsOf.asOfJoin]]: events of
     * `leftType` enriched with the latest `rightType` event at-or-before
@@ -251,33 +262,36 @@ object StreamingOps {
           val prior = state.getOption.getOrElse(AsOfState(Nil, Nil))
           val evs = batch.toList
           val lefts = (prior.lefts ++
-            evs.filter(_.event_type == leftType).map(e => (e.ts.getTime, e.value)))
+            evs.filter(_.event_type == leftType).map(e => (tsToUs(e.ts), e.value)))
             .sorted
           val rights = (prior.rights ++
-            evs.filter(_.event_type == rightType).map(e => (e.ts.getTime, e.value)))
+            evs.filter(_.event_type == rightType).map(e => (tsToUs(e.ts), e.value)))
             .groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).max) }
             .toList.sorted
-          val wm = state.getCurrentWatermarkMs()
-          val (ready, pending) = lefts.partition(_._1 <= wm)
+          // watermark is ms; buffers are micros — compare at micros with
+          // the watermark's exclusive upper bound (wm ms covers every event
+          // up to and including wm*1000+999 us)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L + 999L
+          val (ready, pending) = lefts.partition(_._1 <= wmUs)
           val out = ready.flatMap { case (lt, lv) =>
             rights.takeWhile(_._1 <= lt).lastOption.map { case (rt, rv) =>
-              AsOfMatch(userId, new Timestamp(lt), lv, new Timestamp(rt), rv)
+              AsOfMatch(userId, usToTs(lt), lv, usToTs(rt), rv)
             }
           }
-          val (finalRights, tailRights) = rights.partition(_._1 <= wm)
+          val (finalRights, tailRights) = rights.partition(_._1 <= wmUs)
           val kept = finalRights.lastOption.toList ++ tailRights
           // evict only on true idleness (watermark an idleGap past the last
           // right), never on a pending-left flush timeout — that timeout
           // must leave the retained right behind for later lefts
           val idleExpired = pending.isEmpty && kept.nonEmpty && state.hasTimedOut &&
-            wm - kept.map(_._1).max >= idleGapMs
+            wmUs - kept.map(_._1).max >= idleGapMs * 1000L
           if (pending.isEmpty && (kept.isEmpty || idleExpired)) {
             state.remove()
           } else {
             state.update(AsOfState(pending, kept))
-            val wake = pending.headOption.map(_._1)
-              .getOrElse(kept.map(_._1).max + idleGapMs)
-            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+            val wakeMs = pending.headOption.map(_._1 / 1000L)
+              .getOrElse(kept.map(_._1).max / 1000L + idleGapMs)
+            state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1))
           }
           out.iterator
       }

@@ -469,12 +469,13 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
-    // ms-truncated fixture: AsOfState tracks Timestamp.getTime ms, so the
-    // batch twin must compare at the same resolution
+    // full microsecond resolution — the operator's real input (AsOfState
+    // buffers micros; ms truncation would let sub-ms-later rights match)
     val fixture = Tables.events(spark, "/root/testdata/sf0.01")
-      .withColumn("ts", timestamp_millis(floor(unix_micros($"ts") / 1000).cast("long")))
       .select($"ts", $"user_id", $"event_type", $"value").as[Event]
-      .collect().sortBy(_.ts.getTime)
+      .collect().sortBy(e => (e.ts.getTime, e.ts.getNanos))
+    def toUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     val source = MemoryStream[Event]
     // idle eviction off (longer than the fixture span): eviction is the
@@ -497,18 +498,18 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("asof_fix").filter($"user_id" >= 0)
       .select($"user_id", $"ts", $"value", $"matched_ts", $"matched_value")
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2),
-        r.getTimestamp(3).getTime, r.getDouble(4)))
+      .map(r => (r.getLong(0), toUs(r.getTimestamp(1)), r.getDouble(2),
+        toUs(r.getTimestamp(3)), r.getDouble(4)))
       .toSet
 
-    val ev = fixture.toSeq.toDF().withColumn("ms", expr("unix_millis(ts)"))
+    val ev = fixture.toSeq.toDF().withColumn("us", expr("unix_micros(ts)"))
     val purchases = ev.filter($"event_type" === "purchase")
-      .select($"user_id", $"ms", $"value")
+      .select($"user_id", $"us", $"value")
     val clicks = ev.filter($"event_type" === "click")
-      .groupBy($"user_id", $"ms").agg(max($"value").as("click_value"))
+      .groupBy($"user_id", $"us").agg(max($"value").as("click_value"))
     val batch = graft.operators.AsOf
-      .asOfJoin(purchases, clicks, Seq("user_id"), "ms", Seq("click_value"))
-      .select($"user_id", $"ms", $"value", $"asof_ms", $"asof_click_value")
+      .asOfJoin(purchases, clicks, Seq("user_id"), "us", Seq("click_value"))
+      .select($"user_id", $"us", $"value", $"asof_us", $"asof_click_value")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
       .toSet
