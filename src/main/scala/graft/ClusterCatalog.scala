@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Clusters, Dedup}
+
+/** Stored near-dup cluster labels — like ChunkCatalog for chunks and
+  * BandCatalog for the dedup index: connected components over the verified
+  * near-dup pair graph are a corpus-build artifact, computed once when the
+  * corpus changes, read by every downstream consumer (dedup survivors,
+  * curation, analytics). Re-running the propagation loop per query is the
+  * anti-pattern this store removes.
+  *
+  * Bucketed by doc_id so curation-style doc⋈cluster equi-joins can read
+  * the cluster side shuffle-free.
+  */
+object ClusterCatalog {
+
+  /** (doc_id, cluster_id) for EVERY document — the min doc id of its
+    * verified near-dup component, its own id when unpaired. */
+  def clusterIds(spark: SparkSession, dir: String): DataFrame = {
+    val name = TableStore.tableName("clusters", dir)
+    TableStore.getOrBuild(spark, name) {
+      val docs = Tables.documents(spark, dir)
+      val comp = Clusters
+        .connectedComponents(Dedup.minHashPairsFast(docs.select(col("doc_id"), col("text"))))
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .write.mode("overwrite")
+        .bucketBy(32, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(name)
+    }
+  }
+}

@@ -128,16 +128,10 @@ object DedupQueries {
     // Transitive near-dup clusters: every document labeled with the min doc
     // id of its verified-pair connected component (own id if unpaired) —
     // the keep-one-per-cluster surface, robust to chains where pair-wise
-    // dropping over- or under-deletes.
-    "dedup_cluster_ids" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables.documents(s, dir)
-      val comp = graft.operators.Clusters
-        .connectedComponents(Dedup.minHashPairsFast(docs))
-        .withColumnRenamed("id", "doc_id")
-      docs.join(comp, Seq("doc_id"), "left")
-        .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
-    }))
+    // dropping over- or under-deletes. Reads the build-once ClusterCatalog
+    // store (the propagation loop runs at corpus build, not per query).
+    "dedup_cluster_ids" -> ((s, dir) =>
+      graft.ClusterCatalog.clusterIds(s, dir)))
 
   // ------------------------------------------------------------- oracle SQL
 

@@ -142,13 +142,10 @@ object PipelineQueries {
     "pipe_curation" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.TextFunctions.qualityScore
-      import graft.operators.{Clusters, Dedup, Sampling}
+      import graft.operators.Sampling
       val docs = Tables.documents(s, dir)
-      val comp = Clusters
-        .connectedComponents(Dedup.minHashPairsFast(docs.select($"doc_id", $"text")))
-        .withColumnRenamed("id", "doc_id")
-      docs.join(comp, Seq("doc_id"), "left")
-        .filter($"cluster_id".isNull || $"cluster_id" === $"doc_id")
+      docs.join(graft.ClusterCatalog.clusterIds(s, dir), Seq("doc_id"))
+        .filter($"cluster_id" === $"doc_id")
         .filter(qualityScore($"text", lit(null).cast("string"),
           lit(null).cast("string")) >= 0.25)
         .withColumn("split", Sampling.splitColumn($"doc_id",
