@@ -78,7 +78,19 @@ object GraftExtensions {
     colFn("graft_repetition",
       "graft_repetition(text) - Gopher repetition signals, returns " +
         "struct(dup_word_frac, dup_3gram_frac)", 1,
-      cols => graft.operators.TextAnalysis.repetitionScores(cols(0))))
+      cols => graft.operators.TextAnalysis.repetitionScores(cols(0))),
+    colFn("graft_pii",
+      "graft_pii(text) - PII screen, returns struct(n_emails, n_ips, n_phones)", 1,
+      cols => graft.operators.TextAnalysis.piiCounts(cols(0))),
+    colFn("graft_redact_pii",
+      "graft_redact_pii(text) - mask emails/IPv4s/phones as [EMAIL]/[IP]/[PHONE]", 1,
+      cols => graft.operators.TextAnalysis.redactPii(cols(0))),
+    colFn("graft_slack",
+      "graft_slack(markdown) - reference markdown-to-Slack-mrkdwn rewrite", 1,
+      cols => graft.functions.TextFunctions.markdownToSlack(cols(0))),
+    colFn("graft_html_text",
+      "graft_html_text(html) - HTML to LLM-friendly plain text (boilerplate strip)", 1,
+      cols => graft.functions.TextFunctions.htmlToText(cols(0))))
 
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -109,6 +109,47 @@ object TextFunctions {
       u => !u.contains("notion.so"))
   }
 
+  /** F8 markdown→Slack-mrkdwn rewrite (slack_bot.py:174-188), the reference's
+    * four rules applied in its exact order so outputs are byte-identical:
+    * `[text](url)` → `<url|text>`, `**bold**` → `*bold*`, ATX headers →
+    * `*header*`, then any still-parenthesized bare URL → `<url>` (rule 1 has
+    * already consumed the markdown-link parens by the time rule 4 runs). */
+  def markdownToSlack(c: Column): Column = {
+    val links   = regexp_replace(c, "\\[([^\\]]+)\\]\\(([^)]+)\\)", "<$2|$1>")
+    val bold    = regexp_replace(links, "\\*\\*([^*]+)\\*\\*", "*$1*")
+    val headers = regexp_replace(bold, "(?m)^#{1,6}\\s*(.+)$", "*$1*")
+    regexp_replace(headers, "\\((https?://[^)]+)\\)", "<$1>")
+  }
+
+  /** Slack inbound mention strip (slack_bot.py:170-172): drop `<@USERID>`
+    * tokens, then Python-strip. */
+  def stripMention(c: Column): Column =
+    pyStrip(regexp_replace(c, "<@[A-Z0-9]+>", ""))
+
+  /** S4 decode half: HTML → LLM-friendly plain text. The reference delegates
+    * this to its crawler library's markdown extraction (web_crawler.py:100-101);
+    * this is the in-engine equivalent for already-fetched HTML columns — the
+    * standard training-pipeline boilerplate pass. Head (incl. title/style),
+    * script/style blocks and comments are dropped; block-closing tags become
+    * newlines so structure survives the tag strip; common entities decode
+    * (`&amp;` last, so `&amp;lt;` yields the literal `&lt;`, not `<`);
+    * whitespace collapses. Pure codegen Column tree, scales with input splits. */
+  def htmlToText(c: Column): Column = {
+    val noHead     = regexp_replace(c, "(?is)<head[^>]*>.*?</head>", "")
+    val noScript   = regexp_replace(noHead, "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle    = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noComment  = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val blockNl    = regexp_replace(noComment,
+      "(?i)<(?:br\\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol)[^>]*>", "\n")
+    val noTags     = regexp_replace(blockNl, "<[^>]+>", "")
+    val entities   = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col, (ent, ch)) => regexp_replace(col, ent, ch) }
+    val oneSpace   = regexp_replace(entities, "[ \\t]+", " ")
+    val tidyLines  = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    pyStrip(regexp_replace(tidyLines, "\\n{3,}", "\n\n"))
+  }
+
   /** X4 query normalization (advanced_search.py:101): collapse whitespace, trim. */
   def normalizeQuery(c: Column): Column =
     regexp_replace(trim(c), "\\s+", " ")

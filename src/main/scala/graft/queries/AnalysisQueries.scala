@@ -61,6 +61,29 @@ object AnalysisQueries {
     }),
 
     // Gopher-style repetition fractions (boilerplate/loop detector).
+    // PII screen + redaction (north-star: corpus hygiene before training).
+    // The fixture prose is PII-free, so each doc gets a deterministic planted
+    // email / phone / IPv4 IN the query — counting and masking then run on
+    // real matches, same convention as doc_url_extract's planted URLs.
+    "ana_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val planted = concat(
+        substring($"text", 1, 60),
+        lit(" contact user"), ($"doc_id" % 97).cast("string"), lit("@mail.example.com"),
+        lit(" call +1 "), (($"doc_id" % 700) + 200).cast("string"), lit(" 555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), ($"doc_id" % 200).cast("string"), lit(".0."),
+        (($"doc_id" % 250) + 1).cast("string"))
+      Tables.documents(s, dir)
+        .withColumn("pt", planted)
+        .withColumn("pii", TextAnalysis.piiCounts($"pt"))
+        .select($"doc_id",
+          $"pii.n_emails".as("n_emails"),
+          $"pii.n_ips".as("n_ips"),
+          $"pii.n_phones".as("n_phones"),
+          TextAnalysis.redactPii($"pt").as("redacted"))
+    }),
+
     "ana_repetition" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -214,6 +237,30 @@ object AnalysisQueries {
           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS INT) AS bpe_tokens,
           CAST(length(text) // 4 AS BIGINT) AS est_tokens
           FROM documents""",
+    "ana_pii_redact" ->
+      """WITH t AS (
+           SELECT doc_id,
+             substring(text, 1, 60)
+             || ' contact user' || (doc_id % 97) || '@mail.example.com'
+             || ' call +1 ' || (doc_id % 700 + 200) || ' 555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250 + 1) AS pt
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(pt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(
+             regexp_replace(
+               regexp_replace(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', ' ', 'g'),
+             '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}')) AS INTEGER) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}', '[PHONE]', 'g') AS redacted
+         FROM t""",
+
     "ana_repetition" ->
       s"""SELECT doc_id,
             round(CASE WHEN len(w) = 0 THEN 0.0e0

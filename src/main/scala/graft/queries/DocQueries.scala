@@ -85,6 +85,42 @@ object DocQueries {
       withUrls.select($"doc_id", explode(extractUrls($"text")).as("url"))
     }),
 
+    // F8 markdown→Slack rewrite: the fixture prose has no markdown, so each
+    // doc gets a deterministic preamble (mention token, ATX header, bold,
+    // markdown link, bare parenthesized URL) built IN the query — the
+    // reference's four rewrite rules plus the inbound mention strip then all
+    // fire on real input (slack_bot.py:170-188).
+    "doc_slack_format" -> ((s, dir) => {
+      import s.implicits._
+      val md = concat(
+        lit("<@U"), (($"doc_id" % 90) + 10).cast("string"), lit("AB> # Doc "),
+        $"doc_id".cast("string"),
+        lit("\n**"), $"source", lit("** see [spec](https://spec.example.org/p"),
+        ($"doc_id" % 7).cast("string"),
+        lit(") and raw (https://raw.example.net/r"), ($"doc_id" % 5).cast("string"),
+        lit(")\n"), substring($"text", 1, 60))
+      Tables.documents(s, dir)
+        .select($"doc_id", markdownToSlack(stripMention(md)).as("slack_text"))
+    }),
+
+    // S4 decode half: HTML → plain text. Each doc is wrapped IN the query in
+    // a deterministic page shell (head/title/style, comment, header, script,
+    // list, entities) so every strip rule fires on real input; the engine
+    // half of web crawling minus the network fetch (web_crawler.py:100-101).
+    "doc_html_text" -> ((s, dir) => {
+      import s.implicits._
+      val html = concat(
+        lit("<html><head><title>skip</title><style>p{color:red}</style></head>" +
+          "<body><!-- note "), ($"doc_id" % 11).cast("string"),
+        lit(" --><h1>Doc "), $"doc_id".cast("string"),
+        lit("</h1><p>"), substring($"text", 1, 80),
+        lit(" &amp; more &lt;tag&gt; &quot;q&quot;&nbsp;end</p>" +
+          "<script>var x = 1;</script><ul><li>item a</li><li>item b</li></ul>" +
+          "</body></html>"))
+      Tables.documents(s, dir)
+        .select($"doc_id", htmlToText(html).as("plain_text"))
+    }),
+
     // A6 collection stats: per-source doc counts + word totals.
     "doc_source_stats" -> ((s, dir) => {
       import s.implicits._
@@ -171,6 +207,69 @@ object DocQueries {
                || regexp_extract_all(text, 'https?://[^\s\)\]]+')), '[.,;:!?]+$', '') AS url
            FROM t)
          WHERE url NOT LIKE '%notion.so%'""",
+    "doc_slack_format" ->
+      ("""WITH t AS (
+           SELECT doc_id,
+             '<@U' || (doc_id % 90 + 10) || 'AB> # Doc ' || doc_id || chr(10)
+             || '**' || source || '** see [spec](https://spec.example.org/p' || (doc_id % 7)
+             || ') and raw (https://raw.example.net/r' || (doc_id % 5) || ')' || chr(10)
+             || substring(text, 1, 60) AS md
+           FROM documents),
+         m AS (SELECT doc_id, """ + strip("regexp_replace(md, '<@[A-Z0-9]+>', '', 'g')") + """ AS md FROM t)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(md, '\[([^\]]+)\]\(([^)]+)\)', '<\2|\1>', 'g'),
+                 '\*\*([^*]+)\*\*', '*\1*', 'g'),
+               '(?m)^#{1,6}\s*(.+)$', '*\1*', 'g'),
+             '\((https?://[^)]+)\)', '<\1>', 'g') AS slack_text
+         FROM m"""),
+    "doc_html_text" ->
+      ("""WITH t AS (
+           SELECT doc_id,
+             '<html><head><title>skip</title><style>p{color:red}</style></head>'
+             || '<body><!-- note ' || (doc_id % 11) || ' --><h1>Doc ' || doc_id
+             || '</h1><p>' || substring(text, 1, 80)
+             || ' &amp; more &lt;tag&gt; &quot;q&quot;&nbsp;end</p>'
+             || '<script>var x = 1;</script><ul><li>item a</li><li>item b</li></ul>'
+             || '</body></html>' AS html
+           FROM documents),
+         stripped AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html, '(?is)<head[^>]*>.*?</head>', '', 'g'),
+                       '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                   '(?s)<!--.*?-->', '', 'g'),
+                 '(?i)<(?:br\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol)[^>]*>', chr(10), 'g'),
+               '<[^>]+>', '', 'g') AS s
+           FROM t),
+         decoded AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(s, '&lt;', '<', 'g'),
+                       '&gt;', '>', 'g'),
+                     '&quot;', '"', 'g'),
+                   '&#39;', '''', 'g'),
+                 '&nbsp;', ' ', 'g'),
+               '&amp;', '&', 'g') AS s
+           FROM stripped)
+         SELECT doc_id, """ + strip(
+           """regexp_replace(
+                regexp_replace(
+                  regexp_replace(s, '[ \t]+', ' ', 'g'),
+                  ' ?\n ?', chr(10), 'g'),
+                '\n{3,}', chr(10)||chr(10), 'g')""") + """ AS plain_text
+         FROM decoded"""),
     "doc_chunk_ids" ->
       "SELECT doc_id, md5(concat_ws('_', doc_id, 0, substring(text, 1, 100))) AS chunk_id FROM documents",
     "doc_intent" ->

@@ -111,6 +111,53 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(truncated === "a" * 40 + "...")
   }
 
+  test("markdownToSlack applies the reference's four rules in order") {
+    // slack_bot.py:174-188: links, bold, headers, bare parenthesized URLs
+    assert(evalStr("[docs](https://d.example/x)", markdownToSlack)
+      === "<https://d.example/x|docs>")
+    assert(evalStr("so **very bold** text", markdownToSlack) === "so *very bold* text")
+    assert(evalStr("## Title\nbody", markdownToSlack) === "*Title*\nbody")
+    assert(evalStr("see (https://bare.example/y) now", markdownToSlack)
+      === "see <https://bare.example/y> now")
+    // a markdown link's parens are consumed by rule 1 before rule 4 runs
+    assert(evalStr("# H\n**b** [t](https://u.example) (https://v.example)", markdownToSlack)
+      === "*H*\n*b* <https://u.example|t> <https://v.example>")
+  }
+
+  test("stripMention removes bot mentions and python-strips") {
+    assert(evalStr("<@U12AB3CD> hello", stripMention) === "hello")
+    assert(evalStr("  <@U9>  x  ", stripMention) === "x")
+    assert(evalStr("no mention", stripMention) === "no mention")
+  }
+
+  test("htmlToText drops head/script/style/comments, keeps block structure, decodes entities") {
+    val html = "<html><head><title>skip</title><style>p{}</style></head>" +
+      "<body><!-- hidden --><h1>Title</h1><p>one &amp; two &lt;x&gt;</p>" +
+      "<script>var a=1;</script><ul><li>a</li><li>b</li></ul></body></html>"
+    assert(evalStr(html, htmlToText) === "Title\none & two <x>\na\nb")
+    // &amp; decodes last: double-encoded stays escaped once
+    assert(evalStr("<p>x &amp;lt; y</p>", htmlToText) === "x &lt; y")
+    assert(evalStr("a<br>b<br/>c", htmlToText) === "a\nb\nc")
+  }
+
+  test("PII counts and redaction: emails, IPv4, phones; redaction order keeps patterns disjoint") {
+    import graft.operators.TextAnalysis
+    val txt = "mail a.b+c@sub.example.org or x@y.io, host 192.168.0.1, call +1 212 555-0134 done"
+    import spark.implicits._
+    val row = Seq(txt).toDF("c")
+      .select(TextAnalysis.piiCounts($"c").as("p"), TextAnalysis.redactPii($"c").as("r"))
+      .selectExpr("p.n_emails", "p.n_ips", "p.n_phones", "r")
+      .collect()(0)
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) === ((2, 1, 1)))
+    assert(row.getString(3) ===
+      "mail [EMAIL] or [EMAIL], host [IP], call [PHONE] done")
+    // an IP alone is never double-counted as a phone (phones counted post-mask)
+    val ipOnly = Seq("ips 10.0.0.1 and 255.255.255.255 only").toDF("c")
+      .select(TextAnalysis.piiCounts($"c").as("p")).selectExpr("p.n_phones")
+      .collect()(0).getInt(0)
+    assert(ipOnly === 0)
+  }
+
   test("cosine similarity and jaccard") {
     import spark.implicits._
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 2f), Array(1f, 2f)))
