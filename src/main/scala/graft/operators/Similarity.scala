@@ -258,6 +258,140 @@ object Similarity {
     acc
   }
 
+  // ------------------------------------------------- product quantization (PQ)
+
+  /** PQ codebook: `m` subspaces of `dsub` dims, `centroids(j)(c)` the c-th
+    * centroid of subspace j. FAISS-style IVFADC's compression half. */
+  case class PqCodebook(m: Int, dsub: Int, centroids: Array[Array[Array[Float]]]) {
+    def ksub: Int = centroids(0).length
+  }
+
+  /** Deterministic seeded codebook — the PQ analog of [[seededCentroids]]:
+    * every `step`-th vector by id supplies one centroid per subspace (its
+    * j-th slice), so training is reproducible and SQL-oracle-checkable.
+    * Swap in per-subspace k-means for production quality without changing
+    * the encode/search plan shape. */
+  def pqTrainSeeded(corpus: DataFrame, m: Int, ksub: Int, step: Long,
+                    idCol: String = "vec_id", embCol: String = "embedding"): PqCodebook = {
+    val rows = corpus.filter(col(idCol) % step === 0)
+      .orderBy(col(idCol).asc).limit(ksub)
+      .select(embCol).collect().map(_.getSeq[Float](0).toArray)
+    require(rows.length == ksub,
+      s"corpus has only ${rows.length} seed vectors for ksub=$ksub (step=$step)")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    PqCodebook(m, dsub, Array.tabulate(m)(j => rows.map(_.slice(j * dsub, (j + 1) * dsub))))
+  }
+
+  /** Encode kernel: per subspace, the index of the L2-nearest centroid
+    * (squared distance accumulated in double element-order — the exact
+    * arithmetic the SQL oracle replays — ties to the lower index), plus the
+    * exact double norm for ADC's cosine denominator. */
+  def pqEncodeScala(v: Array[Float], cb: PqCodebook): (Array[Byte], Double) = {
+    val codes = new Array[Byte](cb.m)
+    var norm2 = 0.0
+    var i = 0
+    while (i < v.length) { norm2 += v(i).toDouble * v(i); i += 1 }
+    var j = 0
+    while (j < cb.m) {
+      val cents = cb.centroids(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d2 = 0.0
+        var t = 0
+        while (t < cb.dsub) {
+          val d = v(j * cb.dsub + t).toDouble - cent(t)
+          d2 += d * d
+          t += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    (codes, math.sqrt(norm2))
+  }
+
+  /** Codes as a readable "3,14,0,..." string (oracle/debug surface). */
+  val pqCodeString: Column => Column = {
+    val u = udf { (code: Array[Byte]) =>
+      if (code == null) null else code.map(_.toInt & 0xFF).mkString(",")
+    }
+    u(_)
+  }
+
+  /** PQ encode: the corpus compressed to `m` bytes + one norm per row —
+    * 64-dim float32 rows become 8-byte BINARY codes (32× smaller; a 100 TB
+    * embedding store scans ~3 TB of codes). At scale the code table is
+    * written once at index-build time (ChunkCatalog-style), not derived per
+    * query. Output: (idCol, code binary, norm double). */
+  def pqEncode(corpus: DataFrame, cb: PqCodebook,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val encodeUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null else {
+        val (codes, norm) = pqEncodeScala(v.toArray, cb)
+        (codes, norm)
+      }
+    }
+    corpus.select(col(idCol), encodeUdf(col(embCol)).as("q"))
+      .select(col(idCol), col("q._1").as("code"), col("q._2").as("norm"))
+  }
+
+  /** ADC (asymmetric distance computation) search: the query stays raw; a
+    * driver-built lookup table LUT(j)(c) = <q_j, centroid(j)(c)> turns each
+    * code row's approximate dot product into `m` table lookups — a narrow
+    * scan over the m-byte codes, never the floats. Approximate cosine =
+    * Σ_j LUT(j)(code_j) / (‖x‖·‖q‖) with exact stored norms; the top
+    * k·rerankFactor candidates (TakeOrderedAndProject) are then re-scored
+    * against the raw embeddings with the exact codegen cosine, so emitted
+    * scores are bit-identical to the exact path — quantization can only
+    * cost recall at the candidate boundary, and the rerank margin absorbs
+    * it (equality with exact top-k pinned by OperatorSpec; the registered
+    * `ann_pq_top10` hash-checks it against the exact-KNN oracle).
+    *
+    * `codes` = output of [[pqEncode]] (at scale: the stored table);
+    * `corpus` supplies raw vectors for the rerank join only. */
+  def pqSearch(codes: DataFrame, corpus: DataFrame, cb: PqCodebook,
+               queryVec: Array[Float], k: Int, rerankFactor: Int = 8,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    var qnorm2 = 0.0
+    queryVec.foreach(x => qnorm2 += x.toDouble * x)
+    val qnorm = math.sqrt(qnorm2)
+    val lut = Array.tabulate(cb.m) { j =>
+      cb.centroids(j).map { cent =>
+        var dot = 0.0
+        var t = 0
+        while (t < cb.dsub) { dot += queryVec(j * cb.dsub + t).toDouble * cent(t); t += 1 }
+        dot
+      }
+    }
+    val adcUdf = udf { (code: Array[Byte]) => // BINARY column: m bytes per row
+      var s = 0.0
+      var j = 0
+      while (j < code.length) { s += lut(j)(code(j).toInt); j += 1 }
+      s
+    }
+    val approx =
+      if (qnorm == 0.0) lit(-2.0)
+      else when(col("norm") === 0.0, lit(-2.0))
+        .otherwise(adcUdf(col("code")) / (col("norm") * lit(qnorm)))
+    val candidates = codes
+      .withColumn("__acos", approx)
+      .orderBy(col("__acos").desc, col(idCol).asc)
+      .limit(k * rerankFactor)
+      .select(col(idCol))
+    val qv = array(queryVec.map(x => lit(x)): _*)
+    corpus.join(broadcast(candidates), idCol)
+      .withColumn("score", (cosineSimilarity(col(embCol), qv) + 1.0) / 2.0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Approximate-then-exact KNN over int8 codes: score every code with the
     * integer dot approximation (narrow scan over 1/4 the bytes), keep the
     * top `k·rerankFactor` by approximate cosine (TakeOrderedAndProject),

@@ -159,6 +159,36 @@ object AnalysisQueries {
         .select($"vec_id", round($"score", 6).as("score"))
     }),
 
+    // PQ encode: the corpus as 8-byte codes + exact norm. The per-subspace
+    // argmin assignment is oracle-replayed in SQL (same seeded codebook,
+    // same element-order double arithmetic) — the ADC index's guts are
+    // hash-checked, not just its final top-k.
+    "ann_pq_codes" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrainSeeded(emb, m = 8, ksub = IvfCentroids, step = IvfStep)
+      Similarity.pqEncode(emb, cb)
+        .select($"vec_id",
+          Similarity.pqCodeString($"code").as("code"),
+          round($"norm", 6).as("norm"))
+    }),
+
+    // PQ+ADC search: query = vec 7, k=10; codes scanned, LUT-scored, top
+    // k*8 candidates exact-reranked. Unlike int8 (whose oracle is exact KNN
+    // because 0.5% dot error + rerank always recovers it), a 16-cell/8-dim
+    // seeded codebook legitimately loses recall@k — so the oracle replays
+    // the FULL ADC pipeline in SQL (codebook, assignment, LUT, approx
+    // ordering, exact rerank) and checks the engine's PQ semantics
+    // bit-for-bit; recall vs exact is pinned separately in OperatorSpec.
+    "ann_pq_top10" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+      val cb = Similarity.pqTrainSeeded(emb, m = 8, ksub = IvfCentroids, step = IvfStep)
+      Similarity.pqSearch(Similarity.pqEncode(emb, cb), emb, cb, qv, k = 10)
+        .select($"vec_id", round($"score", 6).as("score"))
+    }),
+
     // The SQL function surface end-to-end: the same analysis kernels called
     // through spark.sql via GraftExtensions (a user who never leaves SQL),
     // oracle-checked against the same DuckDB fragments as the Column forms.
@@ -309,6 +339,72 @@ object AnalysisQueries {
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7)
           SELECT e.vec_id, round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
           FROM embeddings e CROSS JOIN q
+          ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
+          LIMIT 10""",
+    "ann_pq_codes" ->
+      s"""WITH cents AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                   CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id % $IvfStep = 0 ORDER BY vec_id ASC LIMIT $IvfCentroids),
+          dists AS (
+            SELECT e.vec_id, j.j, c.cid,
+              list_sum(list_transform(generate_series(1, 8),
+                t -> (CAST(e.embedding AS DOUBLE[])[j.j * 8 + t] - c.cvec[j.j * 8 + t])
+                   * (CAST(e.embedding AS DOUBLE[])[j.j * 8 + t] - c.cvec[j.j * 8 + t]))) AS d2
+            FROM embeddings e
+            CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+            CROSS JOIN cents c),
+          best AS (
+            SELECT vec_id, j, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rn
+            FROM dists)
+          SELECT b.vec_id,
+            string_agg(CAST(b.cid AS VARCHAR), ',' ORDER BY b.j) AS code,
+            any_value(round(sqrt(list_sum(list_transform(
+              CAST(e.embedding AS DOUBLE[]), x -> x * x))), 6)) AS norm
+          FROM best b JOIN embeddings e ON b.vec_id = e.vec_id
+          WHERE b.rn = 1
+          GROUP BY b.vec_id""",
+    "ann_pq_top10" ->
+      s"""WITH cents AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                   CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id % $IvfStep = 0 ORDER BY vec_id ASC LIMIT $IvfCentroids),
+          subidx AS (SELECT unnest(generate_series(0, 7)) AS j),
+          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
+                       sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS qnorm
+                FROM embeddings WHERE vec_id = 7),
+          lut AS (
+            SELECT s.j, c.cid,
+              list_sum(list_transform(generate_series(1, 8),
+                t -> q.qvec[s.j * 8 + t] * c.cvec[s.j * 8 + t])) AS ip
+            FROM cents c CROSS JOIN subidx s CROSS JOIN q),
+          dists AS (
+            SELECT e.vec_id, s.j, c.cid,
+              list_sum(list_transform(generate_series(1, 8),
+                t -> (CAST(e.embedding AS DOUBLE[])[s.j * 8 + t] - c.cvec[s.j * 8 + t])
+                   * (CAST(e.embedding AS DOUBLE[])[s.j * 8 + t] - c.cvec[s.j * 8 + t]))) AS d2
+            FROM embeddings e CROSS JOIN subidx s CROSS JOIN cents c),
+          best AS (
+            SELECT vec_id, j, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rn
+            FROM dists),
+          adc AS (
+            SELECT b.vec_id, list_sum(list(l.ip ORDER BY b.j)) AS adot
+            FROM best b JOIN lut l ON b.j = l.j AND b.cid = l.cid
+            WHERE b.rn = 1 GROUP BY b.vec_id),
+          norms AS (
+            SELECT vec_id,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+            FROM embeddings),
+          cand AS (
+            SELECT a.vec_id
+            FROM adc a JOIN norms n USING (vec_id) CROSS JOIN q
+            ORDER BY (CASE WHEN n.nrm = 0 OR q.qnorm = 0 THEN -2.0e0
+                           ELSE a.adot / (n.nrm * q.qnorm) END) DESC, a.vec_id ASC
+            LIMIT 80)
+          SELECT e.vec_id, round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
+          FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
           ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
           LIMIT 10""",
     "ann_ivf_cells" ->

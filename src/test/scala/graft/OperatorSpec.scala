@@ -302,6 +302,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(fp(0) !== fp(2))
   }
 
+  // ------------------------------------------------------------- PQ ANN
+
+  test("PQ ADC search: 8-byte codes, exact-rerank precision, bounded recall loss") {
+    import spark.implicits._
+    val q7 = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+    val cb = Similarity.pqTrainSeeded(emb, m = 8, ksub = 16, step = 31L)
+    val codes = Similarity.pqEncode(emb, cb)
+    // the compression claim: every 64-dim float32 row became an 8-byte code
+    assert(codes.select(max(length($"code"))).head.getInt(0) === 8)
+    assert(codes.select(min(length($"code"))).head.getInt(0) === 8)
+    val got = Similarity.pqSearch(codes, emb, cb, q7, k = 10)
+      .select($"vec_id", round($"score", 6).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // precision 1: every emitted score is the EXACT cosine of that pair —
+    // quantization may only move the candidate boundary, never a score
+    got.foreach { case (id, s) =>
+      val exact = BigDecimal((VectorFunctionsTestKit.cosine(vecs(id), q7) + 1.0) / 2.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(s - exact) < 1e-9, s"vec $id rescored inexactly: $s vs $exact")
+    }
+    // the query's own vector always survives candidate selection (rank 1)
+    assert(got.head._1 === 7L)
+    // recall@10 vs exact: a 16-cell/8-dim seeded codebook with 8x rerank
+    // keeps >= 8 of the true top-10 on this fixture (measured; the
+    // registered ann_pq_top10 oracle replays the full ADC pipeline instead
+    // of assuming recall 1)
+    val want = emb
+      .withColumn("score",
+        (graft.functions.VectorFunctions.cosineSimilarity($"embedding",
+          array(q7.map(x => lit(x)).toIndexedSeq: _*)) + 1.0) / 2.0)
+      .orderBy($"score".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet.intersect(want).size >= 8)
+  }
+
   // ------------------------------------------------------------- int8 ANN
 
   test("int8 quantization bounds the cosine error and int8Search matches exact") {

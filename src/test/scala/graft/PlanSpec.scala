@@ -110,6 +110,18 @@ class PlanSpec extends AnyFunSuite {
       "the k*rerank candidate set must broadcast into the re-rank join")
   }
 
+  test("ann_pq_top10: ADC candidates via bounded heap, broadcast re-rank, no wide shuffle") {
+    val p = plan("ann_pq_top10")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ADC candidate selection must be a bounded per-partition heap")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range-partitioned sort of the ADC-scored corpus defeats the code scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k*rerank candidate set must broadcast into the re-rank join")
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join anywhere in the PQ search plan")
+  }
+
   // --- as-of join: one window exchange, filters pushed, partial dedup agg ---
 
   test("evt_asof_click: pushed type filters, partial click-dedup agg, exactly two exchanges") {
