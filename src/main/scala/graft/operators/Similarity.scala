@@ -356,9 +356,11 @@ object Similarity {
     *
     * `codes` = output of [[pqEncode]] (at scale: the stored table);
     * `corpus` supplies raw vectors for the rerank join only. */
-  def pqSearch(codes: DataFrame, corpus: DataFrame, cb: PqCodebook,
-               queryVec: Array[Float], k: Int, rerankFactor: Int = 8,
-               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+  /** ADC candidate stage shared by [[pqSearch]] and [[ivfPqSearch]]: score
+    * every code row via the driver LUT, keep the top `n` ids by approximate
+    * cosine (bounded heap — TakeOrderedAndProject, never a global sort). */
+  private def adcCandidates(codes: DataFrame, cb: PqCodebook,
+                            queryVec: Array[Float], n: Int, idCol: String): DataFrame = {
     var qnorm2 = 0.0
     queryVec.foreach(x => qnorm2 += x.toDouble * x)
     val qnorm = math.sqrt(qnorm2)
@@ -380,16 +382,52 @@ object Similarity {
       if (qnorm == 0.0) lit(-2.0)
       else when(col("norm") === 0.0, lit(-2.0))
         .otherwise(adcUdf(col("code")) / (col("norm") * lit(qnorm)))
-    val candidates = codes
+    codes
       .withColumn("__acos", approx)
       .orderBy(col("__acos").desc, col(idCol).asc)
-      .limit(k * rerankFactor)
+      .limit(n)
       .select(col(idCol))
+  }
+
+  /** Exact re-rank of a (small, broadcast) candidate id set. */
+  private def rerankExact(corpus: DataFrame, candidates: DataFrame,
+                          queryVec: Array[Float], k: Int,
+                          idCol: String, embCol: String): DataFrame = {
     val qv = array(queryVec.map(x => lit(x)): _*)
     corpus.join(broadcast(candidates), idCol)
       .withColumn("score", (cosineSimilarity(col(embCol), qv) + 1.0) / 2.0)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  def pqSearch(codes: DataFrame, corpus: DataFrame, cb: PqCodebook,
+               queryVec: Array[Float], k: Int, rerankFactor: Int = 8,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    rerankExact(corpus, adcCandidates(codes, cb, queryVec, k * rerankFactor, idCol),
+      queryVec, k, idCol, embCol)
+
+  /** IVFADC — the composition that carries a 100 TB corpus: IVF cells prune
+    * which files are scanned (`codesAssigned` carries the `centroid_id`
+    * partition key; at scale it is the stored index table written
+    * `partitionBy(centroid_id)`, IvfCatalog-style), PQ codes shrink what's
+    * left 32×, and the survivors re-rank exactly. nprobe centroid ids
+    * resolve driver-side from the tiny centroid table, so the cell filter
+    * is a static IN over the partition key — file-level pruning, then an
+    * m-bytes-per-row ADC scan, then a broadcast re-rank join. */
+  def ivfPqSearch(codesAssigned: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                  cb: PqCodebook, queryVec: Array[Float], k: Int, nprobe: Int,
+                  rerankFactor: Int = 8,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val qv = array(queryVec.map(x => lit(x)): _*)
+    val probedIds = centroids
+      .withColumn("qcos", cosineSimilarity(col("centroid_vec"), qv))
+      .orderBy(col("qcos").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+      .collect().map(_.getLong(0))
+    val pruned = codesAssigned.filter(col("centroid_id").isin(probedIds: _*))
+    rerankExact(corpus, adcCandidates(pruned, cb, queryVec, k * rerankFactor, idCol),
+      queryVec, k, idCol, embCol)
   }
 
   /** Approximate-then-exact KNN over int8 codes: score every code with the

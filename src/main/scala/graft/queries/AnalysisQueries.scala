@@ -189,6 +189,21 @@ object AnalysisQueries {
         .select($"vec_id", round($"score", 6).as("score"))
     }),
 
+    // IVFADC end-to-end: IVF cells prune, PQ codes shrink, exact rerank.
+    // Same seeded vectors serve as IVF centroids and PQ codebook (step 31);
+    // the oracle composes the assignment and ADC pipelines in SQL.
+    "ann_ivfpq_top10" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+      val cents = Similarity.seededCentroids(emb, IvfCentroids, IvfStep)
+      val cb = Similarity.pqTrainSeeded(emb, m = 8, ksub = IvfCentroids, step = IvfStep)
+      val codesAssigned = Similarity.pqEncode(emb, cb)
+        .join(Similarity.ivfAssign(emb, cents).select($"vec_id", $"centroid_id"), "vec_id")
+      Similarity.ivfPqSearch(codesAssigned, emb, cents, cb, qv, k = 10, nprobe = 4)
+        .select($"vec_id", round($"score", 6).as("score"))
+    }),
+
     // The SQL function surface end-to-end: the same analysis kernels called
     // through spark.sql via GraftExtensions (a user who never leaves SQL),
     // oracle-checked against the same DuckDB fragments as the Column forms.
@@ -400,6 +415,64 @@ object AnalysisQueries {
           cand AS (
             SELECT a.vec_id
             FROM adc a JOIN norms n USING (vec_id) CROSS JOIN q
+            ORDER BY (CASE WHEN n.nrm = 0 OR q.qnorm = 0 THEN -2.0e0
+                           ELSE a.adot / (n.nrm * q.qnorm) END) DESC, a.vec_id ASC
+            LIMIT 80)
+          SELECT e.vec_id, round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
+          FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+          ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
+          LIMIT 10""",
+    "ann_ivfpq_top10" ->
+      s"""WITH cents AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                   vec_id AS centroid_vec_id,
+                   CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id % $IvfStep = 0 ORDER BY vec_id ASC LIMIT $IvfCentroids),
+          subidx AS (SELECT unnest(generate_series(0, 7)) AS j),
+          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
+                       sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS qnorm
+                FROM embeddings WHERE vec_id = 7),
+          probed AS (
+            SELECT centroid_vec_id FROM cents, q
+            ORDER BY list_cosine_similarity(cvec, qvec) DESC, centroid_vec_id ASC
+            LIMIT 4),
+          assign AS (
+            SELECT vec_id, centroid_vec_id FROM (
+              SELECT e.vec_id, c.centroid_vec_id,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.centroid_vec_id ASC) AS rn
+              FROM embeddings e, cents c)
+            WHERE rn = 1),
+          lut AS (
+            SELECT s.j, c.cid,
+              list_sum(list_transform(generate_series(1, 8),
+                t -> q.qvec[s.j * 8 + t] * c.cvec[s.j * 8 + t])) AS ip
+            FROM cents c CROSS JOIN subidx s CROSS JOIN q),
+          dists AS (
+            SELECT e.vec_id, s.j, c.cid,
+              list_sum(list_transform(generate_series(1, 8),
+                t -> (CAST(e.embedding AS DOUBLE[])[s.j * 8 + t] - c.cvec[s.j * 8 + t])
+                   * (CAST(e.embedding AS DOUBLE[])[s.j * 8 + t] - c.cvec[s.j * 8 + t]))) AS d2
+            FROM embeddings e CROSS JOIN subidx s CROSS JOIN cents c),
+          best AS (
+            SELECT vec_id, j, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rn
+            FROM dists),
+          adc AS (
+            SELECT b.vec_id, list_sum(list(l.ip ORDER BY b.j)) AS adot
+            FROM best b JOIN lut l ON b.j = l.j AND b.cid = l.cid
+            WHERE b.rn = 1 GROUP BY b.vec_id),
+          norms AS (
+            SELECT vec_id,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+            FROM embeddings),
+          cand AS (
+            SELECT a.vec_id
+            FROM adc a
+            JOIN assign s USING (vec_id)
+            JOIN probed p USING (centroid_vec_id)
+            JOIN norms n USING (vec_id)
+            CROSS JOIN q
             ORDER BY (CASE WHEN n.nrm = 0 OR q.qnorm = 0 THEN -2.0e0
                            ELSE a.adot / (n.nrm * q.qnorm) END) DESC, a.vec_id ASC
             LIMIT 80)

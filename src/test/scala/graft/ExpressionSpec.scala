@@ -118,14 +118,22 @@ class ExpressionSpec extends AnyFunSuite {
                 graft_quality(text, source, NULL) AS quality,
                 graft_intent(text) AS intent,
                 graft_bpe_tokens(text) AS bpe,
-                graft_repetition(text) AS rep
+                graft_repetition(text) AS rep,
+                graft_pii(text) AS pii,
+                graft_redact_pii(text) AS redacted,
+                graft_slack(text) AS slack,
+                graft_html_text(text) AS plain
          FROM graft_sqlfn_docs""").collect().map(_.toSeq).sortBy(_.toString)
     val viaCols = docs.select($"doc_id",
         TextFunctions.cleanContent($"text").as("cleaned"),
         TextFunctions.qualityScore($"text", $"source", lit(null).cast("string")).as("quality"),
         TextFunctions.queryIntent($"text").as("intent"),
         TextAnalysis.bpeIshTokens($"text").as("bpe"),
-        TextAnalysis.repetitionScores($"text").as("rep"))
+        TextAnalysis.repetitionScores($"text").as("rep"),
+        TextAnalysis.piiCounts($"text").as("pii"),
+        TextAnalysis.redactPii($"text").as("redacted"),
+        TextFunctions.markdownToSlack($"text").as("slack"),
+        TextFunctions.htmlToText($"text").as("plain"))
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(viaSql.nonEmpty)
     assert(viaSql === viaCols)

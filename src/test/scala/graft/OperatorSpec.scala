@@ -339,6 +339,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet.intersect(want).size >= 8)
   }
 
+  test("IVFADC: probing all cells equals plain PQ; nprobe=4 keeps the query and most of top-10") {
+    import spark.implicits._
+    val q7 = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+    val cents = Similarity.seededCentroids(emb, 16, 31L)
+    val cb = Similarity.pqTrainSeeded(emb, m = 8, ksub = 16, step = 31L)
+    val codesAssigned = Similarity.pqEncode(emb, cb)
+      .join(Similarity.ivfAssign(emb, cents).select($"vec_id", $"centroid_id"), "vec_id")
+    def run(nprobe: Int) =
+      Similarity.ivfPqSearch(codesAssigned, emb, cents, cb, q7, k = 10, nprobe = nprobe)
+        .select($"vec_id", round($"score", 6).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // probing every cell makes the prune a no-op: identical to pqSearch
+    val all = run(16)
+    val pq = Similarity.pqSearch(Similarity.pqEncode(emb, cb), emb, cb, q7, k = 10)
+      .select($"vec_id", round($"score", 6).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all === pq)
+    // nprobe=4: the query's own cell is probed (rank 1 = itself) and the
+    // cell prune costs bounded recall on this fixture (measured 6/10)
+    val pruned = run(4)
+    assert(pruned.head._1 === 7L)
+    val exact = emb
+      .withColumn("score",
+        (graft.functions.VectorFunctions.cosineSimilarity($"embedding",
+          array(q7.map(x => lit(x)).toIndexedSeq: _*)) + 1.0) / 2.0)
+      .orderBy($"score".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.map(_._1).toSet.intersect(exact).size >= 6)
+  }
+
   // ------------------------------------------------------------- int8 ANN
 
   test("int8 quantization bounds the cosine error and int8Search matches exact") {
