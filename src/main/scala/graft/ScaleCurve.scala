@@ -52,7 +52,16 @@ object ScaleCurve {
     "asof_join"             -> SparkEntry.queries("evt_asof_click"),
     "decon_8gram"           -> SparkEntry.queries("decon_flags"),
     "interval_join"         -> SparkEntry.queries("evt_incident_join"),
-    "stratified_sample"     -> SparkEntry.queries("samp_stratified"))
+    "stratified_sample"     -> SparkEntry.queries("samp_stratified"),
+    // round-5b: compressed-scan ANN (encode pass + ADC search) and the
+    // PII/HTML scalar screens
+    "pq_encode"             -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqEncode(emb, Similarity.pqTrainSeeded(emb, m = 8, ksub = 16, step = 31L))
+    }),
+    "pq_adc_search"         -> SparkEntry.queries("ann_pq_top10"),
+    "pii_redact"            -> SparkEntry.queries("ana_pii_redact"),
+    "html_to_text"          -> SparkEntry.queries("doc_html_text"))
 
   def main(args: Array[String]): Unit = {
     val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
