@@ -209,6 +209,93 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ADC: every row of `queries` (qidCol, qvecCol) against the code
+    * table — the many-queries × huge-corpus shape. Per-query LUTs are built
+    * once driver-side (the query table is broadcast-scale by contract, like
+    * [[graft.operators.VectorSearch.knnBatch]]'s) and shipped in the scoring
+    * kernel's closure; each code row then costs m lookups per query instead
+    * of a full-dimension dot, over a scan 32× smaller than the floats.
+    * Per-query candidate top-k runs through the bounded-heap TopKAggregator
+    * under `groupBy`, so the shuffle carries O(k·rerank × |queries| ×
+    * partitions) rows — never the codes × queries product — and only the
+    * candidate set touches the raw embeddings for exact re-ranking.
+    * Output: (qidCol, idCol, rank, score); qid stays whatever type it was,
+    * ids follow knnBatch's integral-or-string contract (fail-fast otherwise).
+    */
+  def pqSearchBatch(codes: DataFrame, corpus: DataFrame, cb: PqCodebook,
+                    queries: DataFrame, k: Int, rerankFactor: Int = 8,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = codes.sparkSession
+    import spark.implicits._
+    // stable query indexing: row_number over qid, mirrored by the ordered
+    // driver collect below, so closure arrays and the __qi column agree
+    val qWindow = Window.orderBy(col(qidCol))
+    val qIndexed = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__qi", row_number().over(qWindow) - 1)
+    val qVecs = queries.orderBy(col(qidCol)).select(col(qvecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val n = qVecs.length
+    require(n > 0, "pqSearchBatch needs a non-empty query table")
+    val luts = qVecs.map { qv =>
+      Array.tabulate(cb.m) { j =>
+        cb.centroids(j).map { cent =>
+          var dot = 0.0
+          var t = 0
+          while (t < cb.dsub) { dot += qv(j * cb.dsub + t).toDouble * cent(t); t += 1 }
+          dot
+        }
+      }
+    }
+    val qnorms = qVecs.map { qv =>
+      var s = 0.0; qv.foreach(x => s += x.toDouble * x); math.sqrt(s)
+    }
+    val adcUdf = udf { (code: Array[Byte], qi: Int) =>
+      val lut = luts(qi)
+      var s = 0.0
+      var j = 0
+      while (j < code.length) { s += lut(j)(code(j).toInt); j += 1 }
+      s
+    }
+    val qnormCol = element_at(array(qnorms.map(lit(_)).toIndexedSeq: _*), col("__qi") + 1)
+    val acos = when(col("norm") === 0.0 || qnormCol === 0.0, lit(-2.0))
+      .otherwise(adcUdf(col("code"), col("__qi")) / (col("norm") * qnormCol))
+    val scored = codes
+      .withColumn("__qi", explode(lit((0 until n).toArray)))
+      .select(col("__qi"), col(idCol).as("__id"), acos.as("__acos"))
+    val limit = k * rerankFactor
+    val idType = codes.schema(idCol).dataType
+    val aggregated = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val topk = udaf(new graft.functions.TopKAggregator[Long](
+          limit, implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]))
+        scored.groupBy(col("__qi"))
+          .agg(topk(col("__id").cast("long"), col("__acos")).as("__topk"))
+      case StringType =>
+        val topk = udaf(new graft.functions.TopKAggregator[String](
+          limit, implicitly[org.apache.spark.sql.Encoder[Seq[(String, Double)]]])(
+          graft.functions.TopKAggregator.utf8Ordering, implicitly))
+        scored.groupBy(col("__qi"))
+          .agg(topk(col("__id"), col("__acos")).as("__topk"))
+      case other => throw new IllegalArgumentException(
+        s"pqSearchBatch id column '$idCol' must be integral or string, got " +
+          s"${other.catalogString}")
+    }
+    val candidates = aggregated
+      .select(col("__qi"), explode(col("__topk")).as("__hit"))
+      .select(col("__qi"), col("__hit._1").cast(idType).as(idCol))
+    val rerankW = Window.partitionBy(col("__qi"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    corpus.join(broadcast(candidates), idCol)
+      .join(broadcast(qIndexed), "__qi")
+      .withColumn("score", (cosineSimilarity(col(embCol), col(qvecCol)) + 1.0) / 2.0)
+      .withColumn("rank", row_number().over(rerankW))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"), col("score"))
+  }
+
   // -------------------------------------------------------- int8 quantization
 
   /** Quantized row: per-vector symmetric int8 codes + exact float norm.

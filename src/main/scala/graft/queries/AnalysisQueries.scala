@@ -189,6 +189,19 @@ object AnalysisQueries {
         .select($"vec_id", round($"score", 6).as("score"))
     }),
 
+    // Batch ADC: three query vectors against the code table in one pass —
+    // driver LUTs, per-query bounded-heap candidates before the exchange,
+    // exact rerank. Oracle replays the whole per-query pipeline in SQL.
+    "ann_pq_batch" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrainSeeded(emb, m = 8, ksub = IvfCentroids, step = IvfStep)
+      val queries = emb.filter($"vec_id".isin(3L, 7L, 11L))
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Similarity.pqSearchBatch(Similarity.pqEncode(emb, cb), emb, cb, queries, k = 10)
+        .select($"qid", $"vec_id", $"rank", round($"score", 6).as("score"))
+    }),
+
     // IVFADC end-to-end: IVF cells prune, PQ codes shrink, exact rerank.
     // Same seeded vectors serve as IVF centroids and PQ codebook (step 31);
     // the oracle composes the assignment and ADC pipelines in SQL.
@@ -422,6 +435,53 @@ object AnalysisQueries {
           FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
           ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
           LIMIT 10""",
+    "ann_pq_batch" ->
+      s"""WITH cents AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                   CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id % $IvfStep = 0 ORDER BY vec_id ASC LIMIT $IvfCentroids),
+          subidx AS (SELECT unnest(generate_series(0, 7)) AS j),
+          q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec,
+                       sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS qnorm
+                FROM embeddings WHERE vec_id IN (3, 7, 11)),
+          lut AS (
+            SELECT q.qid, s.j, c.cid,
+              list_sum(list_transform(generate_series(1, 8),
+                t -> q.qvec[s.j * 8 + t] * c.cvec[s.j * 8 + t])) AS ip
+            FROM cents c CROSS JOIN subidx s CROSS JOIN q),
+          dists AS (
+            SELECT e.vec_id, s.j, c.cid,
+              list_sum(list_transform(generate_series(1, 8),
+                t -> (CAST(e.embedding AS DOUBLE[])[s.j * 8 + t] - c.cvec[s.j * 8 + t])
+                   * (CAST(e.embedding AS DOUBLE[])[s.j * 8 + t] - c.cvec[s.j * 8 + t]))) AS d2
+            FROM embeddings e CROSS JOIN subidx s CROSS JOIN cents c),
+          best AS (
+            SELECT vec_id, j, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rn
+            FROM dists),
+          adc AS (
+            SELECT l.qid, b.vec_id, list_sum(list(l.ip ORDER BY b.j)) AS adot
+            FROM best b JOIN lut l ON b.j = l.j AND b.cid = l.cid
+            WHERE b.rn = 1 GROUP BY l.qid, b.vec_id),
+          norms AS (
+            SELECT vec_id,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+            FROM embeddings),
+          cand AS (
+            SELECT qid, vec_id FROM (
+              SELECT a.qid, a.vec_id,
+                ROW_NUMBER() OVER (PARTITION BY a.qid
+                  ORDER BY (CASE WHEN n.nrm = 0 OR q.qnorm = 0 THEN -2.0e0
+                                 ELSE a.adot / (n.nrm * q.qnorm) END) DESC, a.vec_id ASC) AS crn
+              FROM adc a JOIN norms n USING (vec_id) JOIN q ON a.qid = q.qid)
+            WHERE crn <= 80)
+          SELECT qid, vec_id, CAST(rrn AS INT) AS rank, score FROM (
+            SELECT c.qid, c.vec_id,
+              ROW_NUMBER() OVER (PARTITION BY c.qid
+                ORDER BY ${duckCos("e.embedding", "q.qvec")} DESC, c.vec_id ASC) AS rrn,
+              round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
+            FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id JOIN q ON c.qid = q.qid)
+          WHERE rrn <= 10""",
     "ann_ivfpq_top10" ->
       s"""WITH cents AS (
             SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,

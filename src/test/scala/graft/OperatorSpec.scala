@@ -369,6 +369,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(pruned.map(_._1).toSet.intersect(exact).size >= 6)
   }
 
+  test("batch ADC agrees with single-query pqSearch per query") {
+    import spark.implicits._
+    val cb = Similarity.pqTrainSeeded(emb, m = 8, ksub = 16, step = 31L)
+    val codes = Similarity.pqEncode(emb, cb)
+    val qids = Seq(3L, 7L, 11L)
+    val queries = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val batch = Similarity.pqSearchBatch(codes, emb, cb, queries, k = 10)
+      .select($"qid", $"vec_id", $"rank", round($"score", 6).as("score"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2).toSeq).toMap
+    for (qid <- qids) {
+      val qv = emb.filter($"vec_id" === qid).select("embedding").head.getSeq[Float](0).toArray
+      val single = Similarity.pqSearch(codes, emb, cb, qv, k = 10)
+        .select($"vec_id", round($"score", 6).as("score"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (r.getLong(0), i + 1, r.getDouble(1)) }.toSeq
+      assert(batch(qid) === single, s"qid $qid: batch and single ADC disagree")
+    }
+  }
+
   // ------------------------------------------------------------- int8 ANN
 
   test("int8 quantization bounds the cosine error and int8Search matches exact") {

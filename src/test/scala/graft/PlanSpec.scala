@@ -110,6 +110,20 @@ class PlanSpec extends AnyFunSuite {
       "the k*rerank candidate set must broadcast into the re-rank join")
   }
 
+  test("ann_pq_batch: per-query ADC candidates reduce map-side before the exchange") {
+    val p = plan("ann_pq_batch")
+    // the candidate stage must be partial topk agg, never a window over the
+    // scored codes × queries product; the one Window in the plan is the
+    // bounded rerank (k*rerank rows per query) and the tiny query indexer
+    val shape = "(?s)ObjectHashAggregate.*?Exchange.*?ObjectHashAggregate".r
+    assert(shape.findFirstIn(p).isDefined,
+      "expected ObjectHashAggregate(final) <- Exchange <- ObjectHashAggregate(partial)")
+    assert(p.contains("partial_topkaggregator"),
+      "partial candidate aggregation must run map-side, before the exchange")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidates and the query index must broadcast into the re-rank join")
+  }
+
   test("ann_pq_top10: ADC candidates via bounded heap, broadcast re-rank, no wide shuffle") {
     val p = plan("ann_pq_top10")
     assert(p.contains("TakeOrderedAndProject"),
