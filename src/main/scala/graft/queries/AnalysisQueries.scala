@@ -217,6 +217,22 @@ object AnalysisQueries {
         .select($"vec_id", round($"score", 6).as("score"))
     }),
 
+    // IVFADC over the MATERIALIZED index (graft.IvfPqCatalog): the code
+    // table was written partitionBy(centroid_id) at build time, so the
+    // probe's IN filter prunes partition directories (PartitionFilters in
+    // PlanSpec) and the surviving cells scan 8-byte codes. Same semantics
+    // and oracle as ann_ivfpq_top10 — only the storage plan differs.
+    "ann_ivfpq_pruned" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+      val cents = Similarity.seededCentroids(emb, IvfCentroids, IvfStep)
+      val cb = Similarity.pqTrainSeeded(emb, m = 8, ksub = IvfCentroids, step = IvfStep)
+      val store = graft.IvfPqCatalog.encodedEmbeddings(s, dir, cb, IvfCentroids, IvfStep)
+      Similarity.ivfPqSearch(store, emb, cents, cb, qv, k = 10, nprobe = 4)
+        .select($"vec_id", round($"score", 6).as("score"))
+    }),
+
     // The SQL function surface end-to-end: the same analysis kernels called
     // through spark.sql via GraftExtensions (a user who never leaves SQL),
     // oracle-checked against the same DuckDB fragments as the Column forms.
@@ -273,6 +289,70 @@ object AnalysisQueries {
                      ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS rn
             FROM embeddings e, cents c)
           WHERE rn = 1)"""
+
+  /** Full IVFADC pipeline in DuckDB SQL (Spark twin: Similarity.ivfPqSearch
+    * with the seeded codebook/centroids): codebook → per-subspace argmin
+    * assignment → probe → LUT → approx ordering → exact rerank. Shared by
+    * ann_ivfpq_top10 (inline assignment) and ann_ivfpq_pruned (materialized
+    * IvfPqCatalog) — identical semantics, different storage plan. */
+  private lazy val duckIvfPq =
+    s"""WITH cents AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                 vec_id AS centroid_vec_id,
+                 CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id % $IvfStep = 0 ORDER BY vec_id ASC LIMIT $IvfCentroids),
+        subidx AS (SELECT unnest(generate_series(0, 7)) AS j),
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
+                     sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS qnorm
+              FROM embeddings WHERE vec_id = 7),
+        probed AS (
+          SELECT centroid_vec_id FROM cents, q
+          ORDER BY list_cosine_similarity(cvec, qvec) DESC, centroid_vec_id ASC
+          LIMIT 4),
+        assign AS (
+          SELECT vec_id, centroid_vec_id FROM (
+            SELECT e.vec_id, c.centroid_vec_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.centroid_vec_id ASC) AS rn
+            FROM embeddings e, cents c)
+          WHERE rn = 1),
+        lut AS (
+          SELECT s.j, c.cid,
+            list_sum(list_transform(generate_series(1, 8),
+              t -> q.qvec[s.j * 8 + t] * c.cvec[s.j * 8 + t])) AS ip
+          FROM cents c CROSS JOIN subidx s CROSS JOIN q),
+        dists AS (
+          SELECT e.vec_id, s.j, c.cid,
+            list_sum(list_transform(generate_series(1, 8),
+              t -> (CAST(e.embedding AS DOUBLE[])[s.j * 8 + t] - c.cvec[s.j * 8 + t])
+                 * (CAST(e.embedding AS DOUBLE[])[s.j * 8 + t] - c.cvec[s.j * 8 + t]))) AS d2
+          FROM embeddings e CROSS JOIN subidx s CROSS JOIN cents c),
+        best AS (
+          SELECT vec_id, j, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rn
+          FROM dists),
+        adc AS (
+          SELECT b.vec_id, list_sum(list(l.ip ORDER BY b.j)) AS adot
+          FROM best b JOIN lut l ON b.j = l.j AND b.cid = l.cid
+          WHERE b.rn = 1 GROUP BY b.vec_id),
+        norms AS (
+          SELECT vec_id,
+            sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings),
+        cand AS (
+          SELECT a.vec_id
+          FROM adc a
+          JOIN assign s USING (vec_id)
+          JOIN probed p USING (centroid_vec_id)
+          JOIN norms n USING (vec_id)
+          CROSS JOIN q
+          ORDER BY (CASE WHEN n.nrm = 0 OR q.qnorm = 0 THEN -2.0e0
+                         ELSE a.adot / (n.nrm * q.qnorm) END) DESC, a.vec_id ASC
+          LIMIT 80)
+        SELECT e.vec_id, round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
+        FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+        ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
+        LIMIT 10"""
 
   private val duckWsTokens =
     s"""CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0
@@ -482,64 +562,10 @@ object AnalysisQueries {
               round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
             FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id JOIN q ON c.qid = q.qid)
           WHERE rrn <= 10""",
-    "ann_ivfpq_top10" ->
-      s"""WITH cents AS (
-            SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid,
-                   vec_id AS centroid_vec_id,
-                   CAST(embedding AS DOUBLE[]) AS cvec
-            FROM embeddings WHERE vec_id % $IvfStep = 0 ORDER BY vec_id ASC LIMIT $IvfCentroids),
-          subidx AS (SELECT unnest(generate_series(0, 7)) AS j),
-          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec,
-                       sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS qnorm
-                FROM embeddings WHERE vec_id = 7),
-          probed AS (
-            SELECT centroid_vec_id FROM cents, q
-            ORDER BY list_cosine_similarity(cvec, qvec) DESC, centroid_vec_id ASC
-            LIMIT 4),
-          assign AS (
-            SELECT vec_id, centroid_vec_id FROM (
-              SELECT e.vec_id, c.centroid_vec_id,
-                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                  ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.centroid_vec_id ASC) AS rn
-              FROM embeddings e, cents c)
-            WHERE rn = 1),
-          lut AS (
-            SELECT s.j, c.cid,
-              list_sum(list_transform(generate_series(1, 8),
-                t -> q.qvec[s.j * 8 + t] * c.cvec[s.j * 8 + t])) AS ip
-            FROM cents c CROSS JOIN subidx s CROSS JOIN q),
-          dists AS (
-            SELECT e.vec_id, s.j, c.cid,
-              list_sum(list_transform(generate_series(1, 8),
-                t -> (CAST(e.embedding AS DOUBLE[])[s.j * 8 + t] - c.cvec[s.j * 8 + t])
-                   * (CAST(e.embedding AS DOUBLE[])[s.j * 8 + t] - c.cvec[s.j * 8 + t]))) AS d2
-            FROM embeddings e CROSS JOIN subidx s CROSS JOIN cents c),
-          best AS (
-            SELECT vec_id, j, cid,
-              ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rn
-            FROM dists),
-          adc AS (
-            SELECT b.vec_id, list_sum(list(l.ip ORDER BY b.j)) AS adot
-            FROM best b JOIN lut l ON b.j = l.j AND b.cid = l.cid
-            WHERE b.rn = 1 GROUP BY b.vec_id),
-          norms AS (
-            SELECT vec_id,
-              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
-            FROM embeddings),
-          cand AS (
-            SELECT a.vec_id
-            FROM adc a
-            JOIN assign s USING (vec_id)
-            JOIN probed p USING (centroid_vec_id)
-            JOIN norms n USING (vec_id)
-            CROSS JOIN q
-            ORDER BY (CASE WHEN n.nrm = 0 OR q.qnorm = 0 THEN -2.0e0
-                           ELSE a.adot / (n.nrm * q.qnorm) END) DESC, a.vec_id ASC
-            LIMIT 80)
-          SELECT e.vec_id, round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
-          FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
-          ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
-          LIMIT 10""",
+    // shared by ann_ivfpq_top10 (inline assignment) and ann_ivfpq_pruned
+    // (materialized IvfPqCatalog): identical semantics, different storage plan
+    "ann_ivfpq_top10" -> duckIvfPq,
+    "ann_ivfpq_pruned" -> duckIvfPq,
     "ann_ivf_cells" ->
       s"""WITH $duckIvf
           SELECT centroid_id, COUNT(*) AS n_vectors FROM assign GROUP BY centroid_id""",

@@ -110,6 +110,16 @@ class PlanSpec extends AnyFunSuite {
       "the k*rerank candidate set must broadcast into the re-rank join")
   }
 
+  test("ann_ivfpq_pruned scans only probed partitions of the stored code table") {
+    val p = plan("ann_ivfpq_pruned")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("centroid_id") && f.nonEmpty),
+      s"probe must prune on the centroid_id partition key, got: $partFilters")
+    assert(p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin"),
+      "ADC candidates via bounded heap, broadcast re-rank")
+  }
+
   test("ann_pq_batch: per-query ADC candidates reduce map-side before the exchange") {
     val p = plan("ann_pq_batch")
     // the candidate stage must be partial topk agg, never a window over the
