@@ -221,6 +221,8 @@ object Similarity {
     * candidate set touches the raw embeddings for exact re-ranking.
     * Output: (qidCol, idCol, rank, score); qid stays whatever type it was,
     * ids follow knnBatch's integral-or-string contract (fail-fast otherwise).
+    * Query ids must be distinct — the row_number index and the ordered
+    * driver collect must agree on which vector a qid names.
     */
   def pqSearchBatch(codes: DataFrame, corpus: DataFrame, cb: PqCodebook,
                     queries: DataFrame, k: Int, rerankFactor: Int = 8,
