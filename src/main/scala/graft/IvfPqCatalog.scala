@@ -18,9 +18,10 @@ object IvfPqCatalog {
     * pruned-scan-able read of the code table. */
   def encodedEmbeddings(spark: SparkSession, dir: String, cb: Similarity.PqCodebook,
                         centroids: Int, step: Long): DataFrame = {
-    // codebook shape is part of the identity: a differently-quantized build
-    // must not reuse a stale table
-    val name = TableStore.tableName(s"ivfpq${centroids}_${step}_m${cb.m}k${cb.ksub}", dir)
+    // the trained codebook's CONTENT is part of the identity (not just its
+    // shape): a differently-trained codebook must never reuse a stale table
+    val name = TableStore.tableName(
+      s"ivfpq${centroids}_${step}_m${cb.m}k${cb.ksub}_${cb.fingerprint}", dir)
     TableStore.getOrBuild(spark, name) {
       val emb = Tables.embeddings(spark, dir)
       val cents = Similarity.seededCentroids(emb, centroids, step)

@@ -175,16 +175,27 @@ object Similarity {
     * prunes whole partition directories (`PartitionFilters` in the plan,
     * asserted by PlanSpec) instead of re-assigning the corpus per query as
     * [[ivfSearch]] does. */
-  def ivfSearchPruned(assigned: DataFrame, centroids: DataFrame, queryVec: Array[Float],
-                      k: Int, nprobe: Int,
-                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+  /** Driver-side probe: the nprobe centroid ids nearest to the query. The
+    * centroid table is index metadata — tiny by construction — so the
+    * collect is a bounded driver merge, and the resulting ids become a
+    * static IN over the centroid_id partition key. Long-typed centroid ids
+    * (seededCentroids' contract: they are corpus ids). */
+  private def probedCentroidIds(centroids: DataFrame, queryVec: Array[Float],
+                                nprobe: Int): Array[Long] = {
     val qv = array(queryVec.map(x => lit(x)): _*)
-    val probedIds = centroids
+    centroids
       .withColumn("qcos", cosineSimilarity(col("centroid_vec"), qv))
       .orderBy(col("qcos").desc, col("centroid_id").asc)
       .limit(nprobe)
       .select(col("centroid_id"))
       .collect().map(_.getLong(0))
+  }
+
+  def ivfSearchPruned(assigned: DataFrame, centroids: DataFrame, queryVec: Array[Float],
+                      k: Int, nprobe: Int,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val qv = array(queryVec.map(x => lit(x)): _*)
+    val probedIds = probedCentroidIds(centroids, queryVec, nprobe)
     assigned.filter(col("centroid_id").isin(probedIds: _*))
       .withColumn("score", (cosineSimilarity(col(embCol), qv) + 1.0) / 2.0)
       .orderBy(col("score").desc, col(idCol).asc)
@@ -221,8 +232,6 @@ object Similarity {
     * candidate set touches the raw embeddings for exact re-ranking.
     * Output: (qidCol, idCol, rank, score); qid stays whatever type it was,
     * ids follow knnBatch's integral-or-string contract (fail-fast otherwise).
-    * Query ids must be distinct — the row_number index and the ordered
-    * driver collect must agree on which vector a qid names.
     */
   def pqSearchBatch(codes: DataFrame, corpus: DataFrame, cb: PqCodebook,
                     queries: DataFrame, k: Int, rerankFactor: Int = 8,
@@ -232,15 +241,22 @@ object Similarity {
     import org.apache.spark.sql.types._
     val spark = codes.sparkSession
     import spark.implicits._
-    // stable query indexing: row_number over qid, mirrored by the ordered
-    // driver collect below, so closure arrays and the __qi column agree
-    val qWindow = Window.orderBy(col(qidCol))
-    val qIndexed = queries.select(col(qidCol), col(qvecCol))
-      .withColumn("__qi", row_number().over(qWindow) - 1)
-    val qVecs = queries.orderBy(col(qidCol)).select(col(qvecCol))
-      .collect().map(_.getSeq[Float](0).toArray)
-    val n = qVecs.length
+    // the query table is collected ONCE and that array is the single source
+    // of truth: closure LUTs index it, and the (__qi, qid, qvec) mapping
+    // joined back after aggregation is rebuilt FROM it — a nondeterministic
+    // or re-evaluated query source can't mis-pair LUTs with vectors
+    val qSelected = queries.select(col(qidCol), col(qvecCol))
+    val qRows = qSelected.collect()
+    val n = qRows.length
     require(n > 0, "pqSearchBatch needs a non-empty query table")
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+    val qIndexed = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        qRows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.get(0), r.get(1))
+        }.toSeq, 1),
+      StructType(StructField("__qi", IntegerType, nullable = false) +:
+        qSelected.schema.fields))
     val luts = qVecs.map { qv =>
       Array.tabulate(cb.m) { j =>
         cb.centroids(j).map { cent =>
@@ -258,13 +274,14 @@ object Similarity {
       val lut = luts(qi)
       var s = 0.0
       var j = 0
-      while (j < code.length) { s += lut(j)(code(j).toInt); j += 1 }
+      while (j < code.length) { s += lut(j)(code(j) & 0xFF); j += 1 }
       s
     }
     val qnormCol = element_at(array(qnorms.map(lit(_)).toIndexedSeq: _*), col("__qi") + 1)
     val acos = when(col("norm") === 0.0 || qnormCol === 0.0, lit(-2.0))
       .otherwise(adcUdf(col("code"), col("__qi")) / (col("norm") * qnormCol))
     val scored = codes
+      .filter(col("code").isNotNull && col("norm").isNotNull) // null embeddings never rank
       .withColumn("__qi", explode(lit((0 until n).toArray)))
       .select(col("__qi"), col(idCol).as("__id"), acos.as("__acos"))
     val limit = k * rerankFactor
@@ -353,6 +370,20 @@ object Similarity {
     * centroid of subspace j. FAISS-style IVFADC's compression half. */
   case class PqCodebook(m: Int, dsub: Int, centroids: Array[Array[Array[Float]]]) {
     def ksub: Int = centroids(0).length
+
+    /** Content fingerprint (md5 over the centroid float bits, first 8 hex
+      * chars) — identifies the TRAINED codebook, not just its shape, so a
+      * build-once code table (graft.IvfPqCatalog) keyed on it can never be
+      * reused with differently-trained centroids. */
+    lazy val fingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = java.nio.ByteBuffer.allocate(4)
+      for (sub <- centroids; cent <- sub; x <- cent) {
+        buf.clear(); buf.putFloat(x)
+        md.update(buf.array())
+      }
+      md.digest().take(4).map(b => f"${b & 0xFF}%02x").mkString
+    }
   }
 
   /** Deterministic seeded codebook — the PQ analog of [[seededCentroids]]:
@@ -362,6 +393,9 @@ object Similarity {
     * the encode/search plan shape. */
   def pqTrainSeeded(corpus: DataFrame, m: Int, ksub: Int, step: Long,
                     idCol: String = "vec_id", embCol: String = "embedding"): PqCodebook = {
+    // codes are stored one byte per subspace (read back unsigned via & 0xFF),
+    // so 256 centroids per subspace — FAISS's standard setting — is the cap
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub")
     val rows = corpus.filter(col(idCol) % step === 0)
       .orderBy(col(idCol).asc).limit(ksub)
       .select(embCol).collect().map(_.getSeq[Float](0).toArray)
@@ -431,23 +465,10 @@ object Similarity {
       .select(col(idCol), col("q._1").as("code"), col("q._2").as("norm"))
   }
 
-  /** ADC (asymmetric distance computation) search: the query stays raw; a
-    * driver-built lookup table LUT(j)(c) = <q_j, centroid(j)(c)> turns each
-    * code row's approximate dot product into `m` table lookups — a narrow
-    * scan over the m-byte codes, never the floats. Approximate cosine =
-    * Σ_j LUT(j)(code_j) / (‖x‖·‖q‖) with exact stored norms; the top
-    * k·rerankFactor candidates (TakeOrderedAndProject) are then re-scored
-    * against the raw embeddings with the exact codegen cosine, so emitted
-    * scores are bit-identical to the exact path — quantization can only
-    * cost recall at the candidate boundary, and the rerank margin absorbs
-    * it (equality with exact top-k pinned by OperatorSpec; the registered
-    * `ann_pq_top10` hash-checks it against the exact-KNN oracle).
-    *
-    * `codes` = output of [[pqEncode]] (at scale: the stored table);
-    * `corpus` supplies raw vectors for the rerank join only. */
   /** ADC candidate stage shared by [[pqSearch]] and [[ivfPqSearch]]: score
     * every code row via the driver LUT, keep the top `n` ids by approximate
-    * cosine (bounded heap — TakeOrderedAndProject, never a global sort). */
+    * cosine (bounded heap — TakeOrderedAndProject, never a global sort).
+    * Rows with a null code/norm (null source embeddings) never rank. */
   private def adcCandidates(codes: DataFrame, cb: PqCodebook,
                             queryVec: Array[Float], n: Int, idCol: String): DataFrame = {
     var qnorm2 = 0.0
@@ -464,7 +485,7 @@ object Similarity {
     val adcUdf = udf { (code: Array[Byte]) => // BINARY column: m bytes per row
       var s = 0.0
       var j = 0
-      while (j < code.length) { s += lut(j)(code(j).toInt); j += 1 }
+      while (j < code.length) { s += lut(j)(code(j) & 0xFF); j += 1 }
       s
     }
     val approx =
@@ -472,6 +493,7 @@ object Similarity {
       else when(col("norm") === 0.0, lit(-2.0))
         .otherwise(adcUdf(col("code")) / (col("norm") * lit(qnorm)))
     codes
+      .filter(col("code").isNotNull && col("norm").isNotNull)
       .withColumn("__acos", approx)
       .orderBy(col("__acos").desc, col(idCol).asc)
       .limit(n)
@@ -489,6 +511,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** ADC (asymmetric distance computation) search: the query stays raw; a
+    * driver-built lookup table LUT(j)(c) = <q_j, centroid(j)(c)> turns each
+    * code row's approximate dot product into `m` table lookups — a narrow
+    * scan over the m-byte codes, never the floats. Approximate cosine =
+    * Σ_j LUT(j)(code_j) / (‖x‖·‖q‖) with exact stored norms; the top
+    * k·rerankFactor candidates (TakeOrderedAndProject) are then re-scored
+    * against the raw embeddings with the exact codegen cosine, so emitted
+    * scores are bit-identical to the exact path — quantization can only
+    * cost recall at the candidate boundary (measured and pinned by
+    * OperatorSpec; the registered `ann_pq_top10` oracle replays the full
+    * ADC pipeline in SQL).
+    *
+    * `codes` = output of [[pqEncode]] (at scale: the stored table);
+    * `corpus` supplies raw vectors for the rerank join only. */
   def pqSearch(codes: DataFrame, corpus: DataFrame, cb: PqCodebook,
                queryVec: Array[Float], k: Int, rerankFactor: Int = 8,
                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
@@ -507,13 +543,7 @@ object Similarity {
                   cb: PqCodebook, queryVec: Array[Float], k: Int, nprobe: Int,
                   rerankFactor: Int = 8,
                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val qv = array(queryVec.map(x => lit(x)): _*)
-    val probedIds = centroids
-      .withColumn("qcos", cosineSimilarity(col("centroid_vec"), qv))
-      .orderBy(col("qcos").desc, col("centroid_id").asc)
-      .limit(nprobe)
-      .select(col("centroid_id"))
-      .collect().map(_.getLong(0))
+    val probedIds = probedCentroidIds(centroids, queryVec, nprobe)
     val pruned = codesAssigned.filter(col("centroid_id").isin(probedIds: _*))
     rerankExact(corpus, adcCandidates(pruned, cb, queryVec, k * rerankFactor, idCol),
       queryVec, k, idCol, embCol)

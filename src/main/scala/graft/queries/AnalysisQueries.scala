@@ -60,7 +60,6 @@ object AnalysisQueries {
           round($"ps"(4), 6).as("p99"))
     }),
 
-    // Gopher-style repetition fractions (boilerplate/loop detector).
     // PII screen + redaction (north-star: corpus hygiene before training).
     // The fixture prose is PII-free, so each doc gets a deterministic planted
     // email / phone / IPv4 IN the query — counting and masking then run on
@@ -84,6 +83,7 @@ object AnalysisQueries {
           TextAnalysis.redactPii($"pt").as("redacted"))
     }),
 
+    // Gopher-style repetition fractions (boilerplate/loop detector).
     "ana_repetition" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
@@ -391,12 +391,12 @@ object AnalysisQueries {
              regexp_replace(
                regexp_replace(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', ' ', 'g'),
-             '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}')) AS INTEGER) AS n_phones,
+             '(\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}')) AS INTEGER) AS n_phones,
            regexp_replace(
              regexp_replace(
                regexp_replace(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
-             '\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}', '[PHONE]', 'g') AS redacted
+             '(\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}', '[PHONE]', 'g') AS redacted
          FROM t""",
 
     "ana_repetition" ->

@@ -156,6 +156,13 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextAnalysis.piiCounts($"c").as("p")).selectExpr("p.n_phones")
       .collect()(0).getInt(0)
     assert(ipOnly === 0)
+    // plain 10-digit forms (no country code) are phones too — the common case
+    val tenDigit = Seq("call 212-555-0134 or (212) 555-0134 or 212 555 0134 ok")
+      .toDF("c")
+      .select(TextAnalysis.piiCounts($"c").as("p"), TextAnalysis.redactPii($"c").as("r"))
+      .selectExpr("p.n_phones", "r").collect()(0)
+    assert(tenDigit.getInt(0) === 3)
+    assert(tenDigit.getString(1) === "call [PHONE] or [PHONE] or [PHONE] ok")
   }
 
   test("cosine similarity and jaccard") {
