@@ -30,6 +30,10 @@ object ClusterCatalog {
         .write.mode("overwrite")
         .bucketBy(32, "doc_id").sortBy("doc_id")
         .format("parquet").saveAsTable(name)
+      // the build persisted corpus-scale intermediates (shingle/band tables,
+      // the edge list) that nothing can read again once the table exists —
+      // this catalog is the "long-lived caller" the Caches contract names
+      Caches.release()
     }
   }
 }

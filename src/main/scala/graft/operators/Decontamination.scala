@@ -32,9 +32,12 @@ object Decontamination {
       Dedup.minHashShingleTable(df, n, idCol, textCol)
         .select(col(idCol), explode(col("sh")).as("gram"))
     val evalGrams = broadcast(grams(evalSet).select("gram").distinct())
+    // (doc, gram) is already unique here — the shingle kernel emits distinct
+    // grams per doc and the eval side is distinct — so a plain count gives
+    // the same n_overlap without countDistinct's two-phase Expand re-shuffle
     grams(train)
       .join(evalGrams, "gram")
       .groupBy(col(idCol))
-      .agg(countDistinct(col("gram")).as("n_overlap"))
+      .agg(count(lit(1)).as("n_overlap"))
   }
 }

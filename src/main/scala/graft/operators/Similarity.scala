@@ -167,14 +167,6 @@ object Similarity {
       .drop("__rn", "centroid_vec", "cos")
   }
 
-  /** IVF search over a MATERIALIZED assignment (graft.IvfCatalog): the
-    * corpus was written `partitionBy(centroid_id)` at index-build time, so
-    * probing resolves the nprobe nearest centroid ids driver-side (the
-    * centroid table is the index metadata — tiny by construction) and the
-    * cell filter becomes a static `IN` over the partition key: the scan
-    * prunes whole partition directories (`PartitionFilters` in the plan,
-    * asserted by PlanSpec) instead of re-assigning the corpus per query as
-    * [[ivfSearch]] does. */
   /** Driver-side probe: the nprobe centroid ids nearest to the query. The
     * centroid table is index metadata — tiny by construction — so the
     * collect is a bounded driver merge, and the resulting ids become a
@@ -191,6 +183,14 @@ object Similarity {
       .collect().map(_.getLong(0))
   }
 
+  /** IVF search over a MATERIALIZED assignment (graft.IvfCatalog): the
+    * corpus was written `partitionBy(centroid_id)` at index-build time, so
+    * probing resolves the nprobe nearest centroid ids driver-side (the
+    * centroid table is the index metadata — tiny by construction) and the
+    * cell filter becomes a static `IN` over the partition key: the scan
+    * prunes whole partition directories (`PartitionFilters` in the plan,
+    * asserted by PlanSpec) instead of re-assigning the corpus per query as
+    * [[ivfSearch]] does. */
   def ivfSearchPruned(assigned: DataFrame, centroids: DataFrame, queryVec: Array[Float],
                       k: Int, nprobe: Int,
                       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
@@ -257,26 +257,9 @@ object Similarity {
         }.toSeq, 1),
       StructType(StructField("__qi", IntegerType, nullable = false) +:
         qSelected.schema.fields))
-    val luts = qVecs.map { qv =>
-      Array.tabulate(cb.m) { j =>
-        cb.centroids(j).map { cent =>
-          var dot = 0.0
-          var t = 0
-          while (t < cb.dsub) { dot += qv(j * cb.dsub + t).toDouble * cent(t); t += 1 }
-          dot
-        }
-      }
-    }
-    val qnorms = qVecs.map { qv =>
-      var s = 0.0; qv.foreach(x => s += x.toDouble * x); math.sqrt(s)
-    }
-    val adcUdf = udf { (code: Array[Byte], qi: Int) =>
-      val lut = luts(qi)
-      var s = 0.0
-      var j = 0
-      while (j < code.length) { s += lut(j)(code(j) & 0xFF); j += 1 }
-      s
-    }
+    val luts = qVecs.map(buildAdcLut(cb, _))
+    val qnorms = qVecs.map(vecNorm)
+    val adcUdf = udf { (code: Array[Byte], qi: Int) => adcDot(luts(qi), code) }
     val qnormCol = element_at(array(qnorms.map(lit(_)).toIndexedSeq: _*), col("__qi") + 1)
     val acos = when(col("norm") === 0.0 || qnormCol === 0.0, lit(-2.0))
       .otherwise(adcUdf(col("code"), col("__qi")) / (col("norm") * qnormCol))
@@ -465,29 +448,42 @@ object Similarity {
       .select(col(idCol), col("q._1").as("code"), col("q._2").as("norm"))
   }
 
+  /** LUT(j)(c) = <q_j, centroid(j)(c)>, element-order double arithmetic —
+    * the exact arithmetic the SQL oracles replay bit-for-bit. One kernel
+    * for the single-query and batch paths so a fix can't silently diverge. */
+  private def buildAdcLut(cb: PqCodebook, qv: Array[Float]): Array[Array[Double]] =
+    Array.tabulate(cb.m) { j =>
+      cb.centroids(j).map { cent =>
+        var dot = 0.0
+        var t = 0
+        while (t < cb.dsub) { dot += qv(j * cb.dsub + t).toDouble * cent(t); t += 1 }
+        dot
+      }
+    }
+
+  /** Σ_j LUT(j)(code_j), code bytes read unsigned. */
+  private def adcDot(lut: Array[Array[Double]], code: Array[Byte]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < code.length) { s += lut(j)(code(j) & 0xFF); j += 1 }
+    s
+  }
+
+  private def vecNorm(v: Array[Float]): Double = {
+    var s = 0.0
+    v.foreach(x => s += x.toDouble * x)
+    math.sqrt(s)
+  }
+
   /** ADC candidate stage shared by [[pqSearch]] and [[ivfPqSearch]]: score
     * every code row via the driver LUT, keep the top `n` ids by approximate
     * cosine (bounded heap — TakeOrderedAndProject, never a global sort).
     * Rows with a null code/norm (null source embeddings) never rank. */
   private def adcCandidates(codes: DataFrame, cb: PqCodebook,
                             queryVec: Array[Float], n: Int, idCol: String): DataFrame = {
-    var qnorm2 = 0.0
-    queryVec.foreach(x => qnorm2 += x.toDouble * x)
-    val qnorm = math.sqrt(qnorm2)
-    val lut = Array.tabulate(cb.m) { j =>
-      cb.centroids(j).map { cent =>
-        var dot = 0.0
-        var t = 0
-        while (t < cb.dsub) { dot += queryVec(j * cb.dsub + t).toDouble * cent(t); t += 1 }
-        dot
-      }
-    }
-    val adcUdf = udf { (code: Array[Byte]) => // BINARY column: m bytes per row
-      var s = 0.0
-      var j = 0
-      while (j < code.length) { s += lut(j)(code(j) & 0xFF); j += 1 }
-      s
-    }
+    val qnorm = vecNorm(queryVec)
+    val lut = buildAdcLut(cb, queryVec)
+    val adcUdf = udf { (code: Array[Byte]) => adcDot(lut, code) }
     val approx =
       if (qnorm == 0.0) lit(-2.0)
       else when(col("norm") === 0.0, lit(-2.0))

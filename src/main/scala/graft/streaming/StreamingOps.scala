@@ -268,17 +268,19 @@ object StreamingOps {
             evs.filter(_.event_type == rightType).map(e => (tsToUs(e.ts), e.value)))
             .groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).max) }
             .toList.sorted
-          // watermark is ms; buffers are micros — compare at micros with
-          // the watermark's exclusive upper bound (wm ms covers every event
-          // up to and including wm*1000+999 us)
-          val wmUs = state.getCurrentWatermarkMs() * 1000L + 999L
-          val (ready, pending) = lefts.partition(_._1 <= wmUs)
+          // watermark is ms; buffers are micros. An event whose millisecond
+          // EQUALS the watermark is not late yet (late means ts < watermark),
+          // so only micros strictly below wm*1000 are final — finalizing the
+          // watermark's own millisecond would emit matches a same-millisecond
+          // right arriving in the next micro-batch could still change
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = lefts.partition(_._1 < wmUs)
           val out = ready.flatMap { case (lt, lv) =>
             rights.takeWhile(_._1 <= lt).lastOption.map { case (rt, rv) =>
               AsOfMatch(userId, usToTs(lt), lv, usToTs(rt), rv)
             }
           }
-          val (finalRights, tailRights) = rights.partition(_._1 <= wmUs)
+          val (finalRights, tailRights) = rights.partition(_._1 < wmUs)
           val kept = finalRights.lastOption.toList ++ tailRights
           // evict only on true idleness (watermark an idleGap past the last
           // right), never on a pending-left flush timeout — that timeout
