@@ -42,6 +42,39 @@ object Sampling {
     df.filter(hashBucket(col(idCol), seed) < threshold)
   }
 
+  /** Sequence packing for training batches (GPT-style concat-and-cut): lay
+    * the corpus' token stream out in deterministic (shardCol, idCol) order
+    * and cut it every `budget` tokens. Each document's span is
+    * [cum − n_tokens, cum) in its shard's stream; the output says which
+    * pack the document starts in, which it ends in (a doc longer than the
+    * remaining budget spills across the cut — the standard pretraining
+    * packing, no padding, docs split at pack boundaries), and its offset
+    * inside the start pack.
+    *
+    * Scale shape: ONE ranking window partitioned by `shardCol` — packing is
+    * per-shard by construction (exactly how a 1000-executor packing job
+    * shards: state per partition is one shard's running sum, shards pack
+    * independently and in parallel). No global order exists, and none is
+    * needed: pack ids are (shard, local pack number) pairs. Prefix sums are
+    * exact LONG arithmetic — bit-stable across engines, asserted by the
+    * DuckDB oracle. */
+  def packSequences(df: DataFrame, tokensCol: Column, budget: Int,
+                    shardCol: String, idCol: String): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val b = lit(budget.toLong)
+    val cum = sum(tokensCol.cast("long")).over(w)
+    val docStart = cum - tokensCol.cast("long")
+    // non-negative longs stay < 2^53, so double-divide-then-truncate IS
+    // floor division — the same arithmetic the oracle's `//` computes
+    def floorDiv(x: Column): Column = (x / b).cast("long")
+    df.withColumn("pack_start", floorDiv(docStart))
+      .withColumn("pack_end", greatest(floorDiv(cum - 1), floorDiv(docStart)))
+      .withColumn("start_offset", pmod(docStart, b))
+  }
+
   /** Deterministic train/validation/test split: fractions in order, e.g.
     * Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05). Returns the input
     * plus a `split` column; same id → same split, forever. */

@@ -41,6 +41,20 @@ object SamplingQueries {
         .select($"doc_id", $"lang", round($"q", 6).as("quality_score"))
     }),
 
+    // Sequence packing (GPT-style concat-and-cut at a 2048-token budget):
+    // the corpus token stream laid out per language shard in doc_id order,
+    // each doc mapped to its start/end pack and offset. One window per
+    // shard — shards pack independently, the 1000-executor shape.
+    "samp_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"lang",
+        graft.operators.TextAnalysis.whitespaceTokens($"text").as("n_tokens"))
+      Sampling.packSequences(docs, $"n_tokens", budget = 2048,
+          shardCol = "lang", idCol = "doc_id")
+        .select($"doc_id", $"lang", $"n_tokens",
+          $"pack_start", $"pack_end", $"start_offset")
+    }),
+
     // Deterministic 80/10/10 train/valid/test split, counted per language —
     // same doc lands in the same split on every run at every scale.
     "samp_split_counts" -> ((s, dir) => {
@@ -66,6 +80,20 @@ object SamplingQueries {
           FROM documents
           WHERE ${duckBucket("qw", "CAST(doc_id AS VARCHAR)")} <
             CAST(FLOOR(round(${DuckSql.quality}, 6) * 1000000e0) AS BIGINT)""",
+    "samp_pack_sequences" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang, CAST(${DuckSql.wc("text")} AS INT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+              SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t)
+          SELECT doc_id, lang, n_tokens,
+            (cum - n_tokens) // 2048 AS pack_start,
+            GREATEST((cum - 1) // 2048, (cum - n_tokens) // 2048) AS pack_end,
+            (cum - n_tokens) % 2048 AS start_offset
+          FROM c""",
     "samp_split_counts" ->
       s"""SELECT lang,
             CASE WHEN b < 800000 THEN 'train'

@@ -96,5 +96,28 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Sampling.splitColumn(col("id"), Seq("train" -> 0.8, "test" -> 0.1))
     }
+    assertThrows[IllegalArgumentException] {
+      Sampling.packSequences(df, lit(1), budget = 0, shardCol = "lang", idCol = "id")
+    }
+  }
+
+  test("sequence packing: concat-and-cut spans, per-shard streams, hand-computed") {
+    import spark.implicits._
+    // shard A stream (budget 10): doc1=4 [0,4) p0; doc2=8 [4,12) p0->p1
+    // spills the cut; doc3=0 empty at 12 p1; doc4=25 [12,37) p1->p3 spans a
+    // whole middle pack; shard B independent: doc5=10 [0,10) exactly fills p0
+    val df = Seq(
+      (1L, "A", 4), (2L, "A", 8), (3L, "A", 0), (4L, "A", 25), (5L, "B", 10)
+    ).toDF("id", "shard", "n")
+    val got = Sampling.packSequences(df, col("n"), budget = 10,
+        shardCol = "shard", idCol = "id")
+      .select("id", "pack_start", "pack_end", "start_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 0L),   // fits pack 0 at offset 0
+      (2L, 0L, 1L, 4L),   // starts pack 0 offset 4, spills into pack 1
+      (3L, 1L, 1L, 2L),   // empty doc sits at its stream position
+      (4L, 1L, 3L, 2L),   // spans packs 1..3
+      (5L, 0L, 0L, 0L)))  // shard B packs from zero, independently
   }
 }
