@@ -83,6 +83,21 @@ object AnalysisQueries {
           TextAnalysis.redactPii($"pt").as("redacted"))
     }),
 
+    // Unigram LM vocabulary: top-20 corpus tokens, deterministic tie-break.
+    "ana_lm_vocab" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.unigramVocab(Tables.documents(s, dir), k = 20)
+    }),
+
+    // Unigram LM scoring against a deliberately small (top-25 of the
+    // fixture's 31 distinct tokens) vocabulary so the OOV path is exercised
+    // — the CCNet-style distance-from-corpus-distribution quality screen.
+    "ana_lm_scores" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lmScores(docs, TextAnalysis.unigramVocab(docs, k = 25))
+    }),
+
     // Gopher-style repetition fractions (boilerplate/loop detector).
     "ana_repetition" -> ((s, dir) => {
       import s.implicits._
@@ -399,6 +414,27 @@ object AnalysisQueries {
              '(\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}', '[PHONE]', 'g') AS redacted
          FROM t""",
 
+    "ana_lm_vocab" ->
+      s"""SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT unnest(${duckWords("text")}) AS token FROM documents)
+          GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+    "ana_lm_scores" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest(${duckWords("text")}) AS token FROM documents),
+          counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token),
+          vocab AS (SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 25),
+          stats AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n, CAST(COUNT(*) AS BIGINT) AS v
+                    FROM vocab),
+          lp AS (SELECT token, round(ln((n + 1) / (big_n + v + 1.0)), 9) AS lp
+                 FROM vocab CROSS JOIN stats)
+          SELECT t.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(SUM(CASE WHEN lp.lp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+            round(CAST(SUM(CAST(coalesce(lp.lp,
+                round(ln(1.0 / (stats.big_n + stats.v + 1.0)), 9))
+              AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+          FROM toks t LEFT JOIN lp ON t.token = lp.token CROSS JOIN stats
+          GROUP BY t.doc_id""",
     "ana_repetition" ->
       s"""SELECT doc_id,
             round(CASE WHEN len(w) = 0 THEN 0.0e0
