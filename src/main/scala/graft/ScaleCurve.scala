@@ -61,7 +61,9 @@ object ScaleCurve {
     }),
     "pq_adc_search"         -> SparkEntry.queries("ann_pq_top10"),
     "pii_redact"            -> SparkEntry.queries("ana_pii_redact"),
-    "html_to_text"          -> SparkEntry.queries("doc_html_text"))
+    "html_to_text"          -> SparkEntry.queries("doc_html_text"),
+    "seq_packing"           -> SparkEntry.queries("samp_pack_sequences"),
+    "lm_scores"             -> SparkEntry.queries("ana_lm_scores"))
 
   def main(args: Array[String]): Unit = {
     val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
