@@ -298,4 +298,50 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Document arriving on an ingest stream for packing: shard key, stable
+    * id, pre-counted tokens. */
+  case class PackDoc(ts: Timestamp, shard: String, doc_id: Long, n_tokens: Long)
+
+  /** Pack span emitted by [[packStream]] — same columns and semantics as
+    * `Sampling.packSequences`. */
+  case class PackSpan(shard: String, doc_id: Long, n_tokens: Long,
+                      pack_start: Long, pack_end: Long, start_offset: Long)
+
+  /** public, not private: state codegen reads the field via its accessor
+    * and silently fails when it can't reach it (same rule as LangVote) */
+  case class PackCursor(cum: Long)
+
+  /** Streaming twin of `Sampling.packSequences`: a running token cursor per
+    * shard lays arriving documents into budget-sized packs continuously —
+    * the ingest-time form of concat-and-cut (each new document's span is
+    * assigned the moment it arrives; no corpus pass). Within a micro-batch,
+    * documents order by (ts, doc_id) so output is deterministic under
+    * batch-boundary placement; across batches, packing follows arrival
+    * order — feed the stream in the batch twin's id order and the outputs
+    * agree row-for-row (pinned by StreamingSpec). State is ONE long per
+    * shard (the cursor), so there is nothing to evict — shards are bounded
+    * by construction, unlike keys. */
+  def packStream(docs: Dataset[PackDoc], budget: Int): Dataset[PackSpan] = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackCursor, PackSpan](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: String, batch: Iterator[PackDoc], state: GroupState[PackCursor]) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = batch.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).map { d =>
+            val start = cum
+            cum += d.n_tokens
+            // (cum-1)/budget truncates toward zero; max() pins the cum==0
+            // all-empty-prefix edge to pack_start, same as the batch twin
+            PackSpan(shard, d.doc_id, d.n_tokens,
+              start / budget,
+              math.max((cum - 1) / budget, start / budget),
+              start % budget)
+          }
+          state.update(PackCursor(cum))
+          out.iterator
+      }
+  }
 }

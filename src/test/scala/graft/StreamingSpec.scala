@@ -516,4 +516,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("packStream matches batch packSequences fed in id order, across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // real fixture docs: shard by lang, token counts precomputed, id order
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextAnalysis.whitespaceTokens(col("text")).cast("long").as("n_tokens"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => StreamingOps.PackDoc(new java.sql.Timestamp(r.getLong(0)),
+        r.getString(1), r.getLong(0), r.getLong(2)))
+    val source = MemoryStream[StreamingOps.PackDoc]
+    val q = StreamingOps.packStream(source.toDS(), budget = 2048)
+      .writeStream.outputMode("append").format("memory").queryName("pack_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // three micro-batches in id order: the cursor must carry across batches
+    docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+      source.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("pack_stream")
+      .select("doc_id", "pack_start", "pack_end", "start_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.operators.Sampling.packSequences(
+        docs.toSeq.toDF("ts", "lang", "doc_id", "n_tokens").drop("ts"),
+        col("n_tokens"), budget = 2048, shardCol = "lang", idCol = "doc_id")
+      .select("doc_id", "pack_start", "pack_end", "start_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
