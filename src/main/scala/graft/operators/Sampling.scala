@@ -67,9 +67,10 @@ object Sampling {
     val b = lit(budget.toLong)
     val cum = sum(tokensCol.cast("long")).over(w)
     val docStart = cum - tokensCol.cast("long")
-    // non-negative longs stay < 2^53, so double-divide-then-truncate IS
-    // floor division — the same arithmetic the oracle's `//` computes
-    def floorDiv(x: Column): Column = (x / b).cast("long")
+    // exact integral division (SQL `div`), NOT double `/`-then-cast: a
+    // shard's running sum past 2^53 would round under double division and
+    // silently break parity with the oracle's `//` and the streaming twin
+    def floorDiv(x: Column): Column = call_function("div", x, b)
     df.withColumn("pack_start", floorDiv(docStart))
       .withColumn("pack_end", greatest(floorDiv(cum - 1), floorDiv(docStart)))
       .withColumn("start_offset", pmod(docStart, b))

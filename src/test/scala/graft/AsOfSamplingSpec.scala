@@ -99,6 +99,13 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Sampling.packSequences(df, lit(1), budget = 0, shardCol = "lang", idCol = "id")
     }
+    // empty vocabulary fails fast with the precondition, not an NPE mid-agg
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.lmScores(noDocs,
+        graft.operators.TextAnalysis.unigramVocab(noDocs))
+    }
   }
 
   test("sequence packing: concat-and-cut spans, per-shard streams, hand-computed") {
