@@ -42,16 +42,24 @@ object SamplingQueries {
     }),
 
     // Sequence packing (GPT-style concat-and-cut at a 2048-token budget):
-    // the corpus token stream laid out per language shard in doc_id order,
-    // each doc mapped to its start/end pack and offset. One window per
-    // shard — shards pack independently, the 1000-executor shape.
+    // the corpus token stream laid out in deterministic (shard, doc_id)
+    // order, each doc mapped to its start/end pack and offset. The shard
+    // key is COMPOSITE — lang × a deterministic hash sub-shard — because a
+    // real corpus is mostly one language: sharding by lang alone would put
+    // ~all of a 100 TB stream into one window task. Sub-sharding bounds
+    // every window partition to ~1/(n_lang × n_sub) of the corpus while
+    // keeping the same (shard, local pack number) id convention; shards
+    // still pack independently and in parallel, the 1000-executor shape
+    // (at corpus scale set n_sub ≈ executors / n_lang).
     "samp_pack_sequences" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir).select($"doc_id", $"lang",
         graft.operators.TextAnalysis.whitespaceTokens($"text").as("n_tokens"))
+        .withColumn("shard", concat_ws("#", $"lang",
+          pmod(Sampling.hashBucket($"doc_id", "pack"), lit(8L)).cast("string")))
       Sampling.packSequences(docs, $"n_tokens", budget = 2048,
-          shardCol = "lang", idCol = "doc_id")
-        .select($"doc_id", $"lang", $"n_tokens",
+          shardCol = "shard", idCol = "doc_id")
+        .select($"doc_id", $"lang", $"shard", $"n_tokens",
           $"pack_start", $"pack_end", $"start_offset")
     }),
 
@@ -82,14 +90,17 @@ object SamplingQueries {
             CAST(FLOOR(round(${DuckSql.quality}, 6) * 1000000e0) AS BIGINT)""",
     "samp_pack_sequences" ->
       s"""WITH t AS (
-            SELECT doc_id, lang, CAST(${DuckSql.wc("text")} AS INT) AS n_tokens
+            SELECT doc_id, lang,
+              concat_ws('#', lang,
+                CAST((${duckBucket("pack", "CAST(doc_id AS VARCHAR)")}) % 8 AS VARCHAR)) AS shard,
+              CAST(${DuckSql.wc("text")} AS INT) AS n_tokens
             FROM documents),
           c AS (
-            SELECT doc_id, lang, n_tokens,
-              SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY lang ORDER BY doc_id ASC
+            SELECT doc_id, lang, shard, n_tokens,
+              SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY shard ORDER BY doc_id ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM t)
-          SELECT doc_id, lang, n_tokens,
+          SELECT doc_id, lang, shard, n_tokens,
             (cum - n_tokens) // 2048 AS pack_start,
             GREATEST((cum - 1) // 2048, (cum - n_tokens) // 2048) AS pack_end,
             (cum - n_tokens) % 2048 AS start_offset

@@ -163,6 +163,13 @@ class TextFunctionsSpec extends AnyFunSuite {
       .selectExpr("p.n_phones", "r").collect()(0)
     assert(tenDigit.getInt(0) === 3)
     assert(tenDigit.getString(1) === "call [PHONE] or [PHONE] or [PHONE] ok")
+    // a masked email span flanked by digit groups must NOT fuse into a
+    // phone match: the mask char ('~') is printable, non-digit, and outside
+    // PhonePattern's separator class [ .-] — identical in the DuckDB oracle
+    val flanked = Seq("(212)a@b.co5550134").toDF("c")
+      .select(TextAnalysis.piiCounts($"c").as("p"))
+      .selectExpr("p.n_emails", "p.n_phones").collect()(0)
+    assert((flanked.getInt(0), flanked.getInt(1)) === ((1, 0)))
   }
 
   test("cosine similarity and jaccard") {
