@@ -19,11 +19,14 @@ import org.apache.spark.sql.Dataset
 object Caches {
 
   private val live = scala.collection.mutable.LinkedHashSet.empty[Dataset[_]]
+  private val scopes =
+    scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.LinkedHashSet[Dataset[_]]]
 
   /** Persist `d` and track it for release(). */
   private[graft] def persistTracked[T](d: Dataset[T]): Dataset[T] = synchronized {
     d.persist()
     live.add(d)
+    scopes.foreach(_.add(d))
     d
   }
 
@@ -31,6 +34,22 @@ object Caches {
   def release(): Unit = synchronized {
     live.foreach(d => d.unpersist(false))
     live.clear()
+  }
+
+  /** Run `body`, then unpersist ONLY the graft caches persisted during it.
+    * The catalog-build form of [[release]]: a caller that interleaves a
+    * catalog build with other cached graft work keeps those caches — only
+    * the build's own intermediates (unreadable once the stored table
+    * exists) are dropped. Scopes nest; an inner scope's caches also belong
+    * to the outer one until the inner release fires. */
+  def releaseAfter[A](body: => A): A = {
+    val scope = scala.collection.mutable.LinkedHashSet.empty[Dataset[_]]
+    synchronized { scopes += scope }
+    try body
+    finally synchronized {
+      scopes -= scope
+      scope.foreach { d => d.unpersist(false); live.remove(d) }
+    }
   }
 
   /** Number of currently tracked cached plans (for tests/diagnostics). */

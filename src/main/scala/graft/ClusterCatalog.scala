@@ -21,19 +21,20 @@ object ClusterCatalog {
   def clusterIds(spark: SparkSession, dir: String): DataFrame = {
     val name = TableStore.tableName("clusters", dir)
     TableStore.getOrBuild(spark, name) {
-      val docs = Tables.documents(spark, dir)
-      val comp = Clusters
-        .connectedComponents(Dedup.minHashPairsFast(docs.select(col("doc_id"), col("text"))))
-        .withColumnRenamed("id", "doc_id")
-      docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .write.mode("overwrite")
-        .bucketBy(32, "doc_id").sortBy("doc_id")
-        .format("parquet").saveAsTable(name)
-      // the build persisted corpus-scale intermediates (shingle/band tables,
-      // the edge list) that nothing can read again once the table exists —
-      // this catalog is the "long-lived caller" the Caches contract names
-      Caches.release()
+      // the build persists corpus-scale intermediates (shingle/band tables,
+      // the edge list) that nothing can read again once the table exists;
+      // releaseAfter drops exactly those — never a cache the caller holds
+      Caches.releaseAfter {
+        val docs = Tables.documents(spark, dir)
+        val comp = Clusters
+          .connectedComponents(Dedup.minHashPairsFast(docs.select(col("doc_id"), col("text"))))
+          .withColumnRenamed("id", "doc_id")
+        docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .write.mode("overwrite")
+          .bucketBy(32, "doc_id").sortBy("doc_id")
+          .format("parquet").saveAsTable(name)
+      }
     }
   }
 }

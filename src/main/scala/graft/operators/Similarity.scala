@@ -249,6 +249,10 @@ object Similarity {
     val qRows = qSelected.collect()
     val n = qRows.length
     require(n > 0, "pqSearchBatch needs a non-empty query table")
+    qRows.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(1),
+        s"pqSearchBatch: query '${r.get(0)}' (row $i) has a null $qvecCol — " +
+          "filter null query embeddings before searching") }
     val qVecs = qRows.map(_.getSeq[Float](1).toArray)
     val qIndexed = spark.createDataFrame(
       spark.sparkContext.parallelize(
@@ -259,10 +263,15 @@ object Similarity {
         qSelected.schema.fields))
     val luts = qVecs.map(buildAdcLut(cb, _))
     val qnorms = qVecs.map(vecNorm)
-    val adcUdf = udf { (code: Array[Byte], qi: Int) => adcDot(luts(qi), code) }
-    val qnormCol = element_at(array(qnorms.map(lit(_)).toIndexedSeq: _*), col("__qi") + 1)
-    val acos = when(col("norm") === 0.0 || qnormCol === 0.0, lit(-2.0))
-      .otherwise(adcUdf(col("code"), col("__qi")) / (col("norm") * qnormCol))
+    // the query norms ride in the SAME closure as the LUTs (indexed by __qi)
+    // — building a Catalyst n-element array literal per code row would cost
+    // O(n²) work across the n-way explode as the query batch grows
+    val adcUdf = udf { (code: Array[Byte], norm: Double, qi: Int) =>
+      val qn = qnorms(qi)
+      if (norm == 0.0 || qn == 0.0) -2.0
+      else adcDot(luts(qi), code) / (norm * qn)
+    }
+    val acos = adcUdf(col("code"), col("norm"), col("__qi"))
     val scored = codes
       .filter(col("code").isNotNull && col("norm").isNotNull) // null embeddings never rank
       .withColumn("__qi", explode(lit((0 until n).toArray)))

@@ -176,6 +176,21 @@ class OperatorSpec extends AnyFunSuite {
     mine.unpersist()
   }
 
+  test("Caches.releaseAfter drops only the caches persisted inside the scope") {
+    graft.Caches.release() // clean slate
+    // a graft cache the caller created BEFORE the scoped build
+    Dedup.minHashPairs(docs.limit(50)).count()
+    val outer = graft.Caches.trackedCount
+    assert(outer > 0)
+    graft.Caches.releaseAfter {
+      Dedup.simHashPairs(docs.limit(50)).count() // persists inside the scope
+      assert(graft.Caches.trackedCount > outer)
+    }
+    // the scope's caches are gone; the caller's earlier graft caches remain
+    assert(graft.Caches.trackedCount === outer)
+    graft.Caches.release()
+  }
+
   test("exact dedup finds planted copies and keeps min-id canonicals") {
     import spark.implicits._
     val base = docs.select($"doc_id", $"text")
