@@ -40,4 +40,35 @@ object BandCatalog {
         .format("parquet").saveAsTable(name)
     }
   }
+
+  /** Append one ingest batch to the stored index — the write half of the
+    * incremental loop: after [[Dedup.minHashPairsIncrementalStored]] flags
+    * a batch against the stored index, the batch's shingles and bands join
+    * the index so the NEXT increment sees this batch's documents — no
+    * corpus rebuild, no corpus re-hash; the cost scales with the batch.
+    * Appends write bucket-aligned files into the existing bucket spec, so
+    * the candidate join keeps reading the stored side exchange-free (Spark
+    * unions same-bucket files at scan time). The MinHash shape is the
+    * catalog's fixed build shape, for the recall reason documented on
+    * minHashPairsIncrementalStored. Both tables must already exist:
+    * appending presumes an index to append to. */
+  def appendBatch(spark: SparkSession, dir: String, newDocs: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val shName = TableStore.tableName("dedup_sh", dir)
+    val bandName = TableStore.tableName("dedup_bands", dir)
+    require(spark.catalog.tableExists(shName) && spark.catalog.tableExists(bandName),
+      s"stored dedup index for '$dir' not built — corpusShingles/corpusBands first")
+    Caches.releaseAfter {
+      val sh = Caches.persistTracked(
+        Dedup.minHashShingleTable(newDocs, idCol = idCol, textCol = textCol)
+          .withColumnRenamed(idCol, "doc_id"))
+      sh.write.mode("append")
+        .bucketBy(32, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(shName)
+      Dedup.minHashBandTable(sh)
+        .write.mode("append")
+        .bucketBy(32, "band_idx", "band_key").sortBy("band_idx", "band_key")
+        .format("parquet").saveAsTable(bandName)
+    }
+  }
 }

@@ -155,6 +155,32 @@ object Similarity {
       .orderBy(col(idCol).asc).limit(c)
       .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_vec"))
 
+  /** TRAINED centroid option (the production-quality swap the seeded form
+    * documents): MLlib k-means over the embedding column, emitted in the
+    * exact `(centroid_id, centroid_vec)` schema [[seededCentroids]] uses —
+    * every downstream consumer (ivfAssign / ivfSearch / ivfSearchPruned /
+    * IvfCatalog) takes either interchangeably with zero plan-shape change.
+    * Training is one MLlib job at index-build time (seeded, so the trained
+    * index is reproducible); ids are 0..c-1, still LONG as the probe/prune
+    * paths expect. Not SQL-oracle-checkable (k-means isn't expressible in
+    * the DuckDB oracle) — quality is pinned by OperatorSpec's recall
+    * comparison instead. */
+  def kmeansCentroids(corpus: DataFrame, c: Int, seed: Long = 42L, maxIter: Int = 20,
+                      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val feats = corpus.filter(col(embCol).isNotNull)
+      .select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(c).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(feats)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat).toSeq) }
+      .toDF("centroid_id", "centroid_vec")
+      .select(col("centroid_id"), col("centroid_vec").cast("array<float>").as("centroid_vec"))
+  }
+
   /** IVF assignment: nearest centroid per corpus vector (broadcast
     * centroids, window argmax with deterministic tie-break). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
@@ -397,6 +423,40 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     PqCodebook(m, dsub, Array.tabulate(m)(j => rows.map(_.slice(j * dsub, (j + 1) * dsub))))
+  }
+
+  /** TRAINED codebook option — per-subspace MLlib k-means (textbook PQ
+    * training, Jégou et al. 2011), behind the same [[PqCodebook]] the
+    * seeded form returns: pqEncode / pqSearch / pqSearchBatch / ivfPqSearch
+    * and the stored IvfPqCatalog consume either codebook unchanged (the
+    * catalog's content fingerprint keys on the trained centroids, so a
+    * retrained codebook can never silently reuse stale codes). `m` seeded
+    * k-means fits over the subspace slices at index-build time; lower
+    * quantization error than the seeded sample, measured (not assumed) by
+    * OperatorSpec's recall@10 comparison. Non-oracle path: k-means isn't
+    * SQL-replayable, so registered oracle queries stay on the seeded form. */
+  def pqTrainKmeans(corpus: DataFrame, m: Int, ksub: Int, seed: Long = 42L,
+                    maxIter: Int = 20, embCol: String = "embedding"): PqCodebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub")
+    val emb = corpus.filter(col(embCol).isNotNull)
+    val dim = emb.select(size(col(embCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val centroids = graft.Caches.releaseAfter {
+      // slice once, reuse across the m fits
+      val sliced = graft.Caches.persistTracked(emb.select(
+        (0 until m).map(j => slice(col(embCol), j * dsub + 1, dsub).as(s"__s$j")): _*))
+      Array.tabulate(m) { j =>
+        val feats = sliced.select(
+          array_to_vector(col(s"__s$j").cast("array<double>")).as("features"))
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
+          .setFeaturesCol("features").fit(feats)
+          .clusterCenters.map(_.toArray.map(_.toFloat))
+      }
+    }
+    PqCodebook(m, dsub, centroids)
   }
 
   /** Encode kernel: per subspace, the index of the L2-nearest centroid

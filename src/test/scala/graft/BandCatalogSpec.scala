@@ -46,4 +46,37 @@ class BandCatalogSpec extends AnyFunSuite {
     assert(derived.nonEmpty, "re-tagged copies must pair with their originals")
     assert(stored === derived)
   }
+
+  test("appendBatch: a second increment sees the first's documents, no corpus rebuild") {
+    import spark.implicits._
+    // private fixture dir so appends never pollute the shared catalog tables
+    val tdir = "/tmp/graft_append_fixture"
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(tdir + "/documents.parquet")
+    Seq("dedup_sh", "dedup_bands").foreach { k =>
+      spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(k, tdir)}") }
+    assert(BandCatalog.corpusBands(spark, tdir).count() === 2 * 4)
+
+    // increment 1: a new document, duplicate of nothing — flag, then append
+    val batch1 = Seq((100L, "spark catalyst tungsten codegen shuffle exchange broadcast"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minHashPairsIncrementalStored(batch1,
+      BandCatalog.corpusShingles(spark, tdir), BandCatalog.corpusBands(spark, tdir))
+      .count() === 0)
+    BandCatalog.appendBatch(spark, tdir, batch1)
+    assert(BandCatalog.corpusBands(spark, tdir).count() === 3 * 4)
+    assert(BandCatalog.corpusShingles(spark, tdir).count() === 3)
+
+    // increment 2 duplicates increment 1's document: only the stored index
+    // can flag it — the original corpus parquet was never touched, and
+    // nothing was rebuilt (the catalog tables only grew by the batch)
+    val batch2 = Seq((200L, "spark catalyst tungsten codegen shuffle exchange broadcast"))
+      .toDF("doc_id", "text")
+    val flagged = Dedup.minHashPairsIncrementalStored(batch2,
+        BandCatalog.corpusShingles(spark, tdir), BandCatalog.corpusBands(spark, tdir))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(flagged === Set((100L, 200L)))
+  }
 }

@@ -274,6 +274,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(ivf === exact)
   }
 
+  test("trained k-means centroids/codebook swap in with no plan change; recall >= seeded") {
+    import spark.implicits._
+    def exactTop10(qv: Array[Float]): Set[Long] = emb
+      .withColumn("score",
+        (graft.functions.VectorFunctions.cosineSimilarity($"embedding",
+          array(qv.map(x => lit(x)).toIndexedSeq: _*)) + 1.0) / 2.0)
+      .orderBy($"score".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val queryIds = Seq(2L, 7L, 13L)
+    val qvs = queryIds.map(id =>
+      emb.filter($"vec_id" === id).select("embedding").head.getSeq[Float](0).toArray)
+    // IVF: the trained centroids drop into the same search plan...
+    val trainedCents = Similarity.kmeansCentroids(emb, 16)
+    val hits = Similarity.ivfSearch(emb, trainedCents, qvs.head, k = 10, nprobe = 4)
+    assert(hits.count() === 10)
+    // ...and beat the seeded sample on what k-means optimizes: assignment
+    // distortion (mean squared distance to the nearest centroid). Recall at
+    // a FIXED nprobe is data-dependent on a 500-vector random fixture —
+    // the scale measurement lives in SCALE.md's recall table.
+    val vecs = emb.select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def distortion(cents: org.apache.spark.sql.DataFrame): Double = {
+      val cs = cents.select("centroid_vec").collect().map(_.getSeq[Float](0).toArray)
+      vecs.map { v =>
+        cs.map { c =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+          d
+        }.min
+      }.sum / vecs.length
+    }
+    val seededD = distortion(Similarity.seededCentroids(emb, 16, 31L))
+    val trainedD = distortion(trainedCents)
+    assert(trainedD < seededD,
+      s"k-means distortion $trainedD not below seeded sample $seededD")
+
+    def recallPq(cb: Similarity.PqCodebook): Double = {
+      val codes = Similarity.pqEncode(emb, cb)
+      qvs.map { qv =>
+        val got = Similarity.pqSearch(codes, emb, cb, qv, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        got.intersect(exactTop10(qv)).size / 10.0
+      }.sum / qvs.size
+    }
+    val seededPq = recallPq(Similarity.pqTrainSeeded(emb, m = 8, ksub = 16, step = 31L))
+    val trainedPq = recallPq(Similarity.pqTrainKmeans(emb, m = 8, ksub = 16))
+    assert(trainedPq >= seededPq,
+      s"k-means PQ recall@10 $trainedPq fell below seeded $seededPq")
+  }
+
   test("pruned IVF over the materialized index matches per-query assignment") {
     val cents = Similarity.seededCentroids(emb, 16, 31L)
     val qv = emb.filter(col("vec_id") === 2L).select("embedding").head.getSeq[Float](0).toArray
