@@ -29,31 +29,48 @@ object TextSearch {
   val K1 = 1.2
   val B  = 0.75
 
-  /** lucene.standard-ish tokenization: lowercase, split on non-alphanumeric. */
+  /** lucene.standard-ish tokenization: lowercase, split on non-alphanumeric.
+    *
+    * Divergence from the reference's `lucene.standard` analyzer
+    * (index_manager.py:139-152), documented for anyone porting real-corpus
+    * relevance expectations: Lucene's StandardTokenizer implements UAX#29
+    * word boundaries (keeps CJK ideographs as unigrams, handles apostrophes
+    * and full-width forms), while this regex splits on every non-[a-z0-9]
+    * codepoint — identical output on ASCII prose (and on the fixtures, where
+    * the BM25 oracle rows pin it), different on text where tokens carry
+    * internal punctuation or non-Latin scripts. Neither applies stemming or
+    * stopwords (lucene.standard does not either, so THAT half matches
+    * exactly). Callers needing Lucene-exact or language-specific analysis
+    * pass their own analyzer Column function to [[bm25]]/[[search]] — the
+    * scoring math is analyzer-agnostic. */
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** Exploded (id, term) pairs for a corpus. */
-  def termTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+  def termTable(docs: DataFrame, idCol: String, textCol: String,
+                analyzer: Column => Column = tokens): DataFrame =
+    docs.select(col(idCol), explode(analyzer(col(textCol))).as("term"))
 
   /** BM25 scores of `queryTerms` over a corpus; returns (idCol, text_score)
-    * for docs matching ≥1 term, text_score rounded to 6 decimals. */
+    * for docs matching ≥1 term, text_score rounded to 6 decimals.
+    * `analyzer` swaps the tokenizer (see the [[tokens]] divergence note);
+    * query terms must come from the same analyzer. */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
-           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+           idCol: String = "doc_id", textCol: String = "text",
+           analyzer: Column => Column = tokens): DataFrame = {
     // per-doc length over ALL documents, including zero-token ones — Lucene
     // docCount semantics (deriving N/avgdl from the exploded term table
     // would silently drop token-less docs and inflate every idf).
     // persisted: feeds the corpus stats AND the per-doc scoring join.
     val docLen = graft.Caches.persistTracked(docs
-      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("dl")))
+      .select(col(idCol), size(analyzer(col(textCol))).cast("long").as("dl")))
 
     // corpus stats: N docs, avg doc length (exact-decimal mean)
     val stats = docLen.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avgdl"))
 
-    val terms = termTable(docs, idCol, textCol)
+    val terms = termTable(docs, idCol, textCol, analyzer)
 
     // per-(doc, query-term) term frequency
     val tf = terms.filter(col("term").isin(queryTerms: _*))

@@ -250,6 +250,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("bm25 analyzer hook: a custom analyzer swaps in, default path unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val corpus = Seq(
+      (1L, "spark's optimizer"),      // apostrophe inside the token
+      (2L, "spark optimizer tuning"),
+      (3L, "window sort merge")).toDF("doc_id", "text")
+    // an analyzer that keeps apostrophes inside tokens (one step toward
+    // Lucene's UAX#29 behavior): "spark's" stays one term
+    val apostropheAware: Column => Column = c =>
+      filter(split(lower(c), "[^a-z0-9']+"), t => length(t) > 0)
+    val defaultHits = TextSearch.bm25(corpus, Seq("spark"))
+      .collect().map(_.getLong(0)).toSet
+    val customHits = TextSearch.bm25(corpus, Seq("spark"), analyzer = apostropheAware)
+      .collect().map(_.getLong(0)).toSet
+    // default splits "spark's" into spark + s → doc 1 matches "spark";
+    // the custom analyzer keeps "spark's" whole → only doc 2 matches
+    assert(defaultHits === Set(1L, 2L))
+    assert(customHits === Set(2L))
+  }
+
   // -------------------------------------------------------------- Similarity
 
   test("IVF assignment is total and probe search ranks within probed cells") {
