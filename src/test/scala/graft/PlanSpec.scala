@@ -194,4 +194,26 @@ class PlanSpec extends AnyFunSuite {
     assert("\\* Filter".r.findFirstIn(p).isDefined,
       "the hash filter must run inside whole-stage codegen")
   }
+
+  // --- sequence packing: window partitioned by the composite shard key ------
+
+  test("samp_pack_sequences partitions its running-sum window by the composite shard") {
+    val p = plan("samp_pack_sequences")
+    assert(p.contains("hashpartitioning(shard"),
+      "the prefix-sum window must partition by the composite shard key — " +
+        "an unpartitioned (or lang-only) window serializes the corpus stream")
+    assert(!p.contains("SinglePartition"),
+      "packing must never move the corpus to one partition")
+  }
+
+  // --- context packing: single partition is explicit, not a missing key -----
+
+  test("pack_token_budget states its single-partition contract in the plan") {
+    val p = plan("pack_token_budget")
+    // the constant-valued key survives as a projected window key (if
+    // Spark's EliminateWindowPartitions ever folds it away, the
+    // unpartitioned-window warning comes back — this is the tripwire)
+    assert(p.contains("hashpartitioning(_w"),
+      s"expected the explicit constant partition key in the Exchange:\n$p")
+  }
 }
