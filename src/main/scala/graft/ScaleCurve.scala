@@ -40,6 +40,12 @@ object ScaleCurve {
     // SCALE.md as the honest density limit of banded pruning.
     "lsh_embedding_t095"    -> ((s, d) =>
       Dedup.embeddingPairsDistributed(Tables.embeddings(s, d), minCosine = 0.95)),
+    // the dense-regime answer (round 6): celled near-dup never materializes
+    // a candidate join — one corpus pass keyed by cell, pairs scored inside
+    // the per-cell kernel — so it runs the regime above at bounded disk
+    "celled_embedding_t090" -> ((s, d) =>
+      Dedup.embeddingPairsCelled(Tables.embeddings(s, d), minCosine = 0.9,
+        nlist = 256, nprobe = 2)),
     "ivf_assign_c64"        -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfAssign(emb, Similarity.seededCentroids(emb, 64, 7))

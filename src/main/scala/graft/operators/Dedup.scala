@@ -476,4 +476,77 @@ object Dedup {
                                 idCol: String = "vec_id",
                                 embCol: String = "embedding"): DataFrame =
     Similarity.lshJoin(docs, minCosine, idCol = idCol, embCol = embCol)
+
+  /** Embedding near-dup for the DENSE regime — the celled path for corpora
+    * whose bulk sits just under the cosine bar, where banded LSH stops
+    * pruning and its re-score join explodes (the measured SCALE.md round-6
+    * limit). IVF-style: every vector joins its `nprobe` nearest of `nlist`
+    * centroid cells; pairs are scored INSIDE a per-cell kernel over an
+    * in-memory cell buffer and only survivors are emitted. The shuffle is
+    * therefore ONE corpus pass keyed by cell (× nprobe rows) — a candidate
+    * join is never materialized, which is exactly what filled the disk in
+    * the banded form. Memory bound = one cell's vectors: pick `nlist` ≈
+    * corpus / desired cell size (the cells are IvfCatalog's stored
+    * partitioning at scale, so the pass can also prune to changed cells).
+    *
+    * Precision 1 by construction (exact cosine, canonical id_a < id_b).
+    * Recall = P(a near pair shares one of each side's top-`nprobe` cells) —
+    * 1.0 for near-identical vectors whose top cell coincides; measured on
+    * the planted fixtures by OperatorSpec and on the ×10/×100 corpora in
+    * SCALE.md. Centroids default to the seeded deterministic sample
+    * (SQL-oracle-replayable); pass [[Similarity.kmeansCentroids]] output
+    * via `centroids` for production quality — same kernel, same plan. */
+  def embeddingPairsCelled(emb: DataFrame, minCosine: Double, nlist: Int = 64,
+                           step: Long = 31L, nprobe: Int = 2,
+                           idCol: String = "vec_id", embCol: String = "embedding",
+                           centroids: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.VectorFunctions.cosineArrays
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centDf = centroids.getOrElse(
+      Similarity.seededCentroids(emb, nlist, step, idCol, embCol))
+    // index metadata: tiny by construction (nlist rows)
+    val cents = centDf.select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, "embeddingPairsCelled needs at least one centroid")
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = math.min(nprobe, cents.length)
+    val topCellsUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      bc.value.map { case (cid, cv) => (cid, cosineArrays(a, cv)) }
+        .sortBy { case (cid, cos) => (-cos, cid) } // deterministic tie-break
+        .take(probes).map(_._1)
+    }
+    val bar = minCosine
+    emb.filter(col(embCol).isNotNull)
+      .select(explode(topCellsUdf(col(embCol))).as("__cell"),
+        col(idCol).cast("long").as("__id"), col(embCol).as("__emb"))
+      .repartition(col("__cell"))
+      .sortWithinPartitions(col("__cell"), col("__id"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        // rows arrive cell-contiguous and id-ascending: buffer one cell,
+        // pairwise-score it in memory, emit survivors, move on
+        val rows = it.buffered
+        new Iterator[Iterator[(Long, Long, Double)]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Iterator[(Long, Long, Double)] = {
+            val cell = rows.head._1
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+            while (rows.hasNext && rows.head._1 == cell)
+              { val r = rows.next(); buf += ((r._2, r._3)) }
+            for {
+              i <- buf.indices.iterator
+              j <- (i + 1 until buf.length).iterator
+              cos = cosineArrays(buf(i)._2, buf(j)._2)
+              if cos >= bar
+            } yield (buf(i)._1, buf(j)._1, cos)
+          }
+        }.flatten
+      }
+      .toDF("left_id", "right_id", "cosine")
+      // a pair sharing BOTH probe cells is emitted twice with identical
+      // values (same kernel, same inputs) — one distinct removes the copy
+      .distinct()
+  }
 }

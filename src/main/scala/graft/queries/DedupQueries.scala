@@ -88,6 +88,18 @@ object DedupQueries {
         .select($"left_id", $"right_id", round($"cosine", 6).as("cosine"))
     }),
 
+    // Celled embedding near-dup — the dense-regime scale path (SCALE.md
+    // round-6): top-2 seeded IVF cells per vector, exact pairwise cosine
+    // inside each cell's in-memory buffer, survivors only. The oracle
+    // replays the whole pipeline (cell assignment included), so recall
+    // honesty is built into the hash compare, like ann_pq_top10's.
+    "dedup_embedding_celled" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.embeddingPairsCelled(Tables.embeddings(s, dir), minCosine = 0.45,
+          nlist = 16, step = 31L, nprobe = 2)
+        .select($"left_id", $"right_id", round($"cosine", 6).as("cosine"))
+    }),
+
     // Benchmark decontamination: training docs (doc_id>=50) sharing word
     // 8-grams with the "eval set" stand-in (doc_id<50) — the planted
     // near-dup partners of eval docs flag; unrelated prose doesn't.
@@ -260,6 +272,27 @@ object DedupQueries {
       """SELECT a.vec_id AS left_id, b.vec_id AS right_id,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""",
+    "dedup_embedding_celled" ->
+      """WITH cents AS (
+             SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+             WHERE vec_id % 31 = 0 ORDER BY vec_id ASC LIMIT 16),
+           assign AS (
+             SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC,
+                          c.centroid_id ASC) AS rn
+             FROM embeddings e CROSS JOIN cents c),
+           cells AS (SELECT vec_id, centroid_id FROM assign WHERE rn <= 2),
+           cand AS (
+             SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+             FROM cells l JOIN cells r
+               ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id)
+         SELECT cand.left_id, cand.right_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM cand
+         JOIN embeddings a ON a.vec_id = cand.left_id
+         JOIN embeddings b ON b.vec_id = cand.right_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""",
     "decon_flags" ->
       s"""WITH tw AS (SELECT doc_id, ${duckWords("text")} AS w FROM documents),

@@ -295,6 +295,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(ivf === exact)
   }
 
+  test("celled embedding near-dup: precision 1 vs exact pairs, in-kernel pairing") {
+    import spark.implicits._
+    def pairMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"left_id", $"right_id", round($"cosine", 6))
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val exact = pairMap(Dedup.embeddingPairs(emb, minCosine = 0.45))
+    val celled = pairMap(Dedup.embeddingPairsCelled(emb, minCosine = 0.45,
+      nlist = 16, step = 31L, nprobe = 2))
+    assert(exact.nonEmpty && celled.nonEmpty)
+    // precision 1: every celled pair is an exact pair with the exact cosine
+    celled.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos), s"$pair not in exact set or cosine differs") }
+    // recall = shared-top-2-cell probability; the oracle row pins the exact
+    // pair set per corpus — here just require most of the exact set
+    assert(celled.size * 2 >= exact.size,
+      s"celled recall ${celled.size}/${exact.size} collapsed")
+  }
+
   test("trained k-means centroids/codebook swap in with no plan change; recall >= seeded") {
     import spark.implicits._
     def exactTop10(qv: Array[Float]): Set[Long] = emb
