@@ -170,6 +170,82 @@ object StreamingOps {
       }
   }
 
+  /** Embedding arriving on a stream (ts = ingestion event time). */
+  case class VecEvent(ts: Timestamp, vec_id: Long, embedding: Seq[Float])
+
+  /** Near-dup verdict emitted by [[celledPairsStream]] — exact cosine, ids
+    * ordered (left_id < right_id), same columns as the batch twin. */
+  case class CelledPair(left_id: Long, right_id: Long, cosine: Double)
+
+  /** Streaming twin of `Dedup.embeddingPairsCelled` — celled embedding
+    * near-dup for continuous ingestion. Same IVF geometry as the batch
+    * path (each vector keys to its top-`nprobe` cells under the identical
+    * (-cosine, centroid_id) ordering), but state- not buffer-shaped: each
+    * cell's state holds the vectors it has seen, and a new arrival is
+    * exact-cosine-compared ONLY against its own cells' residents — the
+    * streaming analogue of "pairwise work confined to cells", which is
+    * why it inherits the dense-regime property (no candidate join, disk
+    * bounded by survivors). Unlike the MinHash twin, verification is the
+    * EXACT cosine (state already holds the vectors), so a pair carries the
+    * same value the batch kernel computes; fed the same arrivals, the
+    * distinct streamed pair set equals the batch pair set (StreamingSpec).
+    *
+    * Same documented deviations as the MinHash twin: a pair sharing both
+    * probe cells is emitted once per shared cell (dedup downstream), and
+    * state is bounded by per-cell FIFO cap + event-time idle eviction +
+    * the watermark. Centroids are driver-known index metadata (an index
+    * epoch, IvfCatalog-style) — retrain ⇒ new epoch ⇒ new query. */
+  def celledPairsStream(vecs: Dataset[VecEvent], centroids: Array[(Long, Array[Float])],
+                        minCosine: Double, nprobe: Int = 2,
+                        watermarkDelay: String = "10 minutes",
+                        idleGapMs: Long = 60L * 60 * 1000,
+                        maxPerCell: Int = 4096): Dataset[CelledPair] = {
+    import graft.functions.VectorFunctions.cosineArrays
+    import vecs.sparkSession.implicits._
+    require(centroids.nonEmpty, "celledPairsStream needs at least one centroid")
+    val probes = math.min(nprobe, centroids.length)
+    val bar = minCosine
+    val celled = vecs.flatMap { v =>
+      if (v.embedding == null) Iterator.empty
+      else {
+        val a = v.embedding.toArray
+        centroids.map { case (cid, cv) => (cid, cosineArrays(a, cv)) }
+          .sortBy { case (cid, cos) => (-cos, cid) } // same tie-break as batch
+          .take(probes).iterator
+          .map { case (cid, _) => (cid, v.vec_id, v.embedding, v.ts) }
+      }
+    }.toDF("cell", "vec_id", "embedding", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Seq[Float], Timestamp)]
+    celled.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Float])], CelledPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, batch: Iterator[(Long, Long, Seq[Float], Timestamp)],
+         state: GroupState[Seq[(Long, Seq[Float])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ListBuffer.empty[CelledPair]
+            var seen = state.getOption.getOrElse(Seq.empty)
+            var maxTs = 0L
+            for ((_, id, emb, t) <- batch.toSeq.sortBy(x => (x._4.getTime, x._2))) {
+              maxTs = math.max(maxTs, t.getTime)
+              val a = emb.toArray
+              for ((sid, semb) <- seen if sid != id) {
+                val cos = cosineArrays(semb.toArray, a)
+                if (cos >= bar)
+                  out += CelledPair(math.min(sid, id), math.max(sid, id), cos)
+              }
+              if (!seen.exists(_._1 == id))
+                seen = (seen :+ (id -> emb)).takeRight(maxPerCell)
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + idleGapMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** W1/W2 streaming twin: running last-N conversation window per key kept
     * in state; emits the trimmed history on every update. Idle keys are
     * evicted once the watermark passes `idleGapMs` beyond their newest

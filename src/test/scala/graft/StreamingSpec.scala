@@ -548,4 +548,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("celledPairsStream equals batch embeddingPairsCelled fed in id order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    // the SAME index epoch on both sides: the seeded 16-centroid sample
+    val cents = graft.operators.Similarity.seededCentroids(emb, 16, 31L)
+    val centArr = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val vecs = emb.select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+      .map(r => StreamingOps.VecEvent(new java.sql.Timestamp(r.getLong(0)),
+        r.getLong(0), r.getSeq[Float](1)))
+    val source = MemoryStream[StreamingOps.VecEvent]
+    val q = StreamingOps.celledPairsStream(source.toDS(), centArr, minCosine = 0.45)
+      .writeStream.outputMode("append").format("memory").queryName("celled_stream")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // two micro-batches: residents must carry across the boundary
+    vecs.grouped(math.max(1, vecs.length / 2 + 1)).foreach { chunk =>
+      source.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("celled_stream")
+      .select(col("left_id"), col("right_id"), round(col("cosine"), 9).as("c"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup.embeddingPairsCelled(emb, minCosine = 0.45,
+        nlist = 16, step = 31L, nprobe = 2)
+      .select(col("left_id"), col("right_id"), round(col("cosine"), 9).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
