@@ -108,6 +108,38 @@ class AsOfSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing invariants hold on seeded random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(7, 21, 42)) {
+      val rng = new scala.util.Random(seed)
+      val budget = 16 + rng.nextInt(64)
+      val rows = (0L until 200L).map { id =>
+        (id, s"s${rng.nextInt(4)}", rng.nextInt(3 * budget)) } // docs longer than packs included
+      val got = Sampling.packSequences(rows.toDF("id", "shard", "n"), col("n"),
+          budget = budget, shardCol = "shard", idCol = "id")
+        .select("id", "shard", "n", "pack_start", "pack_end", "start_offset")
+        .as[(Long, String, Int, Long, Long, Long)].collect()
+      assert(got.length === rows.length)
+      // invariants: offset inside the pack, end >= start, spans cover the
+      // doc's token count exactly (end pack = pack of the doc's last token,
+      // or the start pack for empty docs)
+      got.foreach { case (id, _, n, ps, pe, off) =>
+        assert(off >= 0 && off < budget, s"doc $id offset $off outside [0,$budget)")
+        assert(pe >= ps, s"doc $id pack_end $pe < pack_start $ps")
+        val expectedEnd = if (n == 0) ps else (ps * budget + off + n - 1) / budget
+        assert(pe === expectedEnd, s"doc $id span mismatch")
+      }
+      // per shard: docs tile the stream with no gaps or overlaps in id order
+      got.groupBy(_._2).foreach { case (_, docs) =>
+        var cursor = 0L
+        docs.sortBy(_._1).foreach { case (id, _, n, ps, _, off) =>
+          assert(ps * budget + off === cursor, s"doc $id not contiguous at $cursor")
+          cursor += n
+        }
+      }
+    }
+  }
+
   test("sequence packing: concat-and-cut spans, per-shard streams, hand-computed") {
     import spark.implicits._
     // shard A stream (budget 10): doc1=4 [0,4) p0; doc2=8 [4,12) p0->p1
