@@ -496,6 +496,79 @@ object Dedup {
     * SCALE.md. Centroids default to the seeded deterministic sample
     * (SQL-oracle-replayable); pass [[Similarity.kmeansCentroids]] output
     * via `centroids` for production quality — same kernel, same plan. */
+  /** Incremental celled near-dup against a STORED IVF index — the ingest
+    * form of [[embeddingPairsCelled]], completing the same deployment story
+    * [[minHashPairsIncrementalStored]] tells for text: the corpus was
+    * assigned and written `partitionBy(centroid_id)` ONCE (graft.IvfCatalog);
+    * a new batch probes its own top-`nprobe` cells, and the corpus scan
+    * prunes to exactly those partition directories (a static IN over the
+    * partition key — file-level pruning, asserted by PlanSpec). Ingest cost
+    * is batch × its cells: the corpus is never re-assigned, re-read in
+    * full, or joined through a materialized candidate set. Emits only
+    * new-involving pairs (new×corpus and new×new, never corpus×corpus),
+    * exact cosine, canonical (left < right). Recall: a new×corpus pair is
+    * found iff the corpus vector's stored top-1 cell is among the new
+    * vector's top-`nprobe` cells — the multi-probe overlap, 1.0 for
+    * near-identical vectors. Ids must be unique across both inputs. */
+  def embeddingPairsCelledIncremental(newVecs: DataFrame, assignedStore: DataFrame,
+                                      centroids: DataFrame, minCosine: Double,
+                                      nprobe: Int = 2,
+                                      idCol: String = "vec_id",
+                                      embCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.cosineArrays
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, "embeddingPairsCelledIncremental needs centroids")
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = math.min(nprobe, cents.length)
+    val topCellsUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      bc.value.map { case (cid, cv) => (cid, cosineArrays(a, cv)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(probes).map(_._1)
+    }
+    val batchCelled = newVecs.filter(col(embCol).isNotNull)
+      .select(explode(topCellsUdf(col(embCol))).as("__cell"),
+        col(idCol).cast("long").as("__id"), col(embCol).as("__emb"),
+        lit(true).as("__new"))
+    // the batch's probed cells — bounded by nlist, resolved driver-side so
+    // the store filter is a STATIC IN over the partition key
+    val probed = batchCelled.select("__cell").distinct().collect().map(_.getLong(0))
+    val storeCelled = assignedStore
+      .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+      .select(col("centroid_id").cast("long").as("__cell"),
+        col(idCol).cast("long").as("__id"), col(embCol).as("__emb"),
+        lit(false).as("__new"))
+    val bar = minCosine
+    batchCelled.unionByName(storeCelled)
+      .repartition(col("__cell"))
+      .sortWithinPartitions(col("__cell"), col("__id"))
+      .as[(Long, Long, Seq[Float], Boolean)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[Iterator[(Long, Long, Double)]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Iterator[(Long, Long, Double)] = {
+            val cell = rows.head._1
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Boolean)]
+            while (rows.hasNext && rows.head._1 == cell)
+              { val r = rows.next(); buf += ((r._2, r._3.toArray, r._4)) }
+            for {
+              i <- buf.indices.iterator
+              j <- (i + 1 until buf.length).iterator
+              if buf(i)._3 || buf(j)._3 // at least one side is new
+              cos = cosineArrays(buf(i)._2, buf(j)._2)
+              if cos >= bar
+            } yield (buf(i)._1, buf(j)._1, cos)
+          }
+        }.flatten
+      }
+      .toDF("left_id", "right_id", "cosine")
+      .distinct()
+  }
+
   def embeddingPairsCelled(emb: DataFrame, minCosine: Double, nlist: Int = 64,
                            step: Long = 31L, nprobe: Int = 2,
                            idCol: String = "vec_id", embCol: String = "embedding",

@@ -100,6 +100,23 @@ object DedupQueries {
         .select($"left_id", $"right_id", round($"cosine", 6).as("cosine"))
     }),
 
+    // Ingest-time celled near-dup against the STORED IVF index: the
+    // re-ingested batch (vec_id < 20, retagged +100000) probes its top-2
+    // cells and the corpus scan prunes to those partition directories
+    // (IvfCatalog) — new-involving pairs only, exact cosine. The oracle
+    // replays store assignment, batch probing, and pairing in SQL.
+    "dedup_celled_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val batch = emb.filter($"vec_id" < 20)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      Dedup.embeddingPairsCelledIncremental(batch,
+          graft.IvfCatalog.assignedEmbeddings(s, dir, 16, 31L),
+          graft.operators.Similarity.seededCentroids(emb, 16, 31L),
+          minCosine = 0.45, nprobe = 2)
+        .select($"left_id", $"right_id", round($"cosine", 6).as("cosine"))
+    }),
+
     // Benchmark decontamination: training docs (doc_id>=50) sharing word
     // 8-grams with the "eval set" stand-in (doc_id<50) — the planted
     // near-dup partners of eval docs flag; unrelated prose doesn't.
@@ -272,6 +289,43 @@ object DedupQueries {
       """SELECT a.vec_id AS left_id, b.vec_id AS right_id,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""",
+    "dedup_celled_incremental" ->
+      """WITH cents AS (
+             SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+             WHERE vec_id % 31 = 0 ORDER BY vec_id ASC LIMIT 16),
+           store AS (
+             SELECT vec_id, embedding, centroid_id FROM (
+               SELECT e.vec_id, e.embedding, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC,
+                            c.centroid_id ASC) AS rn
+               FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+           batch AS (
+             SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+           bcells AS (
+             SELECT vec_id, embedding, centroid_id FROM (
+               SELECT b.vec_id, b.embedding, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                   ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC,
+                            c.centroid_id ASC) AS rn
+               FROM batch b CROSS JOIN cents c) WHERE rn <= 2),
+           cand AS (
+             SELECT LEAST(b.vec_id, s.vec_id) AS left_id,
+                    GREATEST(b.vec_id, s.vec_id) AS right_id
+             FROM bcells b JOIN store s ON b.centroid_id = s.centroid_id
+             UNION
+             SELECT LEAST(x.vec_id, y.vec_id), GREATEST(x.vec_id, y.vec_id)
+             FROM bcells x JOIN bcells y
+               ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id),
+           all_vecs AS (
+             SELECT vec_id, embedding FROM embeddings
+             UNION ALL SELECT vec_id, embedding FROM batch)
+         SELECT cand.left_id, cand.right_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM cand
+         JOIN all_vecs a ON a.vec_id = cand.left_id
+         JOIN all_vecs b ON b.vec_id = cand.right_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""",
     "dedup_embedding_celled" ->
       """WITH cents AS (

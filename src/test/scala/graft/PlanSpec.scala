@@ -195,6 +195,16 @@ class PlanSpec extends AnyFunSuite {
       "the hash filter must run inside whole-stage codegen")
   }
 
+  // --- incremental celled near-dup: store scan pruned to probed cells -------
+
+  test("dedup_celled_incremental prunes the stored index to the batch's cells") {
+    val p = plan("dedup_celled_incremental")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("centroid_id") && f.nonEmpty),
+      s"the store scan must prune on the centroid_id partition key, got: $partFilters")
+  }
+
   // --- sequence packing: window partitioned by the composite shard key ------
 
   test("samp_pack_sequences partitions its running-sum window by the composite shard") {
