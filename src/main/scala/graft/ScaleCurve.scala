@@ -46,6 +46,14 @@ object ScaleCurve {
     "celled_embedding_t090" -> ((s, d) =>
       Dedup.embeddingPairsCelled(Tables.embeddings(s, d), minCosine = 0.9,
         nlist = 256, nprobe = 2)),
+    // the deployment rule measured: nlist ∝ corpus (constant ~312-vector
+    // cells) keeps per-cell pairwise work constant, so total compute grows
+    // linearly instead of the fixed-nlist form's O(n²/nlist)
+    "celled_embedding_prop" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val nlist = math.max(16, (e.count() / 312).toInt)
+      Dedup.embeddingPairsCelled(e, minCosine = 0.9, nlist = nlist, nprobe = 2)
+    }),
     "ivf_assign_c64"        -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfAssign(emb, Similarity.seededCentroids(emb, 64, 7))
