@@ -57,7 +57,18 @@ object Sampling {
     * independently and in parallel). No global order exists, and none is
     * needed: pack ids are (shard, local pack number) pairs. Prefix sums are
     * exact LONG arithmetic — bit-stable across engines, asserted by the
-    * DuckDB oracle. */
+    * DuckDB oracle.
+    *
+    * Output keeps the raw running sum as `cum` alongside the three derived
+    * columns: the prefix sum is the one stateful quantity in the operator,
+    * and exposing it lets a caller (or a cross-engine correctness gate)
+    * check the window independently of the derived arithmetic.
+    *
+    * Every `div`/`%` operand here is provably non-negative (`cum ≥ 0`,
+    * `cum − tokens ≥ 0`, and the "last token index" is written
+    * `greatest(cum,1) − 1`, never the possibly-negative `cum − 1`), so
+    * truncating and flooring division agree and the arithmetic is
+    * bit-identical across engines and engine versions. */
   def packSequences(df: DataFrame, tokensCol: Column, budget: Int,
                     shardCol: String, idCol: String): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
@@ -65,14 +76,18 @@ object Sampling {
       .partitionBy(col(shardCol)).orderBy(col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val b = lit(budget.toLong)
-    val cum = sum(tokensCol.cast("long")).over(w)
-    val docStart = cum - tokensCol.cast("long")
+    // ONE window node: materialize the prefix sum once, derive the three
+    // pack columns from it in plain (window-free) projections.
+    val withCum = df.withColumn("cum", sum(tokensCol.cast("long")).over(w))
+    val docStart = col("cum") - tokensCol.cast("long")
     // exact integral division (SQL `div`), NOT double `/`-then-cast: a
     // shard's running sum past 2^53 would round under double division and
     // silently break parity with the oracle's `//` and the streaming twin
     def floorDiv(x: Column): Column = call_function("div", x, b)
-    df.withColumn("pack_start", floorDiv(docStart))
-      .withColumn("pack_end", greatest(floorDiv(cum - 1), floorDiv(docStart)))
+    withCum
+      .withColumn("pack_start", floorDiv(docStart))
+      .withColumn("pack_end",
+        greatest(floorDiv(greatest(col("cum"), lit(1L)) - lit(1L)), floorDiv(docStart)))
       .withColumn("start_offset", pmod(docStart, b))
   }
 

@@ -53,14 +53,35 @@ object SamplingQueries {
     // (at corpus scale set n_sub ≈ executors / n_lang).
     "samp_pack_sequences" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir).select($"doc_id", $"lang",
-        graft.operators.TextAnalysis.whitespaceTokens($"text").as("n_tokens"))
-        .withColumn("shard", concat_ws("#", $"lang",
-          pmod(Sampling.hashBucket($"doc_id", "pack"), lit(8L)).cast("string")))
-      Sampling.packSequences(docs, $"n_tokens", budget = 2048,
-          shardCol = "shard", idCol = "doc_id")
+      packed(s, dir)
         .select($"doc_id", $"lang", $"shard", $"n_tokens",
           $"pack_start", $"pack_end", $"start_offset")
+    }),
+
+    // Per-column companions of samp_pack_sequences: each registers exactly
+    // one stage of the packing computation against the same oracle CTEs, so
+    // a cross-engine divergence in the full query is localized by the gate
+    // itself to the column that diverges (hash inputs / shard key; the
+    // window prefix sum; each derived pack column alone).
+    "samp_pack_shard" -> ((s, dir) => {
+      import s.implicits._
+      packInput(s, dir).select($"doc_id", $"lang", $"shard", $"n_tokens")
+    }),
+    "samp_pack_cum" -> ((s, dir) => {
+      import s.implicits._
+      packed(s, dir).select($"doc_id", $"shard", $"cum")
+    }),
+    "samp_pack_start" -> ((s, dir) => {
+      import s.implicits._
+      packed(s, dir).select($"doc_id", $"shard", $"pack_start")
+    }),
+    "samp_pack_end" -> ((s, dir) => {
+      import s.implicits._
+      packed(s, dir).select($"doc_id", $"shard", $"pack_end")
+    }),
+    "samp_pack_offset" -> ((s, dir) => {
+      import s.implicits._
+      packed(s, dir).select($"doc_id", $"shard", $"start_offset")
     }),
 
     // Deterministic 80/10/10 train/valid/test split, counted per language —
@@ -78,6 +99,43 @@ object SamplingQueries {
   private[queries] def duckBucket(seed: String, e: String) =
     s"""CAST(concat('0x', substr(md5(concat_ws('_', '$seed', $e)), 1, 15)) AS BIGINT) % 1000000"""
 
+  /** Shared Spark side of the packing family: documents with the composite
+    * shard key and a BIGINT token count (BIGINT in BOTH engines so every
+    * column the gate hashes is uniformly int64). */
+  private def packInput(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id", $"lang",
+      graft.operators.TextAnalysis.whitespaceTokens($"text").cast("long").as("n_tokens"))
+      .withColumn("shard", concat_ws("#", $"lang",
+        pmod(Sampling.hashBucket($"doc_id", "pack"), lit(8L)).cast("string")))
+  }
+
+  private def packed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.packSequences(packInput(s, dir), $"n_tokens", budget = 2048,
+      shardCol = "shard", idCol = "doc_id")
+  }
+
+  /** Shared oracle CTEs for the packing family. Version-proof by
+    * construction: the window SUM is cast straight back to BIGINT (DuckDB's
+    * SUM over integers yields a HUGEINT/int128, whose downstream arithmetic
+    * and client-side rendering are the one engine-version-sensitive spot in
+    * this query), every `//` and `%` operand is provably non-negative
+    * (`GREATEST(cum,1)-1`, never `cum-1`), and every output column is an
+    * explicit BIGINT. */
+  private def packCtes: String =
+    s"""WITH t AS (
+            SELECT doc_id, lang,
+              concat_ws('#', lang,
+                CAST((${duckBucket("pack", "CAST(doc_id AS VARCHAR)")}) % 8 AS VARCHAR)) AS shard,
+              CAST(${DuckSql.wc("text")} AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT doc_id, lang, shard, n_tokens,
+              CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM t)"""
+
   val oracle: Map[String, String] = Map(
     "samp_stratified" ->
       s"""SELECT doc_id, lang FROM documents
@@ -89,22 +147,30 @@ object SamplingQueries {
           WHERE ${duckBucket("qw", "CAST(doc_id AS VARCHAR)")} <
             CAST(FLOOR(round(${DuckSql.quality}, 6) * 1000000e0) AS BIGINT)""",
     "samp_pack_sequences" ->
-      s"""WITH t AS (
-            SELECT doc_id, lang,
-              concat_ws('#', lang,
-                CAST((${duckBucket("pack", "CAST(doc_id AS VARCHAR)")}) % 8 AS VARCHAR)) AS shard,
-              CAST(${DuckSql.wc("text")} AS INT) AS n_tokens
-            FROM documents),
-          c AS (
-            SELECT doc_id, lang, shard, n_tokens,
-              SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY shard ORDER BY doc_id ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM t)
+      s"""$packCtes
           SELECT doc_id, lang, shard, n_tokens,
-            (cum - n_tokens) // 2048 AS pack_start,
-            GREATEST((cum - 1) // 2048, (cum - n_tokens) // 2048) AS pack_end,
-            (cum - n_tokens) % 2048 AS start_offset
+            CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_start,
+            CAST(GREATEST((GREATEST(cum, 1) - 1) // 2048,
+                          (cum - n_tokens) // 2048) AS BIGINT) AS pack_end,
+            CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_offset
           FROM c""",
+    "samp_pack_shard" ->
+      s"""$packCtes SELECT doc_id, lang, shard, n_tokens FROM t""",
+    "samp_pack_cum" ->
+      s"""$packCtes SELECT doc_id, shard, cum FROM c""",
+    "samp_pack_start" ->
+      s"""$packCtes
+          SELECT doc_id, shard,
+            CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_start FROM c""",
+    "samp_pack_end" ->
+      s"""$packCtes
+          SELECT doc_id, shard,
+            CAST(GREATEST((GREATEST(cum, 1) - 1) // 2048,
+                          (cum - n_tokens) // 2048) AS BIGINT) AS pack_end FROM c""",
+    "samp_pack_offset" ->
+      s"""$packCtes
+          SELECT doc_id, shard,
+            CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_offset FROM c""",
     "samp_split_counts" ->
       s"""SELECT lang,
             CASE WHEN b < 800000 THEN 'train'

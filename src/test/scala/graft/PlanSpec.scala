@@ -214,6 +214,13 @@ class PlanSpec extends AnyFunSuite {
         "an unpartitioned (or lang-only) window serializes the corpus stream")
     assert(!p.contains("SinglePartition"),
       "packing must never move the corpus to one partition")
+    // ONE window node: the prefix sum is computed once and the three pack
+    // columns are derived in window-free projections — three sibling Window
+    // nodes would mean three linear passes over every shard's stream
+    val windows = "(?m)^\\s*(?:[+:][- ]*)*\\*?\\(?\\d*\\)?\\s*Window ".r
+      .findAllIn(p).size.max("Window \\[".r.findAllIn(p).size)
+    assert(windows == 1,
+      s"expected exactly one Window node in the packing plan, found $windows:\n$p")
   }
 
   // --- context packing: single partition is explicit, not a missing key -----
