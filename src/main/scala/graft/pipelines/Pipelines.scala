@@ -79,14 +79,27 @@ object Pipelines {
     * upsert=True), carrying nulls for target-only columns.
     *
     * Scale shape: updates are the small side by construction (a batch of
-    * edits vs the corpus) — broadcast join, no corpus shuffle; the result
-    * overwrites the target partition-wise. `stamp` is a parameter so tests
-    * and oracles can pin a deterministic timestamp.
+    * edits vs the corpus) — EVERY join here is a broadcast of the small
+    * side, on both paths; the corpus is scanned, never shuffled. The
+    * `insertMissing` (Mongo upsert=True) path is deliberately NOT a
+    * full-outer join: Spark cannot broadcast a full-outer build side (the
+    * hint would be ignored with a HintErrorLogger warning and the plan
+    * would fall back to a corpus-wide sort-merge shuffle). Instead it is
+    * the broadcast-left $set pass, unioned with the unmatched update rows:
+    * a broadcast LEFT SEMI over the corpus ids finds which update ids
+    * already exist (corpus scan → at most |updates| rows out), and that
+    * small result is broadcast into a LEFT ANTI against the updates batch.
+    * Two corpus scans, zero corpus shuffles — at 100 TB a second scan is
+    * noise next to one corpus shuffle. `stamp` is a parameter so tests and
+    * oracles can pin a deterministic timestamp.
     *
     * Precondition: `updates` carries ONE row per id (the reference's
     * update_one applies one $set per _id). Duplicate ids would fan out each
     * matched target row through the join, so they are rejected up front —
-    * there is no well-defined "last" update inside an unordered batch. */
+    * there is no well-defined "last" update inside an unordered batch.
+    * (This precondition is an EXTRA eager Spark job per call — a
+    * deliberate cost: it only aggregates the small updates side, and it
+    * turns a silent row-fanout corruption into an immediate error.) */
   def upsertDocuments(target: DataFrame, updates: DataFrame,
                       idCol: String = "doc_id",
                       stamp: Column = current_timestamp(),
@@ -98,18 +111,31 @@ object Pipelines {
     val setCols = updates.columns.filterNot(_ == idCol).toSet
     val joined = target.alias("t").join(
       broadcast(updates.alias("u")),
-      col(s"t.$idCol") === col(s"u.$idCol"),
-      if (insertMissing) "full_outer" else "left")
+      col(s"t.$idCol") === col(s"u.$idCol"), "left")
     val matched = col(s"u.$idCol").isNotNull
     val prevStamp =
       if (target.columns.contains("updated_at")) col("t.updated_at")
       else lit(null).cast("timestamp")
     val outCols = target.columns.filterNot(_ == "updated_at").map {
-      case c if c == idCol        => coalesce(col(s"t.$c"), col(s"u.$c")).as(c)
+      case c if c == idCol          => col(s"t.$c").as(c)
       case c if setCols.contains(c) => when(matched, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
-      case c                      => col(s"t.$c").as(c)
+      case c                        => col(s"t.$c").as(c)
     } :+ when(matched, stamp).otherwise(prevStamp).as("updated_at")
-    joined.select(outCols.toIndexedSeq: _*)
+    val updatedTarget = joined.select(outCols.toIndexedSeq: _*)
+    if (!insertMissing) updatedTarget
+    else {
+      val existingIds = target.select(col(idCol))
+        .join(broadcast(updates.select(col(idCol))), Seq(idCol), "left_semi")
+      val newRows = updates.alias("u")
+        .join(broadcast(existingIds.alias("m")),
+          col(s"u.$idCol") === col(s"m.$idCol"), "left_anti")
+      val newCols = target.schema.fields.filterNot(_.name == "updated_at").map { f =>
+        if (f.name == idCol) col(s"u.$idCol").cast(f.dataType).as(f.name)
+        else if (setCols.contains(f.name)) col(s"u.${f.name}").cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ stamp.as("updated_at")
+      updatedTarget.unionByName(newRows.select(newCols.toIndexedSeq: _*))
+    }
   }
 
   /** S8: chunk sink — partitioned by document co-location, sorted by chunk

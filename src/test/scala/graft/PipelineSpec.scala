@@ -77,6 +77,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(ok.filter(col("doc_id") === 1L).head.getAs[String]("source") === "x")
   }
 
+  test("upsertDocuments: both paths broadcast the small side, never sort-merge") {
+    import spark.implicits._
+    val target = Seq((1L, "a", "en"), (2L, "b", "de")).toDF("doc_id", "text", "lang")
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("doc_id", "text")
+    for (insertMissing <- Seq(false, true)) {
+      val plan = Pipelines.upsertDocuments(target, updates,
+          stamp = to_timestamp(lit("2026-01-01 00:00:00")), insertMissing = insertMissing)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"insertMissing=$insertMissing must broadcast the updates side:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"insertMissing=$insertMissing fell back to a corpus shuffle:\n$plan")
+    }
+  }
+
+  test("upsertDocuments insertMissing appends unmatched update rows (Mongo upsert=True)") {
+    import spark.implicits._
+    val target = Seq((1L, "a", "en"), (2L, "b", "de")).toDF("doc_id", "text", "lang")
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("doc_id", "text")
+    val rows = Pipelines.upsertDocuments(target, updates,
+        stamp = to_timestamp(lit("2026-01-01 00:00:00")), insertMissing = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.get(3) != null)).toSeq
+    // matched row $set + stamped; unmatched target untouched; the ghost id
+    // inserted with null for the target-only lang column and the stamp
+    assert(rows === Seq(
+      (1L, "a", "en", false), (2L, "B2", "de", true), (9L, "new", null, true)))
+  }
+
   test("bucketed chunk table joins without a shuffle exchange") {
     val chunks = Pipelines.featurePipeline(Tables.documents(spark, dir), qualityThreshold = 0.0)
       .select("chunk_id", "document_id", "chunk_index", "word_count")
