@@ -19,14 +19,21 @@ import org.apache.spark.sql.Dataset
 object Caches {
 
   private val live = scala.collection.mutable.LinkedHashSet.empty[Dataset[_]]
-  private val scopes =
-    scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.LinkedHashSet[Dataset[_]]]
+  // scope stacks are THREAD-LOCAL: a releaseAfter scope only captures
+  // persists made by its own thread, so concurrent driver threads (one
+  // inside a scope, one persisting unrelated graft caches) can never
+  // unpersist each other's work — the global `live` set stays shared
+  private val scopes = new ThreadLocal[
+      scala.collection.mutable.ArrayBuffer[scala.collection.mutable.LinkedHashSet[Dataset[_]]]] {
+    override def initialValue() =
+      scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.LinkedHashSet[Dataset[_]]]
+  }
 
   /** Persist `d` and track it for release(). */
-  private[graft] def persistTracked[T](d: Dataset[T]): Dataset[T] = synchronized {
+  private[graft] def persistTracked[T](d: Dataset[T]): Dataset[T] = {
     d.persist()
-    live.add(d)
-    scopes.foreach(_.add(d))
+    synchronized { live.add(d) }
+    scopes.get.foreach(_.add(d))
     d
   }
 
@@ -41,14 +48,17 @@ object Caches {
     * catalog build with other cached graft work keeps those caches — only
     * the build's own intermediates (unreadable once the stored table
     * exists) are dropped. Scopes nest; an inner scope's caches also belong
-    * to the outer one until the inner release fires. */
+    * to the outer one until the inner release fires. The scope stack is
+    * per-thread: persists from OTHER driver threads are never captured (and
+    * never released) by this thread's scope — body must do its persisting
+    * on the calling thread. */
   def releaseAfter[A](body: => A): A = {
     val scope = scala.collection.mutable.LinkedHashSet.empty[Dataset[_]]
-    synchronized { scopes += scope }
+    scopes.get += scope
     try body
-    finally synchronized {
-      scopes -= scope
-      scope.foreach { d => d.unpersist(false); live.remove(d) }
+    finally {
+      scopes.get -= scope
+      synchronized { scope.foreach { d => d.unpersist(false); live.remove(d) } }
     }
   }
 

@@ -80,8 +80,11 @@ object Attribution {
                         idCol: String = "id", contentCol: String = "content",
                         scoreCol: String = "score"): DataFrame = {
     // constant-valued but non-foldable (Spark's EliminateWindowPartitions
-    // drops a literal key and re-warns): every row keys to 0, one partition
-    val onePart = length(col(contentCol)) * 0
+    // drops a literal key and re-warns): every row keys to 0, one partition.
+    // coalesce makes the key null-proof — bare length(NULL)*0 is NULL, which
+    // would put null-content rows in their OWN window partition with an
+    // independent running sum (admitted against the budget a second time)
+    val onePart = coalesce(length(col(contentCol)), lit(0)) * 0
     val w = Window.partitionBy(onePart)
       .orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

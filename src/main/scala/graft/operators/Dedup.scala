@@ -477,25 +477,6 @@ object Dedup {
                                 embCol: String = "embedding"): DataFrame =
     Similarity.lshJoin(docs, minCosine, idCol = idCol, embCol = embCol)
 
-  /** Embedding near-dup for the DENSE regime — the celled path for corpora
-    * whose bulk sits just under the cosine bar, where banded LSH stops
-    * pruning and its re-score join explodes (the measured SCALE.md round-6
-    * limit). IVF-style: every vector joins its `nprobe` nearest of `nlist`
-    * centroid cells; pairs are scored INSIDE a per-cell kernel over an
-    * in-memory cell buffer and only survivors are emitted. The shuffle is
-    * therefore ONE corpus pass keyed by cell (× nprobe rows) — a candidate
-    * join is never materialized, which is exactly what filled the disk in
-    * the banded form. Memory bound = one cell's vectors: pick `nlist` ≈
-    * corpus / desired cell size (the cells are IvfCatalog's stored
-    * partitioning at scale, so the pass can also prune to changed cells).
-    *
-    * Precision 1 by construction (exact cosine, canonical id_a < id_b).
-    * Recall = P(a near pair shares one of each side's top-`nprobe` cells) —
-    * 1.0 for near-identical vectors whose top cell coincides; measured on
-    * the planted fixtures by OperatorSpec and on the ×10/×100 corpora in
-    * SCALE.md. Centroids default to the seeded deterministic sample
-    * (SQL-oracle-replayable); pass [[Similarity.kmeansCentroids]] output
-    * via `centroids` for production quality — same kernel, same plan. */
   /** Incremental celled near-dup against a STORED IVF index — the ingest
     * form of [[embeddingPairsCelled]], completing the same deployment story
     * [[minHashPairsIncrementalStored]] tells for text: the corpus was
@@ -536,8 +517,12 @@ object Dedup {
     // the batch's probed cells — bounded by nlist, resolved driver-side so
     // the store filter is a STATIC IN over the partition key
     val probed = batchCelled.select("__cell").distinct().collect().map(_.getLong(0))
+    // null embeddings are a supported input shape (ivfAssign keeps them, so
+    // a stored index may contain them) — drop them here like the batch side,
+    // or the kernel would NPE on r._3.toArray
     val storeCelled = assignedStore
       .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+      .filter(col(embCol).isNotNull)
       .select(col("centroid_id").cast("long").as("__cell"),
         col(idCol).cast("long").as("__id"), col(embCol).as("__emb"),
         lit(false).as("__new"))
@@ -569,6 +554,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding near-dup for the DENSE regime — the celled path for corpora
+    * whose bulk sits just under the cosine bar, where banded LSH stops
+    * pruning and its re-score join explodes (the measured SCALE.md round-6
+    * limit). IVF-style: every vector joins its `nprobe` nearest of `nlist`
+    * centroid cells; pairs are scored INSIDE a per-cell kernel over an
+    * in-memory cell buffer and only survivors are emitted. The shuffle is
+    * therefore ONE corpus pass keyed by cell (× nprobe rows) — a candidate
+    * join is never materialized, which is exactly what filled the disk in
+    * the banded form. Memory bound = one cell's vectors: pick `nlist` ≈
+    * corpus / desired cell size (the cells are IvfCatalog's stored
+    * partitioning at scale, so the pass can also prune to changed cells).
+    *
+    * Precision 1 by construction (exact cosine, canonical id_a < id_b).
+    * Recall = P(a near pair shares one of each side's top-`nprobe` cells) —
+    * 1.0 for near-identical vectors whose top cell coincides; measured on
+    * the planted fixtures by OperatorSpec and on the ×10/×100 corpora in
+    * SCALE.md. Centroids default to the seeded deterministic sample
+    * (SQL-oracle-replayable); pass [[Similarity.kmeansCentroids]] output
+    * via `centroids` for production quality — same kernel, same plan. */
   def embeddingPairsCelled(emb: DataFrame, minCosine: Double, nlist: Int = 64,
                            step: Long = 31L, nprobe: Int = 2,
                            idCol: String = "vec_id", embCol: String = "embedding",

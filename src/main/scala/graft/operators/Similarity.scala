@@ -182,7 +182,13 @@ object Similarity {
   }
 
   /** IVF assignment: nearest centroid per corpus vector (broadcast
-    * centroids, window argmax with deterministic tie-break). */
+    * centroids, window argmax with deterministic tie-break).
+    *
+    * Null embeddings are KEPT (every input vec_id gets exactly one
+    * assignment row, so a stored index is a complete corpus manifest) —
+    * consumers that score raw vectors (the celled kernels, pruned search)
+    * must filter `embedding IS NOT NULL` on the store side, as the
+    * incremental celled path does. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))

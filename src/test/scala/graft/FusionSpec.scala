@@ -39,6 +39,23 @@ class FusionSpec extends AnyFunSuite {
     assert(conf === 1.0) // 0.6*4.2 + 0.2 + 0.2 would be 2.92 unclamped
   }
 
+  test("packContextWindow: null-content rows draw from the same global budget") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    // null content costs maxTokensPerDoc (least() skips nulls); the window
+    // key must still put it in the ONE global partition — a null-valued key
+    // would give it a fresh running sum and admit it past a spent budget
+    val results = Seq(
+      (1L, "x" * 400, 0.9),                      // 100 tokens, cum 100 ≤ 150
+      (2L, null.asInstanceOf[String], 0.8))      // 100 tokens, cum 200 > 150
+      .toDF("id", "content", "score")
+    val kept = Attribution.packContextWindow(results,
+        maxTotalTokens = 150, maxTokensPerDoc = 100)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L))
+  }
+
   test("exact packing: skip oversized-for-budget, truncate oversized-per-doc") {
     // budget 100 tokens total, 30 per doc; token = len/4
     val results = Seq(

@@ -191,6 +191,23 @@ class OperatorSpec extends AnyFunSuite {
     graft.Caches.release()
   }
 
+  test("Caches.releaseAfter scope never captures another thread's persists") {
+    graft.Caches.release() // clean slate
+    @volatile var err: Throwable = null
+    graft.Caches.releaseAfter {
+      val t = new Thread(() => {
+        try Dedup.minHashPairs(docs.limit(50)).count() // persists on ANOTHER thread
+        catch { case e: Throwable => err = e }
+      })
+      t.start(); t.join()
+    }
+    assert(err == null, s"concurrent persist failed: $err")
+    // the other thread's caches survived this thread's scope exit
+    assert(graft.Caches.trackedCount > 0,
+      "scope exit unpersisted caches belonging to a different thread")
+    graft.Caches.release()
+  }
+
   test("exact dedup finds planted copies and keeps min-id canonicals") {
     import spark.implicits._
     val base = docs.select($"doc_id", $"text")
@@ -311,6 +328,24 @@ class OperatorSpec extends AnyFunSuite {
     // pair set per corpus — here just require most of the exact set
     assert(celled.size * 2 >= exact.size,
       s"celled recall ${celled.size}/${exact.size} collapsed")
+  }
+
+  test("celled incremental tolerates null embeddings in the stored index") {
+    import spark.implicits._
+    // ivfAssign keeps null-embedding rows (every vec_id gets an rn=1 cell),
+    // so a stored index can contain them; 2 cells × nprobe=2 guarantees the
+    // null row's cell IS probed — the kernel must skip it, not NPE
+    val cents = Similarity.seededCentroids(emb, 2, 31L)
+    val withNull = emb.select($"vec_id", $"embedding").unionByName(
+      Seq(99999L).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
+    val store = Similarity.ivfAssign(withNull, cents)
+    val batch = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val pairs = Dedup.embeddingPairsCelledIncremental(batch, store, cents,
+      minCosine = 0.45, nprobe = 2).collect()
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists(r => r.getLong(0) == 99999L || r.getLong(1) == 99999L))
   }
 
   test("trained k-means centroids/codebook swap in with no plan change; recall >= seeded") {
