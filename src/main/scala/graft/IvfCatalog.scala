@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators.Similarity
 
 /** Materialized IVF index (SCALE.md / Similarity scaladoc): the corpus with
@@ -9,22 +10,76 @@ import graft.operators.Similarity
   * a write-time partition key, computed once per corpus, not a per-query
   * corpus pass. At 100 TB this is the difference between a probe reading
   * nprobe/nlist of the files and a probe re-scoring everything.
+  *
+  * Two build modes share one layout: `trained = false` uses the seeded
+  * deterministic centroid sample (SQL-oracle-replayable — the correctness
+  * gate's mode), `trained = true` uses MLlib k-means centroids (the
+  * production mode: measurably better recall at fixed nprobe, SCALE.md
+  * recall table). Trained centroids are THEMSELVES stored — the index is
+  * only meaningful against the exact centroids that assigned it, so probes
+  * and appends must read them back, never re-train.
   */
 object IvfCatalog {
 
+  private def storeName(centroids: Int, step: Long, trained: Boolean, dir: String) =
+    TableStore.tableName(if (trained) s"ivfk$centroids" else s"ivf${centroids}_$step", dir)
+
+  /** The centroids a store named by (centroids, step, trained) probes
+    * against: seeded = recomputed deterministically from the corpus (cheap,
+    * oracle-replayable); trained = the stored k-means table, built once. */
+  def centroidsFor(spark: SparkSession, dir: String,
+                   centroids: Int, step: Long, trained: Boolean = false): DataFrame =
+    if (!trained)
+      Similarity.seededCentroids(Tables.embeddings(spark, dir), centroids, step)
+    else {
+      val name = TableStore.tableName(s"ivfcent_k$centroids", dir)
+      TableStore.getOrBuild(spark, name) {
+        Similarity.kmeansCentroids(Tables.embeddings(spark, dir), centroids)
+          .write.mode("overwrite").format("parquet").saveAsTable(name)
+      }
+    }
+
   /** Embeddings fixture with centroid_id, stored partitioned by centroid_id.
-    * Built once per (session, dir); later calls are a pruned-scan-able read. */
+    * Built once per (session, dir, mode); later calls are a
+    * pruned-scan-able read. */
   def assignedEmbeddings(spark: SparkSession, dir: String,
-                         centroids: Int, step: Long): DataFrame = {
-    val name = TableStore.tableName(s"ivf${centroids}_$step", dir)
+                         centroids: Int, step: Long,
+                         trained: Boolean = false): DataFrame = {
+    val name = storeName(centroids, step, trained, dir)
     TableStore.getOrBuild(spark, name) {
-      val emb = Tables.embeddings(spark, dir)
-      val cents = Similarity.seededCentroids(emb, centroids, step)
-      Similarity.ivfAssign(emb, cents)
+      Similarity.ivfAssign(Tables.embeddings(spark, dir),
+          centroidsFor(spark, dir, centroids, step, trained))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .format("parquet")
         .saveAsTable(name)
     }
+  }
+
+  /** Append one ingest batch to the stored index — the write half of the
+    * incremental celled loop, completing the story
+    * [[BandCatalog.appendBatch]] tells for text: after
+    * [[graft.operators.Dedup.embeddingPairsCelledIncremental]] flags a
+    * batch against the store, the batch's rows are assigned to their cells
+    * with the SAME centroids that built the index and appended into the
+    * matching partition directories, so the NEXT increment sees them — no
+    * corpus re-assignment, no store rewrite; cost scales with the batch.
+    * The store must already exist: appending presumes an index. */
+  def appendBatch(spark: SparkSession, dir: String, newVecs: DataFrame,
+                  centroids: Int, step: Long, trained: Boolean = false): Unit = {
+    val name = storeName(centroids, step, trained, dir)
+    require(spark.catalog.tableExists(name),
+      s"stored IVF index for '$dir' not built — assignedEmbeddings first")
+    val assigned = Similarity.ivfAssign(newVecs,
+      centroidsFor(spark, dir, centroids, step, trained))
+    // insertInto is position-based; align to the table's column order
+    // (partition column last in a partitioned parquet table), null-filling
+    // store columns the batch doesn't carry (pass-through metadata)
+    val aligned = spark.table(name).schema.fields.map { f =>
+      if (assigned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    assigned.select(aligned.toIndexedSeq: _*)
+      .write.mode("append").insertInto(name)
   }
 }

@@ -88,7 +88,13 @@ object ScaleCurve {
     "pii_redact"            -> SparkEntry.queries("ana_pii_redact"),
     "html_to_text"          -> SparkEntry.queries("doc_html_text"),
     "seq_packing"           -> SparkEntry.queries("samp_pack_sequences"),
-    "lm_scores"             -> SparkEntry.queries("ana_lm_scores"))
+    "lm_scores"             -> SparkEntry.queries("ana_lm_scores"),
+    // round-7: the reference's own headline query end-to-end — retrieval
+    // over the stored chunk table (KNN + broadcast attribution). The
+    // chunk+embed build half is the feature_pipeline row; TableStore makes
+    // the build once per (session, dir), so min-of-passes times the
+    // retrieval path a deployed flagship actually serves.
+    "flagship_rag"          -> SparkEntry.queries("pipe_flagship"))
 
   def main(args: Array[String]): Unit = {
     val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")

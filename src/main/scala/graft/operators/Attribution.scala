@@ -81,10 +81,13 @@ object Attribution {
                         scoreCol: String = "score"): DataFrame = {
     // constant-valued but non-foldable (Spark's EliminateWindowPartitions
     // drops a literal key and re-warns): every row keys to 0, one partition.
-    // coalesce makes the key null-proof — bare length(NULL)*0 is NULL, which
-    // would put null-content rows in their OWN window partition with an
-    // independent running sum (admitted against the budget a second time)
-    val onePart = coalesce(length(col(contentCol)), lit(0)) * 0
+    // coalesce OUTSIDE the multiply makes the key null-proof — bare
+    // length(NULL)*0 is NULL, which would put null-content rows in their
+    // OWN window partition with an independent running sum (admitted
+    // against the budget a second time) — while keeping it non-foldable:
+    // coalesce(length(c),0)*0 has a non-nullable left operand, which
+    // constant-folds to literal 0 and the key is dropped again
+    val onePart = coalesce(length(col(contentCol)) * 0, lit(0))
     val w = Window.partitionBy(onePart)
       .orderBy(col(scoreCol).desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

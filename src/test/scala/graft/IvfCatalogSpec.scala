@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Stored IVF index catalog: build-once reuse, the trained-centroid build
+  * mode, and the append half of the incremental celled loop. */
+class IvfCatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("trained build: stored centroids, same layout, pruned probe matches live search") {
+    val store = IvfCatalog.assignedEmbeddings(spark, dir, 16, 31L, trained = true)
+    val emb = Tables.embeddings(spark, dir)
+    assert(store.count() === emb.count())
+    // the stored centroid table is what probes read back — NOT a re-train
+    val cents = IvfCatalog.centroidsFor(spark, dir, 16, 31L, trained = true)
+    assert(cents.count() === 16)
+    val t0 = System.nanoTime()
+    IvfCatalog.centroidsFor(spark, dir, 16, 31L, trained = true).count()
+    assert((System.nanoTime() - t0) / 1e9 < 10.0,
+      "second centroid access must be a table read, not a k-means re-train")
+    val qv = emb.filter(col("vec_id") === 2L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val pruned = Similarity.ivfSearchPruned(store, cents, qv, k = 10, nprobe = 4)
+      .select(col("vec_id"), round(col("score"), 9).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val live = Similarity.ivfSearch(emb, cents, qv, k = 10, nprobe = 4)
+      .select(col("vec_id"), round(col("score"), 9).as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pruned === live)
+  }
+
+  test("appendBatch: a second increment sees the first's vectors, no store rewrite") {
+    import spark.implicits._
+    // private fixture dir so appends never pollute the shared catalog tables
+    val tdir = "/tmp/graft_ivf_append_fixture"
+    Tables.embeddings(spark, dir).filter($"vec_id" < 100)
+      .write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName("ivf8_31", tdir)}")
+    val n0 = IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L).count()
+    assert(n0 === 100)
+    val cents = IvfCatalog.centroidsFor(spark, tdir, 8, 31L)
+
+    // increment 1: near-copies of vectors 0-4, re-tagged — flag, then append
+    val batch1 = Tables.embeddings(spark, tdir).filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding")
+    def flag(batch: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingPairsCelledIncremental(batch,
+          IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L), cents,
+          minCosine = 0.999, nprobe = 2)
+        .select($"left_id", $"right_id").as[(Long, Long)].collect().toSet
+    assert(flag(batch1) === Set((0L, 1000L), (1L, 1001L), (2L, 1002L),
+      (3L, 1003L), (4L, 1004L)))
+    IvfCatalog.appendBatch(spark, tdir, batch1, 8, 31L)
+    val store = IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L)
+    assert(store.count() === 105)
+
+    // increment 2 duplicates increment 1's vectors: only the stored index
+    // can flag them — the fixture parquet was never touched, nothing was
+    // re-assigned (the store only grew by the batch's 5 rows)
+    val batch2 = Tables.embeddings(spark, tdir).filter($"vec_id" < 5)
+      .select(($"vec_id" + 2000).as("vec_id"), $"embedding")
+    val flagged = flag(batch2)
+    assert(flagged.contains((1000L, 2000L)), s"append invisible to next increment: $flagged")
+    assert((0 to 4).forall(i => flagged.contains((i.toLong, 2000L + i))))
+    // appended rows landed inside the existing cell partitioning: every
+    // stored row still carries a valid cell id from the SAME centroid set
+    // (seeded centroid ids are corpus vec_ids, not 0..nlist-1)
+    val validCells = cents.select("centroid_id").collect().map(_.getLong(0)).toSet
+    val storedCells = store.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(storedCells.subsetOf(validCells),
+      s"append created cells outside the index: ${storedCells -- validCells}")
+  }
+}
