@@ -40,6 +40,22 @@ object PipelineQueries {
     // §7.3 flagship slice as a registered query (rows-only check).
     "pipe_flagship" -> ((s, dir) => Pipelines.flagship(s, dir)),
 
+    // §7.4 SQL surface end-to-end: the chunker as a Catalyst Generator via
+    // LATERAL VIEW — a user who never leaves spark.sql chunks the corpus
+    // with the SAME kernel as the typed path (rows-only in the driver
+    // gate; GoldenSpec pins the values, ExpressionSpec pins row-for-row
+    // parity with ChunkOps.chunkFlat). chunk_id is the md5 over the
+    // chunk's unstripped text, so the digest covers content bytes without
+    // hauling the content column through the golden hash.
+    "pipe_sql_chunks" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_sql_docs")
+      s.sql("""SELECT d.doc_id, c.chunk_id, c.chunk_index, c.word_count,
+                      c.start_char, c.end_char
+               FROM graft_sql_docs d
+               LATERAL VIEW graft_chunk(d.doc_id, d.text) c""")
+    }),
+
     // S6/J2/T3: a document with its chunks in index order (rows-only).
     // Bucketed chunk table ⋈ documents — shuffle-free on the chunk side.
     "pipe_doc_chunks" -> ((s, dir) => {
