@@ -63,14 +63,30 @@ object RecallCurve {
       r
     }
 
+    // the STORED catalog path: partition-pruned probes over the
+    // centroid_id-partitioned table, both build modes — the number that
+    // says the production (trained) catalog build keeps the live-search
+    // recall win when probes read the store instead of re-assigning
+    def storeRecall(trained: Boolean): Double = {
+      val store = IvfCatalog.assignedEmbeddings(spark, dir, 64, 31L, trained)
+      val c = IvfCatalog.centroidsFor(spark, dir, 64, 31L, trained).cache(); c.count()
+      recall(qs.map { case (qid, qv) =>
+        qid -> Similarity.ivfSearchPruned(store, c, qv, k = 10, nprobe = 8)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+      }.toMap)
+    }
+
     val ivfSeeded = ivfRecall(Similarity.seededCentroids(emb, 64, 31L), nprobe = 8)
     val ivfTrained = ivfRecall(Similarity.kmeansCentroids(emb, 64), nprobe = 8)
     val pqSeeded = pqRecall(Similarity.pqTrainSeeded(emb, m = 8, ksub = 16, step = 31L))
     val pqTrained = pqRecall(Similarity.pqTrainKmeans(emb, m = 8, ksub = 16))
+    val storeSeeded = storeRecall(trained = false)
+    val storeTrained = storeRecall(trained = true)
 
     println(f"[recall] dir=$dir vectors=$n queries=${qs.length}")
     println(f"[recall] ivf nlist=64 nprobe=8: seeded=$ivfSeeded%.3f kmeans=$ivfTrained%.3f")
     println(f"[recall] pq m=8 ksub=16 rerank=8x: seeded=$pqSeeded%.3f kmeans=$pqTrained%.3f")
+    println(f"[recall] stored catalog (pruned probes): seeded=$storeSeeded%.3f kmeans=$storeTrained%.3f")
     spark.stop()
   }
 }
