@@ -87,7 +87,14 @@ object ScaleCurve {
     "pq_adc_search"         -> SparkEntry.queries("ann_pq_top10"),
     "pii_redact"            -> SparkEntry.queries("ana_pii_redact"),
     "html_to_text"          -> SparkEntry.queries("doc_html_text"),
-    "seq_packing"           -> SparkEntry.queries("samp_pack_sequences"),
+    // .count() alone would let ColumnPruning DELETE the unused Window (the
+    // whole operator!) and time a bare scan — aggregate over the derived
+    // pack columns so the prefix sum is actually computed
+    "seq_packing"           -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      SparkEntry.queries("samp_pack_sequences")(s, d)
+        .agg(max("pack_end"), sum("start_offset"), count(lit(1)))
+    }),
     "lm_scores"             -> SparkEntry.queries("ana_lm_scores"),
     // round-7: the reference's own headline query end-to-end — retrieval
     // over the stored chunk table (KNN + broadcast attribution). The
