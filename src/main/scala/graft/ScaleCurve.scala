@@ -54,9 +54,13 @@ object ScaleCurve {
       val nlist = math.max(16, (e.count() / 312).toInt)
       Dedup.embeddingPairsCelled(e, minCosine = 0.9, nlist = nlist, nprobe = 2)
     }),
+    // aggregate over the assignment so ColumnPruning can't delete the
+    // argmax under a bare .count() (same trap as seq_packing below)
     "ivf_assign_c64"        -> ((s, d) => {
+      import org.apache.spark.sql.functions._
       val emb = Tables.embeddings(s, d)
       Similarity.ivfAssign(emb, Similarity.seededCentroids(emb, 64, 7))
+        .agg(sum("centroid_id"), count(lit(1)))
     }),
     "txt_bm25_scores"       -> SparkEntry.queries("txt_bm25_scores"),
     "feature_pipeline"      -> ((s, d) =>
