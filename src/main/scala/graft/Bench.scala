@@ -40,10 +40,20 @@ object Bench {
     if (failed.nonEmpty) System.err.println(s"[bench] FAILED queries: ${failed.mkString(",")}")
     val sfName = new java.io.File(sfDir).getName
     // belt and braces: the complete per-query record lands in the repo, so it
-    // survives any stdout truncation
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      (renderLine(results, sfName, Int.MaxValue) + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // survives any stdout truncation. A "paired" block written by
+    // tools/bench_paired.py (the A/B noise adjudicator) is carried over —
+    // a fresh solo run must not erase the last paired verdict.
+    try {
+      val path = java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json")
+      val paired =
+        try {
+          val prev = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          "\"paired\":\\s*\\{[^}]*\\}".r.findFirstIn(prev).map("," + _).getOrElse("")
+        } catch { case _: Throwable => "" }
+      val line = renderLine(results, sfName, Int.MaxValue)
+      java.nio.file.Files.write(path,
+        (line.stripSuffix("}") + paired + "}\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(renderLine(results, sfName, StdoutBudget))
     spark.stop()
   }
