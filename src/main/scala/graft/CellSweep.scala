@@ -23,6 +23,9 @@ object CellSweep {
     val nlists = args.lift(1)
       .map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(64, 128, 256, 512, 1024, 2048, 4096))
+    // optional 3rd arg: coarse fan-out w for the two-level probe
+    // (Dedup.embeddingPairsCelled coarseProbes) — 0/absent = exact scan
+    val coarse = args.lift(2).map(_.toInt).filter(_ > 0)
     val passes = sys.env.getOrElse("SPARK_GRAFT_CURVE_PASSES", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -35,14 +38,15 @@ object CellSweep {
 
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
-    println(s"[sweep] corpus $dir: $n vectors, ${passes} passes/point")
+    println(s"[sweep] corpus $dir: $n vectors, ${passes} passes/point" +
+      coarse.map(w => s", two-level probe w=$w").getOrElse(""))
     println("| nlist | ~vectors/cell | pairs (cos≥0.9) | wall |")
     println("|---|---|---|---|")
     nlists.foreach { nlist =>
       val runs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val pairs = Dedup.embeddingPairsCelled(emb, minCosine = 0.9,
-          nlist = nlist, nprobe = 2).count()
+          nlist = nlist, nprobe = 2, coarseProbes = coarse).count()
         val dt = (System.nanoTime() - t0) / 1e9
         Caches.release(); spark.sqlContext.clearCache()
         (dt, pairs)

@@ -576,7 +576,8 @@ object Dedup {
   def embeddingPairsCelled(emb: DataFrame, minCosine: Double, nlist: Int = 64,
                            step: Long = 31L, nprobe: Int = 2,
                            idCol: String = "vec_id", embCol: String = "embedding",
-                           centroids: Option[DataFrame] = None): DataFrame = {
+                           centroids: Option[DataFrame] = None,
+                           coarseProbes: Option[Int] = None): DataFrame = {
     import graft.functions.VectorFunctions.cosineArrays
     val spark = emb.sparkSession
     import spark.implicits._
@@ -588,11 +589,57 @@ object Dedup {
     require(cents.nonEmpty, "embeddingPairsCelled needs at least one centroid")
     val bc = spark.sparkContext.broadcast(cents)
     val probes = math.min(nprobe, cents.length)
-    val topCellsUdf = udf { (v: Seq[Float]) =>
-      val a = v.toArray
-      bc.value.map { case (cid, cv) => (cid, cosineArrays(a, cv)) }
-        .sortBy { case (cid, cos) => (-cos, cid) } // deterministic tie-break
-        .take(probes).map(_._1)
+    // cell assignment per vector. Exact form (coarseProbes = None) scores
+    // every centroid — O(nlist · d) per vector, SQL-oracle-replayable; the
+    // registered queries stay on it. With coarseProbes = Some(w) the scan
+    // goes two-level: a √nlist stride-sample of the centroids is scored
+    // first, the top-w coarse groups are opened, and only their member
+    // centroids are scored — O((√nlist + w·√nlist) · d) per vector. That
+    // removes the O(n · nlist) assignment wall the ×100 sweep measured at
+    // nlist ≥ 2048 (the term that forces the one-shot job to O(n^1.5));
+    // recall loss is the probability a true top cell hides in an unopened
+    // coarse group, driven down by w — measured in SCALE.md, not assumed.
+    val topCellsUdf = coarseProbes match {
+      case None => udf { (v: Seq[Float]) =>
+        val a = v.toArray
+        bc.value.map { case (cid, cv) => (cid, cosineArrays(a, cv)) }
+          .sortBy { case (cid, cos) => (-cos, cid) } // deterministic tie-break
+          .take(probes).map(_._1)
+      }
+      case Some(w) =>
+        val nCoarse = math.max(1, math.sqrt(cents.length.toDouble).round.toInt)
+        val stride = math.max(1, cents.length / nCoarse)
+        // coarse representatives: deterministic stride sample of the
+        // centroid table; position p represents cents(repIdx(p))
+        val repIdx = cents.indices.by(stride).take(nCoarse).toArray
+        val repVecs = repIdx.map(cents(_)._2)
+        // every centroid joins its best coarse position (driver loop over
+        // nlist × √nlist — index metadata, trivial)
+        val memberOf = cents.indices.map { i =>
+          var best = 0; var bestCos = Double.NegativeInfinity; var p = 0
+          while (p < repVecs.length) {
+            val c = cosineArrays(cents(i)._2, repVecs(p))
+            if (java.lang.Double.compare(c, bestCos) > 0) { bestCos = c; best = p }
+            p += 1
+          }
+          best
+        }.toArray
+        val groups = Array.tabulate(repVecs.length)(p =>
+          cents.indices.filter(memberOf(_) == p).map(cents(_)).toArray)
+        val wOpen = math.min(w, repVecs.length)
+        val bcTree = spark.sparkContext.broadcast((repVecs, groups))
+        udf { (v: Seq[Float]) =>
+          val a = v.toArray
+          val (reps, grps) = bcTree.value
+          val opened = reps.indices
+            .map(p => (p, cosineArrays(a, reps(p))))
+            .sortBy { case (p, cos) => (-cos, p) }.take(wOpen).map(_._1)
+          opened.iterator.flatMap(p => grps(p).iterator)
+            .map { case (cid, cv) => (cid, cosineArrays(a, cv)) }
+            .toArray
+            .sortBy { case (cid, cos) => (-cos, cid) }
+            .take(probes).map(_._1)
+        }
     }
     val bar = minCosine
     emb.filter(col(embCol).isNotNull)

@@ -330,6 +330,29 @@ class OperatorSpec extends AnyFunSuite {
       s"celled recall ${celled.size}/${exact.size} collapsed")
   }
 
+  test("two-level coarse probe: precision 1, recall holds vs the exact scan") {
+    import spark.implicits._
+    def pairMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"left_id", $"right_id", round($"cosine", 6))
+        .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val flat = pairMap(Dedup.embeddingPairsCelled(emb, minCosine = 0.45,
+      nlist = 16, step = 31L, nprobe = 2))
+    val tree = pairMap(Dedup.embeddingPairsCelled(emb, minCosine = 0.45,
+      nlist = 16, step = 31L, nprobe = 2, coarseProbes = Some(2)))
+    assert(tree.nonEmpty)
+    // the kernel is unchanged, so every emitted pair is exact-cosine; the
+    // tree only changes WHICH cells a vector probes
+    val exact = pairMap(Dedup.embeddingPairs(emb, minCosine = 0.45))
+    tree.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos), s"$pair not exact or cosine differs") }
+    assert(tree.size * 2 >= flat.size,
+      s"tree recall ${tree.size}/${flat.size} collapsed vs the exact scan")
+    // opening every coarse group IS the exact scan
+    val all = pairMap(Dedup.embeddingPairsCelled(emb, minCosine = 0.45,
+      nlist = 16, step = 31L, nprobe = 2, coarseProbes = Some(16)))
+    assert(all === flat)
+  }
+
   test("celled incremental tolerates null embeddings in the stored index") {
     import spark.implicits._
     // ivfAssign keeps null-embedding rows (every vec_id gets an rn=1 cell),
