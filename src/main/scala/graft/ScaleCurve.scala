@@ -119,9 +119,13 @@ object ScaleCurve {
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_CURVE_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // spill-awareness knob: at 100M+ rows, 32 shuffle partitions put ~3M
+    // rows in one sort — size partitions to the DATA when measuring the
+    // decade, exactly as a cluster job would
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
