@@ -60,6 +60,26 @@ object AnalysisQueries {
           round($"ps"(4), 6).as("p99"))
     }),
 
+    // N12's scale form, built: approx_percentile replaces exact percentile
+    // for the 100 TB job — a fixed-size sketch per group with map-side
+    // combine (the exact form buffers every value per group). Rows-only in
+    // the driver gate (the sketch is engine-specific, so no cross-engine
+    // hash oracle EXISTS — that is the point of the swap-in); AnalysisSpec
+    // pins the approximation against the exact query within the sketch's
+    // accuracy bound on the fixture.
+    "ana_token_percentiles_approx" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"lang", TextAnalysis.whitespaceTokens($"text").as("ws"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             expr("approx_percentile(ws, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D), 10000)").as("ps"))
+        .select($"lang", $"n_docs",
+          $"ps"(0).cast("double").as("p25"), $"ps"(1).cast("double").as("p50"),
+          $"ps"(2).cast("double").as("p75"), $"ps"(3).cast("double").as("p90"),
+          $"ps"(4).cast("double").as("p99"))
+    }),
+
     // PII screen + redaction (north-star: corpus hygiene before training).
     // The fixture prose is PII-free, so each doc gets a deterministic planted
     // email / phone / IPv4 IN the query — counting and masking then run on

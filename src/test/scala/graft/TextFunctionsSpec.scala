@@ -185,4 +185,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(jac(1) === 1.0)
     assert(jac(2) === 0.0)
   }
+
+  test("approx token percentiles track the exact query within the sketch bound") {
+    val dir = "/root/testdata/sf0.001"
+    def byLang(name: String): Map[String, Seq[Double]] =
+      SparkEntry.queries(name)(spark, dir).collect().map { r =>
+        r.getString(0) -> Seq(4, 5, 6, 7, 8).map(i => r.getDouble(i))
+      }.toMap
+    val exact = byLang("ana_token_percentiles")
+    val approx = byLang("ana_token_percentiles_approx")
+    assert(approx.keySet === exact.keySet)
+    // accuracy 10000 on a few-hundred-value group is near-exact; allow the
+    // discreteness slack of one token count either way
+    exact.foreach { case (lang, ps) =>
+      ps.zip(approx(lang)).zipWithIndex.foreach { case ((e, a), i) =>
+        assert(math.abs(e - a) <= math.max(1.0, e * 0.02),
+          s"$lang percentile #$i: approx $a drifted from exact $e")
+      }
+    }
+  }
 }
