@@ -45,10 +45,16 @@ object Bench {
     // a fresh solo run must not erase the last paired verdict.
     try {
       val path = java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json")
+      // real JSON parse (Jackson ships with Spark), not regex surgery: a
+      // nested object inside "paired" would truncate a [^}]* match mid-object
+      // and silently corrupt the whole file
       val paired =
         try {
-          val prev = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-          "\"paired\":\\s*\\{[^}]*\\}".r.findFirstIn(prev).map("," + _).getOrElse("")
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val prev = mapper.readTree(java.nio.file.Files.readAllBytes(path))
+          Option(prev.get("paired"))
+            .map(node => ",\"paired\":" + mapper.writeValueAsString(node))
+            .getOrElse("")
         } catch { case _: Throwable => "" }
       val line = renderLine(results, sfName, Int.MaxValue)
       java.nio.file.Files.write(path,

@@ -57,7 +57,13 @@ object Caches {
     scopes.get += scope
     try body
     finally {
-      scopes.get -= scope
+      // remove by IDENTITY, not structural equality: nested scopes whose
+      // contents coincide (e.g. both empty) are == under LinkedHashSet
+      // equality, and `-=` would pop the wrong one — leaving a stale scope
+      // capturing later persists while the outer scope leaks its caches
+      val stack = scopes.get
+      val i = stack.lastIndexWhere(_ eq scope)
+      if (i >= 0) stack.remove(i)
       synchronized { scope.foreach { d => d.unpersist(false); live.remove(d) } }
     }
   }

@@ -56,6 +56,35 @@ object IvfCatalog {
     }
   }
 
+  /** Centroids for the CHUNK-store IVF index ([[assignedChunks]]): chunk ids
+    * are md5 strings, not dense longs, so the sample is hash-ordered
+    * ([[Similarity.hashSeededCentroids]]) rather than id-modular. Recomputed
+    * deterministically from the stored chunk table — cheap (TakeOrdered of c
+    * rows) and always consistent with the store it probes. */
+  def chunkCentroids(spark: SparkSession, dir: String, centroids: Int): DataFrame =
+    Similarity.hashSeededCentroids(ChunkCatalog.flatChunks(spark, dir),
+      centroids, idCol = "chunk_id", embCol = "embedding")
+
+  /** The RETRIEVAL corpus (chunk store) as a materialized IVF index: the
+    * flagship's search side laid out `partitionBy(centroid_id)`, so the
+    * flagship query probes nprobe/nlist of the files instead of brute-force
+    * scanning every stored chunk per query (SCALE.md: 5M chunks at ×1000).
+    * Lean payload — exactly the columns the retrieval path carries
+    * (chunk_id, document_id, word_count, embedding); everything else joins
+    * back from the bucketed chunk table by chunk_id when needed. */
+  def assignedChunks(spark: SparkSession, dir: String, centroids: Int): DataFrame = {
+    val name = TableStore.tableName(s"ivfchunks$centroids", dir)
+    TableStore.getOrBuild(spark, name) {
+      val chunks = ChunkCatalog.flatChunks(spark, dir)
+        .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
+      Similarity.ivfAssign(chunks, chunkCentroids(spark, dir, centroids), idCol = "chunk_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .format("parquet")
+        .saveAsTable(name)
+    }
+  }
+
   /** Append one ingest batch to the stored index — the write half of the
     * incremental celled loop, completing the story
     * [[BandCatalog.appendBatch]] tells for text: after

@@ -72,6 +72,10 @@ object Sampling {
   def packSequences(df: DataFrame, tokensCol: Column, budget: Int,
                     shardCol: String, idCol: String): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
+    // `cum` is a documented output column; a caller-supplied column of the
+    // same name would be silently overwritten by the withColumn below
+    require(!df.columns.contains("cum"),
+      "input already has a column named 'cum' — packSequences reserves that name for its running-sum output")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -155,6 +155,23 @@ object Similarity {
       .orderBy(col(idCol).asc).limit(c)
       .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_vec"))
 
+  /** Deterministic centroid sample for corpora whose ids are NOT dense longs
+    * (e.g. md5 chunk ids): order by a seeded hash of the id and take the
+    * first `c`. Same reproducibility contract as [[seededCentroids]] — the
+    * pick is a pure function of the ids, independent of partitioning — but
+    * keyed by hash order, so it works for any id type and samples uniformly
+    * even when ids cluster. Plan shape: filter + TakeOrdered (no full sort
+    * shuffle; each partition keeps its c smallest hashes before the merge).
+    * centroid_id = the xxhash64 value (long, collision-free in practice at
+    * centroid counts; ties broken by the hash order itself). */
+  def hashSeededCentroids(corpus: DataFrame, c: Int,
+                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    corpus.filter(col(embCol).isNotNull)
+      .withColumn("__h", xxhash64(col(idCol).cast("string")))
+      .orderBy(col("__h").asc)
+      .limit(c)
+      .select(col("__h").as("centroid_id"), col(embCol).as("centroid_vec"))
+
   /** TRAINED centroid option (the production-quality swap the seeded form
     * documents): MLlib k-means over the embedding column, emitted in the
     * exact `(centroid_id, centroid_vec)` schema [[seededCentroids]] uses —

@@ -181,4 +181,27 @@ object Pipelines {
         col("lang"), col("source"), col("word_count"))
       .orderBy(col("score").desc, col("chunk_id").asc)
   }
+
+  /** [[flagship]] with retrieval through the STORED IVF index
+    * (graft.IvfCatalog.assignedChunks): the probe resolves nprobe centroid
+    * ids driver-side and the chunk scan prunes to those partition
+    * directories (PartitionFilters — asserted by PlanSpec), so the per-query
+    * cost is nprobe/nlist of the store instead of a full corpus scan. Same
+    * output schema and score normalization as the brute-force flagship;
+    * recall is probe-bounded (a true neighbor in an unprobed cell is
+    * missed), which is the documented IVF trade — the fixture overlap is
+    * pinned by PipelineSpec, the digest by GoldenSpec. */
+  def flagshipIvf(spark: SparkSession, dir: String,
+                  queryText: String = "spark join vector query",
+                  k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist)
+    val cents = graft.IvfCatalog.chunkCentroids(spark, dir, nlist)
+    val hits = graft.operators.Similarity.ivfSearchPruned(store, cents, Embedder.embedText(queryText),
+      k = k, nprobe = nprobe, idCol = "chunk_id")
+    Attribution.attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"))
+      .select(col("chunk_id"), col("document_id"), round(col("score"), 6).as("score"),
+        col("lang"), col("source"), col("word_count"))
+      .orderBy(col("score").desc, col("chunk_id").asc)
+  }
 }

@@ -40,6 +40,15 @@ object PipelineQueries {
     // §7.3 flagship slice as a registered query (rows-only check).
     "pipe_flagship" -> ((s, dir) => Pipelines.flagship(s, dir)),
 
+    // The flagship with retrieval through the stored IVF chunk index
+    // (IvfCatalog.assignedChunks): partition-pruned probe instead of a
+    // brute-force scan of the chunk store — the reference's own headline
+    // query (vector_search.py:61-95) running against the index the engine
+    // builds. Rows-only in the driver gate (IVF recall is probe-dependent);
+    // GoldenSpec pins the digest, PipelineSpec pins overlap vs brute force,
+    // PlanSpec asserts the partition pruning.
+    "pipe_flagship_ivf" -> ((s, dir) => Pipelines.flagshipIvf(s, dir)),
+
     // §7.4 SQL surface end-to-end: the chunker as a Catalyst Generator via
     // LATERAL VIEW — a user who never leaves spark.sql chunks the corpus
     // with the SAME kernel as the typed path (rows-only in the driver

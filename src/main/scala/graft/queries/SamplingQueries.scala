@@ -58,30 +58,15 @@ object SamplingQueries {
           $"pack_start", $"pack_end", $"start_offset")
     }),
 
-    // Per-column companions of samp_pack_sequences: each registers exactly
-    // one stage of the packing computation against the same oracle CTEs, so
-    // a cross-engine divergence in the full query is localized by the gate
-    // itself to the column that diverges (hash inputs / shard key; the
-    // window prefix sum; each derived pack column alone).
-    "samp_pack_shard" -> ((s, dir) => {
-      import s.implicits._
-      packInput(s, dir).select($"doc_id", $"lang", $"shard", $"n_tokens")
-    }),
+    // Companion of samp_pack_sequences: pins the one stateful quantity (the
+    // per-shard window prefix sum) against the same oracle CTEs. The other
+    // four per-column debug companions (shard/start/end/offset) served their
+    // round-7 localization purpose — everything went green — and were
+    // retired; the derived columns are pure arithmetic over cum, fully
+    // covered by samp_pack_sequences itself.
     "samp_pack_cum" -> ((s, dir) => {
       import s.implicits._
       packed(s, dir).select($"doc_id", $"shard", $"cum")
-    }),
-    "samp_pack_start" -> ((s, dir) => {
-      import s.implicits._
-      packed(s, dir).select($"doc_id", $"shard", $"pack_start")
-    }),
-    "samp_pack_end" -> ((s, dir) => {
-      import s.implicits._
-      packed(s, dir).select($"doc_id", $"shard", $"pack_end")
-    }),
-    "samp_pack_offset" -> ((s, dir) => {
-      import s.implicits._
-      packed(s, dir).select($"doc_id", $"shard", $"start_offset")
     }),
 
     // Deterministic 80/10/10 train/valid/test split, counted per language —
@@ -154,23 +139,8 @@ object SamplingQueries {
                           (cum - n_tokens) // 2048) AS BIGINT) AS pack_end,
             CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_offset
           FROM c""",
-    "samp_pack_shard" ->
-      s"""$packCtes SELECT doc_id, lang, shard, n_tokens FROM t""",
     "samp_pack_cum" ->
       s"""$packCtes SELECT doc_id, shard, cum FROM c""",
-    "samp_pack_start" ->
-      s"""$packCtes
-          SELECT doc_id, shard,
-            CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_start FROM c""",
-    "samp_pack_end" ->
-      s"""$packCtes
-          SELECT doc_id, shard,
-            CAST(GREATEST((GREATEST(cum, 1) - 1) // 2048,
-                          (cum - n_tokens) // 2048) AS BIGINT) AS pack_end FROM c""",
-    "samp_pack_offset" ->
-      s"""$packCtes
-          SELECT doc_id, shard,
-            CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_offset FROM c""",
     "samp_split_counts" ->
       s"""SELECT lang,
             CASE WHEN b < 800000 THEN 'train'

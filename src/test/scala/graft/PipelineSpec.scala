@@ -27,6 +27,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(chunks.filter(col("word_count") <= 0).count() === 0)
   }
 
+  test("flagshipIvf reads the stored IVF index and tracks the brute-force flagship") {
+    val brute = Pipelines.flagship(spark, dir).collect()
+    val ivf = Pipelines.flagshipIvf(spark, dir).collect()
+    assert(ivf.length === brute.length)
+    // scores for chunks both paths return must be IDENTICAL — IVF only
+    // restricts the candidate set, it never rescores
+    val bruteScores = brute.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val shared = ivf.filter(r => bruteScores.contains(r.getString(0)))
+    shared.foreach(r => assert(r.getDouble(2) === bruteScores(r.getString(0)),
+      s"shared hit ${r.getString(0)} rescored"))
+    // probe-bounded recall: nprobe=4 of nlist=16 cells must still recover
+    // most of the true top-10 on the fixture
+    assert(shared.length >= 6,
+      s"IVF top-10 overlaps brute-force top-10 on only ${shared.length}/10")
+  }
+
   test("writeChunks round-trips partitioned+sorted parquet") {
     val out = Files.createTempDirectory("graft_chunks").toString
     val chunks = Pipelines.featurePipeline(Tables.documents(spark, dir), qualityThreshold = 0.0)

@@ -85,6 +85,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "pruned IVF must not re-assign the corpus per query")
   }
 
+  test("pipe_flagship_ivf probes the stored chunk index with partition pruning") {
+    val p = plan("pipe_flagship_ivf")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("centroid_id") && f.nonEmpty),
+      s"flagship probe must prune on the centroid_id partition key, got: $partFilters")
+    assert(p.contains("BroadcastHashJoin"),
+      "attribution must broadcast the k-row hit set into the docs join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k over the probed cells must be a bounded heap, not a global sort")
+  }
+
   // --- batch KNN: partial top-k BEFORE the exchange -------------------------
 
   test("vec_knn_batch reduces to k rows per query per partition before the shuffle") {

@@ -188,17 +188,21 @@ class TextFunctionsSpec extends AnyFunSuite {
 
   test("approx token percentiles track the exact query within the sketch bound") {
     val dir = "/root/testdata/sf0.001"
-    def byLang(name: String): Map[String, Seq[Double]] =
+    // rows are (lang, n_docs, p25, p50, p75, p90, p99) = indices 0-6
+    def byLang(name: String): Map[String, (Long, Seq[Double])] =
       SparkEntry.queries(name)(spark, dir).collect().map { r =>
-        r.getString(0) -> Seq(4, 5, 6, 7, 8).map(i => r.getDouble(i))
+        r.getString(0) -> ((r.getLong(1), Seq(2, 3, 4, 5, 6).map(i => r.getDouble(i))))
       }.toMap
     val exact = byLang("ana_token_percentiles")
     val approx = byLang("ana_token_percentiles_approx")
     assert(approx.keySet === exact.keySet)
+    exact.foreach { case (lang, (nDocs, _)) =>
+      assert(approx(lang)._1 === nDocs, s"$lang n_docs mismatch")
+    }
     // accuracy 10000 on a few-hundred-value group is near-exact; allow the
     // discreteness slack of one token count either way
-    exact.foreach { case (lang, ps) =>
-      ps.zip(approx(lang)).zipWithIndex.foreach { case ((e, a), i) =>
+    exact.foreach { case (lang, (_, ps)) =>
+      ps.zip(approx(lang)._2).zipWithIndex.foreach { case ((e, a), i) =>
         assert(math.abs(e - a) <= math.max(1.0, e * 0.02),
           s"$lang percentile #$i: approx $a drifted from exact $e")
       }
