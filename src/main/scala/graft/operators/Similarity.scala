@@ -183,11 +183,26 @@ object Similarity {
     * the DuckDB oracle) — quality is pinned by OperatorSpec's recall
     * comparison instead. */
   def kmeansCentroids(corpus: DataFrame, c: Int, seed: Long = 42L, maxIter: Int = 20,
-                      embCol: String = "embedding"): DataFrame = {
+                      embCol: String = "embedding", maxTrainRows: Long = 0L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
-    val feats = corpus.filter(col(embCol).isNotNull)
+    val base = corpus.filter(col(embCol).isNotNull)
+    // bounded training sample (faiss practice: IVF centroids train on
+    // ~tens× nlist points, never the corpus): each k-means iteration costs
+    // n_train × k × dim flops, so full-corpus training at √n-scaled nlist
+    // grows O(n^1.5) per iteration — a ~1 Tflop/iter wall at 2M vectors ×
+    // 1414 cells. Deterministic hash-membership sample (same reproducibility
+    // contract as Sampling.hashBucket: a pure function of the vector, stable
+    // across partitioning); maxTrainRows = 0 → auto: max(100k, 50×c), which
+    // leaves fixture-scale corpora unsampled so spec digests don't move.
+    val cap = if (maxTrainRows > 0) maxTrainRows else math.max(100000L, 50L * c)
+    val n = base.count()
+    val train = if (n <= cap) base else {
+      val mod = math.max(2L, math.round(n.toDouble / cap))
+      base.filter(pmod(xxhash64(col(embCol)), lit(mod)) === 0)
+    }
+    val feats = train
       .select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(c).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").fit(feats)

@@ -46,6 +46,31 @@ object TextSearch {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** Porter-stemmed analyzer — the third pluggable option (standard regex /
+    * caller-supplied / stemmed), closing the stemming half of the Lucene
+    * divergence note above for callers that opt in: "searching", "searched",
+    * "searches" all index as "search", like Lucene's EnglishAnalyzer
+    * (StandardTokenizer + PorterStemFilter). The stemmer itself is scalar
+    * Scala ([[graft.functions.PorterStemmer]]) applied over the standard
+    * token array — one UDF on the analyzer seam only; every aggregate and
+    * join downstream stays codegen. Not SQL-expressible, so stemmed query
+    * rows are golden-pinned (DuckDB has no stemmer), with top-k overlap vs
+    * the standard analyzer asserted in TextSearchSpec. */
+  val stemmedTokens: Column => Column = { c =>
+    val stemAll = udf { (ts: Seq[String]) =>
+      if (ts == null) null else ts.map(graft.functions.PorterStemmer.stem)
+    }
+    stemAll(tokens(c))
+  }
+
+  /** Query-side twin of [[stemmedTokens]]: analyze free text to stemmed,
+    * deduplicated terms (query terms must come from the same analyzer that
+    * built the term table). */
+  def stemQueryTerms(queryText: String): Seq[String] =
+    queryText.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+      .map(graft.functions.PorterStemmer.stem).distinct.toSeq
+
   /** Exploded (id, term) pairs for a corpus. */
   def termTable(docs: DataFrame, idCol: String, textCol: String,
                 analyzer: Column => Column = tokens): DataFrame =

@@ -22,6 +22,18 @@ object TextQueries {
     "txt_bm25_top10" -> ((s, dir) =>
       TextSearch.search(Tables.documents(s, dir), "spark join vector", 10)),
 
+    // X1 with the Porter-stemmed analyzer: same BM25 math, morphology
+    // folded ("joins"/"joined"/"joining" all hit "join"). No oracle —
+    // DuckDB has no stemmer — so the row is golden-pinned; TextSearchSpec
+    // additionally asserts stemmed recall ⊇ standard recall on the fixture
+    // query and top-10 overlap.
+    "txt_bm25_stemmed" -> ((s, dir) =>
+      TextSearch.bm25(Tables.documents(s, dir),
+          TextSearch.stemQueryTerms("spark join vector"),
+          analyzer = TextSearch.stemmedTokens)
+        .orderBy(col("text_score").desc, col("doc_id").asc)
+        .limit(10)),
+
     // Term-level corpus stats: document frequency of each query term.
     "txt_term_docfreq" -> ((s, dir) => {
       import s.implicits._

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.IvfCatalog
+import graft.operators.Dedup
+
+/** Streaming ingest against the stored IVF index, end to end (SURVEY §2.13
+  * N28 as a RUNNING loop, not separate pieces): each micro-batch of arriving
+  * vectors is (1) flagged for near-duplicates against the materialized
+  * index via the partition-pruned incremental celled kernel
+  * ([[Dedup.embeddingPairsCelledIncremental]]), then (2) its SURVIVORS are
+  * appended into the index's cell partitioning ([[IvfCatalog.appendBatch]])
+  * so the next micro-batch sees them. The store is the stream's state —
+  * durable, queryable, shared with every batch consumer — which is why this
+  * is `foreachBatch` composition of the batch operators rather than a
+  * `flatMapGroupsWithState` twin: the dedup state (the corpus itself) must
+  * outlive the query and serve batch probes, exactly the deployment shape
+  * of a continuously-ingesting training-data pipeline.
+  *
+  * Survivor rule (same as the batch curation path): a batch vector is
+  * dropped if it near-dups a STORED vector (either pair side), or if it is
+  * the larger id of a new×new pair (keep-min-id, matching
+  * `dedup_neardup_survivors`). Chains inside one batch drop everything but
+  * the minimum — batch-vs-stream parity over planted sequences is pinned by
+  * StreamingSpec.
+  *
+  * Per-batch cost is the incremental contract: batch × its probed cells
+  * (the store scan prunes to the batch's cell partitions) + an append
+  * proportional to the batch. Nothing in the loop re-reads or re-assigns
+  * the corpus. */
+object StreamingIngest {
+
+  /** One micro-batch's outcome, surfaced through `onBatch` (latency
+    * reporting in harnesses; a production loop would emit metrics). */
+  case class BatchReport(batchId: Long, arrived: Long, dropped: Long,
+                         appended: Long, seconds: Double)
+
+  /** The flag+append step for ONE batch of (idCol, embCol) rows — shared by
+    * the streaming sink below and the batch-loop parity path in specs.
+    * Returns (dropped ids count, appended count). */
+  def ingestBatch(batch: DataFrame, dir: String, nlist: Int, step: Long = 31L,
+                  trained: Boolean = false, minCosine: Double = 0.9,
+                  nprobe: Int = 2, idCol: String = "vec_id",
+                  embCol: String = "embedding"): (Long, Long) = {
+    val spark = batch.sparkSession
+    val store = IvfCatalog.assignedEmbeddings(spark, dir, nlist, step, trained)
+    val cents = IvfCatalog.centroidsFor(spark, dir, nlist, step, trained)
+    val b = batch.select(col(idCol).cast("long").as(idCol), col(embCol))
+    val pairs = Dedup.embeddingPairsCelledIncremental(b, store, cents, minCosine, nprobe,
+      idCol = idCol, embCol = embCol)
+    // which pair sides are batch ids (vs stored ids): the batch-id set is
+    // micro-batch-sized by construction, so these are broadcast joins
+    val bids = b.select(col(idCol).as("__bid")).distinct()
+    val drops = pairs
+      .join(broadcast(bids.select(col("__bid").as("left_id"), lit(true).as("__l_new"))),
+        Seq("left_id"), "left")
+      .join(broadcast(bids.select(col("__bid").as("right_id"), lit(true).as("__r_new"))),
+        Seq("right_id"), "left")
+      .select(
+        when(col("__l_new").isNotNull && col("__r_new").isNotNull, col("right_id")) // new×new: keep min id
+          .when(col("__l_new").isNotNull, col("left_id"))                           // new×store: drop the new side
+          .otherwise(col("right_id"))
+          .as(idCol))
+      .distinct()
+    val survivors = b.join(broadcast(drops), Seq(idCol), "left_anti")
+    val nDropped = drops.count()
+    IvfCatalog.appendBatch(spark, dir, survivors, nlist, step, trained)
+    (nDropped, b.count() - nDropped)
+  }
+
+  /** Start the ingest loop on a streaming DataFrame of (idCol, embCol)
+    * rows. The stored index for `dir` must already exist (appendBatch's
+    * contract); `checkpoint` makes the loop restartable — a replayed
+    * micro-batch re-flags against the store, so the survivor decision is
+    * reproducible. */
+  def start(vecs: DataFrame, dir: String, checkpoint: String,
+            nlist: Int, step: Long = 31L, trained: Boolean = false,
+            minCosine: Double = 0.9, nprobe: Int = 2,
+            idCol: String = "vec_id", embCol: String = "embedding",
+            onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val t0 = System.nanoTime()
+        val arrived = batch.count()
+        if (arrived > 0) {
+          val (dropped, appended) =
+            ingestBatch(batch.toDF(), dir, nlist, step, trained, minCosine, nprobe,
+              idCol, embCol)
+          onBatch(BatchReport(batchId, arrived, dropped, appended,
+            (System.nanoTime() - t0) / 1e9))
+        }
+      }
+      .start()
+}

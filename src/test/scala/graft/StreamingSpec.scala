@@ -581,4 +581,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("streaming ingest flags against the stored IVF index, appends survivors, and equals the batch loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // nlist 17 → a store table name no other suite builds: this test drops
+    // and rebuilds its store freely without disturbing shared fixtures
+    val nlist = 17; val step = 31L
+    val storeName = TableStore.tableName(s"ivf${nlist}_$step", dir)
+
+    def emb(id: Long): Seq[Float] =
+      Tables.embeddings(spark, dir).filter(col("vec_id") === id)
+        .select("embedding").head.getSeq[Float](0)
+    val dupOfStore = emb(7L)              // exact copy of a stored vector
+    val fresh1 = emb(3L).map(x => -x)     // anti-correlated with the store bulk
+    val fresh2 = emb(5L).map(x => -x)
+
+    // planted sequence: batch 1 = one store-dup + one survivor; batch 2 =
+    // a dup of batch 1's SURVIVOR (the loop must see its own appends) + a
+    // new×new identical pair (keep-min-id inside one batch)
+    val batches: Seq[Seq[(Long, Seq[Float])]] = Seq(
+      Seq(100001L -> dupOfStore, 100002L -> fresh1),
+      Seq(100003L -> fresh1, 100004L -> fresh2, 100005L -> fresh2))
+
+    def runLoop(viaStream: Boolean): (Seq[(Long, Long)], Set[Long], Long) = {
+      spark.sql(s"DROP TABLE IF EXISTS $storeName")
+      IvfCatalog.assignedEmbeddings(spark, dir, nlist, step).count()
+      val reports = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      if (viaStream) {
+        val source = MemoryStream[(Long, Seq[Float])]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+        val q = graft.streaming.StreamingIngest.start(
+          source.toDF().toDF("vec_id", "embedding"), dir, ckpt, nlist, step,
+          onBatch = r => reports.synchronized { reports += ((r.dropped, r.appended)) })
+        batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+      } else {
+        batches.foreach { b =>
+          reports += graft.streaming.StreamingIngest.ingestBatch(
+            b.toDF("vec_id", "embedding"), dir, nlist, step)
+        }
+      }
+      val store = IvfCatalog.assignedEmbeddings(spark, dir, nlist, step)
+      val appendedIds = store.filter(col("vec_id") >= 100000L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (reports.toList, appendedIds, store.count())
+    }
+
+    val (sRep, sIds, sRows) = runLoop(viaStream = true)
+    val (bRep, bIds, bRows) = runLoop(viaStream = false)
+    // planted expectations: 100001 dropped vs store; 100002 survives;
+    // 100003 dropped vs the APPENDED 100002; 100005 dropped vs 100004
+    assert(sIds === Set(100002L, 100004L))
+    assert(sRep === Seq((1L, 1L), (2L, 1L)))
+    // stream == batch incremental loop on the same planted sequence
+    assert(sRep === bRep)
+    assert(sIds === bIds)
+    assert(sRows === bRows)
+    spark.sql(s"DROP TABLE IF EXISTS $storeName")
+  }
 }
