@@ -110,5 +110,9 @@ object IvfCatalog {
     }
     assigned.select(aligned.toIndexedSeq: _*)
       .write.mode("append").insertInto(name)
+    // make the append visible to THIS session's later reads immediately;
+    // other sessions pick it up via TableStore.getOrBuild's reader-side
+    // refresh (see TableStore scaladoc — foreachBatch writes from a clone)
+    spark.catalog.refreshTable(name)
   }
 }

@@ -6,6 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * materialize a derived table on first use, read it from the warehouse on
   * every later use. A fresh JVM rebuilds from source — results always derive
   * from current code, never a stale file.
+  *
+  * Visibility contract: Spark caches a catalog table's resolved relation
+  * (including its file listing) PER SESSION, so rows appended by another
+  * session — a streaming `foreachBatch` runs in a CLONE of the session that
+  * started the query — are invisible to a reader that cached the relation
+  * earlier. [[getOrBuild]] therefore `refreshTable`s an already-existing
+  * table before returning it: every read through the store observes all
+  * appends, whichever session wrote them. The cost is re-resolving the
+  * relation per read — file listing stays lazy and partition-pruned, so a
+  * probe still lists only the partitions it scans.
   */
 object TableStore {
 
@@ -24,6 +34,10 @@ object TableStore {
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
         write
+      } else {
+        // drop this session's cached relation/file listing — another session
+        // (e.g. a streaming clone's appendBatch) may have appended since
+        spark.catalog.refreshTable(name)
       }
       spark.table(name)
     }

@@ -161,16 +161,22 @@ object Similarity {
     * pick is a pure function of the ids, independent of partitioning — but
     * keyed by hash order, so it works for any id type and samples uniformly
     * even when ids cluster. Plan shape: filter + TakeOrdered (no full sort
-    * shuffle; each partition keeps its c smallest hashes before the merge).
-    * centroid_id = the xxhash64 value (long, collision-free in practice at
-    * centroid counts; ties broken by the hash order itself). */
+    * shuffle; each partition keeps its c smallest hashes before the merge),
+    * then a single-partition window over the c-row result to assign DENSE
+    * centroid ids 1..c (a raw hash as the id could collide and silently
+    * merge two cells in ivfAssign's partitionBy; dense ids can't). */
   def hashSeededCentroids(corpus: DataFrame, c: Int,
-                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+                          idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     corpus.filter(col(embCol).isNotNull)
       .withColumn("__h", xxhash64(col(idCol).cast("string")))
       .orderBy(col("__h").asc)
       .limit(c)
-      .select(col("__h").as("centroid_id"), col(embCol).as("centroid_vec"))
+      .select(
+        row_number().over(Window.orderBy(col("__h").asc, col(idCol).asc))
+          .cast("long").as("centroid_id"),
+        col(embCol).as("centroid_vec"))
+  }
 
   /** TRAINED centroid option (the production-quality swap the seeded form
     * documents): MLlib k-means over the embedding column, emitted in the

@@ -30,7 +30,15 @@ import graft.operators.Dedup
   * Per-batch cost is the incremental contract: batch × its probed cells
   * (the store scan prunes to the batch's cell partitions) + an append
   * proportional to the batch. Nothing in the loop re-reads or re-assigns
-  * the corpus. */
+  * the corpus.
+  *
+  * Visibility: `foreachBatch` executes in a CLONE of the launching session,
+  * so its appends would be invisible to a batch consumer that cached the
+  * store's relation in another session. [[graft.TableStore.getOrBuild]]
+  * refreshes an already-existing table on every read, so any consumer going
+  * through [[IvfCatalog.assignedEmbeddings]] observes all appends up to its
+  * read — stream==batch parity over a planted sequence is pinned by
+  * StreamingSpec. */
 object StreamingIngest {
 
   /** One micro-batch's outcome, surfaced through `onBatch` (latency
@@ -65,10 +73,12 @@ object StreamingIngest {
           .otherwise(col("right_id"))
           .as(idCol))
       .distinct()
-    val survivors = b.join(broadcast(drops), Seq(idCol), "left_anti")
+    val survivors = b.join(broadcast(drops), Seq(idCol), "left_anti").cache()
     val nDropped = drops.count()
+    val nAppended = survivors.count() // counted directly: batch ids need not be distinct
     IvfCatalog.appendBatch(spark, dir, survivors, nlist, step, trained)
-    (nDropped, b.count() - nDropped)
+    survivors.unpersist()
+    (nDropped, nAppended)
   }
 
   /** Start the ingest loop on a streaming DataFrame of (idCol, embCol)
