@@ -54,8 +54,10 @@ object TextSearch {
     * Scala ([[graft.functions.PorterStemmer]]) applied over the standard
     * token array — one UDF on the analyzer seam only; every aggregate and
     * join downstream stays codegen. Not SQL-expressible, so stemmed query
-    * rows are golden-pinned (DuckDB has no stemmer), with top-k overlap vs
-    * the standard analyzer asserted in TextSearchSpec. */
+    * rows are golden-pinned (GoldenSpec `txt_bm25_stemmed` digest; DuckDB
+    * has no stemmer); TextSearchSpec pins the stemmer against published-
+    * algorithm word vectors, asserts stemmed recall ⊇ standard recall on
+    * an inflected-form corpus, and asserts fixture top-10 overlap. */
   val stemmedTokens: Column => Column = { c =>
     val stemAll = udf { (ts: Seq[String]) =>
       if (ts == null) null else ts.map(graft.functions.PorterStemmer.stem)

@@ -43,8 +43,9 @@ object GoldenPin {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val names = Seq("pipe_flagship", "pipe_orchestrator", "pipe_chunk_stats",
-      "pipe_doc_chunks", "pipe_hierarchy_rel", "mm_feature_stats")
+    val names = Seq("pipe_flagship", "pipe_flagship_ivf", "pipe_orchestrator",
+      "pipe_chunk_stats", "pipe_doc_chunks", "pipe_hierarchy_rel",
+      "mm_feature_stats", "pipe_sql_chunks", "txt_bm25_stemmed")
     val pins = names.map { n =>
       val (rows, md5) = GoldenDigest.digest(SparkEntry.queries(n)(spark, dir))
       s"""  gold("$n", ${rows}L, "$md5")"""

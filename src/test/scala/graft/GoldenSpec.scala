@@ -45,4 +45,5 @@ class GoldenSpec extends AnyFunSuite {
   gold("pipe_hierarchy_rel", 500L, "828b389a808eab4a7c08fa8bded50f2f")
   gold("mm_feature_stats",  500L, "84bb00dfb4b550a7d0b02d8c447ee25e")
   gold("pipe_sql_chunks",   498L, "f6242c4e6111fab982486d6b42c10b1e")
+  gold("txt_bm25_stemmed",   10L, "df1474859dda5fa099fa87d0d070989f")
 }
