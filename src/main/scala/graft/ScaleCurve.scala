@@ -123,23 +123,12 @@ object ScaleCurve {
     // rows in one sort — size partitions to the DATA when measuring the
     // decade, exactly as a cluster job would
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      // data-sized partitions by DEFAULT (r7 sweep: 100M-event sessionization
-      // 49.8 s at core-count partitions vs 29.2 s at 256 ≈ tens-of-MB each;
-      // the manual SPARK_GRAFT_SHUFFLE override found it, AQE should own it):
-      // start shuffles wide and let AQE coalesce to the advisory byte size —
-      // parallelismFirst=false so the target is DATA size, not core count.
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true")) // =false → static control runs
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "32m"))
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        math.max(1024, shuffle.toInt).toString)
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-      .config("spark.ui.enabled", "false")
+    // data-sized partitions by default — see GraftSession.dataSizedShuffle
+    // (this sweep's SPARK_GRAFT_SHUFFLE override is what found the setting)
+    val spark = GraftSession.dataSizedShuffle(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+        .config("spark.ui.enabled", "false"), shuffle.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
