@@ -8,7 +8,7 @@ object Bench {
     val spark = GraftSession.dataSizedShuffle(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-        .config("spark.ui.enabled", "false"), cpus.toInt)
+        .config("spark.ui.enabled", "false"), cpus.toInt, sfDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay session init + parquet reader + codegen/JIT once, untimed

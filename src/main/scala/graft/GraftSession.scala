@@ -14,21 +14,58 @@ import org.apache.spark.sql.SparkSession
   * defaults are the "would this survive 100×" posture, applied where the
   * driver actually measures.
   *
-  * Env overrides (harness sweeps): `SPARK_GRAFT_AQE=false` → static-plan
-  * control runs; `SPARK_GRAFT_ADVISORY` → advisory partition bytes.
+  * The defaults are GATED ON INPUT SIZE: a paired A/B bench at sf0.1
+  * (17.6 MB on disk) measured the wide-initial-partition configs costing
+  * 1.11× — per-shuffle map-bucket overhead that tiny inputs never earn
+  * back — while the ×1000 corpus (~10× larger on disk, 100M events)
+  * measured 1.7× FASTER with them. Below [[DataSizedMinBytes]] of input
+  * the session keeps plain core-count static partitions; at or above it
+  * the data-sized configs engage. Callers pass the input directory so the
+  * gate reads the actual bytes it will process.
+  *
+  * Env overrides (harness sweeps): `SPARK_GRAFT_AQE=false` → always
+  * static; `SPARK_GRAFT_AQE=true` → always data-sized;
+  * `SPARK_GRAFT_ADVISORY` → advisory partition bytes;
+  * `SPARK_GRAFT_AQE_MIN_BYTES` → the gate threshold.
   */
 object GraftSession {
 
-  /** Apply the data-sized shuffle defaults to a session builder.
-    * `shuffle` is the static fallback partition count (used verbatim when
-    * AQE is disabled; otherwise the floor under `initialPartitionNum`). */
-  def dataSizedShuffle(b: SparkSession.Builder, shuffle: Int): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shuffle.toString)
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+  /** Input bytes below which the data-sized shuffle configs are a net loss
+    * (measured: sf0.1 = 17.6 MB → 1.11× slower; ×1000 ≈ 176 MB → 1.7×
+    * faster; 64 MB splits the decades with margin on both sides). */
+  val DataSizedMinBytes: Long =
+    sys.env.get("SPARK_GRAFT_AQE_MIN_BYTES").map(_.toLong).getOrElse(64L << 20)
+
+  /** Total file bytes under `dir` (the gate's input-size estimate). */
+  def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(dir))
+  }
+
+  /** Apply the shuffle-sizing defaults to a session builder. `shuffle` is
+    * the static partition count (used verbatim below the gate or when AQE
+    * is disabled; otherwise the floor under `initialPartitionNum`);
+    * `inputDir` is what the session will read — its on-disk size decides
+    * which regime applies. */
+  def dataSizedShuffle(b: SparkSession.Builder, shuffle: Int,
+                       inputDir: String): SparkSession.Builder = {
+    val base = b.config("spark.sql.shuffle.partitions", shuffle.toString)
+    sys.env.get("SPARK_GRAFT_AQE") match {
+      case Some(v) if !v.toBoolean =>
+        // explicit static control run: AQE fully off, pure static plans
+        return base.config("spark.sql.adaptive.enabled", "false")
+      case Some(_) => // explicit opt-in: fall through to the data-sized configs
+      case None if dirBytes(inputDir) < DataSizedMinBytes =>
+        return base // fixture-scale input: stock AQE, static partition count
+      case None => // at-scale input: fall through
+    }
+    base
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "32m"))
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         math.max(1024, shuffle).toString)
+  }
 }

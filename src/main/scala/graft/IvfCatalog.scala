@@ -58,12 +58,26 @@ object IvfCatalog {
 
   /** Centroids for the CHUNK-store IVF index ([[assignedChunks]]): chunk ids
     * are md5 strings, not dense longs, so the sample is hash-ordered
-    * ([[Similarity.hashSeededCentroids]]) rather than id-modular. Recomputed
-    * deterministically from the stored chunk table — cheap (TakeOrdered of c
-    * rows) and always consistent with the store it probes. */
+    * ([[Similarity.hashSeededCentroids]]) rather than id-modular — computed
+    * from the chunk table as it stands at INDEX BUILD time. */
   def chunkCentroids(spark: SparkSession, dir: String, centroids: Int): DataFrame =
     Similarity.hashSeededCentroids(ChunkCatalog.flatChunks(spark, dir),
       centroids, idCol = "chunk_id", embCol = "embedding")
+
+  /** The chunk-store centroids FROZEN as a table at index build. The index
+    * is only meaningful against the exact centroids that assigned it (same
+    * contract as the trained vector store): once [[appendChunks]] can grow
+    * the corpus past the build-time snapshot, a probe that re-derived
+    * centroids from the LIVE chunk table would drift from the stored
+    * assignment and prune the wrong partitions. Probes and appends read
+    * these back; they never recompute. */
+  def chunkCentroidsStored(spark: SparkSession, dir: String, centroids: Int): DataFrame = {
+    val name = TableStore.tableName(s"ivfchunkcent$centroids", dir)
+    TableStore.getOrBuild(spark, name) {
+      chunkCentroids(spark, dir, centroids)
+        .write.mode("overwrite").format("parquet").saveAsTable(name)
+    }
+  }
 
   /** The RETRIEVAL corpus (chunk store) as a materialized IVF index: the
     * flagship's search side laid out `partitionBy(centroid_id)`, so the
@@ -77,12 +91,37 @@ object IvfCatalog {
     TableStore.getOrBuild(spark, name) {
       val chunks = ChunkCatalog.flatChunks(spark, dir)
         .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
-      Similarity.ivfAssign(chunks, chunkCentroids(spark, dir, centroids), idCol = "chunk_id")
+      Similarity.ivfAssign(chunks, chunkCentroidsStored(spark, dir, centroids), idCol = "chunk_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .format("parquet")
         .saveAsTable(name)
     }
+  }
+
+  /** Append chunk increments into the flagship's stored IVF index — the
+    * chunk-store twin of [[appendBatch]], so the retrieval index
+    * participates in the same continuous-ingest story as the vector store:
+    * new chunks are assigned with the BUILD-TIME centroids
+    * ([[chunkCentroidsStored]]) and land in the matching `centroid_id`
+    * partition directories; the next `pipe_flagship_ivf` probe sees them
+    * without any store rewrite (visibility via TableStore's reader-side
+    * refresh). `newChunks` carries (chunk_id, document_id, word_count,
+    * embedding) — the store's lean retrieval payload. */
+  def appendChunks(spark: SparkSession, dir: String, newChunks: DataFrame,
+                   centroids: Int): Unit = {
+    val name = TableStore.tableName(s"ivfchunks$centroids", dir)
+    require(spark.catalog.tableExists(name),
+      s"stored chunk IVF index for '$dir' not built — assignedChunks first")
+    val assigned = Similarity.ivfAssign(newChunks,
+      chunkCentroidsStored(spark, dir, centroids), idCol = "chunk_id")
+    val aligned = spark.table(name).schema.fields.map { f =>
+      if (assigned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    assigned.select(aligned.toIndexedSeq: _*)
+      .write.mode("append").insertInto(name)
+    spark.catalog.refreshTable(name)
   }
 
   /** Append one ingest batch to the stored index — the write half of the

@@ -128,7 +128,7 @@ object ScaleCurve {
     val spark = GraftSession.dataSizedShuffle(SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-        .config("spark.ui.enabled", "false"), shuffle.toInt)
+        .config("spark.ui.enabled", "false"), shuffle.toInt, dirB)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

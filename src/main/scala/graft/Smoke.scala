@@ -13,7 +13,8 @@ object Smoke {
         .master(s"local[$cpus]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
-        .config("spark.ui.enabled", "false"), cpus.toInt)
+        .config("spark.ui.enabled", "false"), cpus.toInt,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.headOption match {

@@ -196,7 +196,7 @@ object Pipelines {
                   k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist)
-    val cents = graft.IvfCatalog.chunkCentroids(spark, dir, nlist)
+    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist)
     val hits = graft.operators.Similarity.ivfSearchPruned(store, cents, Embedder.embedText(queryText),
       k = k, nprobe = nprobe, idCol = "chunk_id")
     Attribution.attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"))

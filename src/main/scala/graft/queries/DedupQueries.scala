@@ -100,6 +100,39 @@ object DedupQueries {
         .select($"left_id", $"right_id", round($"cosine", 6).as("cosine"))
     }),
 
+    // The spark.sql-ONLY story for the flagship near-dup operator: the same
+    // celled pipeline as dedup_embedding_celled, expressed entirely as SQL
+    // text over the registered codegen graft_cosine expression — cell
+    // assignment (rank over centroid cosines), nprobe=2 cell membership,
+    // candidate self-join inside cells, exact re-score. Shares
+    // dedup_embedding_celled's DuckDB oracle, so kernel == SQL == oracle is
+    // pinned three ways by the gate's hash compare.
+    "dedup_sql_pairs" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("graft_emb_sql")
+      s.sql(
+        """WITH cents AS (
+               SELECT vec_id AS centroid_id, embedding AS cvec FROM graft_emb_sql
+               WHERE vec_id % 31 = 0 ORDER BY vec_id ASC LIMIT 16),
+             assign AS (
+               SELECT e.vec_id, c.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY graft_cosine(e.embedding, c.cvec) DESC,
+                            c.centroid_id ASC) AS rn
+               FROM graft_emb_sql e CROSS JOIN cents c),
+             cells AS (SELECT vec_id, centroid_id FROM assign WHERE rn <= 2),
+             cand AS (
+               SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+               FROM cells l JOIN cells r
+                 ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id)
+           SELECT cand.left_id, cand.right_id,
+             round(graft_cosine(a.embedding, b.embedding), 6) AS cosine
+           FROM cand
+           JOIN graft_emb_sql a ON a.vec_id = cand.left_id
+           JOIN graft_emb_sql b ON b.vec_id = cand.right_id
+           WHERE graft_cosine(a.embedding, b.embedding) >= 0.45""")
+    }),
+
     // Ingest-time celled near-dup against the STORED IVF index: the
     // re-ingested batch (vec_id < 20, retagged +100000) probes its top-2
     // cells and the corpus scan prunes to those partition directories
@@ -202,6 +235,33 @@ object DedupQueries {
     s"""list_transform(generate_series(0, 59),
           j -> CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
                     THEN 1 ELSE 0 END)"""
+
+  /** The celled near-dup pipeline replayed whole in DuckDB (cell
+    * assignment, candidate join inside cells, exact re-score) — shared by
+    * the Scala-kernel row (`dedup_embedding_celled`) and its pure-spark.sql
+    * twin (`dedup_sql_pairs`): both must hash-match the SAME oracle, which
+    * pins kernel==SQL equivalence transitively. */
+  private val duckCelled =
+    """WITH cents AS (
+           SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+           WHERE vec_id % 31 = 0 ORDER BY vec_id ASC LIMIT 16),
+         assign AS (
+           SELECT e.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC,
+                        c.centroid_id ASC) AS rn
+           FROM embeddings e CROSS JOIN cents c),
+         cells AS (SELECT vec_id, centroid_id FROM assign WHERE rn <= 2),
+         cand AS (
+           SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+           FROM cells l JOIN cells r
+             ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id)
+       SELECT cand.left_id, cand.right_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+       FROM cand
+       JOIN embeddings a ON a.vec_id = cand.left_id
+       JOIN embeddings b ON b.vec_id = cand.right_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact_groups" ->
@@ -327,27 +387,8 @@ object DedupQueries {
          JOIN all_vecs a ON a.vec_id = cand.left_id
          JOIN all_vecs b ON b.vec_id = cand.right_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""",
-    "dedup_embedding_celled" ->
-      """WITH cents AS (
-             SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
-             WHERE vec_id % 31 = 0 ORDER BY vec_id ASC LIMIT 16),
-           assign AS (
-             SELECT e.vec_id, c.centroid_id,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) DESC,
-                          c.centroid_id ASC) AS rn
-             FROM embeddings e CROSS JOIN cents c),
-           cells AS (SELECT vec_id, centroid_id FROM assign WHERE rn <= 2),
-           cand AS (
-             SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
-             FROM cells l JOIN cells r
-               ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id)
-         SELECT cand.left_id, cand.right_id,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-         FROM cand
-         JOIN embeddings a ON a.vec_id = cand.left_id
-         JOIN embeddings b ON b.vec_id = cand.right_id
-         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0""",
+    "dedup_embedding_celled" -> duckCelled,
+    "dedup_sql_pairs" -> duckCelled,
     "decon_flags" ->
       s"""WITH tw AS (SELECT doc_id, ${duckWords("text")} AS w FROM documents),
           grams AS (SELECT doc_id,

@@ -82,4 +82,49 @@ class IvfCatalogSpec extends AnyFunSuite {
     assert(storedCells.subsetOf(validCells),
       s"append created cells outside the index: ${storedCells -- validCells}")
   }
+
+  test("appendChunks: a chunk increment is visible to the next flagship probe, centroids frozen") {
+    import spark.implicits._
+    // isolated nlist → isolated store/centroid tables; the shared flagship
+    // fixtures (nlist 16) are never touched
+    val nlist = 19
+    spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfchunks$nlist", dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfchunkcent$nlist", dir)}")
+    val store0 = IvfCatalog.assignedChunks(spark, dir, nlist)
+    val n0 = store0.count()
+    assert(n0 > 0)
+    val centsBefore = IvfCatalog.chunkCentroidsStored(spark, dir, nlist)
+      .select("centroid_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // the increment copies an existing chunk's embedding → lands in the
+    // same cell, and a probe AT that embedding must retrieve it
+    val base = store0.orderBy(col("chunk_id").asc).limit(1)
+      .select("chunk_id", "document_id", "word_count", "embedding").head
+    val baseId = base.getString(0)
+    val baseEmb = base.getSeq[Float](3)
+    val newId = "zzzz_appended_chunk"
+    val increment = Seq((newId, base.getLong(1), 42, baseEmb))
+      .toDF("chunk_id", "document_id", "word_count", "embedding")
+    IvfCatalog.appendChunks(spark, dir, increment, nlist)
+
+    val store1 = IvfCatalog.assignedChunks(spark, dir, nlist)
+    assert(store1.count() === n0 + 1, "append not visible to the next store read")
+    // identical embedding → identical cell (same frozen centroids assigned it)
+    def cellOf(id: String): Long =
+      store1.filter(col("chunk_id") === id).select("centroid_id").head.getLong(0)
+    assert(cellOf(newId) === cellOf(baseId))
+    // build-time centroids are immutable under append
+    val centsAfter = IvfCatalog.chunkCentroidsStored(spark, dir, nlist)
+      .select("centroid_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(centsAfter === centsBefore)
+    // the flagship probe path (pruned scan over the store) sees the new chunk
+    val hits = operators.Similarity.ivfSearchPruned(store1,
+        IvfCatalog.chunkCentroidsStored(spark, dir, nlist),
+        baseEmb.toArray, k = 5, nprobe = 2, idCol = "chunk_id")
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    assert(hits.contains(newId), s"probe missed the appended chunk: $hits")
+    // leave a clean slate for re-runs in the same warehouse
+    spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfchunks$nlist", dir)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfchunkcent$nlist", dir)}")
+  }
 }
