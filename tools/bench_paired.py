@@ -28,14 +28,16 @@ def sh(cmd, cwd=REPO, env=None):
                           capture_output=True, text=True)
 
 
-def bench_total(tree, sf_dir):
+def bench_run(tree, sf_dir):
+    """One bench pass → (total, per-query dict)."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_PASSES="1")
     r = sh('sbt -batch "runMain graft.Bench"', cwd=tree, env=env)
     m = re.search(r'\{"metric".*\}', r.stdout)
     if not m:
         sys.exit(f"[paired] no bench line from {tree}:\n{r.stdout[-2000:]}")
-    return json.loads(m.group(0))["value"]
+    rec = json.loads(m.group(0))
+    return rec["value"], rec.get("queries", {})
 
 
 def main():
@@ -56,18 +58,37 @@ def main():
     if r.returncode != 0:
         sys.exit(f"[paired] prev build failed:\n{r.stdout[-2000:]}")
 
-    heads, prevs = [], []
+    heads, prevs, headqs, prevqs = [], [], [], []
     for i in range(rounds):
         print(f"[paired] round {i + 1}/{rounds}: HEAD…", flush=True)
-        heads.append(bench_total(REPO, sf_dir))
-        print(f"[paired]   head={heads[-1]:.2f}s; {prev_sha}…", flush=True)
-        prevs.append(bench_total(wt, sf_dir))
-        print(f"[paired]   prev={prevs[-1]:.2f}s", flush=True)
+        t, q = bench_run(REPO, sf_dir)
+        heads.append(t); headqs.append(q)
+        print(f"[paired]   head={t:.2f}s; {prev_sha}…", flush=True)
+        t, q = bench_run(wt, sf_dir)
+        prevs.append(t); prevqs.append(q)
+        print(f"[paired]   prev={t:.2f}s", flush=True)
 
+    # Totals alone mislead when HEAD registers new queries (its total then
+    # includes work prev never ran) — the regression verdict uses the sum
+    # over the COMMON query subset. Per-query MIN across rounds per tree
+    # (noise only ever adds time), then summed: min-of-sums would keep one
+    # whole noisy pass, per-query minima discard noise spikes query by query.
+    common = sorted(set.intersection(*[set(q) for q in headqs + prevqs]))
+    hq = {k: min(q[k] for q in headqs) for k in common}
+    pq = {k: min(q[k] for q in prevqs) for k in common}
+    head_common, prev_common = sum(hq.values()), sum(pq.values())
+    deltas = sorted(common, key=lambda k: pq[k] - hq[k])
+    print("[paired] biggest per-query deltas (head-prev, per-query min):")
+    for k in deltas[:6] + deltas[-3:]:
+        print(f"[paired]   {k:32s} head={hq[k]:6.2f} prev={pq[k]:6.2f} d={hq[k]-pq[k]:+.2f}")
     block = {"head": head_sha, "prev": prev_sha,
              "head_total": round(min(heads), 2),
              "prev_total": round(min(prevs), 2),
              "ratio": round(min(heads) / min(prevs), 3),
+             "common_n": len(common),
+             "head_common": round(head_common, 2),
+             "prev_common": round(prev_common, 2),
+             "common_ratio": round(head_common / prev_common, 3),
              "sf": os.path.basename(sf_dir)}
     # the last HEAD bench rewrote BENCH_LOCAL.json — merge the block in
     path = os.path.join(REPO, "BENCH_LOCAL.json")
