@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Flagship retrieval at scale: brute-force [[pipelines.Pipelines.flagship]]
+  * vs the stored-IVF probe [[pipelines.Pipelines.flagshipIvf]] on the same
+  * corpus, with top-k overlap — the SCALE.md evidence row for "the pruned
+  * probe beats the full scan once the chunk store is big enough to matter"
+  * (at fixture scale the probe's centroid resolution dominates and brute
+  * force wins; the crossover is the point).
+  *
+  * Usage: `sbt "runMain graft.FlagshipBench [dir [nlist [nprobe]]]"` —
+  * defaults to the ×1000 ScaleGen corpus with √n-ish chunk cells. The chunk
+  * store + index build is timed separately (build-once catalogs; the probe
+  * numbers are the per-query serving cost a deployed flagship pays).
+  */
+object FlagshipBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/tmp/graft_sf100")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.dataSizedShuffle(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+        .config("spark.ui.enabled", "false"), cpus.toInt, dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[flagship] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // build-once catalogs, priced separately from the per-query probes
+    val nChunks = timed("chunk store build (feature pipeline, ONCE per corpus)") {
+      ChunkCatalog.flatChunks(spark, dir).count()
+    }
+    val nlist = args.lift(1).map(_.toInt).getOrElse(
+      math.max(16, math.sqrt(nChunks.toDouble).toInt))
+    val nprobe = args.lift(2).map(_.toInt).getOrElse(math.max(4, nlist / 64))
+    println(s"[flagship] corpus $dir: $nChunks chunks, nlist=$nlist, nprobe=$nprobe")
+    timed(s"IVF chunk index build (assign + partitioned write, ONCE per corpus)") {
+      IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    }
+
+    def topIds(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("chunk_id").collect().map(_.getString(0)).toSeq
+    // min of 3 passes per path — the serving cost, caches dropped between
+    def best(what: String)(mk: => org.apache.spark.sql.DataFrame): Seq[String] = {
+      var ids: Seq[String] = Nil
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        ids = topIds(mk)
+        spark.sqlContext.clearCache(); Caches.release()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[flagship] $what: min=${times.min}%.2f s  runs=${times.map(t => f"$t%.2f").mkString(",")}")
+      ids
+    }
+    val brute = best("brute-force flagship (full chunk scan)") {
+      pipelines.Pipelines.flagship(spark, dir)
+    }
+    val ivf = best(s"IVF flagship (probe $nprobe/$nlist cells)") {
+      pipelines.Pipelines.flagshipIvf(spark, dir, nlist = nlist, nprobe = nprobe)
+    }
+    println(s"[flagship] top-10 overlap ivf∩brute = ${ivf.toSet.intersect(brute.toSet).size}/10")
+    spark.stop()
+  }
+}

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.IvfCatalog
+import graft.{IvfCatalog, TableStore}
 import graft.operators.Dedup
+import graft.pipelines.Pipelines
 
 /** Streaming ingest against the stored IVF index, end to end (SURVEY §2.13
   * N28 as a RUNNING loop, not separate pieces): each micro-batch of arriving
@@ -100,6 +101,80 @@ object StreamingIngest {
           val (dropped, appended) =
             ingestBatch(batch.toDF(), dir, nlist, step, trained, minCosine, nprobe,
               idCol, embCol)
+          onBatch(BatchReport(batchId, arrived, dropped, appended,
+            (System.nanoTime() - t0) / 1e9))
+        }
+      }
+      .start()
+
+  /** The flag+append step for ONE batch of DOCUMENTS — the chunk-store twin
+    * of [[ingestBatch]], completing the flagship lifecycle: the batch runs
+    * the same feature pipeline the store was built from (quality filter →
+    * clean → chunk → embed, [[Pipelines.featurePipeline]]), is exact-deduped
+    * against the store, and the surviving chunks land in their cell
+    * partitions via [[IvfCatalog.appendChunks]] — the next
+    * `pipe_flagship_ivf` probe retrieves them with no store rewrite.
+    *
+    * The dedup is chunk identity (the reference's md5 id over
+    * doc-id + index + content prefix, ChunkOps.md5Hex): a REPLAYED document
+    * — re-crawl, source redelivery, checkpoint restart — reproduces its
+    * chunk ids exactly, so the loop is idempotent. The identity check is
+    * PRUNED: a replayed chunk has identical text, embeds identically, and
+    * lands in the same cell, so a colliding id can only live in the very
+    * cells this batch's chunks are assigned to — the anti-join reads those
+    * `centroid_id` partition directories, never the whole store. An EDITED
+    * document (same ids, changed content) is an upsert, not an append —
+    * that is the S9 `upsertDocuments` path, deliberately outside this loop,
+    * as in the reference. Near-dup admission policy stays with the curation
+    * operators upstream; the store's own invariant is no duplicate ids.
+    * Returns (duplicate chunks dropped, chunks appended). */
+  def ingestDocBatch(docs: DataFrame, dir: String, nlist: Int,
+                     qualityThreshold: Double = 0.0,
+                     idCol: String = "doc_id", textCol: String = "text"): (Long, Long) = {
+    val spark = docs.sparkSession
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    require(spark.catalog.tableExists(storeName),
+      s"stored chunk IVF index for '$dir' not built — assignedChunks first")
+    val chunks = Pipelines.featurePipeline(docs, qualityThreshold, idCol, textCol)
+      .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
+    val assigned = graft.operators.Similarity.ivfAssign(chunks,
+      IvfCatalog.chunkCentroidsStored(spark, dir, nlist), idCol = "chunk_id").cache()
+    val cells = assigned.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ nlist by construction
+    spark.catalog.refreshTable(storeName) // see the latest appends (clone session)
+    val stored = spark.table(storeName)
+      .filter(col("centroid_id").isin(cells: _*)) // partition-pruned scan
+      .select(col("chunk_id"))
+    val survivors = assigned
+      .join(stored, Seq("chunk_id"), "left_anti")
+      .dropDuplicates("chunk_id") // a doc repeated inside one batch
+      .cache()
+    val nAppended = survivors.count()
+    val nDropped = assigned.select("chunk_id").distinct().count() - nAppended
+    if (nAppended > 0)
+      IvfCatalog.appendChunks(spark, dir, survivors.drop("centroid_id"), nlist)
+    assigned.unpersist(); survivors.unpersist()
+    (nDropped, nAppended)
+  }
+
+  /** Start the document-ingest loop on a streaming DataFrame of
+    * (idCol, textCol) document rows — [[start]]'s chunk-store twin. The
+    * stored chunk index for `dir` must already exist
+    * ([[IvfCatalog.assignedChunks]]); replayed micro-batches re-dedup
+    * against the store, so a restart from `checkpoint` appends nothing
+    * twice (the md5 identity makes the loop idempotent). */
+  def startDocs(docs: DataFrame, dir: String, checkpoint: String, nlist: Int,
+                qualityThreshold: Double = 0.0,
+                idCol: String = "doc_id", textCol: String = "text",
+                onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val t0 = System.nanoTime()
+        val arrived = batch.count()
+        if (arrived > 0) {
+          val (dropped, appended) =
+            ingestDocBatch(batch.toDF(), dir, nlist, qualityThreshold, idCol, textCol)
           onBatch(BatchReport(batchId, arrived, dropped, appended,
             (System.nanoTime() - t0) / 1e9))
         }

@@ -642,4 +642,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(sRows === bRows)
     spark.sql(s"DROP TABLE IF EXISTS $storeName")
   }
+
+  test("streaming document ingest chunks+embeds batches, dedups replays, and the flagship probe sees the appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // isolated nlist → isolated store/centroid tables (flagship fixtures are
+    // nlist 16, IvfCatalogSpec uses 19)
+    val nlist = 23
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+
+    // a corpus document the store already chunked (≥1 chunk) — its REPLAY
+    // must dedup away entirely
+    def chunksOf(docs: org.apache.spark.sql.DataFrame): Seq[String] =
+      graft.pipelines.Pipelines.featurePipeline(docs, 0.0)
+        .select("chunk_id").collect().map(_.getString(0)).toSeq
+    val replayed = Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.length(col("text")) > 300)
+      .orderBy(col("doc_id").asc).limit(1)
+      .select("doc_id", "text").head
+    val (rDoc, rText) = (replayed.getLong(0), replayed.getString(1))
+    def mkText(tag: String): String =
+      (1 to 30).map(i => s"The $tag subsystem emits telemetry frame $i with " +
+        s"checksum verification and replay-protected sequence numbers.").mkString(" ")
+    val docA = (900001L, mkText("aurora")); val docC = (900002L, mkText("cascade"))
+    val nA = chunksOf(Seq(docA).toDF("doc_id", "text")).size
+    val nB = chunksOf(Seq((rDoc, rText)).toDF("doc_id", "text")).size
+    val nC = chunksOf(Seq(docC).toDF("doc_id", "text")).size
+    assert(nA > 0 && nB > 0 && nC > 0)
+
+    // batch 1 = new doc + replayed corpus doc; batch 2 = replay of batch 1's
+    // OWN append (the loop must see itself) + another new doc
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(docA, rDoc -> rText),
+      Seq(docA, docC))
+
+    def runLoop(viaStream: Boolean): (Seq[(Long, Long)], Long) = {
+      spark.sql(s"DROP TABLE IF EXISTS $storeName")
+      spark.sql(s"DROP TABLE IF EXISTS $centName")
+      IvfCatalog.assignedChunks(spark, dir, nlist).count()
+      val reports = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      if (viaStream) {
+        val source = MemoryStream[(Long, String)]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_docingest_ckpt").toString
+        val q = graft.streaming.StreamingIngest.startDocs(
+          source.toDF().toDF("doc_id", "text"), dir, ckpt, nlist,
+          onBatch = r => reports.synchronized { reports += ((r.dropped, r.appended)) })
+        batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+      } else {
+        batches.foreach { b =>
+          reports += graft.streaming.StreamingIngest.ingestDocBatch(
+            b.toDF("doc_id", "text"), dir, nlist)
+        }
+      }
+      (reports.toList, IvfCatalog.assignedChunks(spark, dir, nlist).count())
+    }
+
+    val (sRep, sRows) = runLoop(viaStream = true)
+    val n0 = sRows - nA - nC
+    // batch 1: replayed doc fully deduped, doc A appended; batch 2: doc A's
+    // replay deduped against the loop's own append, doc C appended
+    assert(sRep === Seq((nB.toLong, nA.toLong), (nA.toLong, nC.toLong)))
+    // no duplicate ids in the store after replays
+    val store = IvfCatalog.assignedChunks(spark, dir, nlist)
+    assert(store.select("chunk_id").distinct().count() === store.count())
+    // the flagship probe path retrieves an appended chunk at its own embedding
+    val probe = store.filter(col("document_id") === 900001L)
+      .select("chunk_id", "embedding").head
+    val hits = graft.operators.Similarity.ivfSearchPruned(store,
+        IvfCatalog.chunkCentroidsStored(spark, dir, nlist),
+        probe.getSeq[Float](1).toArray, k = 5, nprobe = 2, idCol = "chunk_id")
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    assert(hits.contains(probe.getString(0)), s"probe missed the appended chunk: $hits")
+    // stream == batch loop on the same planted sequence
+    val (bRep, bRows) = runLoop(viaStream = false)
+    assert(sRep === bRep)
+    assert(sRows === bRows)
+    assert(n0 > 0 && bRows === n0 + nA + nC)
+    spark.sql(s"DROP TABLE IF EXISTS $storeName")
+    spark.sql(s"DROP TABLE IF EXISTS $centName")
+  }
 }
