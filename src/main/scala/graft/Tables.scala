@@ -19,13 +19,22 @@ object Tables {
   // RAG-domain tables (reference data model, SURVEY.md §1)
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
-  /** The events fixture stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and truncate to microseconds (integral
-    * `div`, not `/` — double division loses precision above 2^53). */
+  /** Fixture generations disagree on the events `ts` physical type: older
+    * driver fixtures (and [[ScaleGen]] output) store TIMESTAMP(NANOS), which
+    * Spark's reader only accepts as long via `nanosAsLong` — truncate those
+    * to microseconds with integral `div` (not `/`; double division loses
+    * precision above 2^53). Newer fixtures store TIMESTAMP(MICROS) directly
+    * (read as TIMESTAMP_NTZ). Normalize both to session-TZ TimestampType so
+    * every downstream window/as-of/streaming consumer sees one type. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   // TPC-H-ish star schema (relational operator coverage)
