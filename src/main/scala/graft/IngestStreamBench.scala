@@ -65,6 +65,17 @@ object IngestStreamBench {
     q.stop()
     println(s"[ingeststream] store rows after ${nBatches} batches: " +
       IvfCatalog.assignedEmbeddings(spark, dir, nlist, 31L).count())
+
+    // maintenance half: every append leaves one file per (task × cell), so
+    // the store fragments with batch count — compact the touched cells back
+    // to their bin-packed size and show the probe-visible file count drop
+    val store = TableStore.tableName(s"ivf${nlist}_31", dir)
+    val frag = Compaction.partitionStats(spark, store)
+    println(s"[ingeststream] store files before compaction: total=${frag.map(_.files).sum} " +
+      s"max/cell=${frag.map(_.files).max} cells=${frag.size}")
+    val rep = Compaction.compactTable(spark, store)
+    println(f"[ingeststream] compaction: ${rep.compacted.size} cells rewritten, " +
+      f"files ${rep.filesBefore} -> ${rep.filesAfter}, ${rep.seconds}%.1f s")
     spark.stop()
   }
 }

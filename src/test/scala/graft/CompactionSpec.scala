@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bin-packing compaction of the partitioned store catalogs: fragmented
+  * cells get fewer, right-sized files; rows, partition values, and probe
+  * results are byte-for-byte unchanged; healthy partitions are untouched. */
+class CompactionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Digest of the full store content (id, cell), order-free. */
+  private def digest(name: String): (Long, String) = {
+    val df = spark.table(name)
+      .select(concat_ws(":", col("vec_id"), col("centroid_id")).as("row"))
+    (df.count(),
+     df.agg(md5(concat_ws("|", sort_array(collect_list("row")))).as("d"))
+       .head.getString(0))
+  }
+
+  test("compactTable: fragmented cells packed to their bin count, content and probes unchanged") {
+    import spark.implicits._
+    // private fixture dir + store, fragmented by a stream of tiny appends
+    val tdir = "/tmp/graft_compact_fixture"
+    val name = TableStore.tableName("ivf8_31", tdir)
+    Tables.embeddings(spark, dir).filter($"vec_id" < 100)
+      .write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L).count()
+    (1 to 4).foreach { i =>
+      IvfCatalog.appendBatch(spark, tdir,
+        Tables.embeddings(spark, tdir).filter($"vec_id" < 20)
+          .select(($"vec_id" + i * 1000L).as("vec_id"), $"embedding"),
+        8, 31L)
+    }
+
+    val before = Compaction.partitionStats(spark, name)
+    assert(before.exists(_.files >= 3),
+      s"fixture failed to fragment the store: $before")
+    val (n0, d0) = digest(name)
+    val cents = IvfCatalog.centroidsFor(spark, tdir, 8, 31L)
+    val qv = Tables.embeddings(spark, tdir).filter($"vec_id" === 2L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    def probe(): Seq[(Long, Double)] =
+      operators.Similarity.ivfSearchPruned(spark.table(name), cents, qv,
+          k = 10, nprobe = 4)
+        .select(col("vec_id"), round(col("score"), 9).as("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val hits0 = probe()
+
+    // huge target → every fragmented cell packs to exactly one file
+    val report = Compaction.compactTable(spark, name, targetBytes = 1L << 30)
+    assert(report.compacted.nonEmpty)
+    assert(report.filesAfter < report.filesBefore)
+    val after = Compaction.partitionStats(spark, name).map(p => p.spec -> p).toMap
+    report.compacted.foreach { p =>
+      assert(after(p.spec).files === 1,
+        s"${p.spec}: expected 1 packed file, got ${after(p.spec)}")
+      assert(after(p.spec).bytes > 0)
+    }
+    // healthy partitions were not rewritten
+    before.filterNot(p => report.compacted.exists(_.spec == p.spec)).foreach { p =>
+      assert(after(p.spec).files === p.files, s"untouched partition ${p.spec} changed")
+    }
+    // same rows, same cells, same probe answer
+    assert(digest(name) === ((n0, d0)))
+    assert(probe() === hits0)
+
+    // idempotent: a second pass finds nothing to do
+    val again = Compaction.compactTable(spark, name, targetBytes = 1L << 30)
+    assert(again.compacted.isEmpty)
+    assert(again.filesAfter === report.filesAfter)
+
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("compactTable honors minFiles and leaves sub-threshold partitions alone") {
+    import spark.implicits._
+    val tdir = "/tmp/graft_compact_minfiles"
+    val name = TableStore.tableName("ivf8_31", tdir)
+    Tables.embeddings(spark, dir).filter($"vec_id" < 50)
+      .write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L).count()
+    IvfCatalog.appendBatch(spark, tdir,
+      Tables.embeddings(spark, tdir).filter($"vec_id" < 10)
+        .select(($"vec_id" + 1000L).as("vec_id"), $"embedding"), 8, 31L)
+
+    val maxFiles = Compaction.partitionStats(spark, name).map(_.files).max
+    val report = Compaction.compactTable(spark, name,
+      targetBytes = 1L << 30, minFiles = maxFiles + 1)
+    assert(report.compacted.isEmpty, "minFiles above every partition must be a no-op")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+}
