@@ -18,6 +18,17 @@ import graft.operators.Similarity
   * recall table). Trained centroids are THEMSELVES stored — the index is
   * only meaningful against the exact centroids that assigned it, so probes
   * and appends must read them back, never re-train.
+  *
+  * Build writes `repartition(centroid_id)` first (the "clusterWrite" shape):
+  * without it every one of the assignment job's tasks writes a file into
+  * every cell it touches — task × cell files, measured 4,545 files for a
+  * 141-cell ×10 store, ~71k for the ×1000 chunk index — and probe cost
+  * starts degrading with file count instead of data. Clustering by the
+  * partition key first means each cell is written by exactly one task: one
+  * right-sized file per cell, and the write itself gets cheaper (file-open
+  * overhead dominates small-file writes). A cell too big for one task's
+  * file splits via `spark.sql.files.maxRecordsPerFile` on a cluster;
+  * streaming appends still fragment over time, which [[Compaction]] owns.
   */
 object IvfCatalog {
 
@@ -49,6 +60,7 @@ object IvfCatalog {
     TableStore.getOrBuild(spark, name) {
       Similarity.ivfAssign(Tables.embeddings(spark, dir),
           centroidsFor(spark, dir, centroids, step, trained))
+        .repartition(col("centroid_id")) // see clusterWrite note below
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .format("parquet")
@@ -92,6 +104,7 @@ object IvfCatalog {
       val chunks = ChunkCatalog.flatChunks(spark, dir)
         .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
       Similarity.ivfAssign(chunks, chunkCentroidsStored(spark, dir, centroids), idCol = "chunk_id")
+        .repartition(col("centroid_id")) // see clusterWrite note below
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .format("parquet")

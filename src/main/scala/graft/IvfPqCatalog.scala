@@ -27,6 +27,7 @@ object IvfPqCatalog {
       val cents = Similarity.seededCentroids(emb, centroids, step)
       Similarity.pqEncode(emb, cb)
         .join(Similarity.ivfAssign(emb, cents).select("vec_id", "centroid_id"), "vec_id")
+        .repartition(org.apache.spark.sql.functions.col("centroid_id")) // one file per cell (IvfCatalog clusterWrite note)
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .format("parquet")
