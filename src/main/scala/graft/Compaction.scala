@@ -92,7 +92,11 @@ object Compaction {
     * @param minFiles     never rewrite partitions with fewer files
     * @param maxBatchBytes cap on bytes rewritten per pass, so one call is a
     *                     sequence of small bounded jobs
-    * @param idCol        column hashed into the output-file bucket
+    * @param idCol        column hashed into the output-file bucket; if the
+    *                     table lacks it (e.g. the chunk store keys on
+    *                     `chunk_id`), the first non-partition column is
+    *                     hashed instead — the bucket only needs spread, not
+    *                     any particular key
     */
   def compactTable(spark: SparkSession, name: String,
                    targetBytes: Long = 128L << 20,
@@ -133,9 +137,12 @@ object Compaction {
         val nfCol = packed.foldLeft(lit(1)) { case (acc, (v, nf)) =>
           when(col(partCol) === v, nf).otherwise(acc)
         }
+        val bucketKey =
+          if (spark.table(name).columns.contains(idCol)) idCol
+          else spark.table(name).columns.filterNot(_ == partCol).head
         val selected = spark.table(name)
           .filter(col(partCol).isin(typedVals: _*))
-          .withColumn("__bucket", pmod(xxhash64(col(idCol)), nfCol))
+          .withColumn("__bucket", pmod(xxhash64(col(bucketKey)), nfCol))
         // temp hop: can't overwrite a table from a plan that reads it
         val tmp = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"), s"__compact_tmp_$name")

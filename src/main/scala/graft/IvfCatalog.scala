@@ -133,6 +133,7 @@ object IvfCatalog {
       else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
     }
     assigned.select(aligned.toIndexedSeq: _*)
+      .repartition(col("centroid_id")) // one file per touched cell per batch
       .write.mode("append").insertInto(name)
     spark.catalog.refreshTable(name)
   }
@@ -161,6 +162,7 @@ object IvfCatalog {
       else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
     }
     assigned.select(aligned.toIndexedSeq: _*)
+      .repartition(col("centroid_id")) // one file per touched cell per batch
       .write.mode("append").insertInto(name)
     // make the append visible to THIS session's later reads immediately;
     // other sessions pick it up via TableStore.getOrBuild's reader-side

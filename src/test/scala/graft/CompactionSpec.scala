@@ -83,6 +83,40 @@ class CompactionSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("compactTable packs the chunk store (string id via the bucket-key fallback)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val nlist = 23 // isolated store/centroid tables, same pattern as IvfCatalogSpec
+    val name = TableStore.tableName(s"ivfchunks$nlist", dir)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfchunkcent$nlist", dir)}")
+    val store0 = IvfCatalog.assignedChunks(spark, dir, nlist)
+    val n0 = store0.count()
+    // fragment: re-append the same chunk rows under fresh ids, three times
+    val base = store0.select("chunk_id", "document_id", "word_count", "embedding")
+      .orderBy(col("chunk_id").asc).limit(10).collect()
+    (1 to 3).foreach { i =>
+      val inc = base.toSeq.map(r =>
+        (s"copy${i}_${r.getString(0)}", r.getLong(1), r.getInt(2), r.getSeq[Float](3)))
+        .toDF("chunk_id", "document_id", "word_count", "embedding")
+      IvfCatalog.appendChunks(spark, dir, inc, nlist)
+    }
+    val before = Compaction.partitionStats(spark, name)
+    assert(before.exists(_.files >= 2), s"appends failed to fragment: $before")
+    val rows0 = spark.table(name).count()
+    assert(rows0 === n0 + 30)
+
+    // default idCol (vec_id) is absent → falls back to the first data column
+    val report = Compaction.compactTable(spark, name, targetBytes = 1L << 30)
+    assert(report.compacted.nonEmpty)
+    val after = Compaction.partitionStats(spark, name).map(p => p.spec -> p).toMap
+    report.compacted.foreach(p => assert(after(p.spec).files === 1))
+    assert(spark.table(name).count() === rows0)
+
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfchunkcent$nlist", dir)}")
+  }
+
   test("compactTable honors minFiles and leaves sub-threshold partitions alone") {
     import spark.implicits._
     val tdir = "/tmp/graft_compact_minfiles"
