@@ -65,6 +65,19 @@ object FlagshipBench {
       pipelines.Pipelines.flagshipIvf(spark, dir, nlist = nlist, nprobe = nprobe)
     }
     println(s"[flagship] top-10 overlap ivf∩brute = ${ivf.toSet.intersect(brute.toSet).size}/10")
+    // production-mode index: bounded-sample k-means centroids (build priced
+    // once, then the same pruned probe) — the recall delta vs seeded is the
+    // point; SPARK_GRAFT_TRAINED=false skips it for a quick seeded-only run
+    if (sys.env.get("SPARK_GRAFT_TRAINED").forall(_.toBoolean)) {
+      timed("trained chunk index build (k-means + assign + write, ONCE per corpus)") {
+        IvfCatalog.assignedChunks(spark, dir, nlist, trained = true).count()
+      }
+      val ivfT = best(s"IVF flagship TRAINED (probe $nprobe/$nlist cells)") {
+        pipelines.Pipelines.flagshipIvf(spark, dir, nlist = nlist, nprobe = nprobe,
+          trained = true)
+      }
+      println(s"[flagship] top-10 overlap trained∩brute = ${ivfT.toSet.intersect(brute.toSet).size}/10")
+    }
     spark.stop()
   }
 }

@@ -82,11 +82,20 @@ object IvfCatalog {
     * the corpus past the build-time snapshot, a probe that re-derived
     * centroids from the LIVE chunk table would drift from the stored
     * assignment and prune the wrong partitions. Probes and appends read
-    * these back; they never recompute. */
-  def chunkCentroidsStored(spark: SparkSession, dir: String, centroids: Int): DataFrame = {
-    val name = TableStore.tableName(s"ivfchunkcent$centroids", dir)
+    * these back; they never recompute.
+    *
+    * `trained = true` runs bounded-sample k-means over the chunk embeddings
+    * (the vector store's production mode, same recall argument) instead of
+    * the hash-ordered sample; the registered `pipe_flagship_ivf` stays on
+    * the seeded mode, whose golden pin is replayable without MLlib. */
+  def chunkCentroidsStored(spark: SparkSession, dir: String, centroids: Int,
+                           trained: Boolean = false): DataFrame = {
+    val suffix = if (trained) s"k$centroids" else s"$centroids"
+    val name = TableStore.tableName(s"ivfchunkcent$suffix", dir)
     TableStore.getOrBuild(spark, name) {
-      chunkCentroids(spark, dir, centroids)
+      (if (trained)
+         Similarity.kmeansCentroids(ChunkCatalog.flatChunks(spark, dir), centroids)
+       else chunkCentroids(spark, dir, centroids))
         .write.mode("overwrite").format("parquet").saveAsTable(name)
     }
   }
@@ -98,12 +107,15 @@ object IvfCatalog {
     * Lean payload — exactly the columns the retrieval path carries
     * (chunk_id, document_id, word_count, embedding); everything else joins
     * back from the bucketed chunk table by chunk_id when needed. */
-  def assignedChunks(spark: SparkSession, dir: String, centroids: Int): DataFrame = {
-    val name = TableStore.tableName(s"ivfchunks$centroids", dir)
+  def assignedChunks(spark: SparkSession, dir: String, centroids: Int,
+                     trained: Boolean = false): DataFrame = {
+    val suffix = if (trained) s"k$centroids" else s"$centroids"
+    val name = TableStore.tableName(s"ivfchunks$suffix", dir)
     TableStore.getOrBuild(spark, name) {
       val chunks = ChunkCatalog.flatChunks(spark, dir)
         .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
-      Similarity.ivfAssign(chunks, chunkCentroidsStored(spark, dir, centroids), idCol = "chunk_id")
+      Similarity.ivfAssign(chunks, chunkCentroidsStored(spark, dir, centroids, trained),
+          idCol = "chunk_id")
         .repartition(col("centroid_id")) // see clusterWrite note below
         .write.mode("overwrite")
         .partitionBy("centroid_id")
@@ -122,12 +134,13 @@ object IvfCatalog {
     * refresh). `newChunks` carries (chunk_id, document_id, word_count,
     * embedding) — the store's lean retrieval payload. */
   def appendChunks(spark: SparkSession, dir: String, newChunks: DataFrame,
-                   centroids: Int): Unit = {
-    val name = TableStore.tableName(s"ivfchunks$centroids", dir)
+                   centroids: Int, trained: Boolean = false): Unit = {
+    val suffix = if (trained) s"k$centroids" else s"$centroids"
+    val name = TableStore.tableName(s"ivfchunks$suffix", dir)
     require(spark.catalog.tableExists(name),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
     val assigned = Similarity.ivfAssign(newChunks,
-      chunkCentroidsStored(spark, dir, centroids), idCol = "chunk_id")
+      chunkCentroidsStored(spark, dir, centroids, trained), idCol = "chunk_id")
     val aligned = spark.table(name).schema.fields.map { f =>
       if (assigned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)

@@ -193,10 +193,11 @@ object Pipelines {
     * pinned by PipelineSpec, the digest by GoldenSpec. */
   def flagshipIvf(spark: SparkSession, dir: String,
                   queryText: String = "spark join vector query",
-                  k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+                  k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+                  trained: Boolean = false): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist)
-    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist)
+    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained)
+    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained)
     val hits = graft.operators.Similarity.ivfSearchPruned(store, cents, Embedder.embedText(queryText),
       k = k, nprobe = nprobe, idCol = "chunk_id")
     Attribution.attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"))

@@ -83,6 +83,30 @@ class IvfCatalogSpec extends AnyFunSuite {
       s"append created cells outside the index: ${storedCells -- validCells}")
   }
 
+  test("trained chunk index: k-means centroids stored, pruned probe finds a known chunk") {
+    val nlist = 12
+    Seq(s"ivfchunksk$nlist", s"ivfchunkcentk$nlist").foreach(k =>
+      spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(k, dir)}"))
+    val store = IvfCatalog.assignedChunks(spark, dir, nlist, trained = true)
+    assert(store.count() === ChunkCatalog.flatChunks(spark, dir).count())
+    val cents = IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained = true)
+    assert(cents.count() === nlist)
+    // probe AT a stored chunk's embedding must retrieve that chunk: its cell
+    // is by construction the query's nearest centroid
+    val probe = store.filter(col("embedding").isNotNull)
+      .orderBy(col("chunk_id").asc).limit(1)
+      .select("chunk_id", "embedding").head
+    val hits = Similarity.ivfSearchPruned(store, cents,
+        probe.getSeq[Float](1).toArray, k = 5, nprobe = 1, idCol = "chunk_id")
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    assert(hits.contains(probe.getString(0)), s"trained probe missed its own chunk: $hits")
+    // the trained tables are mode-suffixed — the seeded flagship fixtures
+    // (no 'k') were never touched by this build
+    assert(spark.catalog.tableExists(TableStore.tableName(s"ivfchunksk$nlist", dir)))
+    Seq(s"ivfchunksk$nlist", s"ivfchunkcentk$nlist").foreach(k =>
+      spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(k, dir)}"))
+  }
+
   test("appendChunks: a chunk increment is visible to the next flagship probe, centroids frozen") {
     import spark.implicits._
     // isolated nlist → isolated store/centroid tables; the shared flagship
