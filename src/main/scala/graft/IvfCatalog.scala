@@ -32,8 +32,18 @@ import graft.operators.Similarity
   */
 object IvfCatalog {
 
-  private def storeName(centroids: Int, step: Long, trained: Boolean, dir: String) =
+  /** Catalog table name of the vector store for (centroids, step, mode) —
+    * public so maintenance (Compaction) can address the store directly. */
+  def vectorStoreName(dir: String, centroids: Int, step: Long,
+                      trained: Boolean = false): String =
     TableStore.tableName(if (trained) s"ivfk$centroids" else s"ivf${centroids}_$step", dir)
+
+  /** Catalog table name of the chunk store for (centroids, mode). */
+  def chunkStoreName(dir: String, centroids: Int, trained: Boolean = false): String =
+    TableStore.tableName(if (trained) s"ivfchunksk$centroids" else s"ivfchunks$centroids", dir)
+
+  private def storeName(centroids: Int, step: Long, trained: Boolean, dir: String) =
+    vectorStoreName(dir, centroids, step, trained)
 
   /** The centroids a store named by (centroids, step, trained) probes
     * against: seeded = recomputed deterministically from the corpus (cheap,
@@ -109,8 +119,7 @@ object IvfCatalog {
     * back from the bucketed chunk table by chunk_id when needed. */
   def assignedChunks(spark: SparkSession, dir: String, centroids: Int,
                      trained: Boolean = false): DataFrame = {
-    val suffix = if (trained) s"k$centroids" else s"$centroids"
-    val name = TableStore.tableName(s"ivfchunks$suffix", dir)
+    val name = chunkStoreName(dir, centroids, trained)
     TableStore.getOrBuild(spark, name) {
       val chunks = ChunkCatalog.flatChunks(spark, dir)
         .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
@@ -135,8 +144,7 @@ object IvfCatalog {
     * embedding) — the store's lean retrieval payload. */
   def appendChunks(spark: SparkSession, dir: String, newChunks: DataFrame,
                    centroids: Int, trained: Boolean = false): Unit = {
-    val suffix = if (trained) s"k$centroids" else s"$centroids"
-    val name = TableStore.tableName(s"ivfchunks$suffix", dir)
+    val name = chunkStoreName(dir, centroids, trained)
     require(spark.catalog.tableExists(name),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
     val assigned = Similarity.ivfAssign(newChunks,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.{IvfCatalog, TableStore}
+import graft.{Compaction, IvfCatalog}
 import graft.operators.Dedup
 import graft.pipelines.Pipelines
 
@@ -86,26 +86,44 @@ object StreamingIngest {
     * rows. The stored index for `dir` must already exist (appendBatch's
     * contract); `checkpoint` makes the loop restartable — a replayed
     * micro-batch re-flags against the store, so the survivor decision is
-    * reproducible. */
+    * reproducible.
+    *
+    * `compactEvery = N` makes the loop self-maintaining: after every N
+    * non-empty batches it runs [[graft.Compaction.compactTable]] on the
+    * store, so file count stays bounded by the compaction cadence instead
+    * of growing one file per (batch × touched cell) forever. Readers are
+    * safe across the rewrite if they go through
+    * [[graft.TableStore.getOrBuild]] (reader-side refresh — a consumer
+    * holding a pre-compaction file listing would chase deleted files). */
   def start(vecs: DataFrame, dir: String, checkpoint: String,
             nlist: Int, step: Long = 31L, trained: Boolean = false,
             minCosine: Double = 0.9, nprobe: Int = 2,
             idCol: String = "vec_id", embCol: String = "embedding",
-            onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
+            compactEvery: Int = 0,
+            onBatch: BatchReport => Unit = _ => ()): StreamingQuery = {
+    var sinceCompact = 0
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val t0 = System.nanoTime()
         val arrived = batch.count()
         if (arrived > 0) {
+          val spark = batch.sparkSession
           val (dropped, appended) =
             ingestBatch(batch.toDF(), dir, nlist, step, trained, minCosine, nprobe,
               idCol, embCol)
+          sinceCompact += 1
+          if (compactEvery > 0 && sinceCompact >= compactEvery) {
+            Compaction.compactTable(spark,
+              IvfCatalog.vectorStoreName(dir, nlist, step, trained), idCol = idCol)
+            sinceCompact = 0
+          }
           onBatch(BatchReport(batchId, arrived, dropped, appended,
             (System.nanoTime() - t0) / 1e9))
         }
       }
       .start()
+  }
 
   /** The flag+append step for ONE batch of DOCUMENTS — the chunk-store twin
     * of [[ingestBatch]], completing the flagship lifecycle: the batch runs
@@ -132,7 +150,7 @@ object StreamingIngest {
                      qualityThreshold: Double = 0.0,
                      idCol: String = "doc_id", textCol: String = "text"): (Long, Long) = {
     val spark = docs.sparkSession
-    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val storeName = IvfCatalog.chunkStoreName(dir, nlist)
     require(spark.catalog.tableExists(storeName),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
     val chunks = Pipelines.featurePipeline(docs, qualityThreshold, idCol, textCol)
@@ -166,7 +184,9 @@ object StreamingIngest {
   def startDocs(docs: DataFrame, dir: String, checkpoint: String, nlist: Int,
                 qualityThreshold: Double = 0.0,
                 idCol: String = "doc_id", textCol: String = "text",
-                onBatch: BatchReport => Unit = _ => ()): StreamingQuery =
+                compactEvery: Int = 0,
+                onBatch: BatchReport => Unit = _ => ()): StreamingQuery = {
+    var sinceCompact = 0
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -175,9 +195,16 @@ object StreamingIngest {
         if (arrived > 0) {
           val (dropped, appended) =
             ingestDocBatch(batch.toDF(), dir, nlist, qualityThreshold, idCol, textCol)
+          sinceCompact += 1
+          if (compactEvery > 0 && sinceCompact >= compactEvery) {
+            Compaction.compactTable(batch.sparkSession,
+              IvfCatalog.chunkStoreName(dir, nlist), idCol = "chunk_id")
+            sinceCompact = 0
+          }
           onBatch(BatchReport(batchId, arrived, dropped, appended,
             (System.nanoTime() - t0) / 1e9))
         }
       }
       .start()
+  }
 }

@@ -86,7 +86,7 @@ class CompactionSpec extends AnyFunSuite {
   test("compactTable packs the chunk store (string id via the bucket-key fallback)") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
-    val nlist = 23 // isolated store/centroid tables, same pattern as IvfCatalogSpec
+    val nlist = 29 // isolated store/centroid tables (23 is StreamingSpec doc-ingest's)
     val name = TableStore.tableName(s"ivfchunks$nlist", dir)
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfchunkcent$nlist", dir)}")
@@ -115,6 +115,46 @@ class CompactionSpec extends AnyFunSuite {
 
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfchunkcent$nlist", dir)}")
+  }
+
+  test("streaming ingest with compactEvery keeps the store packed without changing the loop's outcome") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tdir = "/tmp/graft_compact_stream"
+    val name = TableStore.tableName("ivf8_31", tdir)
+    Tables.embeddings(spark, dir).filter($"vec_id" < 100)
+      .write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L).count()
+
+    // 4 batches of fresh (negated) vectors — every batch appends, and the
+    // loop compacts after batches 2 and 4
+    val source = MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_compact_ckpt").toString
+    val q = streaming.StreamingIngest.start(
+      source.toDF().toDF("vec_id", "embedding"), tdir, ckpt, 8, 31L,
+      compactEvery = 2)
+    (0 until 4).foreach { i =>
+      val batch = Tables.embeddings(spark, tdir)
+        .filter($"vec_id" >= i * 5L && $"vec_id" < i * 5L + 5)
+        .select(($"vec_id" + 1000L).as("vec_id"),
+          transform($"embedding", x => -x).as("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+      source.addData(batch: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    // outcome identical to an uncompacted loop: all 20 fresh ids appended
+    val store = IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L)
+    assert(store.filter($"vec_id" >= 1000L).count() === 20)
+    assert(store.count() === 120)
+    // the final compaction (after batch 4) left every cell at its packed
+    // count — nothing appended since, so a fresh pass finds nothing to do
+    val again = Compaction.compactTable(spark, name, targetBytes = 1L << 30)
+    assert(again.compacted.isEmpty,
+      s"store not packed after the in-loop compaction: ${Compaction.partitionStats(spark, name)}")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
   test("compactTable honors minFiles and leaves sub-threshold partitions alone") {
