@@ -153,7 +153,12 @@ object Pipelines {
     * reference's document_id index; at 100 TB this erases the biggest join
     * shuffle in the retrieval path). */
   def writeBucketedChunks(chunks: DataFrame, tableName: String, buckets: Int = 32): Unit =
-    chunks.write.mode("overwrite")
+    // clusterWrite (IvfCatalog note): repartition on the bucket column with
+    // numPartitions == buckets uses the same murmur3-pmod hash the bucketed
+    // writer does, so each task holds exactly one bucket's rows and writes
+    // ONE file per bucket instead of one per (task × bucket)
+    chunks.repartition(buckets, col("document_id"))
+      .write.mode("overwrite")
       .bucketBy(buckets, "document_id")
       .sortBy("document_id", "chunk_index")
       .format("parquet")
