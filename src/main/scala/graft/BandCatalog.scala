@@ -21,6 +21,7 @@ object BandCatalog {
     val name = TableStore.tableName("dedup_sh", dir)
     TableStore.getOrBuild(spark, name) {
       Dedup.minHashShingleTable(Tables.documents(spark, dir))
+        .repartition(32, org.apache.spark.sql.functions.col("doc_id")) // clusterWrite: one file per bucket
         .write.mode("overwrite")
         .bucketBy(32, "doc_id").sortBy("doc_id")
         .format("parquet").saveAsTable(name)
@@ -35,6 +36,8 @@ object BandCatalog {
     val name = TableStore.tableName("dedup_bands", dir)
     TableStore.getOrBuild(spark, name) {
       Dedup.minHashBandTable(corpusShingles(spark, dir))
+        .repartition(32, org.apache.spark.sql.functions.col("band_idx"),
+          org.apache.spark.sql.functions.col("band_key")) // clusterWrite
         .write.mode("overwrite")
         .bucketBy(32, "band_idx", "band_key").sortBy("band_idx", "band_key")
         .format("parquet").saveAsTable(name)
@@ -62,10 +65,13 @@ object BandCatalog {
       val sh = Caches.persistTracked(
         Dedup.minHashShingleTable(newDocs, idCol = idCol, textCol = textCol)
           .withColumnRenamed(idCol, "doc_id"))
-      sh.write.mode("append")
+      sh.repartition(32, org.apache.spark.sql.functions.col("doc_id"))
+        .write.mode("append")
         .bucketBy(32, "doc_id").sortBy("doc_id")
         .format("parquet").saveAsTable(shName)
       Dedup.minHashBandTable(sh)
+        .repartition(32, org.apache.spark.sql.functions.col("band_idx"),
+          org.apache.spark.sql.functions.col("band_key"))
         .write.mode("append")
         .bucketBy(32, "band_idx", "band_key").sortBy("band_idx", "band_key")
         .format("parquet").saveAsTable(bandName)

@@ -170,4 +170,47 @@ object Compaction {
       all.map(_.files).sum, after.map(_.files).sum,
       (System.nanoTime() - t0) / 1e9)
   }
+
+  /** Data-file count of a NON-partitioned table (files live at the root). */
+  def tableFiles(spark: SparkSession, name: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(tableMeta(spark, name).location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dataFiles(fs, root).size
+  }
+
+  /** Compact a BUCKETED table (BandCatalog's shingle/band stores) back to
+    * one file per bucket. Bucketed tables have no partition directories to
+    * rewrite selectively — every append lands one file per touched bucket,
+    * and reclaiming them means rewriting the table under its own bucket
+    * spec (read from catalog metadata, so the spec — and with it the
+    * exchange-free probe joins — survives byte-for-byte). The rewrite
+    * stages through a temp parquet dir (same self-overwrite rule as the
+    * partitioned path) and costs a full-table pass; cadence it accordingly
+    * — for an index that ingests daily increments, weekly is plenty, and
+    * the cost scales with the INDEX, which bucketing already sized to be
+    * scanned. Returns (files before, files after, seconds). */
+  def compactBucketed(spark: SparkSession, name: String): (Int, Int, Double) = {
+    val t0 = System.nanoTime()
+    val meta = tableMeta(spark, name)
+    val bucketSpec = meta.bucketSpec.getOrElse(
+      sys.error(s"$name is not bucketed — use compactTable for partitioned stores"))
+    val filesBefore = tableFiles(spark, name)
+    val tmp = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"__compact_tmp_$name")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.table(name).write.mode("overwrite").parquet(tmp.toString)
+    val cols = bucketSpec.bucketColumnNames.map(col)
+    val staged = spark.read.parquet(tmp.toString)
+      .repartition(bucketSpec.numBuckets, cols: _*) // clusterWrite: one file per bucket
+    val writer = staged.write.mode("overwrite")
+      .bucketBy(bucketSpec.numBuckets,
+        bucketSpec.bucketColumnNames.head, bucketSpec.bucketColumnNames.tail: _*)
+    (if (bucketSpec.sortColumnNames.nonEmpty)
+       writer.sortBy(bucketSpec.sortColumnNames.head, bucketSpec.sortColumnNames.tail: _*)
+     else writer)
+      .format("parquet").saveAsTable(name)
+    fs.delete(tmp, true)
+    spark.catalog.refreshTable(name)
+    (filesBefore, tableFiles(spark, name), (System.nanoTime() - t0) / 1e9)
+  }
 }

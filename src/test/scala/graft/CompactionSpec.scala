@@ -157,6 +157,50 @@ class CompactionSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("compactBucketed packs the band store to one file per bucket, bucket spec and probes intact") {
+    import spark.implicits._
+    val tdir = "/tmp/graft_compact_bucketed"
+    val bandName = TableStore.tableName("dedup_bands", tdir)
+    val shName = TableStore.tableName("dedup_sh", tdir)
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(tdir + "/documents.parquet")
+    Seq(shName, bandName).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    BandCatalog.corpusBands(spark, tdir).count()
+    val filesBuilt = Compaction.tableFiles(spark, bandName)
+    // fragment: three appends, each adding one file per touched bucket
+    (1 to 3).foreach { i =>
+      BandCatalog.appendBatch(spark, tdir,
+        Seq((100L * i, s"increment $i spark catalyst tungsten codegen shuffle $i"))
+          .toDF("doc_id", "text"))
+    }
+    val bandsBefore = spark.table(bandName).count()
+    assert(Compaction.tableFiles(spark, bandName) > filesBuilt,
+      "appends failed to fragment the band store")
+    // the flag probe BEFORE compaction: a dup of increment 1 is found
+    def flag(): Set[(Long, Long)] =
+      operators.Dedup.minHashPairsIncrementalStored(
+          Seq((999L, "increment 1 spark catalyst tungsten codegen shuffle 1"))
+            .toDF("doc_id", "text"),
+          BandCatalog.corpusShingles(spark, tdir), BandCatalog.corpusBands(spark, tdir))
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val hits0 = flag()
+    assert(hits0 === Set((100L, 999L)))
+
+    val (before, after, _) = Compaction.compactBucketed(spark, bandName)
+    assert(before > after)
+    assert(after <= 32, s"expected ≤1 file per bucket, got $after")
+    // bucket spec survived the rewrite (the exchange-free probe relies on it)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(bandName)).bucketSpec
+    assert(spec.exists(b => b.numBuckets == 32 &&
+      b.bucketColumnNames == Seq("band_idx", "band_key")))
+    assert(spark.table(bandName).count() === bandsBefore)
+    assert(flag() === hits0)
+    Seq(shName, bandName).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
   test("compactTable honors minFiles and leaves sub-threshold partitions alone") {
     import spark.implicits._
     val tdir = "/tmp/graft_compact_minfiles"
