@@ -148,15 +148,16 @@ object StreamingIngest {
     * Returns (duplicate chunks dropped, chunks appended). */
   def ingestDocBatch(docs: DataFrame, dir: String, nlist: Int,
                      qualityThreshold: Double = 0.0,
-                     idCol: String = "doc_id", textCol: String = "text"): (Long, Long) = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     trained: Boolean = false): (Long, Long) = {
     val spark = docs.sparkSession
-    val storeName = IvfCatalog.chunkStoreName(dir, nlist)
+    val storeName = IvfCatalog.chunkStoreName(dir, nlist, trained)
     require(spark.catalog.tableExists(storeName),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
     val chunks = Pipelines.featurePipeline(docs, qualityThreshold, idCol, textCol)
       .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
     val assigned = graft.operators.Similarity.ivfAssign(chunks,
-      IvfCatalog.chunkCentroidsStored(spark, dir, nlist), idCol = "chunk_id").cache()
+      IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained), idCol = "chunk_id").cache()
     val cells = assigned.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ nlist by construction
     spark.catalog.refreshTable(storeName) // see the latest appends (clone session)
@@ -170,7 +171,7 @@ object StreamingIngest {
     val nAppended = survivors.count()
     val nDropped = assigned.select("chunk_id").distinct().count() - nAppended
     if (nAppended > 0)
-      IvfCatalog.appendChunks(spark, dir, survivors.drop("centroid_id"), nlist)
+      IvfCatalog.appendChunks(spark, dir, survivors.drop("centroid_id"), nlist, trained)
     assigned.unpersist(); survivors.unpersist()
     (nDropped, nAppended)
   }
@@ -184,7 +185,7 @@ object StreamingIngest {
   def startDocs(docs: DataFrame, dir: String, checkpoint: String, nlist: Int,
                 qualityThreshold: Double = 0.0,
                 idCol: String = "doc_id", textCol: String = "text",
-                compactEvery: Int = 0,
+                trained: Boolean = false, compactEvery: Int = 0,
                 onBatch: BatchReport => Unit = _ => ()): StreamingQuery = {
     var sinceCompact = 0
     docs.writeStream
@@ -194,11 +195,11 @@ object StreamingIngest {
         val arrived = batch.count()
         if (arrived > 0) {
           val (dropped, appended) =
-            ingestDocBatch(batch.toDF(), dir, nlist, qualityThreshold, idCol, textCol)
+            ingestDocBatch(batch.toDF(), dir, nlist, qualityThreshold, idCol, textCol, trained)
           sinceCompact += 1
           if (compactEvery > 0 && sinceCompact >= compactEvery) {
             Compaction.compactTable(batch.sparkSession,
-              IvfCatalog.chunkStoreName(dir, nlist), idCol = "chunk_id")
+              IvfCatalog.chunkStoreName(dir, nlist, trained), idCol = "chunk_id")
             sinceCompact = 0
           }
           onBatch(BatchReport(batchId, arrived, dropped, appended,
