@@ -107,6 +107,31 @@ class IvfCatalogSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(k, dir)}"))
   }
 
+  test("trained-store ingest: flag + append run against the k-means store end to end") {
+    import spark.implicits._
+    val tdir = "/tmp/graft_ivf_trained_ingest"
+    Tables.embeddings(spark, dir).filter($"vec_id" < 100)
+      .write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    Seq("ivfk8", "ivfcent_k8").foreach(k =>
+      spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(k, tdir)}"))
+    assert(IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L, trained = true).count() === 100)
+
+    // batch: one exact dup of a stored vector (drop) + one negated (append)
+    val batch = Tables.embeddings(spark, tdir).filter($"vec_id" === 7L)
+      .select(lit(1007L).as("vec_id"), $"embedding")
+      .union(Tables.embeddings(spark, tdir).filter($"vec_id" === 3L)
+        .select(lit(1003L).as("vec_id"), transform($"embedding", x => -x).as("embedding")))
+    val (dropped, appended) = streaming.StreamingIngest.ingestBatch(
+      batch, tdir, 8, 31L, trained = true)
+    assert((dropped, appended) === ((1L, 1L)))
+    val store = IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L, trained = true)
+    assert(store.count() === 101)
+    assert(store.filter($"vec_id" === 1003L).count() === 1)
+    assert(store.filter($"vec_id" === 1007L).count() === 0)
+    Seq("ivfk8", "ivfcent_k8").foreach(k =>
+      spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(k, tdir)}"))
+  }
+
   test("appendChunks: a chunk increment is visible to the next flagship probe, centroids frozen") {
     import spark.implicits._
     // isolated nlist → isolated store/centroid tables; the shared flagship
