@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 
 /** Bin-packing compaction for the partitioned store catalogs — the
   * maintenance half of the continuous-ingest story.
@@ -19,7 +20,8 @@ import org.apache.spark.sql.functions._
   * Shape (all driver work is FS listings and per-partition arithmetic;
   * nothing row-scaled leaves the executors):
   *
-  *  1. list the table's partition directories, count data files and bytes;
+  *  1. list the table's partition directories — every level of a
+  *     multi-column partitioning — and count data files and bytes;
   *  2. select partitions with more files than their bin-packed count
   *     `ceil(bytes / targetBytes)` (and at least `minFiles` — singletons are
   *     never rewritten);
@@ -29,15 +31,41 @@ import org.apache.spark.sql.functions._
   *     temp parquet dir (Spark refuses to overwrite a table from a plan
   *     that reads it — the temp hop breaks the cycle durably, not via
   *     driver/executor memory), then a dynamic-partition-overwrite
-  *     `insertInto` repartitioned by (partition column, bucket) where
+  *     `insertInto` repartitioned by (partition columns, bucket) where
   *     `bucket = pmod(xxhash64(id), filesTarget)` — ≤ filesTarget files per
   *     partition, each ≈ `targetBytes`.
   *
   * Row content is untouched — same rows, same partition values, fewer
   * files — so digests over (id, partition) pin the rewrite exactly
-  * (CompactionSpec). Readers in other sessions observe the compacted
-  * layout through [[TableStore.getOrBuild]]'s reader-side refresh, same
-  * visibility contract as appends.
+  * (CompactionSpec).
+  *
+  * == Concurrency contract (what a raced reader/writer actually observes) ==
+  *
+  * '''Readers.''' The rewrite never produces silent wrong answers: at no
+  * point can a reader observe a compacted row twice (the overwrite swaps a
+  * partition's files, it never appends alongside them). A reader whose
+  * session RESOLVED the table's file listing before a pass and scans during
+  * or after it fails LOUDLY — `FileNotFoundException` on a rewritten file —
+  * and succeeds after re-resolving; [[TableStore.retryingStale]] packages
+  * exactly that retry, and [[TableStore.getOrBuild]]'s reader-side refresh
+  * re-resolves before every read, so consumers going through the store only
+  * race a pass that commits mid-scan. The residual window is the overwrite
+  * job's COMMIT (delete-old + rename-staged per touched partition — file
+  * metadata ops, not the data rewrite): a listing taken exactly then can
+  * transiently miss a touched partition's rows. CompactionSpec provokes the
+  * stale-listing race and pins fail-loud-then-retry; cadence passes to
+  * read-quiet windows to avoid even the transient retries.
+  *
+  * '''Writers.''' Appends racing a pass are detected, not lost: each batch
+  * re-lists its partitions' files immediately before the overwrite and
+  * ABORTS the batch if anything changed since its stats snapshot (the
+  * appended rows stay in place; the next cadence compacts them). The
+  * detection closes the long window — the spill read/write of up to
+  * `maxBatchBytes` — leaving only the instant between the re-list and the
+  * overwrite job's first commit action. A truly concurrent high-rate writer
+  * should still quiesce (single maintenance writer is the deployment shape;
+  * [[streaming.StreamingIngest]]'s in-loop `compactEvery` runs serially with
+  * its own appends, which satisfies it by construction).
   *
   * On a cluster the identical code runs as a scheduled maintenance job
   * (the pattern behind Delta/Iceberg OPTIMIZE, re-expressed on plain
@@ -46,8 +74,10 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** One partition directory's health: `spec` is the directory name
-    * (`centroid_id=17`), `files` its data-file count, `bytes` their sum. */
+  /** One partition directory's health: `spec` is the directory path
+    * relative to the table root (`centroid_id=17`, or `a=1/b=2` for
+    * multi-column partitioning), `files` its data-file count, `bytes` their
+    * sum. */
   case class PartitionStats(spec: String, files: Int, bytes: Long) {
     /** Bin-packed file count at `target` bytes — what compaction rewrites
       * this partition down to. */
@@ -55,8 +85,13 @@ object Compaction {
       math.max(1, math.ceil(bytes.toDouble / target).toInt)
   }
 
+  /** `aborted`: partition specs whose rewrite batch was skipped because a
+    * concurrent append changed their files between the stats snapshot and
+    * the overwrite — nothing was rewritten there; the next pass picks them
+    * up. */
   case class Report(scanned: Int, compacted: Seq[PartitionStats],
-                    filesBefore: Int, filesAfter: Int, seconds: Double)
+                    filesBefore: Int, filesAfter: Int, seconds: Double,
+                    aborted: Seq[String] = Nil)
 
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
                         dir: org.apache.hadoop.fs.Path) =
@@ -69,19 +104,54 @@ object Compaction {
     spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(name))
 
-  /** FS listing of every partition directory of catalog table `name`. */
+  /** Leaf partition directories at exactly `depth` levels below `root`,
+    * keyed by their root-relative spec path. */
+  private def leafDirs(fs: org.apache.hadoop.fs.FileSystem,
+                       root: org.apache.hadoop.fs.Path,
+                       depth: Int): Seq[(String, org.apache.hadoop.fs.Path)] =
+    if (depth == 0) Seq(("", root))
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .flatMap { st =>
+        leafDirs(fs, st.getPath, depth - 1).map { case (spec, p) =>
+          (if (spec.isEmpty) st.getPath.getName
+           else st.getPath.getName + "/" + spec, p)
+        }
+      }
+
+  /** FS listing of every (leaf) partition directory of catalog table
+    * `name`, at every level of its partitioning. */
   def partitionStats(spark: SparkSession, name: String): Seq[PartitionStats] = {
     val meta = tableMeta(spark, name)
     val root = new org.apache.hadoop.fs.Path(meta.location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .map { st =>
-        val files = dataFiles(fs, st.getPath)
-        PartitionStats(st.getPath.getName, files.size, files.map(_.getLen).sum)
-      }
-      .sortBy(_.spec)
+    leafDirs(fs, root, meta.partitionColumnNames.size).map { case (spec, p) =>
+      val files = dataFiles(fs, p)
+      PartitionStats(spec, files.size, files.map(_.getLen).sum)
+    }.sortBy(_.spec)
   }
+
+  /** The file fingerprint (name, length) of each of `specs`' directories —
+    * the late-append detector's snapshot unit. */
+  private def fileFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              specs: Seq[String]): Map[String, Set[(String, Long)]] =
+    specs.map { spec =>
+      val dir = new org.apache.hadoop.fs.Path(root, spec)
+      spec -> dataFiles(fs, dir).map(st => (st.getPath.getName, st.getLen)).toSet
+    }.toMap
+
+  /** Typed row predicate for one partition spec path: conjunction over the
+    * levels, Hive-unescaped values, `IS NULL` for default-partition dirs —
+    * partition-column-only, so the scan prunes to exactly these
+    * directories. */
+  private def partPredicate(spec: String,
+                            schema: org.apache.spark.sql.types.StructType): Column =
+    spec.split("/").map { kv =>
+      val Array(k, raw) = kv.split("=", 2)
+      if (raw == "__HIVE_DEFAULT_PARTITION__") col(k).isNull
+      else col(k) === lit(ExternalCatalogUtils.unescapePathName(raw)).cast(schema(k).dataType)
+    }.reduce(_ && _)
 
   /** Compact the fragmented partitions of catalog table `name`.
     *
@@ -97,27 +167,28 @@ object Compaction {
     *                     `chunk_id`), the first non-partition column is
     *                     hashed instead — the bucket only needs spread, not
     *                     any particular key
+    * @param beforeOverwrite coordination hook invoked after each batch's
+    *                     spill and immediately before its late-append check
+    *                     + overwrite — the seam a deployment uses to fence
+    *                     external writers (and the race spec uses to inject
+    *                     one)
     */
   def compactTable(spark: SparkSession, name: String,
                    targetBytes: Long = 128L << 20,
                    minFiles: Int = 2,
                    maxBatchBytes: Long = 4L << 30,
-                   idCol: String = "vec_id"): Report = {
+                   idCol: String = "vec_id",
+                   beforeOverwrite: () => Unit = () => ()): Report = {
     val t0 = System.nanoTime()
     val all = partitionStats(spark, name)
-    // null-partition dirs (__HIVE_DEFAULT_PARTITION__) can't round-trip
-    // through a typed literal filter; leave them to a manual pass
-    val need = all.filter(p => p.files >= minFiles && p.files > p.packedFiles(targetBytes) &&
-      !p.spec.endsWith("__HIVE_DEFAULT_PARTITION__"))
+    val need = all.filter(p => p.files >= minFiles && p.files > p.packedFiles(targetBytes))
     if (need.isEmpty)
       return Report(all.size, Nil, all.map(_.files).sum, all.map(_.files).sum, 0.0)
 
     val meta = tableMeta(spark, name)
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val schema = spark.table(name).schema
     val partCols = meta.partitionColumnNames
-    require(partCols.size == 1,
-      s"compactTable handles single-column partitioning; $name has $partCols")
-    val partCol = partCols.head
-    val partType = spark.table(name).schema(partCol).dataType
 
     // batch the rewrites so the working set stays bounded
     val batches = need.foldLeft(List(List.empty[PartitionStats])) { (acc, p) =>
@@ -126,36 +197,57 @@ object Compaction {
       else (p :: acc.head) :: acc.tail
     }.map(_.reverse).reverse.filter(_.nonEmpty)
 
+    val compacted = Seq.newBuilder[PartitionStats]
+    val aborted = Seq.newBuilder[String]
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       batches.foreach { batch =>
-        val values = batch.map(_.spec.split("=", 2)(1))
-        val typedVals = values.map(v => lit(v).cast(partType))
-        // per-partition output-file target, joined in as a broadcast map
-        val packed = typedVals.zip(batch.map(p => lit(p.packedFiles(targetBytes))))
-        val nfCol = packed.foldLeft(lit(1)) { case (acc, (v, nf)) =>
-          when(col(partCol) === v, nf).otherwise(acc)
+        val specs = batch.map(_.spec)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // snapshot the batch's files BEFORE reading, so an append racing the
+        // spill is caught by the re-list below (the spill may even have read
+        // it — it is discarded either way)
+        val snapshot = fileFingerprint(fs, root, specs)
+        // per-partition output-file target, folded into one bucket expression
+        val nfCol = batch.foldLeft(lit(1)) { (acc, p) =>
+          when(partPredicate(p.spec, schema), lit(p.packedFiles(targetBytes))).otherwise(acc)
         }
         val bucketKey =
-          if (spark.table(name).columns.contains(idCol)) idCol
-          else spark.table(name).columns.filterNot(_ == partCol).head
+          if (schema.fieldNames.contains(idCol)) idCol
+          else schema.fieldNames.filterNot(partCols.contains).head
         val selected = spark.table(name)
-          .filter(col(partCol).isin(typedVals: _*))
+          .filter(specs.map(partPredicate(_, schema)).reduce(_ || _))
           .withColumn("__bucket", pmod(xxhash64(col(bucketKey)), nfCol))
-        // temp hop: can't overwrite a table from a plan that reads it
+        // temp hop: can't overwrite a table from a plan that reads it.
+        // Nonce-suffixed (concurrent passes never clobber each other's
+        // staging) and deleted in the finally (a failed batch doesn't leak
+        // the spill).
         val tmp = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), s"__compact_tmp_$name")
-        val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        selected.write.mode("overwrite").parquet(tmp.toString)
-        val nBuckets = batch.map(_.packedFiles(targetBytes)).sum
-        val staged = spark.read.parquet(tmp.toString)
-        val cols = spark.table(name).columns
-        staged
-          .repartition(math.max(nBuckets * 2, 1), col(partCol), col("__bucket"))
-          .select(cols.map(col).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(name)
-        fs.delete(tmp, true)
+          spark.conf.get("spark.sql.warehouse.dir"),
+          s"__compact_tmp_${name}_${System.nanoTime()}")
+        try {
+          selected.write.mode("overwrite").parquet(tmp.toString)
+          beforeOverwrite()
+          // late-append detection: if any selected partition's files changed
+          // since the snapshot, a concurrent writer appended — abort this
+          // batch (the overwrite would delete those rows) and let the next
+          // cadence compact the partition
+          if (fileFingerprint(fs, root, specs) != snapshot) {
+            aborted ++= specs
+          } else {
+            val nBuckets = batch.map(_.packedFiles(targetBytes)).sum
+            val staged = spark.read.parquet(tmp.toString)
+            staged
+              .repartition(math.max(nBuckets * 2, 1),
+                (partCols.map(col) :+ col("__bucket")): _*)
+              .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+              .write.mode("overwrite").insertInto(name)
+            compacted ++= batch
+          }
+        } finally {
+          fs.delete(tmp, true)
+        }
       }
       spark.catalog.refreshTable(name)
     } finally {
@@ -166,9 +258,10 @@ object Compaction {
     }
 
     val after = partitionStats(spark, name)
-    Report(all.size, need,
+    Report(all.size, compacted.result(),
       all.map(_.files).sum, after.map(_.files).sum,
-      (System.nanoTime() - t0) / 1e9)
+      (System.nanoTime() - t0) / 1e9,
+      aborted.result())
   }
 
   /** Data-file count of a NON-partitioned table (files live at the root). */
@@ -183,33 +276,63 @@ object Compaction {
     * rewrite selectively — every append lands one file per touched bucket,
     * and reclaiming them means rewriting the table under its own bucket
     * spec (read from catalog metadata, so the spec — and with it the
-    * exchange-free probe joins — survives byte-for-byte). The rewrite
-    * stages through a temp parquet dir (same self-overwrite rule as the
-    * partitioned path) and costs a full-table pass; cadence it accordingly
-    * — for an index that ingests daily increments, weekly is plenty, and
-    * the cost scales with the INDEX, which bucketing already sized to be
-    * scanned. Returns (files before, files after, seconds). */
+    * exchange-free probe joins — survives byte-for-byte).
+    *
+    * Crash safety: the rewrite lands in a STAGING table first (a sibling
+    * catalog table, so no self-overwrite and no window in which the data
+    * exists only as an unregistered spill); the swap is then two metadata
+    * ops — `DROP` the original, `RENAME` the staging into its name. A crash
+    * before the drop leaves the original untouched; a crash between the two
+    * leaves the COMPLETE staging table, and recovery is `ALTER TABLE
+    * <name>__cstage<nonce> RENAME TO <name>` — never a rebuild from the
+    * base corpus. (Under the in-memory catalog a dead JVM forgets tables
+    * anyway and [[TableStore.getOrBuild]] rebuilds by design; the staging
+    * discipline is for persistent metastores, where the un-staged form of
+    * this rewrite could drop every appended increment on a mid-write
+    * crash.) Readers racing the swap fail loudly and retry, same contract
+    * as [[compactTable]].
+    *
+    * Cost is a full-table pass; cadence it accordingly — for an index that
+    * ingests daily increments, weekly is plenty, and the cost scales with
+    * the INDEX, which bucketing already sized to be scanned. Returns
+    * (files before, files after, seconds). */
   def compactBucketed(spark: SparkSession, name: String): (Int, Int, Double) = {
     val t0 = System.nanoTime()
     val meta = tableMeta(spark, name)
     val bucketSpec = meta.bucketSpec.getOrElse(
       sys.error(s"$name is not bucketed — use compactTable for partitioned stores"))
     val filesBefore = tableFiles(spark, name)
-    val tmp = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), s"__compact_tmp_$name")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.table(name).write.mode("overwrite").parquet(tmp.toString)
+    val stage = s"${name}__cstage${System.nanoTime()}"
     val cols = bucketSpec.bucketColumnNames.map(col)
-    val staged = spark.read.parquet(tmp.toString)
-      .repartition(bucketSpec.numBuckets, cols: _*) // clusterWrite: one file per bucket
-    val writer = staged.write.mode("overwrite")
-      .bucketBy(bucketSpec.numBuckets,
-        bucketSpec.bucketColumnNames.head, bucketSpec.bucketColumnNames.tail: _*)
-    (if (bucketSpec.sortColumnNames.nonEmpty)
-       writer.sortBy(bucketSpec.sortColumnNames.head, bucketSpec.sortColumnNames.tail: _*)
-     else writer)
-      .format("parquet").saveAsTable(name)
-    fs.delete(tmp, true)
+    val prevBucketedRead = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    try {
+      // read the source UN-bucketed for this one pass: a bucketed scan
+      // already satisfies the writer's distribution, so the clusterWrite
+      // repartition would be elided and every scan task would write its own
+      // per-bucket files — the exact fragmentation being reclaimed
+      spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+      val staged = spark.table(name)
+        .repartition(bucketSpec.numBuckets, cols: _*) // clusterWrite: one file per bucket
+      val writer = staged.write.mode("overwrite")
+        .bucketBy(bucketSpec.numBuckets,
+          bucketSpec.bucketColumnNames.head, bucketSpec.bucketColumnNames.tail: _*)
+      (if (bucketSpec.sortColumnNames.nonEmpty)
+         writer.sortBy(bucketSpec.sortColumnNames.head, bucketSpec.sortColumnNames.tail: _*)
+       else writer)
+        .format("parquet").saveAsTable(stage)
+      // the swap: two metadata ops — the only window, and it loses nothing
+      // (recovery from a crash in between is renaming the staging table)
+      spark.sql(s"DROP TABLE $name")
+      spark.sql(s"ALTER TABLE $stage RENAME TO $name")
+    } catch {
+      case e: Throwable =>
+        // failed before the swap: the original is intact; drop the staging
+        if (spark.catalog.tableExists(name) && spark.catalog.tableExists(stage))
+          spark.sql(s"DROP TABLE IF EXISTS $stage")
+        throw e
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.enabled", prevBucketedRead)
+    }
     spark.catalog.refreshTable(name)
     (filesBefore, tableFiles(spark, name), (System.nanoTime() - t0) / 1e9)
   }

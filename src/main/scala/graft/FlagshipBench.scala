@@ -68,7 +68,9 @@ object FlagshipBench {
     // production-mode index: bounded-sample k-means centroids (build priced
     // once, then the same pruned probe) — the recall delta vs seeded is the
     // point; SPARK_GRAFT_TRAINED=false skips it for a quick seeded-only run
-    if (sys.env.get("SPARK_GRAFT_TRAINED").forall(_.toBoolean)) {
+    val trainedPass = !sys.env.get("SPARK_GRAFT_TRAINED").exists(v =>
+      v.equalsIgnoreCase("false") || v.equalsIgnoreCase("no") || v == "0")
+    if (trainedPass) {
       timed("trained chunk index build (k-means + assign + write, ONCE per corpus)") {
         IvfCatalog.assignedChunks(spark, dir, nlist, trained = true).count()
       }

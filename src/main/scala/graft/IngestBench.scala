@@ -55,8 +55,10 @@ object IngestBench {
       if (trained) TableStore.tableName(s"ivfk$nlist", dir)
       else TableStore.tableName(s"ivf${nlist}_31", dir)
     spark.sql(s"DROP TABLE IF EXISTS $storeTable")
-    if (trained)
-      spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfcent_k$nlist", dir)}")
+    // both modes freeze centroids as a table now — drop so the build cost
+    // includes deriving them (k-means job / seeded sample respectively)
+    spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(
+      if (trained) s"ivfcent_k$nlist" else s"ivfcent_s${nlist}_31", dir)}")
     val store = timed(s"build ($mode centroids + assign + partitioned write, ONCE per corpus)") {
       val s = IvfCatalog.assignedEmbeddings(spark, dir, nlist, 31L, trained)
       s.count(); s

@@ -46,19 +46,38 @@ object IvfCatalog {
     vectorStoreName(dir, centroids, step, trained)
 
   /** The centroids a store named by (centroids, step, trained) probes
-    * against: seeded = recomputed deterministically from the corpus (cheap,
-    * oracle-replayable); trained = the stored k-means table, built once. */
+    * against — FROZEN as a table at first use in BOTH modes. The index is
+    * only meaningful against the exact centroids that assigned it, so the
+    * seeded sample is materialized at build exactly like the trained
+    * k-means table: against an immutable fixture the stored values equal a
+    * recompute (the sample is deterministic), but against a GROWING corpus
+    * a recompute would drift from the stored assignment and silently prune
+    * the wrong partitions — freezing makes every probe/append path safe by
+    * construction, not by fixture accident. Rebuilding against a CHANGED
+    * corpus means dropping the store AND its centroid table (specs that
+    * rewrite fixtures do exactly that). */
   def centroidsFor(spark: SparkSession, dir: String,
-                   centroids: Int, step: Long, trained: Boolean = false): DataFrame =
-    if (!trained)
-      Similarity.seededCentroids(Tables.embeddings(spark, dir), centroids, step)
-    else {
-      val name = TableStore.tableName(s"ivfcent_k$centroids", dir)
-      TableStore.getOrBuild(spark, name) {
-        Similarity.kmeansCentroids(Tables.embeddings(spark, dir), centroids)
-          .write.mode("overwrite").format("parquet").saveAsTable(name)
-      }
+                   centroids: Int, step: Long, trained: Boolean = false): DataFrame = {
+    val name = TableStore.tableName(
+      if (trained) s"ivfcent_k$centroids" else s"ivfcent_s${centroids}_$step", dir)
+    TableStore.getOrBuild(spark, name) {
+      (if (trained) Similarity.kmeansCentroids(Tables.embeddings(spark, dir), centroids)
+       else Similarity.seededCentroids(Tables.embeddings(spark, dir), centroids, step))
+        .write.mode("overwrite").format("parquet").saveAsTable(name)
     }
+  }
+
+  /** Drop the store AND its frozen centroid table for (dir, centroids,
+    * step, mode) — the rebuild path when the underlying corpus fixture is
+    * REPLACED (not appended to): next access re-derives both from the
+    * current corpus. */
+  def dropVectorStore(spark: SparkSession, dir: String,
+                      centroids: Int, step: Long, trained: Boolean = false): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${vectorStoreName(dir, centroids, step, trained)}")
+    val cname = TableStore.tableName(
+      if (trained) s"ivfcent_k$centroids" else s"ivfcent_s${centroids}_$step", dir)
+    spark.sql(s"DROP TABLE IF EXISTS $cname")
+  }
 
   /** Embeddings fixture with centroid_id, stored partitioned by centroid_id.
     * Built once per (session, dir, mode); later calls are a

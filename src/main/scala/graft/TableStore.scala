@@ -22,6 +22,31 @@ object TableStore {
   def tableName(kind: String, dir: String): String =
     s"graft_${kind}_" + dir.replaceAll("[^a-zA-Z0-9]", "_").toLowerCase(java.util.Locale.ROOT)
 
+  /** The read-side half of [[Compaction]]'s concurrency contract: a reader
+    * whose session resolved a store's file listing BEFORE a compaction pass
+    * and scans after it fails loudly (`FileNotFoundException` on a
+    * rewritten file) — never silently wrong. This wrapper packages the
+    * documented recovery: refresh the named tables' cached relations and
+    * run the action once more. Use around long-running reads that may
+    * overlap a maintenance pass; reads that resolve through [[getOrBuild]]
+    * immediately before scanning only need it if a pass can commit
+    * mid-scan. */
+  def retryingStale[A](spark: SparkSession, names: String*)(action: => A): A =
+    try action catch {
+      case e: Throwable if isStaleListing(e) =>
+        names.foreach(spark.catalog.refreshTable)
+        action
+    }
+
+  private def isStaleListing(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
+  }
+
   /** Get `name` from the session catalog, running `write` (which must
     * saveAsTable(name)) on first use. Clears a stale warehouse location left
     * behind by a previous JVM (the in-memory catalog forgets tables across

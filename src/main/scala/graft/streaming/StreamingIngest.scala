@@ -91,10 +91,14 @@ object StreamingIngest {
     * `compactEvery = N` makes the loop self-maintaining: after every N
     * non-empty batches it runs [[graft.Compaction.compactTable]] on the
     * store, so file count stays bounded by the compaction cadence instead
-    * of growing one file per (batch × touched cell) forever. Readers are
-    * safe across the rewrite if they go through
-    * [[graft.TableStore.getOrBuild]] (reader-side refresh — a consumer
-    * holding a pre-compaction file listing would chase deleted files). */
+    * of growing one file per (batch × touched cell) forever. The loop's own
+    * appends never race the rewrite (foreachBatch runs them serially —
+    * Compaction's single-maintenance-writer shape by construction); readers
+    * in other sessions get Compaction's contract: re-resolve through
+    * [[graft.TableStore.getOrBuild]] before scanning, and a scan that
+    * raced a pass anyway fails LOUDLY and succeeds on
+    * [[graft.TableStore.retryingStale]]'s refresh-retry — never a silently
+    * wrong result (CompactionSpec pins both). */
   def start(vecs: DataFrame, dir: String, checkpoint: String,
             nlist: Int, step: Long = 31L, trained: Boolean = false,
             minCosine: Double = 0.9, nprobe: Int = 2,

@@ -198,7 +198,149 @@ class CompactionSpec extends AnyFunSuite {
       b.bucketColumnNames == Seq("band_idx", "band_key")))
     assert(spark.table(bandName).count() === bandsBefore)
     assert(flag() === hits0)
+    // the staging table was swapped in, not left behind
+    assert(!spark.catalog.listTables().collect().exists(_.name.contains("cstage")),
+      "compactBucketed leaked a staging table")
     Seq(shName, bandName).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
+  test("reader racing a compaction fails loudly and recovers via retryingStale — never silently wrong") {
+    import spark.implicits._
+    val tdir = "/tmp/graft_compact_race"
+    val name = TableStore.tableName("ivf8_31", tdir)
+    Tables.embeddings(spark, dir).filter($"vec_id" < 100)
+      .write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    IvfCatalog.dropVectorStore(spark, tdir, 8, 31L)
+    IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L).count()
+    (1 to 3).foreach { i =>
+      IvfCatalog.appendBatch(spark, tdir,
+        Tables.embeddings(spark, tdir).filter($"vec_id" < 20)
+          .select(($"vec_id" + i * 1000L).as("vec_id"), $"embedding"), 8, 31L)
+    }
+    val expected = spark.table(name).count()
+
+    // the reader is ANOTHER session (the cross-session shape TableStore
+    // supports): it resolves + caches the store's file listing, then the
+    // maintenance session compacts — the reader's listing now names files
+    // the rewrite deleted
+    val reader = spark.newSession()
+    val rdf = reader.table(name)
+    assert(rdf.count() === expected)
+    val report = Compaction.compactTable(spark, name, targetBytes = 1L << 30)
+    assert(report.compacted.nonEmpty, "race fixture failed to compact anything")
+
+    val raced =
+      try Right(rdf.count())
+      catch { case e: Throwable => Left(e) }
+    raced match {
+      case Left(e) =>
+        // the documented loud failure: a FileNotFound in the cause chain,
+        // never a silently short count
+        def hasFnf(t: Throwable): Boolean =
+          t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+            (t.getCause != t && hasFnf(t.getCause)))
+        assert(hasFnf(e), s"raced reader failed with a non-listing error: $e")
+      case Right(n) =>
+        // listing survived (cache timing) — then the answer must be right
+        assert(n === expected, "a raced reader must never return a silently wrong count")
+    }
+    // the packaged recovery always lands the correct result
+    assert(TableStore.retryingStale(reader, name)(reader.table(name).count()) === expected)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("late-append detection: a write racing the pass aborts the batch, nothing is lost") {
+    import spark.implicits._
+    val tdir = "/tmp/graft_compact_lateappend"
+    val name = TableStore.tableName("ivf8_31", tdir)
+    Tables.embeddings(spark, dir).filter($"vec_id" < 100)
+      .write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    IvfCatalog.dropVectorStore(spark, tdir, 8, 31L)
+    IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L).count()
+    (1 to 3).foreach { i =>
+      IvfCatalog.appendBatch(spark, tdir,
+        Tables.embeddings(spark, tdir).filter($"vec_id" < 10)
+          .select(($"vec_id" + i * 1000L).as("vec_id"), $"embedding"), 8, 31L)
+    }
+    val before = spark.table(name).count()
+    val lateRow = Tables.embeddings(spark, tdir).filter($"vec_id" === 2L)
+      .select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
+
+    // a concurrent writer appends between the spill and the overwrite — the
+    // exact window where the un-detected rewrite would delete its rows
+    val report = Compaction.compactTable(spark, name, targetBytes = 1L << 30,
+      beforeOverwrite = () => IvfCatalog.appendBatch(spark, tdir, lateRow, 8, 31L))
+    assert(report.aborted.nonEmpty, "late append went undetected")
+    assert(report.compacted.isEmpty, "an aborted batch must rewrite nothing")
+    // nothing lost: every original row AND the racing append are present
+    assert(spark.table(name).count() === before + 1)
+    assert(spark.table(name).filter($"vec_id" === 9002L).count() === 1)
+
+    // the next quiet cadence compacts what the aborted pass skipped
+    val retry = Compaction.compactTable(spark, name, targetBytes = 1L << 30)
+    assert(retry.aborted.isEmpty)
+    assert(retry.compacted.nonEmpty)
+    assert(spark.table(name).count() === before + 1)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("multi-column partitioning: nested partition dirs compact correctly") {
+    import spark.implicits._
+    val name = "graft_compact_multilevel_test"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rows(tag: Int) = (0 until 40).map(i =>
+      (tag * 1000L + i, s"payload_${tag}_$i" * 5, i % 2, s"g${i % 3}"))
+      .toDF("id", "payload", "a", "b")
+    rows(0).repartition(2).write.partitionBy("a", "b")
+      .format("parquet").saveAsTable(name)
+    (1 to 3).foreach(t => rows(t).repartition(2).write.mode("append").insertInto(name))
+    val before = Compaction.partitionStats(spark, name)
+    assert(before.forall(_.spec.matches("a=\\d/b=g\\d")),
+      s"nested specs expected, got ${before.map(_.spec)}")
+    assert(before.exists(_.files >= 3), s"fixture failed to fragment: $before")
+    def digest(): (Long, String) = {
+      val df = spark.table(name)
+        .select(concat_ws(":", col("id"), col("a"), col("b")).as("row"))
+      (df.count(),
+       df.agg(md5(concat_ws("|", sort_array(collect_list("row")))).as("d")).head.getString(0))
+    }
+    val d0 = digest()
+    val report = Compaction.compactTable(spark, name, targetBytes = 1L << 30, idCol = "id")
+    assert(report.compacted.nonEmpty)
+    val after = Compaction.partitionStats(spark, name).map(p => p.spec -> p).toMap
+    report.compacted.foreach(p => assert(after(p.spec).files === 1))
+    assert(digest() === d0)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
+  test("null-partition dirs (__HIVE_DEFAULT_PARTITION__) compact like any other cell") {
+    import spark.implicits._
+    val name = "graft_compact_nullpart_test"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rows(tag: Int) = (0 until 30).map { i =>
+      val p: java.lang.Long = if (i % 3 == 0) null else (i % 3).toLong
+      (tag * 1000L + i, s"payload_${tag}_$i" * 5, p)
+    }.toDF("id", "payload", "p")
+    rows(0).repartition(2).write.partitionBy("p").format("parquet").saveAsTable(name)
+    (1 to 3).foreach(t => rows(t).repartition(2).write.mode("append").insertInto(name))
+    val before = Compaction.partitionStats(spark, name).map(p => p.spec -> p).toMap
+    val nullSpec = "p=__HIVE_DEFAULT_PARTITION__"
+    assert(before.contains(nullSpec))
+    assert(before(nullSpec).files >= 3, s"null cell failed to fragment: $before")
+    def digest(): (Long, String) = {
+      val df = spark.table(name)
+        .select(concat_ws(":", col("id"), coalesce(col("p").cast("string"), lit("∅"))).as("row"))
+      (df.count(),
+       df.agg(md5(concat_ws("|", sort_array(collect_list("row")))).as("d")).head.getString(0))
+    }
+    val d0 = digest()
+    val report = Compaction.compactTable(spark, name, targetBytes = 1L << 30, idCol = "id")
+    assert(report.compacted.exists(_.spec == nullSpec),
+      s"null partition skipped: ${report.compacted.map(_.spec)}")
+    val after = Compaction.partitionStats(spark, name).map(p => p.spec -> p).toMap
+    assert(after(nullSpec).files === 1)
+    assert(digest() === d0)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
   test("compactTable honors minFiles and leaves sub-threshold partitions alone") {

@@ -40,6 +40,50 @@ class IvfCatalogSpec extends AnyFunSuite {
     assert(pruned === live)
   }
 
+  test("seeded centroids freeze at build: probes survive the source table changing") {
+    import spark.implicits._
+    val tdir = "/tmp/graft_ivf_freeze_fixture"
+    Tables.embeddings(spark, dir).filter($"vec_id" < 100)
+      .write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    IvfCatalog.dropVectorStore(spark, tdir, 8, 31L)
+    IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L).count()
+    def snap() = IvfCatalog.centroidsFor(spark, tdir, 8, 31L)
+      .select($"centroid_id", $"centroid_vec").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    val atBuild = snap()
+    assert(atBuild.size === 4) // ids 0,31,62,93 — every 31st of the 100-row fixture
+
+    // the corpus GROWS past the build-time snapshot: overwrite the source
+    // fixture with a shifted id-space, so a recompute of the seeded sample
+    // would select entirely different vectors
+    Tables.embeddings(spark, tdir)
+      .select(($"vec_id" + 7L).as("vec_id"), transform($"embedding", x => -x).as("embedding"))
+      .write.mode("overwrite").parquet(tdir + "/embeddings2.parquet")
+    val moved = spark.read.parquet(tdir + "/embeddings2.parquet")
+    moved.write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    spark.catalog.clearCache()
+
+    // probe/append centroids are the BUILD-TIME ones, not a live recompute
+    assert(snap() === atBuild,
+      "centroidsFor must read the frozen build-time table after the source changed")
+    val recomputed = Similarity.seededCentroids(
+        spark.read.parquet(tdir + "/embeddings.parquet"), 8, 31L)
+      .select($"centroid_id", $"centroid_vec").as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    assert(recomputed !== atBuild,
+      "fixture change must actually alter a live recompute, or the test proves nothing")
+
+    // appends keep flowing through the frozen centroids — cells stay
+    // consistent with the stored assignment
+    IvfCatalog.appendBatch(spark, tdir,
+      Seq((5000L, atBuild.head._2)).toDF("vec_id", "embedding"), 8, 31L)
+    val cell = IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L)
+      .filter($"vec_id" === 5000L).select("centroid_id").head.getLong(0)
+    assert(cell === atBuild.head._1,
+      "an appended copy of a build-time centroid must land in that centroid's own cell")
+    IvfCatalog.dropVectorStore(spark, tdir, 8, 31L)
+  }
+
   test("appendBatch: a second increment sees the first's vectors, no store rewrite") {
     import spark.implicits._
     // private fixture dir so appends never pollute the shared catalog tables
