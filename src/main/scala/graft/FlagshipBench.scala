@@ -65,6 +65,31 @@ object FlagshipBench {
       pipelines.Pipelines.flagshipIvf(spark, dir, nlist = nlist, nprobe = nprobe)
     }
     println(s"[flagship] top-10 overlap ivf∩brute = ${ivf.toSet.intersect(brute.toSet).size}/10")
+
+    // IVFADC: the same cells scanned as m-byte PQ codes + norms instead of
+    // raw 384-float32 vectors, candidates exact-reranked on a pruned raw
+    // read — the serving form whose probe bytes the SCALE.md row prices
+    val (pqM, pqKsub) = (48,
+      sys.env.get("SPARK_GRAFT_PQ_KSUB").map(_.toInt).getOrElse(256))
+    timed(s"IVFADC code table build (codebook m=$pqM ksub=$pqKsub + encode + partitioned write, ONCE per corpus)") {
+      IvfPqCatalog.encodedChunks(spark, dir, nlist, pqM, pqKsub).count()
+    }
+    val ivfpq = best(s"IVFADC flagship (PQ m=$pqM ksub=$pqKsub, probe $nprobe/$nlist cells)") {
+      pipelines.Pipelines.flagshipIvfPq(spark, dir, nlist = nlist, nprobe = nprobe,
+        m = pqM, ksub = pqKsub)
+    }
+    println(s"[flagship] top-10 overlap ivfadc∩brute = ${ivfpq.toSet.intersect(brute.toSet).size}/10")
+    // the probe-bytes ratio: what a probed cell costs to scan in each form
+    // (per-cell averages from the partition stats — the code table holds
+    // codes+norms, the raw store 384-float32 embeddings)
+    val cb = IvfPqCatalog.chunkCodebookStored(spark, dir, pqM, pqKsub)
+    val rawBytes = Compaction.partitionStats(spark,
+      IvfCatalog.chunkStoreName(dir, nlist)).map(_.bytes).sum
+    val codeBytes = Compaction.partitionStats(spark,
+      TableStore.tableName(s"ivfpqchunks${nlist}_m${pqM}k${pqKsub}_${cb.fingerprint}", dir))
+      .map(_.bytes).sum
+    println(f"[flagship] store bytes: raw=${rawBytes / 1e6}%.1f MB  " +
+      f"codes=${codeBytes / 1e6}%.1f MB  ratio=${rawBytes.toDouble / codeBytes}%.1f×")
     // production-mode index: bounded-sample k-means centroids (build priced
     // once, then the same pruned probe) — the recall delta vs seeded is the
     // point; SPARK_GRAFT_TRAINED=false skips it for a quick seeded-only run

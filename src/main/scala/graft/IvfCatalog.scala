@@ -140,8 +140,13 @@ object IvfCatalog {
                      trained: Boolean = false): DataFrame = {
     val name = chunkStoreName(dir, centroids, trained)
     TableStore.getOrBuild(spark, name) {
+      // near_dup_of: materialized curation signal — null for the base
+      // corpus; the doc-ingest loop stamps it on appended chunks that
+      // near-dup a stored (or batch-mate) chunk, so admission policy
+      // upstream can read the flag without re-running the kernel
       val chunks = ChunkCatalog.flatChunks(spark, dir)
         .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
+        .withColumn("near_dup_of", org.apache.spark.sql.functions.lit(null).cast("string"))
       Similarity.ivfAssign(chunks, chunkCentroidsStored(spark, dir, centroids, trained),
           idCol = "chunk_id")
         .repartition(col("centroid_id")) // see clusterWrite note below

@@ -1,13 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators.Similarity
 
 /** Materialized IVFADC index (SCALE.md): PQ codes + exact norms with the
   * nearest-centroid assignment, WRITTEN `partitionBy(centroid_id)` — the
   * storage form [[graft.operators.Similarity.ivfPqSearch]]'s scaladoc
   * promises. A probe prunes whole partition directories at the scan AND
-  * reads 8-byte codes instead of float32 vectors inside the surviving
+  * reads m-byte codes instead of float32 vectors inside the surviving
   * cells: nprobe/nlist of the files × 1/32 of the bytes, computed once per
   * corpus at index-build time, not per query.
   */
@@ -27,7 +28,70 @@ object IvfPqCatalog {
       val cents = Similarity.seededCentroids(emb, centroids, step)
       Similarity.pqEncode(emb, cb)
         .join(Similarity.ivfAssign(emb, cents).select("vec_id", "centroid_id"), "vec_id")
-        .repartition(org.apache.spark.sql.functions.col("centroid_id")) // one file per cell (IvfCatalog clusterWrite note)
+        .repartition(col("centroid_id")) // one file per cell (IvfCatalog clusterWrite note)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .format("parquet")
+        .saveAsTable(name)
+    }
+  }
+
+  // ------------------------------------------------ flagship chunk IVFADC
+
+  /** The CHUNK corpus's PQ codebook FROZEN as a table at index build —
+    * same contract as [[IvfCatalog.chunkCentroidsStored]]: the code table
+    * is only meaningful against the exact codebook that encoded it, so
+    * probes read these centroids back, never re-derive them from a corpus
+    * that may have grown. Seeded mode is the hash-ordered deterministic
+    * sample ([[Similarity.pqTrainHashSeeded]] — chunk ids are md5 strings);
+    * `trained = true` swaps in per-subspace k-means
+    * ([[Similarity.pqTrainKmeans]]). m × ksub rows — index metadata, tiny
+    * by construction, read back driver-side like the centroid tables. */
+  def chunkCodebookStored(spark: SparkSession, dir: String, m: Int, ksub: Int,
+                          trained: Boolean = false): Similarity.PqCodebook = {
+    val suffix = if (trained) s"k_m${m}k$ksub" else s"_m${m}k$ksub"
+    val name = TableStore.tableName(s"ivfpqcb$suffix", dir)
+    val tbl = TableStore.getOrBuild(spark, name) {
+      val cb =
+        if (trained) Similarity.pqTrainKmeans(ChunkCatalog.flatChunks(spark, dir), m, ksub)
+        else Similarity.pqTrainHashSeeded(ChunkCatalog.flatChunks(spark, dir), m, ksub,
+          idCol = "chunk_id")
+      import spark.implicits._
+      (for { j <- 0 until cb.m; c <- 0 until cb.ksub }
+        yield (j, c, cb.centroids(j)(c).toSeq))
+        .toDF("subspace", "centroid_idx", "centroid_vec")
+        .select(col("subspace"), col("centroid_idx"),
+          col("centroid_vec").cast("array<float>").as("centroid_vec"))
+        .write.mode("overwrite").format("parquet").saveAsTable(name)
+    }
+    val rows = tbl.select("subspace", "centroid_idx", "centroid_vec").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray)).toMap
+    val mStored = rows.keys.map(_._1).max + 1
+    val ksubStored = rows.keys.map(_._2).max + 1
+    Similarity.PqCodebook(mStored, rows.head._2.length,
+      Array.tabulate(mStored)(j => Array.tabulate(ksubStored)(c => rows((j, c)))))
+  }
+
+  /** The flagship chunk store as a materialized IVFADC index: the SAME
+    * cell assignment as [[IvfCatalog.assignedChunks]] (one shared centroid
+    * table governs both, so a probe prunes identical partitions on the
+    * code side and the raw side), but each surviving cell is scanned as
+    * m-byte PQ codes + one norm instead of 384 float32s — at 100 TB the
+    * probe's dominant bytes drop 32×, and only the top k·rerank candidates
+    * touch the raw vectors (a pruned read of the same cells, joined by
+    * chunk_id). Keyed on the codebook fingerprint: a retrained codebook
+    * can never silently reuse stale codes. */
+  def encodedChunks(spark: SparkSession, dir: String, nlist: Int,
+                    m: Int, ksub: Int, trained: Boolean = false): DataFrame = {
+    val cb = chunkCodebookStored(spark, dir, m, ksub, trained)
+    val mode = if (trained) "k" else ""
+    val name = TableStore.tableName(
+      s"ivfpqchunks$mode${nlist}_m${m}k${ksub}_${cb.fingerprint}", dir)
+    TableStore.getOrBuild(spark, name) {
+      val store = IvfCatalog.assignedChunks(spark, dir, nlist, trained)
+      Similarity.pqEncode(store, cb, idCol = "chunk_id", embCol = "embedding")
+        .join(store.select("chunk_id", "centroid_id"), "chunk_id")
+        .repartition(col("centroid_id")) // one file per cell (clusterWrite)
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .format("parquet")

@@ -554,6 +554,72 @@ object Dedup {
       .distinct()
   }
 
+  /** [[embeddingPairsCelledIncremental]] for corpora whose ids are STRINGS
+    * (the flagship chunk store's md5 chunk ids) — same celled incremental
+    * dataflow: batch probes its top-`nprobe` cells, the store scan prunes
+    * to those partition directories, pairs are exact cosine with at least
+    * one new side. Canonical order is lexicographic (left < right as
+    * strings) — the string-keyed twin of the long kernel's numeric
+    * canonicalization, kept separate because the long kernel's pair
+    * orientation is oracle-pinned. */
+  def embeddingPairsCelledIncrementalById(newVecs: DataFrame, assignedStore: DataFrame,
+                                          centroids: DataFrame, minCosine: Double,
+                                          nprobe: Int = 2,
+                                          idCol: String = "chunk_id",
+                                          embCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.cosineArrays
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, "embeddingPairsCelledIncrementalById needs centroids")
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = math.min(nprobe, cents.length)
+    val topCellsUdf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      bc.value.map { case (cid, cv) => (cid, cosineArrays(a, cv)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(probes).map(_._1)
+    }
+    val batchCelled = newVecs.filter(col(embCol).isNotNull)
+      .select(explode(topCellsUdf(col(embCol))).as("__cell"),
+        col(idCol).cast("string").as("__id"), col(embCol).as("__emb"),
+        lit(true).as("__new"))
+    val probed = batchCelled.select("__cell").distinct().collect().map(_.getLong(0))
+    val storeCelled = assignedStore
+      .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+      .filter(col(embCol).isNotNull)
+      .select(col("centroid_id").cast("long").as("__cell"),
+        col(idCol).cast("string").as("__id"), col(embCol).as("__emb"),
+        lit(false).as("__new"))
+    val bar = minCosine
+    batchCelled.unionByName(storeCelled)
+      .repartition(col("__cell"))
+      .sortWithinPartitions(col("__cell"), col("__id"))
+      .as[(Long, String, Seq[Float], Boolean)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[Iterator[(String, String, Double)]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Iterator[(String, String, Double)] = {
+            val cell = rows.head._1
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Float], Boolean)]
+            while (rows.hasNext && rows.head._1 == cell)
+              { val r = rows.next(); buf += ((r._2, r._3.toArray, r._4)) }
+            for {
+              i <- buf.indices.iterator
+              j <- (i + 1 until buf.length).iterator
+              if buf(i)._3 || buf(j)._3 // at least one side is new
+              cos = cosineArrays(buf(i)._2, buf(j)._2)
+              if cos >= bar
+            } yield (buf(i)._1, buf(j)._1, cos)
+          }
+        }.flatten
+      }
+      .toDF("left_id", "right_id", "cosine")
+      .distinct()
+  }
+
   /** Embedding near-dup for the DENSE regime — the celled path for corpora
     * whose bulk sits just under the cosine bar, where banded LSH stops
     * pruning and its re-score join explodes (the measured SCALE.md round-6

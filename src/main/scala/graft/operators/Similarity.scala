@@ -687,6 +687,50 @@ object Similarity {
       queryVec, k, idCol, embCol)
   }
 
+  /** [[ivfPqSearch]] with the RERANK side pruned too — the form the
+    * flagship's stored IVFADC index probes with. When the raw corpus is
+    * itself laid out `partitionBy(centroid_id)` (graft.IvfCatalog), every
+    * ADC candidate by construction lives in a probed cell, so the exact
+    * re-rank can read the same nprobe/nlist partition directories instead
+    * of broadcast-joining candidates against a FULL raw scan: probe bytes
+    * are (codes of probed cells) + (raw vectors of probed cells), never the
+    * whole float store — at 100 TB the difference between an
+    * m-bytes-per-row pass over 1/nlist of the corpus and a full-table
+    * read. */
+  def ivfPqSearchPruned(codesAssigned: DataFrame, corpusAssigned: DataFrame,
+                        centroids: DataFrame, cb: PqCodebook,
+                        queryVec: Array[Float], k: Int, nprobe: Int,
+                        rerankFactor: Int = 8,
+                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val probedIds = probedCentroidIds(centroids, queryVec, nprobe)
+    val prunedCodes = codesAssigned.filter(col("centroid_id").isin(probedIds: _*))
+    val prunedRaw = corpusAssigned.filter(col("centroid_id").isin(probedIds: _*))
+    rerankExact(prunedRaw, adcCandidates(prunedCodes, cb, queryVec, k * rerankFactor, idCol),
+      queryVec, k, idCol, embCol)
+  }
+
+  /** Deterministic seeded codebook for corpora whose ids are NOT dense
+    * longs (md5 chunk ids) — [[pqTrainSeeded]]'s hash-ordered twin, same
+    * sampling contract as [[hashSeededCentroids]]: order by a seeded hash
+    * of the id (pure function of the ids, independent of partitioning) and
+    * the first `ksub` rows supply one centroid per subspace each. */
+  def pqTrainHashSeeded(corpus: DataFrame, m: Int, ksub: Int,
+                        idCol: String = "vec_id",
+                        embCol: String = "embedding"): PqCodebook = {
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub")
+    val rows = corpus.filter(col(embCol).isNotNull)
+      .withColumn("__h", xxhash64(col(idCol).cast("string")))
+      .orderBy(col("__h").asc, col(idCol).cast("string").asc)
+      .limit(ksub)
+      .select(embCol).collect().map(_.getSeq[Float](0).toArray)
+    require(rows.length == ksub,
+      s"corpus has only ${rows.length} non-null vectors for ksub=$ksub")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    PqCodebook(m, dsub, Array.tabulate(m)(j => rows.map(_.slice(j * dsub, (j + 1) * dsub))))
+  }
+
   /** Approximate-then-exact KNN over int8 codes: score every code with the
     * integer dot approximation (narrow scan over 1/4 the bytes), keep the
     * top `k·rerankFactor` by approximate cosine (TakeOrderedAndProject),

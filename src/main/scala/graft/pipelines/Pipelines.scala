@@ -210,4 +210,35 @@ object Pipelines {
         col("lang"), col("source"), col("word_count"))
       .orderBy(col("score").desc, col("chunk_id").asc)
   }
+
+  /** [[flagshipIvf]] with the probe's BYTES compressed too — IVFADC over
+    * the stored chunk index (graft.IvfPqCatalog): the same nprobe/nlist
+    * partition pruning, but the surviving cells are scanned as m-byte PQ
+    * codes (32× fewer bytes than the raw 384-float32 embeddings), and only
+    * the top k·rerankFactor ADC candidates touch the raw vectors — a
+    * pruned read of the SAME cells, exact-rescored with the codegen
+    * cosine, so emitted scores are bit-identical to [[flagshipIvf]]'s for
+    * any candidate both would rank. At 100 TB this is the serving-path
+    * form: probe cost = (1/nlist of the files) × (1/32 of the bytes) +
+    * a candidate-bounded raw read. Recall is probe- AND candidate-bounded
+    * (the documented IVFADC trade); fixture overlap vs the brute flagship
+    * is pinned by PipelineSpec, the digest by GoldenSpec. */
+  def flagshipIvfPq(spark: SparkSession, dir: String,
+                    queryText: String = "spark join vector query",
+                    k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+                    m: Int = 48, ksub: Int = 32, rerankFactor: Int = 8,
+                    trained: Boolean = false): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained)
+    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained)
+    val cb = graft.IvfPqCatalog.chunkCodebookStored(spark, dir, m, ksub, trained)
+    val codes = graft.IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub, trained)
+    val hits = graft.operators.Similarity.ivfPqSearchPruned(codes, store, cents, cb,
+      Embedder.embedText(queryText), k = k, nprobe = nprobe,
+      rerankFactor = rerankFactor, idCol = "chunk_id")
+    Attribution.attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"))
+      .select(col("chunk_id"), col("document_id"), round(col("score"), 6).as("score"),
+        col("lang"), col("source"), col("word_count"))
+      .orderBy(col("score").desc, col("chunk_id").asc)
+  }
 }

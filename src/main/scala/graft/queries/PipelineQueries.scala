@@ -49,6 +49,14 @@ object PipelineQueries {
     // PlanSpec asserts the partition pruning.
     "pipe_flagship_ivf" -> ((s, dir) => Pipelines.flagshipIvf(s, dir)),
 
+    // The flagship through the stored IVFADC index (IvfPqCatalog): same
+    // partition pruning as pipe_flagship_ivf, but the probed cells scan as
+    // m-byte PQ codes (32× fewer bytes) with an exact rerank over a pruned
+    // raw read — the 100 TB serving form. Rows-only in the driver gate
+    // (recall is probe- and candidate-bounded); GoldenSpec pins the digest,
+    // PipelineSpec pins overlap vs the brute flagship.
+    "pipe_flagship_ivfpq" -> ((s, dir) => Pipelines.flagshipIvfPq(s, dir)),
+
     // §7.4 SQL surface end-to-end: the chunker as a Catalyst Generator via
     // LATERAL VIEW — a user who never leaves spark.sql chunks the corpus
     // with the SAME kernel as the typed path (rows-only in the driver

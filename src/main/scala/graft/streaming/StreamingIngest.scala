@@ -147,13 +147,23 @@ object StreamingIngest {
     * `centroid_id` partition directories, never the whole store. An EDITED
     * document (same ids, changed content) is an upsert, not an append —
     * that is the S9 `upsertDocuments` path, deliberately outside this loop,
-    * as in the reference. Near-dup admission policy stays with the curation
-    * operators upstream; the store's own invariant is no duplicate ids.
+    * as in the reference. Near-dup ADMISSION policy stays with the curation
+    * operators upstream — the loop never drops a near-dup — but the SIGNAL
+    * is materialized where curation can read it: each surviving chunk is
+    * flagged against the store (and its batch-mates) through the
+    * partition-pruned celled kernel
+    * ([[Dedup.embeddingPairsCelledIncrementalById]]), and near-duplicates
+    * land with `near_dup_of` = the lexically-smallest counterpart chunk id
+    * (null otherwise). Flag cost follows the incremental contract — batch ×
+    * its probed cells — and `flagNearDups = false` skips it entirely.
     * Returns (duplicate chunks dropped, chunks appended). */
   def ingestDocBatch(docs: DataFrame, dir: String, nlist: Int,
                      qualityThreshold: Double = 0.0,
                      idCol: String = "doc_id", textCol: String = "text",
-                     trained: Boolean = false): (Long, Long) = {
+                     trained: Boolean = false,
+                     flagNearDups: Boolean = true,
+                     flagMinCosine: Double = 0.9,
+                     flagNprobe: Int = 2): (Long, Long) = {
     val spark = docs.sparkSession
     val storeName = IvfCatalog.chunkStoreName(dir, nlist, trained)
     require(spark.catalog.tableExists(storeName),
@@ -174,8 +184,27 @@ object StreamingIngest {
       .cache()
     val nAppended = survivors.count()
     val nDropped = assigned.select("chunk_id").distinct().count() - nAppended
-    if (nAppended > 0)
-      IvfCatalog.appendChunks(spark, dir, survivors.drop("centroid_id"), nlist, trained)
+    if (nAppended > 0) {
+      val flagged =
+        if (!flagNearDups) survivors.withColumn("near_dup_of", lit(null).cast("string"))
+        else {
+          val pairs = Dedup.embeddingPairsCelledIncrementalById(
+            survivors.select(col("chunk_id"), col("embedding")),
+            spark.table(storeName),
+            IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained),
+            flagMinCosine, flagNprobe)
+          // per surviving chunk: the smallest counterpart as representative
+          // (counterparts can be stored chunks or batch-mates; batch-side
+          // rows selected by a broadcast semi-join on the batch's own ids)
+          val bIds = survivors.select(col("chunk_id"))
+          val flags = pairs.select(col("left_id").as("chunk_id"), col("right_id").as("__other"))
+            .unionByName(pairs.select(col("right_id").as("chunk_id"), col("left_id").as("__other")))
+            .join(broadcast(bIds), Seq("chunk_id"), "left_semi")
+            .groupBy("chunk_id").agg(min(col("__other")).as("near_dup_of"))
+          survivors.join(broadcast(flags), Seq("chunk_id"), "left")
+        }
+      IvfCatalog.appendChunks(spark, dir, flagged.drop("centroid_id"), nlist, trained)
+    }
     assigned.unpersist(); survivors.unpersist()
     (nDropped, nAppended)
   }
@@ -190,6 +219,9 @@ object StreamingIngest {
                 qualityThreshold: Double = 0.0,
                 idCol: String = "doc_id", textCol: String = "text",
                 trained: Boolean = false, compactEvery: Int = 0,
+                flagNearDups: Boolean = true,
+                flagMinCosine: Double = 0.9,
+                flagNprobe: Int = 2,
                 onBatch: BatchReport => Unit = _ => ()): StreamingQuery = {
     var sinceCompact = 0
     docs.writeStream
@@ -199,7 +231,8 @@ object StreamingIngest {
         val arrived = batch.count()
         if (arrived > 0) {
           val (dropped, appended) =
-            ingestDocBatch(batch.toDF(), dir, nlist, qualityThreshold, idCol, textCol, trained)
+            ingestDocBatch(batch.toDF(), dir, nlist, qualityThreshold, idCol, textCol,
+              trained, flagNearDups, flagMinCosine, flagNprobe)
           sinceCompact += 1
           if (compactEvery > 0 && sinceCompact >= compactEvery) {
             Compaction.compactTable(batch.sparkSession,

@@ -43,6 +43,27 @@ class PipelineSpec extends AnyFunSuite {
       s"IVF top-10 overlaps brute-force top-10 on only ${shared.length}/10")
   }
 
+  test("flagshipIvfPq probes PQ codes in the same cells and tracks the brute-force flagship") {
+    val brute = Pipelines.flagship(spark, dir).collect()
+    val ivfpq = Pipelines.flagshipIvfPq(spark, dir).collect()
+    assert(ivfpq.length === brute.length)
+    // the exact rerank means any chunk both paths return carries an
+    // IDENTICAL score — quantization can only move the candidate boundary
+    val bruteScores = brute.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val shared = ivfpq.filter(r => bruteScores.contains(r.getString(0)))
+    shared.foreach(r => assert(r.getDouble(2) === bruteScores(r.getString(0)),
+      s"shared hit ${r.getString(0)} rescored"))
+    assert(shared.length >= 9,
+      s"IVFADC top-10 overlaps brute-force top-10 on only ${shared.length}/10")
+    // and the ADC stage changes nothing the plain IVF probe wouldn't return
+    // beyond its candidate bound: IVFADC hits are a subset of the probed
+    // cells' chunks, so every hit must also score identically in flagshipIvf
+    val ivf = Pipelines.flagshipIvf(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    ivfpq.filter(r => ivf.contains(r.getString(0))).foreach(r =>
+      assert(r.getDouble(2) === ivf(r.getString(0))))
+  }
+
   test("writeChunks round-trips partitioned+sorted parquet") {
     val out = Files.createTempDirectory("graft_chunks").toString
     val chunks = Pipelines.featurePipeline(Tables.documents(spark, dir), qualityThreshold = 0.0)

@@ -97,6 +97,17 @@ class PlanSpec extends AnyFunSuite {
       "top-k over the probed cells must be a bounded heap, not a global sort")
   }
 
+  test("pipe_flagship_ivfpq prunes BOTH the code scan and the raw rerank scan") {
+    val p = plan("pipe_flagship_ivfpq")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val pruned = partFilters.filter(f => f.contains("centroid_id") && f.nonEmpty)
+    assert(pruned.size >= 2,
+      s"IVFADC must prune the code table AND the rerank corpus, got: $partFilters")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ADC candidate cut must be a bounded heap, not a global sort")
+  }
+
   // --- batch KNN: partial top-k BEFORE the exchange -------------------------
 
   test("vec_knn_batch reduces to k rows per query per partition before the shuffle") {

@@ -725,4 +725,55 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $storeName")
     spark.sql(s"DROP TABLE IF EXISTS $centName")
   }
+
+  test("doc ingest flags near-duplicate chunks with near_dup_of — admission stays upstream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val nlist = 27 // isolated store/centroid tables
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    spark.sql(s"DROP TABLE IF EXISTS $storeName")
+    spark.sql(s"DROP TABLE IF EXISTS $centName")
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+
+    // single-chunk documents (short texts → stable chunk boundaries):
+    // docY is a near-copy of docX — one token changed, cosine well above
+    // the 0.9 bar but a different md5 chunk id, so identity dedup admits it
+    def mk(word: String): String =
+      (1 to 4).map(i => s"The $word reactor loop streams micro batch $i through the " +
+        "pruned cells and appends survivors into the partitioned store.").mkString(" ")
+    val docX = (910001L, mk("aurora"))
+    val docY = (910002L, mk("aurins"))
+
+    val (d1, a1) = graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq(docX).toDF("doc_id", "text"), dir, nlist)
+    assert(d1 === 0L && a1 >= 1L)
+    val store = () => IvfCatalog.assignedChunks(spark, dir, nlist)
+    val xChunk = store().filter(col("document_id") === 910001L)
+      .select("chunk_id", "near_dup_of").collect()
+    assert(xChunk.length === 1, s"docX should be a single chunk, got ${xChunk.length}")
+    assert(xChunk.head.isNullAt(1), "nothing in the corpus near-dups docX — flag must be null")
+
+    val (d2, a2) = graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq(docY).toDF("doc_id", "text"), dir, nlist)
+    assert(d2 === 0L && a2 === 1L, "a near-copy is ADMITTED (identity dedup only)")
+    val yChunk = store().filter(col("document_id") === 910002L)
+      .select("chunk_id", "near_dup_of").head
+    assert(yChunk.getString(1) === xChunk.head.getString(0),
+      s"docY's chunk must arrive flagged as a near-dup of docX's chunk, got ${yChunk.getString(1)}")
+    // the flag never drops rows, and base-corpus rows stay unflagged
+    assert(store().filter(col("near_dup_of").isNotNull).count() === 1)
+
+    // flagNearDups = false skips the kernel entirely (null flag)
+    val docZ = (910003L, mk("zephyr"))
+    val (_, a3) = graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq(docZ).toDF("doc_id", "text"), dir, nlist, flagNearDups = false)
+    assert(a3 === 1L)
+    assert(store().filter(col("document_id") === 910003L)
+      .select("near_dup_of").head.isNullAt(0))
+
+    spark.sql(s"DROP TABLE IF EXISTS $storeName")
+    spark.sql(s"DROP TABLE IF EXISTS $centName")
+  }
 }

@@ -74,9 +74,21 @@ def main():
     # (noise only ever adds time), then summed: min-of-sums would keep one
     # whole noisy pass, per-query minima discard noise spikes query by query.
     common = sorted(set.intersection(*[set(q) for q in headqs + prevqs]))
-    hq = {k: min(q[k] for q in headqs) for k in common}
-    pq = {k: min(q[k] for q in prevqs) for k in common}
-    head_common, prev_common = sum(hq.values()), sum(pq.values())
+    # a failed query renders as -1 in the bench line; keeping it would
+    # SUBTRACT from that tree's sum (e.g. a prev tree that can't read a
+    # regenerated fixture would look faster the more queries it fails) —
+    # per-query min over the SUCCESSFUL passes only, and a query with no
+    # successful pass on either side leaves the common set
+    def posmin(vals):
+        ok = [v for v in vals if v is not None and v >= 0]
+        return min(ok) if ok else None
+    hq = {k: posmin([q.get(k) for q in headqs]) for k in common}
+    pq = {k: posmin([q.get(k) for q in prevqs]) for k in common}
+    dropped = [k for k in common if hq[k] is None or pq[k] is None]
+    if dropped:
+        print(f"[paired] dropped (failed on one side): {','.join(dropped)}")
+    common = [k for k in common if k not in dropped]
+    head_common, prev_common = sum(hq[k] for k in common), sum(pq[k] for k in common)
     deltas = sorted(common, key=lambda k: pq[k] - hq[k])
     print("[paired] biggest per-query deltas (head-prev, per-query min):")
     for k in deltas[:6] + deltas[-3:]:
