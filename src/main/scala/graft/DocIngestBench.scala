@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Per-batch latency of the DOCUMENT ingest loop
+  * ([[streaming.StreamingIngest.startDocs]]) against the stored chunk index
+  * at scale — the flagship's actual ingest path (feature pipeline → pruned
+  * identity dedup → near-dup flag → cell append), which the vector-loop
+  * numbers ([[IngestStreamBench]]) do not price: a document batch pays
+  * chunking + embedding up front and fans out ~chunks-per-doc rows into the
+  * store. Batches are half REPLAYED corpus documents (the identity-dedup
+  * drop path — a re-crawl/redelivery) and half fresh re-keyed documents
+  * with deterministically prefixed text (the append path), so every batch
+  * pays both halves of the production loop.
+  *
+  * Usage: `sbt "runMain graft.DocIngestBench [dir [nlist [batchDocs [nBatches [mode]]]]]"`
+  * — defaults to the ×10 ScaleGen corpus, √n-chunks cells, 200 docs/batch,
+  * 4 batches, seeded centroids (`mode` = `seeded` | `trained`). The loop
+  * runs `compactEvery = 2`, so the printed file counts show the
+  * self-maintaining steady state, not unbounded fragmentation.
+  * `SPARK_GRAFT_PQ=1` adds the IVFADC leg: the code table is built before
+  * the loop and every batch also appends PQ codes (`pqM = 48`), pricing the
+  * full compressed-serving maintenance path.
+  */
+object DocIngestBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/tmp/graft_sf1")
+    val batchDocs = args.lift(2).map(_.toInt).getOrElse(200)
+    val nBatches = args.lift(3).map(_.toInt).getOrElse(4)
+    val trained = args.lift(4).map(_.trim.toLowerCase).getOrElse("seeded") match {
+      case "trained" => true
+      case "seeded"  => false
+      case other     => sys.error(s"unknown centroid mode '$other' (seeded|trained)")
+    }
+    val pq = sys.env.get("SPARK_GRAFT_PQ").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val (pqM, pqKsub) = (48, 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.dataSizedShuffle(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+        .config("spark.ui.enabled", "false"), cpus.toInt, dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[docingest] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val nChunks = timed("chunk table (bucketed feature-pipeline output, ONCE per corpus)") {
+      ChunkCatalog.flatChunks(spark, dir).count()
+    }
+    val nlist = args.lift(1).map(_.toInt).getOrElse(
+      math.max(16, math.sqrt(nChunks.toDouble).toInt))
+    val mode = if (trained) "trained" else "seeded"
+    println(s"[docingest] corpus $dir: $nChunks chunks, nlist=$nlist, " +
+      s"batch=${batchDocs}+${batchDocs} docs × $nBatches, centroids=$mode, pq=$pq")
+
+    timed(s"chunk store build ($mode centroids + assign + partitioned write, ONCE)") {
+      IvfCatalog.assignedChunks(spark, dir, nlist, trained).count()
+    }
+    if (pq) timed(s"IVFADC code table build (m=$pqM, ksub=$pqKsub, ONCE)") {
+      IvfPqCatalog.encodedChunks(spark, dir, nlist, pqM, pqKsub, trained).count()
+    }
+
+    // batch b: `batchDocs` corpus docs with doc_id ≡ b (mod M) replayed
+    // verbatim (identity dedup drops every chunk), plus the same docs
+    // re-keyed and text-prefixed (every chunk id fresh → the append path)
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val mod = math.max(nBatches.toLong, nDocs / math.max(batchDocs, 1))
+    val batches: Seq[Seq[(Long, String)]] = (0 until nBatches).map { b =>
+      val slice = docs.filter(pmod($"doc_id", lit(mod)) === b)
+        .orderBy($"doc_id".asc).limit(batchDocs)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      slice ++ slice.map { case (id, text) =>
+        (id + 900000000L * (b + 1), s"fresh$b $text")
+      }
+    }
+
+    val source = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_docingest_ckpt").toString
+    val q = streaming.StreamingIngest.startDocs(
+      source.toDF().toDF("doc_id", "text"), dir, ckpt, nlist,
+      trained = trained, compactEvery = 2,
+      pqM = if (pq) pqM else 0, pqKsub = pqKsub,
+      onBatch = r => println(f"[docingest] batch ${r.batchId}: docs=${r.arrived} " +
+        f"chunksDropped=${r.dropped} chunksAppended=${r.appended} latency=${r.seconds}%.2f s"))
+    batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    println(s"[docingest] store rows after $nBatches batches: " +
+      IvfCatalog.assignedChunks(spark, dir, nlist, trained).count())
+    val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+    val frag = Compaction.partitionStats(spark, store)
+    println(s"[docingest] store files (compactEvery=2 steady state): " +
+      s"total=${frag.map(_.files).sum} max/cell=${frag.map(_.files).max} cells=${frag.size}")
+    val rep = Compaction.compactTable(spark, store, idCol = "chunk_id")
+    println(f"[docingest] final compaction: ${rep.compacted.size} cells rewritten, " +
+      f"files ${rep.filesBefore} -> ${rep.filesAfter}, ${rep.seconds}%.1f s")
+    if (pq) {
+      val codes = IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained)
+      val cfrag = Compaction.partitionStats(spark, codes)
+      println(s"[docingest] code-table files: total=${cfrag.map(_.files).sum}, rows=" +
+        IvfPqCatalog.encodedChunks(spark, dir, nlist, pqM, pqKsub, trained).count())
+    }
+    spark.stop()
+  }
+}

@@ -181,6 +181,10 @@ object IvfCatalog {
       .repartition(col("centroid_id")) // one file per touched cell per batch
       .write.mode("append").insertInto(name)
     spark.catalog.refreshTable(name)
+    // keep the doc→cells secondary index complete (DocLifecycle's superset
+    // contract: it may over-list cells, it must never miss one) — appended
+    // in the same micro-batch as the rows themselves
+    DocLifecycle.appendDocCells(spark, dir, centroids, trained, assigned)
   }
 
   /** Append one ingest batch to the stored index — the write half of the

@@ -72,6 +72,25 @@ object IvfPqCatalog {
       Array.tabulate(mStored)(j => Array.tabulate(ksubStored)(c => rows((j, c)))))
   }
 
+  /** Catalog table name of the chunk code table for (nlist, m, ksub, mode)
+    * and a given codebook — public so maintenance (Compaction, the
+    * doc-ingest loop) can address the code store directly. The codebook
+    * FINGERPRINT is part of the name: a retrained codebook can never
+    * silently reuse stale codes. */
+  def chunkCodesName(dir: String, nlist: Int, m: Int, ksub: Int,
+                     trained: Boolean, cb: Similarity.PqCodebook): String = {
+    val mode = if (trained) "k" else ""
+    TableStore.tableName(s"ivfpqchunks$mode${nlist}_m${m}k${ksub}_${cb.fingerprint}", dir)
+  }
+
+  /** [[chunkCodesName]] resolved through the STORED codebook — the form
+    * callers that don't already hold the codebook use (the ingest loop's
+    * compaction cadence). */
+  def chunkCodesTableName(spark: SparkSession, dir: String, nlist: Int,
+                          m: Int, ksub: Int, trained: Boolean = false): String =
+    chunkCodesName(dir, nlist, m, ksub, trained,
+      chunkCodebookStored(spark, dir, m, ksub, trained))
+
   /** The flagship chunk store as a materialized IVFADC index: the SAME
     * cell assignment as [[IvfCatalog.assignedChunks]] (one shared centroid
     * table governs both, so a probe prunes identical partitions on the
@@ -84,9 +103,7 @@ object IvfPqCatalog {
   def encodedChunks(spark: SparkSession, dir: String, nlist: Int,
                     m: Int, ksub: Int, trained: Boolean = false): DataFrame = {
     val cb = chunkCodebookStored(spark, dir, m, ksub, trained)
-    val mode = if (trained) "k" else ""
-    val name = TableStore.tableName(
-      s"ivfpqchunks$mode${nlist}_m${m}k${ksub}_${cb.fingerprint}", dir)
+    val name = chunkCodesName(dir, nlist, m, ksub, trained, cb)
     TableStore.getOrBuild(spark, name) {
       val store = IvfCatalog.assignedChunks(spark, dir, nlist, trained)
       Similarity.pqEncode(store, cb, idCol = "chunk_id", embCol = "embedding")
@@ -97,5 +114,53 @@ object IvfPqCatalog {
         .format("parquet")
         .saveAsTable(name)
     }
+  }
+
+  /** Append chunk increments into the stored IVFADC code table — the code
+    * side of [[IvfCatalog.appendChunks]], so the compressed serving index
+    * participates in the same continuous-ingest story as the raw store:
+    * without it every appended chunk is visible to the raw-IVF probe but
+    * INVISIBLE to the IVFADC probe until a full code rebuild. New chunks
+    * are encoded with the FROZEN stored codebook
+    * ([[chunkCodebookStored]] — the code table is only meaningful against
+    * the exact codebook that encoded it) and assigned with the build-time
+    * centroids, landing in the matching `centroid_id` partition
+    * directories; cost scales with the batch, never the corpus.
+    *
+    * IDEMPOTENT by the same pruned identity check the doc-ingest loop runs
+    * on the raw store: a chunk id already coded is skipped (the anti-join
+    * reads only the batch's own cell partitions), so the ingest loop can
+    * append codes BEFORE the raw rows and a replay after a crash between
+    * the two appends converges — both tables dedup by id, neither side is
+    * ever coded twice or left permanently stale.
+    * `newChunks` carries (chunk_id, embedding). */
+  def appendChunkCodes(spark: SparkSession, dir: String, newChunks: DataFrame,
+                       nlist: Int, m: Int, ksub: Int,
+                       trained: Boolean = false): Unit = {
+    val cb = chunkCodebookStored(spark, dir, m, ksub, trained)
+    val name = chunkCodesName(dir, nlist, m, ksub, trained, cb)
+    require(spark.catalog.tableExists(name),
+      s"stored IVFADC code table for '$dir' not built — encodedChunks first")
+    val assigned = Similarity.ivfAssign(
+        newChunks.select(col("chunk_id"), col("embedding")),
+        IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained), idCol = "chunk_id")
+      .cache()
+    val cells = assigned.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ nlist by construction
+    spark.catalog.refreshTable(name) // see the latest appends (clone session)
+    val existing = spark.table(name)
+      .filter(col("centroid_id").isin(cells: _*)) // partition-pruned scan
+      .select(col("chunk_id"))
+    val fresh = assigned.join(existing, Seq("chunk_id"), "left_anti")
+    val codes = Similarity.pqEncode(fresh, cb, idCol = "chunk_id", embCol = "embedding")
+      .join(fresh.select("chunk_id", "centroid_id"), "chunk_id")
+    // insertInto is position-based; align to the table's column order
+    // (partition column last), as IvfCatalog.appendChunks does
+    val aligned = spark.table(name).schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    codes.select(aligned.toIndexedSeq: _*)
+      .repartition(col("centroid_id")) // one file per touched cell per batch
+      .write.mode("append").insertInto(name)
+    assigned.unpersist()
+    spark.catalog.refreshTable(name)
   }
 }

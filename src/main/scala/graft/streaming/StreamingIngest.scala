@@ -156,6 +156,15 @@ object StreamingIngest {
     * land with `near_dup_of` = the lexically-smallest counterpart chunk id
     * (null otherwise). Flag cost follows the incremental contract — batch ×
     * its probed cells — and `flagNearDups = false` skips it entirely.
+    *
+    * When the store is ALSO served through a materialized IVFADC index
+    * (`pipe_flagship_ivfpq`), `pqM > 0` keeps the code table in step: each
+    * surviving chunk is encoded with the FROZEN stored codebook and
+    * appended into the code table's matching cells
+    * ([[graft.IvfPqCatalog.appendChunkCodes]]) — without this every append
+    * is visible to the raw-IVF probe but silently invisible to the
+    * compressed probe until a full code rebuild. The IVFADC index for
+    * (nlist, pqM, pqKsub, trained) must already exist.
     * Returns (duplicate chunks dropped, chunks appended). */
   def ingestDocBatch(docs: DataFrame, dir: String, nlist: Int,
                      qualityThreshold: Double = 0.0,
@@ -163,7 +172,8 @@ object StreamingIngest {
                      trained: Boolean = false,
                      flagNearDups: Boolean = true,
                      flagMinCosine: Double = 0.9,
-                     flagNprobe: Int = 2): (Long, Long) = {
+                     flagNprobe: Int = 2,
+                     pqM: Int = 0, pqKsub: Int = 32): (Long, Long) = {
     val spark = docs.sparkSession
     val storeName = IvfCatalog.chunkStoreName(dir, nlist, trained)
     require(spark.catalog.tableExists(storeName),
@@ -203,6 +213,14 @@ object StreamingIngest {
             .groupBy("chunk_id").agg(min(col("__other")).as("near_dup_of"))
           survivors.join(broadcast(flags), Seq("chunk_id"), "left")
         }
+      // codes FIRST: appendChunks refreshes the chunk store, invalidating
+      // every cached plan that reads it — including `survivors` (its
+      // anti-join side), which would re-evaluate to empty afterwards. The
+      // code append is idempotent by id, so a crash between the two appends
+      // converges on replay (see appendChunkCodes scaladoc).
+      if (pqM > 0)
+        graft.IvfPqCatalog.appendChunkCodes(spark, dir,
+          survivors.select(col("chunk_id"), col("embedding")), nlist, pqM, pqKsub, trained)
       IvfCatalog.appendChunks(spark, dir, flagged.drop("centroid_id"), nlist, trained)
     }
     assigned.unpersist(); survivors.unpersist()
@@ -214,7 +232,9 @@ object StreamingIngest {
     * stored chunk index for `dir` must already exist
     * ([[IvfCatalog.assignedChunks]]); replayed micro-batches re-dedup
     * against the store, so a restart from `checkpoint` appends nothing
-    * twice (the md5 identity makes the loop idempotent). */
+    * twice (the md5 identity makes the loop idempotent). `pqM > 0` keeps a
+    * materialized IVFADC code table in step with every append and folds it
+    * into the `compactEvery` cadence (see [[ingestDocBatch]]). */
   def startDocs(docs: DataFrame, dir: String, checkpoint: String, nlist: Int,
                 qualityThreshold: Double = 0.0,
                 idCol: String = "doc_id", textCol: String = "text",
@@ -222,6 +242,7 @@ object StreamingIngest {
                 flagNearDups: Boolean = true,
                 flagMinCosine: Double = 0.9,
                 flagNprobe: Int = 2,
+                pqM: Int = 0, pqKsub: Int = 32,
                 onBatch: BatchReport => Unit = _ => ()): StreamingQuery = {
     var sinceCompact = 0
     docs.writeStream
@@ -232,11 +253,15 @@ object StreamingIngest {
         if (arrived > 0) {
           val (dropped, appended) =
             ingestDocBatch(batch.toDF(), dir, nlist, qualityThreshold, idCol, textCol,
-              trained, flagNearDups, flagMinCosine, flagNprobe)
+              trained, flagNearDups, flagMinCosine, flagNprobe, pqM, pqKsub)
           sinceCompact += 1
           if (compactEvery > 0 && sinceCompact >= compactEvery) {
             Compaction.compactTable(batch.sparkSession,
               IvfCatalog.chunkStoreName(dir, nlist, trained), idCol = "chunk_id")
+            if (pqM > 0) // the code table fragments at the same cadence
+              Compaction.compactTable(batch.sparkSession,
+                graft.IvfPqCatalog.chunkCodesTableName(batch.sparkSession, dir, nlist,
+                  pqM, pqKsub, trained), idCol = "chunk_id")
             sinceCompact = 0
           }
           onBatch(BatchReport(batchId, arrived, dropped, appended,

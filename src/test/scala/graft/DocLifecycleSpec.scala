@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Document upsert/delete against the stored chunk index ([[DocLifecycle]]):
+  * the doc→cells secondary index's superset contract, cell-pruned rewrites
+  * that leave every untouched row byte-identical, emptied-cell partition
+  * drops, round-trip stability of an unchanged replay, and the IVFADC code
+  * table following the same lifecycle. */
+class DocLifecycleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** (chunk_id, centroid_id, document_id) content snapshot — order-free. */
+  private def snapshot(store: DataFrame): Set[(String, Long, Long)] =
+    store.select("chunk_id", "centroid_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("upsert replaces exactly the edited document's chunks; unchanged replay round-trips") {
+    import spark.implicits._
+    val nlist = 33 // isolated store/cent/index tables
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    val idxName = DocLifecycle.docCellsName(dir, nlist)
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+
+    val store = () => IvfCatalog.assignedChunks(spark, dir, nlist)
+    val before = snapshot(store())
+    // the corpus document with the MOST stored chunks, edited: every chunk
+    // id changes (multi-chunk when the fixture allows it)
+    val vid = before.groupBy(_._3).maxBy(_._2.size)._1
+    val vtext = Tables.documents(spark, dir)
+      .filter($"doc_id" === vid).select("text").head.getString(0)
+    val oldRows = before.filter(_._3 == vid)
+    assert(oldRows.nonEmpty)
+
+    val (rm, add) = DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((vid, s"edited $vtext")).toDF("doc_id", "text"), nlist)
+    assert(rm === oldRows.size.toLong)
+    assert(add > 0L)
+    val after = snapshot(store())
+    assert(after.filter(_._3 == vid).size.toLong === add)
+    assert((after.map(_._1) intersect oldRows.map(_._1)) === Set.empty,
+      "every old chunk id of the edited doc must be gone")
+    assert(after.filter(_._3 != vid) === before.filter(_._3 != vid),
+      "no other document's rows may move")
+    // the index covers every live pair (superset contract)
+    val live = after.map(t => (t._3, t._2))
+    val indexed = DocLifecycle.docCells(spark, dir, nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live.subsetOf(indexed))
+
+    // replaying the ORIGINAL text is an upsert back to the original rows —
+    // chunk ids are content-derived, so the store round-trips exactly
+    DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((vid, vtext)).toDF("doc_id", "text"), nlist)
+    assert(snapshot(store()) === before, "unchanged-content upsert must round-trip")
+    // compacting the index reclaims the upsert's false-positive pairs
+    DocLifecycle.compactDocCells(spark, dir, nlist)
+    val compacted = DocLifecycle.docCells(spark, dir, nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compacted === before.map(t => (t._3, t._2)))
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("delete cascades a document set out of the store and drops emptied cells") {
+    val nlist = 37
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    val idxName = DocLifecycle.docCellsName(dir, nlist)
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+
+    val store = () => IvfCatalog.assignedChunks(spark, dir, nlist)
+    val before = snapshot(store())
+    // delete every document occupying the smallest cell — the cell must
+    // empty, and its PARTITION must disappear (dynamic overwrite alone
+    // would leave the stale files in place)
+    val cell = before.groupBy(_._2).view.mapValues(_.size).minBy(_._2)._1
+    val ids = before.filter(_._2 == cell).map(_._3).toSeq.distinct
+    val expected = before.filter(t => ids.contains(t._3))
+
+    val rm = DocLifecycle.deleteDocChunks(spark, dir, ids, nlist)
+    assert(rm === expected.size.toLong)
+    val after = snapshot(store())
+    assert(after === before -- expected)
+    assert(!after.exists(_._2 == cell), "the emptied cell must hold no rows")
+    assert(!Compaction.partitionStats(spark, storeName).exists(_.spec == s"centroid_id=$cell"),
+      "the emptied cell's partition directory must be dropped")
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("lifecycle composes with the ingest loop and the IVFADC code table") {
+    import spark.implicits._
+    val (nlist, m, ksub) = (41, 24, 16)
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    val idxName = DocLifecycle.docCellsName(dir, nlist)
+    val cbName = TableStore.tableName(s"ivfpqcb_m${m}k$ksub", dir)
+    def codesName = IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, m, ksub)
+    def dropAll(): Unit = {
+      if (spark.catalog.tableExists(cbName)) spark.sql(s"DROP TABLE IF EXISTS $codesName")
+      Seq(storeName, centName, idxName, cbName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    dropAll()
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub).count()
+    DocLifecycle.docCells(spark, dir, nlist).count() // index exists BEFORE the append
+
+    def mk(word: String): String =
+      (1 to 4).map(i => s"The $word relay journals segment $i with checksums and " +
+        "appends the surviving chunks into the partitioned serving store.").mkString(" ")
+    // arrives via the streaming loop (appendChunks maintains the index)...
+    val (_, a1) = graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq((930001L, mk("borealis"))).toDF("doc_id", "text"), dir, nlist,
+      pqM = m, pqKsub = ksub)
+    assert(a1 >= 1L)
+    // ...then is edited: the upsert must find its cells through the index
+    val (rm, add) = DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((930001L, mk("cirrus"))).toDF("doc_id", "text"), nlist, pqM = m, pqKsub = ksub)
+    assert(rm === a1 && add >= 1L)
+
+    val store = () => IvfCatalog.assignedChunks(spark, dir, nlist)
+    val codes = () => IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub)
+    // code table mirrors the store exactly through append + upsert
+    assert(codes().count() === store().count())
+    assert(codes().join(store(), Seq("chunk_id"), "left_anti").count() === 0L,
+      "no dead ids may linger in the code table")
+
+    // ...and is finally deleted: both tables drop its rows
+    val rmDel = DocLifecycle.deleteDocChunks(spark, dir, Seq(930001L), nlist,
+      pqM = m, pqKsub = ksub)
+    assert(rmDel === add)
+    assert(store().filter(col("document_id") === 930001L).count() === 0L)
+    assert(codes().count() === store().count())
+    assert(codes().join(store(), Seq("chunk_id"), "left_anti").count() === 0L)
+    dropAll()
+  }
+}

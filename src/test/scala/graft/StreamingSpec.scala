@@ -776,4 +776,70 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $storeName")
     spark.sql(s"DROP TABLE IF EXISTS $centName")
   }
+
+  test("doc ingest keeps the IVFADC code table in step with appends (pqM)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val (nlist, m, ksub) = (29, 24, 16) // isolated store/cent/codebook/code tables
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    val cbName = TableStore.tableName(s"ivfpqcb_m${m}k$ksub", dir)
+    def codesName = IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, m, ksub)
+    def dropAll(): Unit = {
+      // codes table name needs the codebook — resolve it BEFORE dropping
+      if (spark.catalog.tableExists(cbName))
+        spark.sql(s"DROP TABLE IF EXISTS $codesName")
+      Seq(storeName, centName, cbName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    dropAll()
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub).count()
+
+    val store = () => IvfCatalog.assignedChunks(spark, dir, nlist)
+    val codes = () => IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub)
+    val n0 = store().count()
+    assert(codes().count() === n0, "code table covers the base corpus at build")
+
+    def mk(word: String): String =
+      (1 to 4).map(i => s"The $word lattice indexes shard $i by product code and " +
+        "reranks the pruned candidates against the raw vectors.").mkString(" ")
+    val (d1, a1) = graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq((920001L, mk("quasar"))).toDF("doc_id", "text"), dir, nlist, pqM = m, pqKsub = ksub)
+    assert(d1 === 0L && a1 >= 1L)
+    assert(codes().count() === n0 + a1, "every appended chunk got a code row")
+    // membership + identical cell assignment on both sides (pruning parity)
+    val storeSide = store().filter(col("document_id") === 920001L)
+      .select(col("chunk_id"), col("centroid_id"), col("embedding"))
+    val codeSide = codes().select(col("chunk_id"), col("centroid_id").as("code_cell"))
+    val joined = storeSide.join(codeSide, "chunk_id").collect()
+    assert(joined.length.toLong === a1)
+    joined.foreach(r => assert(r.getLong(1) === r.getLong(3),
+      s"code row landed in cell ${r.getLong(3)}, raw store says ${r.getLong(1)}"))
+
+    // the compressed probe retrieves an appended chunk at its own embedding —
+    // the staleness this maintenance exists to prevent
+    val probe = storeSide.head
+    val cb = IvfPqCatalog.chunkCodebookStored(spark, dir, m, ksub)
+    val hits = graft.operators.Similarity.ivfPqSearchPruned(codes(), store(),
+        IvfCatalog.chunkCentroidsStored(spark, dir, nlist), cb,
+        probe.getSeq[Float](2).toArray, k = 5, nprobe = 2, idCol = "chunk_id")
+      .select("chunk_id").collect().map(_.getString(0)).toSeq
+    assert(hits.contains(probe.getString(0)),
+      s"IVFADC probe missed the appended chunk: $hits")
+
+    // a replayed document dedups away — no duplicate code rows either
+    val (d2, a2) = graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq((920001L, mk("quasar"))).toDF("doc_id", "text"), dir, nlist, pqM = m, pqKsub = ksub)
+    assert(d2 === a1 && a2 === 0L)
+    assert(codes().count() === n0 + a1)
+    assert(codes().select("chunk_id").distinct().count() === n0 + a1)
+    // crash-window convergence: the loop appends codes BEFORE raw rows, so a
+    // replay after a crash between the two re-offers already-coded chunks —
+    // the pruned identity anti-join must make that a no-op
+    IvfPqCatalog.appendChunkCodes(spark, dir,
+      storeSide.select(col("chunk_id"), col("embedding")), nlist, m, ksub)
+    assert(codes().count() === n0 + a1, "re-appending coded chunks must be a no-op")
+    dropAll()
+  }
 }
