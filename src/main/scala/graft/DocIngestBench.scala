@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * with deterministically prefixed text (the append path), so every batch
   * pays both halves of the production loop.
   *
-  * Usage: `sbt "runMain graft.DocIngestBench [dir [nlist [batchDocs [nBatches [mode]]]]]"`
+  * Usage: `sbt "runMain graft.DocIngestBench [dir [nlist [batchDocs [nBatches [mode [flag [firstBatch]]]]]]]"`
   * — defaults to the ×10 ScaleGen corpus, √n-chunks cells, 200 docs/batch,
-  * 4 batches, seeded centroids (`mode` = `seeded` | `trained`). The loop
+  * 4 batches, seeded centroids (`mode` = `seeded` | `trained`; `flag` =
+  * `flag` | `noflag` isolates the near-dup kernel's share of the batch).
+  * The loop
   * runs `compactEvery = 2`, so the printed file counts show the
   * self-maintaining steady state, not unbounded fragmentation.
   * `SPARK_GRAFT_PQ=1` adds the IVFADC leg: the code table is built before
@@ -34,6 +36,15 @@ object DocIngestBench {
       case "seeded"  => false
       case other     => sys.error(s"unknown centroid mode '$other' (seeded|trained)")
     }
+    val flagNearDups = args.lift(5).map(_.trim.toLowerCase).getOrElse("flag") match {
+      case "flag"   => true
+      case "noflag" => false
+      case other    => sys.error(s"unknown flag mode '$other' (flag|noflag)")
+    }
+    // firstBatch offsets the batch slices + fresh-id keys, so a second leg
+    // can reuse the (expensive) store builds without its batches colliding
+    // with rows a previous leg already appended
+    val firstBatch = args.lift(6).map(_.toInt).getOrElse(0)
     val pq = sys.env.get("SPARK_GRAFT_PQ").exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val (pqM, pqKsub) = (48, 32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,11 +67,12 @@ object DocIngestBench {
     val nChunks = timed("chunk table (bucketed feature-pipeline output, ONCE per corpus)") {
       ChunkCatalog.flatChunks(spark, dir).count()
     }
-    val nlist = args.lift(1).map(_.toInt).getOrElse(
+    val nlist = args.lift(1).map(_.toInt).filter(_ > 0).getOrElse( // 0 = auto
       math.max(16, math.sqrt(nChunks.toDouble).toInt))
     val mode = if (trained) "trained" else "seeded"
     println(s"[docingest] corpus $dir: $nChunks chunks, nlist=$nlist, " +
-      s"batch=${batchDocs}+${batchDocs} docs × $nBatches, centroids=$mode, pq=$pq")
+      s"batch=${batchDocs}+${batchDocs} docs × $nBatches, centroids=$mode, " +
+      s"flag=$flagNearDups, pq=$pq")
 
     timed(s"chunk store build ($mode centroids + assign + partitioned write, ONCE)") {
       IvfCatalog.assignedChunks(spark, dir, nlist, trained).count()
@@ -75,7 +87,7 @@ object DocIngestBench {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
     val mod = math.max(nBatches.toLong, nDocs / math.max(batchDocs, 1))
-    val batches: Seq[Seq[(Long, String)]] = (0 until nBatches).map { b =>
+    val batches: Seq[Seq[(Long, String)]] = (firstBatch until firstBatch + nBatches).map { b =>
       val slice = docs.filter(pmod($"doc_id", lit(mod)) === b)
         .orderBy($"doc_id".asc).limit(batchDocs)
         .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
@@ -88,7 +100,7 @@ object DocIngestBench {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_docingest_ckpt").toString
     val q = streaming.StreamingIngest.startDocs(
       source.toDF().toDF("doc_id", "text"), dir, ckpt, nlist,
-      trained = trained, compactEvery = 2,
+      trained = trained, compactEvery = 2, flagNearDups = flagNearDups,
       pqM = if (pq) pqM else 0, pqKsub = pqKsub,
       onBatch = r => println(f"[docingest] batch ${r.batchId}: docs=${r.arrived} " +
         f"chunksDropped=${r.dropped} chunksAppended=${r.appended} latency=${r.seconds}%.2f s"))

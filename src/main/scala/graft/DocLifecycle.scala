@@ -35,7 +35,11 @@ import graft.pipelines.Pipelines
   * replaces partitions present in the OUTPUT, so an emptied cell would
   * otherwise keep its stale files). Readers get Compaction's contract:
   * fail-loud on a raced listing, clean on refresh-retry
-  * ([[TableStore.retryingStale]]).
+  * ([[TableStore.retryingStale]]). Writers get Compaction's contract too:
+  * these are maintenance-class rewrites — run them serially with the
+  * ingest loop's appends (the loop itself is serial by construction; an
+  * external upsert job quiesces ingest for its cells or accepts the
+  * late-append hazard compactTable documents).
   *
   * The IVFADC code table (when the store is also served compressed) is
   * maintained in the same call when `pqM > 0`: dead ids' codes are dropped

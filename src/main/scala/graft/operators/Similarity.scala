@@ -524,9 +524,16 @@ object Similarity {
       Array.tabulate(m) { j =>
         val feats = sliced.select(
           array_to_vector(col(s"__s$j").cast("array<double>")).as("features"))
-        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
+        val fit = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
           .setFeaturesCol("features").fit(feats)
           .clusterCenters.map(_.toArray.map(_.toFloat))
+        // MLlib returns FEWER than k centers when a subspace has fewer
+        // distinct points (a near-constant slice — sparse featurizer dims
+        // at corpus scale). The codebook contract is a full ksub per
+        // subspace (codes are fixed-width bytes); pad by repeating the
+        // first center — encode ties to the LOWER index, so padded
+        // duplicates are never emitted in codes and never rank in ADC.
+        if (fit.length < ksub) fit ++ Array.fill(ksub - fit.length)(fit.head) else fit
       }
     }
     PqCodebook(m, dsub, centroids)

@@ -582,6 +582,26 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === want)
   }
+
+  test("pqTrainKmeans pads a collapsed subspace to the full-ksub codebook contract") {
+    import spark.implicits._
+    // subspace 0 is CONSTANT across the corpus (one distinct point — MLlib
+    // k-means returns a single center there); subspace 1 varies. The
+    // codebook must still be full ksub per subspace (codes are fixed-width
+    // bytes), with padded duplicates never emitted by encode.
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq(1f, 0f, 0f, 0f, i.toFloat, (i % 7).toFloat, 1f, (i % 3).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainKmeans(df, m = 2, ksub = 8)
+    assert(cb.m === 2 && cb.centroids.forall(_.length === 8))
+    val codes = Similarity.pqEncode(df, cb)
+    // subspace 0's codes all hit the single REAL center (index 0)
+    assert(codes.select("code").collect().forall(_.getAs[Array[Byte]](0)(0) === 0.toByte))
+    val hits = Similarity.pqSearch(codes, df, cb,
+        rows(3)._2.toArray, k = 3)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(hits.contains(3L), s"self not retrieved through the padded codebook: ${hits.toSeq}")
+  }
 }
 
 /** Tiny exact-cosine helper for spec-side math. */
@@ -591,4 +611,5 @@ object VectorFunctionsTestKit {
     for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
     if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
 }
