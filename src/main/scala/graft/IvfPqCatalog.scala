@@ -14,18 +14,27 @@ import graft.operators.Similarity
   */
 object IvfPqCatalog {
 
+  /** Catalog table name of the vector code table for (centroids, step) and
+    * a given codebook — the codebook fingerprint is part of the identity
+    * (not just its shape): a differently-trained codebook must never reuse
+    * a stale table. */
+  def vecCodesName(dir: String, centroids: Int, step: Long,
+                   cb: Similarity.PqCodebook): String =
+    TableStore.tableName(
+      s"ivfpq${centroids}_${step}_m${cb.m}k${cb.ksub}_${cb.fingerprint}", dir)
+
   /** PQ-encoded embeddings with centroid_id, stored partitioned by
     * centroid_id. Built once per (session, dir); later calls are a
-    * pruned-scan-able read of the code table. */
+    * pruned-scan-able read of the code table. Assignment reads the FROZEN
+    * [[IvfCatalog.centroidsFor]] table — never a live re-derive — so the
+    * code table's cells are identical to the raw store's by construction,
+    * even against a corpus that has grown since the store was built. */
   def encodedEmbeddings(spark: SparkSession, dir: String, cb: Similarity.PqCodebook,
                         centroids: Int, step: Long): DataFrame = {
-    // the trained codebook's CONTENT is part of the identity (not just its
-    // shape): a differently-trained codebook must never reuse a stale table
-    val name = TableStore.tableName(
-      s"ivfpq${centroids}_${step}_m${cb.m}k${cb.ksub}_${cb.fingerprint}", dir)
+    val name = vecCodesName(dir, centroids, step, cb)
     TableStore.getOrBuild(spark, name) {
       val emb = Tables.embeddings(spark, dir)
-      val cents = Similarity.seededCentroids(emb, centroids, step)
+      val cents = IvfCatalog.centroidsFor(spark, dir, centroids, step)
       Similarity.pqEncode(emb, cb)
         .join(Similarity.ivfAssign(emb, cents).select("vec_id", "centroid_id"), "vec_id")
         .repartition(col("centroid_id")) // one file per cell (IvfCatalog clusterWrite note)
@@ -34,6 +43,39 @@ object IvfPqCatalog {
         .format("parquet")
         .saveAsTable(name)
     }
+  }
+
+  /** Append vector increments into the stored code table — [[appendChunkCodes]]'s
+    * vector-store twin, completing the N28 ingest loop for a store that is
+    * ALSO served compressed: survivors are encoded with the caller's frozen
+    * codebook and assigned with the store's frozen centroids, landing in
+    * the matching cells. Idempotent by a pruned identity anti-join, same
+    * crash-convergence contract as the chunk side. `newVecs` carries
+    * (vec_id, embedding). */
+  def appendVecCodes(spark: SparkSession, dir: String, newVecs: DataFrame,
+                     cb: Similarity.PqCodebook, centroids: Int, step: Long): Unit = {
+    val name = vecCodesName(dir, centroids, step, cb)
+    require(spark.catalog.tableExists(name),
+      s"stored IVFADC code table for '$dir' not built — encodedEmbeddings first")
+    val assigned = Similarity.ivfAssign(
+        newVecs.select(col("vec_id"), col("embedding")),
+        IvfCatalog.centroidsFor(spark, dir, centroids, step))
+      .cache()
+    val cells = assigned.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    spark.catalog.refreshTable(name)
+    val existing = spark.table(name)
+      .filter(col("centroid_id").isin(cells: _*))
+      .select(col("vec_id"))
+    val fresh = assigned.join(existing, Seq("vec_id"), "left_anti")
+    val codes = Similarity.pqEncode(fresh, cb)
+      .join(fresh.select("vec_id", "centroid_id"), "vec_id")
+    val aligned = spark.table(name).schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    codes.select(aligned.toIndexedSeq: _*)
+      .repartition(col("centroid_id")) // one file per touched cell per batch
+      .write.mode("append").insertInto(name)
+    assigned.unpersist()
+    spark.catalog.refreshTable(name)
   }
 
   // ------------------------------------------------ flagship chunk IVFADC

@@ -49,11 +49,17 @@ object StreamingIngest {
 
   /** The flag+append step for ONE batch of (idCol, embCol) rows — shared by
     * the streaming sink below and the batch-loop parity path in specs.
+    * `pqCb` keeps a stored IVFADC code table ([[graft.IvfPqCatalog.encodedEmbeddings]])
+    * in step with the append — codes land BEFORE the raw rows (the raw
+    * append invalidates the survivors plan; the code append is idempotent,
+    * so a crash between the two converges on replay — the chunk loop's
+    * contract, [[graft.IvfPqCatalog.appendChunkCodes]]).
     * Returns (dropped ids count, appended count). */
   def ingestBatch(batch: DataFrame, dir: String, nlist: Int, step: Long = 31L,
                   trained: Boolean = false, minCosine: Double = 0.9,
                   nprobe: Int = 2, idCol: String = "vec_id",
-                  embCol: String = "embedding"): (Long, Long) = {
+                  embCol: String = "embedding",
+                  pqCb: Option[graft.operators.Similarity.PqCodebook] = None): (Long, Long) = {
     val spark = batch.sparkSession
     val store = IvfCatalog.assignedEmbeddings(spark, dir, nlist, step, trained)
     val cents = IvfCatalog.centroidsFor(spark, dir, nlist, step, trained)
@@ -77,6 +83,9 @@ object StreamingIngest {
     val survivors = b.join(broadcast(drops), Seq(idCol), "left_anti").cache()
     val nDropped = drops.count()
     val nAppended = survivors.count() // counted directly: batch ids need not be distinct
+    pqCb.foreach(cb => graft.IvfPqCatalog.appendVecCodes(spark, dir,
+      survivors.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      cb, nlist, step))
     IvfCatalog.appendBatch(spark, dir, survivors, nlist, step, trained)
     survivors.unpersist()
     (nDropped, nAppended)
@@ -104,6 +113,7 @@ object StreamingIngest {
             minCosine: Double = 0.9, nprobe: Int = 2,
             idCol: String = "vec_id", embCol: String = "embedding",
             compactEvery: Int = 0,
+            pqCb: Option[graft.operators.Similarity.PqCodebook] = None,
             onBatch: BatchReport => Unit = _ => ()): StreamingQuery = {
     var sinceCompact = 0
     vecs.writeStream
@@ -115,11 +125,13 @@ object StreamingIngest {
           val spark = batch.sparkSession
           val (dropped, appended) =
             ingestBatch(batch.toDF(), dir, nlist, step, trained, minCosine, nprobe,
-              idCol, embCol)
+              idCol, embCol, pqCb)
           sinceCompact += 1
           if (compactEvery > 0 && sinceCompact >= compactEvery) {
             Compaction.compactTable(spark,
               IvfCatalog.vectorStoreName(dir, nlist, step, trained), idCol = idCol)
+            pqCb.foreach(cb => Compaction.compactTable(spark, // same cadence
+              graft.IvfPqCatalog.vecCodesName(dir, nlist, step, cb), idCol = "vec_id"))
             sinceCompact = 0
           }
           onBatch(BatchReport(batchId, arrived, dropped, appended,

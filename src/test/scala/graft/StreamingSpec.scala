@@ -842,4 +842,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(codes().count() === n0 + a1, "re-appending coded chunks must be a no-op")
     dropAll()
   }
+
+  test("vector ingest keeps the IVFADC code table in step with appends (pqCb)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val (nlist, step) = (9, 31L) // isolated store/cent/code tables
+    val emb = Tables.embeddings(spark, dir)
+    val cb = graft.operators.Similarity.pqTrainSeeded(emb, m = 8, ksub = 16, step = step)
+    val storeName = TableStore.tableName(s"ivf${nlist}_$step", dir)
+    val centName = TableStore.tableName(s"ivfcent_s${nlist}_$step", dir)
+    val codesName = IvfPqCatalog.vecCodesName(dir, nlist, step, cb)
+    def dropAll(): Unit =
+      Seq(storeName, centName, codesName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll()
+    IvfCatalog.assignedEmbeddings(spark, dir, nlist, step).count()
+    IvfPqCatalog.encodedEmbeddings(spark, dir, cb, nlist, step).count()
+
+    val store = () => IvfCatalog.assignedEmbeddings(spark, dir, nlist, step)
+    val codes = () => IvfPqCatalog.encodedEmbeddings(spark, dir, cb, nlist, step)
+    val n0 = store().count()
+    assert(codes().count() === n0)
+
+    // planted batch: a verbatim store vector (near-dup → dropped) + a
+    // negated one (cosine −1 → survives and must get a code row)
+    val v = emb.filter($"vec_id" === 3L).select("embedding").head.getSeq[Float](0)
+    val (d1, a1) = graft.streaming.StreamingIngest.ingestBatch(
+      Seq((800001L, v), (800002L, v.map(x => -x)))
+        .toDF("vec_id", "embedding"), dir, nlist, step, pqCb = Some(cb))
+    assert(d1 === 1L && a1 === 1L)
+    assert(codes().count() === n0 + 1)
+    // identical cell on both sides, and the compressed probe sees the append
+    val sRow = store().filter(col("vec_id") === 800002L)
+      .select("centroid_id", "embedding").head
+    val cRow = codes().filter(col("vec_id") === 800002L).select("centroid_id").head
+    assert(cRow.getLong(0) === sRow.getLong(0))
+    val hits = graft.operators.Similarity.ivfPqSearchPruned(codes(), store(),
+        IvfCatalog.centroidsFor(spark, dir, nlist, step), cb,
+        sRow.getSeq[Float](1).toArray, k = 5, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(hits.contains(800002L), s"IVFADC probe missed the appended vector: $hits")
+    // idempotent: re-offering the coded vector is a no-op (crash-window replay)
+    IvfPqCatalog.appendVecCodes(spark, dir,
+      Seq((800002L, v.map(x => -x))).toDF("vec_id", "embedding"), cb, nlist, step)
+    assert(codes().count() === n0 + 1)
+    dropAll()
+  }
 }
