@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Document upsert/delete against the stored chunk index, timed at scale
+  * (SCALE.md, N35): the claim under test is that "replace this document's
+  * chunks" is BATCH-sized — a doc→cells index lookup plus a rewrite of only
+  * the document's own cells — and never corpus-sized. Prints the one-time
+  * costs (store build, docCells derivation), the per-call upsert/delete
+  * latency over a handful of edited documents, and the corpus-scan
+  * strawman (what finding a document's rows costs WITHOUT the secondary
+  * index: a full-store filter on a non-partition column).
+  *
+  * Usage: `sbt "runMain graft.DocLifecycleBench [dir [nlist [nDocs]]]"` —
+  * defaults to the ×100 ScaleGen corpus, √n-chunks cells, 3 documents
+  * upserted then deleted one call each.
+  */
+object DocLifecycleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/tmp/graft_sf10")
+    val nDocs = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.dataSizedShuffle(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+        .config("spark.ui.enabled", "false"), cpus.toInt, dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[doclife] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val nChunks = timed("chunk table (ONCE per corpus)") {
+      ChunkCatalog.flatChunks(spark, dir).count()
+    }
+    val nlist = args.lift(1).map(_.toInt).filter(_ > 0).getOrElse(
+      math.max(16, math.sqrt(nChunks.toDouble).toInt))
+    println(s"[doclife] corpus $dir: $nChunks chunks, nlist=$nlist, $nDocs docs per op")
+    timed("chunk store build (ONCE)") {
+      IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    }
+    timed("docCells secondary index derivation (ONCE — then append-maintained)") {
+      DocLifecycle.docCells(spark, dir, nlist).count()
+    }
+
+    val docs = Tables.documents(spark, dir)
+    val victims = docs.orderBy($"doc_id".desc).limit(nDocs)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+
+    // the strawman: locating a document's rows WITHOUT the index is a
+    // full-store scan on a non-partition column
+    val ids = victims.map(_._1)
+    timed(s"strawman: full-store scan for $nDocs docs' rows (no index)") {
+      IvfCatalog.assignedChunks(spark, dir, nlist)
+        .filter($"document_id".isin(ids: _*)).count()
+    }
+
+    victims.zipWithIndex.foreach { case ((id, text), i) =>
+      val (rm, add) = timed(s"upsert doc $id (edit ${i + 1}/$nDocs)") {
+        DocLifecycle.upsertDocChunks(spark, dir,
+          Seq((id, s"edited pass$i $text")).toDF("doc_id", "text"), nlist)
+      }
+      println(s"[doclife]   removed=$rm added=$add")
+    }
+    victims.foreach { case (id, _) =>
+      val rm = timed(s"delete doc $id") {
+        DocLifecycle.deleteDocChunks(spark, dir, Seq(id), nlist)
+      }
+      println(s"[doclife]   removed=$rm")
+    }
+    println(s"[doclife] store rows after lifecycle: " +
+      IvfCatalog.assignedChunks(spark, dir, nlist).count())
+    spark.stop()
+  }
+}
