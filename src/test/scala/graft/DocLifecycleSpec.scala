@@ -100,6 +100,77 @@ class DocLifecycleSpec extends AnyFunSuite {
     Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("property: any upsert/delete sequence keeps the store rebuild-equivalent") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val tdir = "/tmp/graft_doclife_prop_fixture"
+    val nlist = 43
+    def mkDoc(id: Long, rev: Int): String =
+      (1 to 6).map(i => s"Document $id revision $rev sentence $i describes topic " +
+        s"${(id * 7 + rev * 31 + i) % 23} of the serving index with a stable shared " +
+        "vocabulary and enough running words that the chunker emits real chunks.")
+        .mkString(" ")
+    var ref: Map[Long, String] = (1L to 12L).map(id => id -> mkDoc(id, 0)).toMap
+    ref.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tdir/documents.parquet")
+    val toDrop = Seq(TableStore.tableName("chunks", tdir),
+      TableStore.tableName(s"ivfchunks$nlist", tdir),
+      TableStore.tableName(s"ivfchunkcent$nlist", tdir),
+      DocLifecycle.docCellsName(tdir, nlist))
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.catalog.clearCache()
+    IvfCatalog.assignedChunks(spark, tdir, nlist).count()
+    DocLifecycle.docCells(spark, tdir, nlist).count()
+
+    // the oracle: a from-scratch feature-pipeline run over the CURRENT doc
+    // set, assigned with the store's frozen centroids
+    def expected(): Set[(String, Long, Long)] =
+      Similarity.ivfAssign(
+          graft.pipelines.Pipelines.featurePipeline(
+              ref.toSeq.toDF("doc_id", "text"), 0.0)
+            .select(col("chunk_id"), col("document_id"), col("embedding")),
+          IvfCatalog.chunkCentroidsStored(spark, tdir, nlist), idCol = "chunk_id")
+        .select("chunk_id", "document_id", "centroid_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // deterministic pseudo-random op sequence: edit, re-edit, add, delete,
+    // replay-unchanged, delete-then-readd — every lifecycle transition
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { step =>
+      val op = rnd.nextInt(4)
+      if (op == 0 || ref.isEmpty) { // add (or re-add after delete)
+        val id = if (ref.isEmpty) 100L + step else ref.keys.max + 1
+        ref += id -> mkDoc(id, step)
+        DocLifecycle.upsertDocChunks(spark, tdir,
+          Seq((id, ref(id))).toDF("doc_id", "text"), nlist)
+      } else if (op == 1) { // edit an existing doc
+        val id = ref.keys.toSeq.sorted.apply(rnd.nextInt(ref.size))
+        ref += id -> mkDoc(id, step)
+        DocLifecycle.upsertDocChunks(spark, tdir,
+          Seq((id, ref(id))).toDF("doc_id", "text"), nlist)
+      } else if (op == 2) { // replay unchanged (must be a no-op)
+        val id = ref.keys.toSeq.sorted.apply(rnd.nextInt(ref.size))
+        DocLifecycle.upsertDocChunks(spark, tdir,
+          Seq((id, ref(id))).toDF("doc_id", "text"), nlist)
+      } else { // delete
+        val id = ref.keys.toSeq.sorted.apply(rnd.nextInt(ref.size))
+        ref -= id
+        DocLifecycle.deleteDocChunks(spark, tdir, Seq(id), nlist)
+      }
+      if (step % 5 == 0 || step == 10) {
+        val got = IvfCatalog.assignedChunks(spark, tdir, nlist)
+          .select("chunk_id", "document_id", "centroid_id")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === expected(), s"store diverged from rebuild at step $step")
+        // the index's superset contract holds throughout
+        val indexed = DocLifecycle.docCells(spark, tdir, nlist)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got.map(t => (t._2, t._3)).subsetOf(indexed))
+      }
+    }
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("lifecycle composes with the ingest loop and the IVFADC code table") {
     import spark.implicits._
     val (nlist, m, ksub) = (41, 24, 16)
