@@ -216,8 +216,36 @@ object Compaction {
         val bucketKey =
           if (schema.fieldNames.contains(idCol)) idCol
           else schema.fieldNames.filterNot(partCols.contains).head
-        val selected = spark.table(name)
-          .filter(specs.map(partPredicate(_, schema)).reduce(_ || _))
+        // the spill reads EXACTLY the snapshot's files by path (basePath
+        // recovers the partition columns) — never the session's resolved
+        // table relation, whose cached file listing can be STALE: an
+        // external-session append landing after this session last resolved
+        // the table would be inside the FS fingerprint (so the commit
+        // re-list detects no change) yet missing from a cached-listing
+        // scan, and the overwrite would silently delete it. Reading the
+        // snapshot's own files makes spill == fingerprint by construction;
+        // anything newer than both still aborts at the re-list.
+        val snapFiles = specs.flatMap { spec =>
+          snapshot(spec).map { case (fname, _) =>
+            new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(root, spec), fname).toString }
+        }
+        // explicit DATA schema (table schema minus partition columns): the
+        // footer-inferred schema comes from one arbitrary file, and a file
+        // written without a nullable column would drop it for the whole
+        // batch; with the declared schema such files null-fill instead,
+        // exactly like a table scan
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(f => partCols.contains(f.name)))
+        val raw = spark.read
+          .schema(dataSchema)
+          .option("basePath", meta.location.toString)
+          .parquet(snapFiles: _*)
+        // path-inferred partition columns come back in their narrowest type
+        // (centroid_id=10 → int); align to the table's declared types
+        val selected = partCols.foldLeft(raw) { (df, c) =>
+            df.withColumn(c, col(c).cast(schema(c).dataType))
+          }
           .withColumn("__bucket", pmod(xxhash64(col(bucketKey)), nfCol))
         // temp hop: can't overwrite a table from a plan that reads it.
         // Nonce-suffixed (concurrent passes never clobber each other's

@@ -86,7 +86,9 @@ object DocIngestBench {
     // re-keyed and text-prefixed (every chunk id fresh → the append path)
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
-    val mod = math.max(nBatches.toLong, nDocs / math.max(batchDocs, 1))
+    // the modulus must cover the HIGHEST batch index a firstBatch-offset
+    // leg uses, or those batches silently select zero documents
+    val mod = math.max((firstBatch + nBatches).toLong, nDocs / math.max(batchDocs, 1))
     val batches: Seq[Seq[(Long, String)]] = (firstBatch until firstBatch + nBatches).map { b =>
       val slice = docs.filter(pmod($"doc_id", lit(mod)) === b)
         .orderBy($"doc_id".asc).limit(batchDocs)

@@ -156,11 +156,19 @@ object DocLifecycle {
     * whose edit produces no chunks (fails the quality gate) is effectively
     * deleted; replayed unchanged documents round-trip to identical rows (the
     * md5 ids are content-derived). `pqM > 0` maintains the IVFADC code
-    * table in the same call. */
+    * table in the same call.
+    *
+    * Replacement chunks carry the same materialized `near_dup_of` signal
+    * the ingest loop stamps ([[graft.streaming.StreamingIngest.ingestDocBatch]])
+    * — flagged against the store MINUS the document's own outgoing rows (an
+    * edited chunk near-dupping its predecessor must not point at a removed
+    * id) plus its batch-mates; `flagNearDups = false` skips the kernel. */
   def upsertDocChunks(spark: SparkSession, dir: String, docs: DataFrame,
                       nlist: Int, qualityThreshold: Double = 0.0,
                       idCol: String = "doc_id", textCol: String = "text",
                       trained: Boolean = false,
+                      flagNearDups: Boolean = true,
+                      flagMinCosine: Double = 0.9, flagNprobe: Int = 2,
                       pqM: Int = 0, pqKsub: Int = 32): (Long, Long) = {
     val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
     require(spark.catalog.tableExists(store),
@@ -182,9 +190,28 @@ object DocLifecycle {
     val removedIds = pruned.filter(inIds(ids)).select("chunk_id").localCheckpoint(true)
     val nRemoved = removedIds.count()
     val nAdded = assigned.count()
+    val flagged =
+      if (!flagNearDups) assigned.withColumn("near_dup_of", lit(null).cast("string"))
+      else {
+        // same semantics as the ingest loop's flag: counterparts are stored
+        // chunks or batch-mates, smallest id wins — but the store side
+        // excludes the document's own OUTGOING rows, so a flag can never
+        // point at an id this very call removes
+        val pairs = graft.operators.Dedup.embeddingPairsCelledIncrementalById(
+          assigned.select(col("chunk_id"), col("embedding")),
+          spark.table(store).filter(!inIds(ids)),
+          IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained),
+          flagMinCosine, flagNprobe)
+        val bIds = assigned.select(col("chunk_id"))
+        val flags = pairs.select(col("left_id").as("chunk_id"), col("right_id").as("__other"))
+          .unionByName(pairs.select(col("right_id").as("chunk_id"), col("left_id").as("__other")))
+          .join(broadcast(bIds), Seq("chunk_id"), "left_semi")
+          .groupBy("chunk_id").agg(min(col("__other")).as("near_dup_of"))
+        assigned.join(broadcast(flags), Seq("chunk_id"), "left")
+      }
     val storeSchema = spark.table(store).schema
-    val newRows = assigned.select(storeSchema.fieldNames.map { f =>
-      if (assigned.columns.contains(f)) col(f).cast(storeSchema(f).dataType).as(f)
+    val newRows = flagged.select(storeSchema.fieldNames.map { f =>
+      if (flagged.columns.contains(f)) col(f).cast(storeSchema(f).dataType).as(f)
       else lit(null).cast(storeSchema(f).dataType).as(f)
     }.toIndexedSeq: _*)
     overwriteCells(spark, store, touched,

@@ -86,7 +86,7 @@ object FlagshipBench {
     val rawBytes = Compaction.partitionStats(spark,
       IvfCatalog.chunkStoreName(dir, nlist)).map(_.bytes).sum
     val codeBytes = Compaction.partitionStats(spark,
-      TableStore.tableName(s"ivfpqchunks${nlist}_m${pqM}k${pqKsub}_${cb.fingerprint}", dir))
+      IvfPqCatalog.chunkCodesName(dir, nlist, pqM, pqKsub, trained = false, cb))
       .map(_.bytes).sum
     println(f"[flagship] store bytes: raw=${rawBytes / 1e6}%.1f MB  " +
       f"codes=${codeBytes / 1e6}%.1f MB  ratio=${rawBytes.toDouble / codeBytes}%.1f×")

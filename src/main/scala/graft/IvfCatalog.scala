@@ -173,6 +173,16 @@ object IvfCatalog {
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
     val assigned = Similarity.ivfAssign(newChunks,
       chunkCentroidsStored(spark, dir, centroids, trained), idCol = "chunk_id")
+    // materialize the (doc, cell) pairs BEFORE the append: ingest-loop
+    // batches derive from an anti-join against THIS store, and the append's
+    // refreshTable invalidates that lineage — a post-append re-evaluation
+    // would see its own rows in the store and produce ZERO pairs, silently
+    // violating the index's never-miss-a-cell contract
+    val docPairs =
+      if (spark.catalog.tableExists(DocLifecycle.docCellsName(dir, centroids, trained)))
+        Some(assigned.select(col("document_id"), col("centroid_id"))
+          .distinct().localCheckpoint(true))
+      else None
     val aligned = spark.table(name).schema.fields.map { f =>
       if (assigned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
@@ -184,7 +194,7 @@ object IvfCatalog {
     // keep the doc→cells secondary index complete (DocLifecycle's superset
     // contract: it may over-list cells, it must never miss one) — appended
     // in the same micro-batch as the rows themselves
-    DocLifecycle.appendDocCells(spark, dir, centroids, trained, assigned)
+    docPairs.foreach(p => DocLifecycle.appendDocCells(spark, dir, centroids, trained, p))
   }
 
   /** Append one ingest batch to the stored index — the write half of the

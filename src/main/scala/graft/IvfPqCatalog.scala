@@ -14,14 +14,18 @@ import graft.operators.Similarity
   */
 object IvfPqCatalog {
 
-  /** Catalog table name of the vector code table for (centroids, step) and
-    * a given codebook — the codebook fingerprint is part of the identity
-    * (not just its shape): a differently-trained codebook must never reuse
-    * a stale table. */
+  /** Catalog table name of the vector code table for (centroids, step,
+    * mode) and a given codebook — the codebook fingerprint is part of the
+    * identity (not just its shape): a differently-trained codebook must
+    * never reuse a stale table. `trained` marks the CELL-assignment mode
+    * (IvfCatalog's ivfk naming convention), which must match the raw
+    * store's or probes prune different partitions on the two sides. */
   def vecCodesName(dir: String, centroids: Int, step: Long,
-                   cb: Similarity.PqCodebook): String =
+                   cb: Similarity.PqCodebook, trained: Boolean = false): String = {
+    val mode = if (trained) "k" else ""
     TableStore.tableName(
-      s"ivfpq${centroids}_${step}_m${cb.m}k${cb.ksub}_${cb.fingerprint}", dir)
+      s"ivfpq$mode${centroids}_${step}_m${cb.m}k${cb.ksub}_${cb.fingerprint}", dir)
+  }
 
   /** PQ-encoded embeddings with centroid_id, stored partitioned by
     * centroid_id. Built once per (session, dir); later calls are a
@@ -30,11 +34,12 @@ object IvfPqCatalog {
     * code table's cells are identical to the raw store's by construction,
     * even against a corpus that has grown since the store was built. */
   def encodedEmbeddings(spark: SparkSession, dir: String, cb: Similarity.PqCodebook,
-                        centroids: Int, step: Long): DataFrame = {
-    val name = vecCodesName(dir, centroids, step, cb)
+                        centroids: Int, step: Long,
+                        trained: Boolean = false): DataFrame = {
+    val name = vecCodesName(dir, centroids, step, cb, trained)
     TableStore.getOrBuild(spark, name) {
       val emb = Tables.embeddings(spark, dir)
-      val cents = IvfCatalog.centroidsFor(spark, dir, centroids, step)
+      val cents = IvfCatalog.centroidsFor(spark, dir, centroids, step, trained)
       Similarity.pqEncode(emb, cb)
         .join(Similarity.ivfAssign(emb, cents).select("vec_id", "centroid_id"), "vec_id")
         .repartition(col("centroid_id")) // one file per cell (IvfCatalog clusterWrite note)
@@ -53,13 +58,14 @@ object IvfPqCatalog {
     * crash-convergence contract as the chunk side. `newVecs` carries
     * (vec_id, embedding). */
   def appendVecCodes(spark: SparkSession, dir: String, newVecs: DataFrame,
-                     cb: Similarity.PqCodebook, centroids: Int, step: Long): Unit = {
-    val name = vecCodesName(dir, centroids, step, cb)
+                     cb: Similarity.PqCodebook, centroids: Int, step: Long,
+                     trained: Boolean = false): Unit = {
+    val name = vecCodesName(dir, centroids, step, cb, trained)
     require(spark.catalog.tableExists(name),
       s"stored IVFADC code table for '$dir' not built — encodedEmbeddings first")
     val assigned = Similarity.ivfAssign(
         newVecs.select(col("vec_id"), col("embedding")),
-        IvfCatalog.centroidsFor(spark, dir, centroids, step))
+        IvfCatalog.centroidsFor(spark, dir, centroids, step, trained))
       .cache()
     val cells = assigned.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq

@@ -85,7 +85,7 @@ object StreamingIngest {
     val nAppended = survivors.count() // counted directly: batch ids need not be distinct
     pqCb.foreach(cb => graft.IvfPqCatalog.appendVecCodes(spark, dir,
       survivors.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
-      cb, nlist, step))
+      cb, nlist, step, trained))
     IvfCatalog.appendBatch(spark, dir, survivors, nlist, step, trained)
     survivors.unpersist()
     (nDropped, nAppended)
@@ -131,7 +131,8 @@ object StreamingIngest {
             Compaction.compactTable(spark,
               IvfCatalog.vectorStoreName(dir, nlist, step, trained), idCol = idCol)
             pqCb.foreach(cb => Compaction.compactTable(spark, // same cadence
-              graft.IvfPqCatalog.vecCodesName(dir, nlist, step, cb), idCol = "vec_id"))
+              graft.IvfPqCatalog.vecCodesName(dir, nlist, step, cb, trained),
+              idCol = "vec_id"))
             sinceCompact = 0
           }
           onBatch(BatchReport(batchId, arrived, dropped, appended,

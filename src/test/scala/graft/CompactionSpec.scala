@@ -361,4 +361,47 @@ class CompactionSpec extends AnyFunSuite {
     assert(report.compacted.isEmpty, "minFiles above every partition must be a no-op")
     spark.sql(s"DROP TABLE IF EXISTS $name")
   }
+
+  test("an external append invisible to the session's cached listing survives compaction") {
+    import spark.implicits._
+    // the hazard: session resolves (and caches) the table's file listing;
+    // an EXTERNAL writer lands a file directly in a partition directory;
+    // compaction's FS snapshot includes that file (so the commit re-list
+    // detects no change) while the spill would read the stale cached
+    // listing that excludes it — the overwrite would silently delete it.
+    // compactTable refreshes the relation before snapshotting; all rows
+    // must survive.
+    val tdir = "/tmp/graft_compact_ext_fixture"
+    val name = TableStore.tableName("ivf8_31", tdir)
+    Tables.embeddings(spark, dir).filter($"vec_id" < 100)
+      .write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L).count()
+    IvfCatalog.appendBatch(spark, tdir,
+      Tables.embeddings(spark, tdir).filter($"vec_id" < 20)
+        .select(($"vec_id" + 5000L).as("vec_id"), $"embedding"), 8, 31L)
+    val n0 = spark.table(name).count() // resolve + cache the listing NOW
+
+    val frag = Compaction.partitionStats(spark, name).maxBy(_.files)
+    assert(frag.files >= 2)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(name)).location
+    val cellPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), frag.spec).toString
+    // the external writer: data files straight into the partition dir,
+    // bypassing this session's catalog entirely — and WITHOUT the nullable
+    // label column, so the rewrite must also tolerate a file narrower than
+    // the table's data schema (null-filled, like a table scan would)
+    Tables.embeddings(spark, tdir).filter($"vec_id" < 4)
+      .select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
+      .coalesce(1).write.mode("append").parquet(cellPath)
+
+    val rep = Compaction.compactTable(spark, name)
+    assert(rep.compacted.nonEmpty, s"fixture failed to trigger a rewrite: $rep")
+    spark.catalog.refreshTable(name)
+    assert(spark.table(name).count() === n0 + 4,
+      "externally appended rows were lost by the rewrite")
+    assert(spark.table(name).filter($"vec_id" >= 9000L).count() === 4)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 }

@@ -171,6 +171,52 @@ class DocLifecycleSpec extends AnyFunSuite {
     toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("upsert stamps near_dup_of like the ingest loop — never at an id it removes") {
+    import spark.implicits._
+    val nlist = 47
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    val idxName = DocLifecycle.docCellsName(dir, nlist)
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    val store = () => IvfCatalog.assignedChunks(spark, dir, nlist)
+    // single-chunk near-copy pair (one token apart, cosine above the bar)
+    def mk(word: String): String =
+      (1 to 4).map(i => s"The $word conduit mirrors frame $i through the pruned " +
+        "cells and restamps the survivors into the partitioned store.").mkString(" ")
+
+    DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((940001L, mk("aurora"))).toDF("doc_id", "text"), nlist)
+    val xChunk = store().filter(col("document_id") === 940001L)
+      .select("chunk_id", "near_dup_of").head
+    assert(xChunk.isNullAt(1), "nothing near-dups docX — flag must be null")
+
+    DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((940002L, mk("aurins"))).toDF("doc_id", "text"), nlist)
+    val y1 = store().filter(col("document_id") === 940002L)
+      .select("chunk_id", "near_dup_of").head
+    assert(y1.getString(1) === xChunk.getString(0),
+      "an upserted near-copy arrives flagged, exactly like the ingest loop")
+
+    // EDIT docY into another near-copy: the new chunk near-dups both X and
+    // docY's own OUTGOING chunk — the flag must point at X, never at the
+    // id this very call removes
+    DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((940002L, mk("aurinz"))).toDF("doc_id", "text"), nlist)
+    val y2 = store().filter(col("document_id") === 940002L)
+      .select("chunk_id", "near_dup_of").head
+    assert(y2.getString(1) === xChunk.getString(0),
+      s"edited near-copy must flag the LIVE counterpart, got ${y2.getString(1)}")
+    assert(y2.getString(1) !== y1.getString(0), "flag points at a removed id")
+
+    // flagNearDups = false skips the kernel
+    DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((940003L, mk("quixotic"))).toDF("doc_id", "text"), nlist, flagNearDups = false)
+    assert(store().filter(col("document_id") === 940003L)
+      .select("near_dup_of").head.isNullAt(0))
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("lifecycle composes with the ingest loop and the IVFADC code table") {
     import spark.implicits._
     val (nlist, m, ksub) = (41, 24, 16)
@@ -196,6 +242,20 @@ class DocLifecycleSpec extends AnyFunSuite {
       Seq((930001L, mk("borealis"))).toDF("doc_id", "text"), dir, nlist,
       pqM = m, pqKsub = ksub)
     assert(a1 >= 1L)
+    // the index picked up the ingested doc's pairs IN the append batch —
+    // appendChunks materializes them BEFORE its refresh invalidates the
+    // loop's anti-join lineage (a post-refresh re-evaluation yields zero
+    // pairs and the index would silently miss exactly these cells)
+    val storePairs = IvfCatalog.assignedChunks(spark, dir, nlist)
+      .filter(col("document_id") === 930001L)
+      .select("document_id", "centroid_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storePairs.nonEmpty)
+    val idxPairs = DocLifecycle.docCells(spark, dir, nlist)
+      .filter(col("document_id") === 930001L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(storePairs.subsetOf(idxPairs),
+      s"index missed cells appended by the ingest loop: store=$storePairs idx=$idxPairs")
     // ...then is edited: the upsert must find its cells through the index
     val (rm, add) = DocLifecycle.upsertDocChunks(spark, dir,
       Seq((930001L, mk("cirrus"))).toDF("doc_id", "text"), nlist, pqM = m, pqKsub = ksub)
