@@ -888,4 +888,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(codes().count() === n0 + 1)
     dropAll()
   }
+
+  test("streaming vec loop with pqCb compacts the code table on the same cadence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (nlist, step) = (13, 31L) // isolated store/cent/code tables
+    val emb = Tables.embeddings(spark, dir)
+    val cb = graft.operators.Similarity.pqTrainSeeded(emb, m = 8, ksub = 16, step = step)
+    val storeName = TableStore.tableName(s"ivf${nlist}_$step", dir)
+    val centName = TableStore.tableName(s"ivfcent_s${nlist}_$step", dir)
+    val codesName = IvfPqCatalog.vecCodesName(dir, nlist, step, cb)
+    Seq(storeName, centName, codesName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedEmbeddings(spark, dir, nlist, step).count()
+    IvfPqCatalog.encodedEmbeddings(spark, dir, cb, nlist, step).count()
+    val n0 = spark.table(storeName).count()
+
+    // three batches of genuinely-new vectors (negations of distinct corpus
+    // rows — far from everything stored), streamed through the production
+    // loop with the code table maintained and compacted every 2 batches
+    def neg(id: Long): Seq[Float] =
+      emb.filter($"vec_id" === id).select("embedding").head.getSeq[Float](0).map(x => -x)
+    val batches = Seq(Seq(810001L -> neg(3L)), Seq(810002L -> neg(7L)), Seq(810003L -> neg(11L)))
+    val source = MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vecpq_ckpt").toString
+    val q = graft.streaming.StreamingIngest.start(
+      source.toDF().toDF("vec_id", "embedding"), dir, ckpt, nlist, step,
+      compactEvery = 2, pqCb = Some(cb))
+    batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    spark.catalog.refreshTable(storeName); spark.catalog.refreshTable(codesName)
+    // both tables in lockstep through append + in-loop compaction
+    assert(spark.table(storeName).count() === n0 + 3)
+    assert(spark.table(codesName).count() === n0 + 3)
+    assert(spark.table(codesName).join(spark.table(storeName), Seq("vec_id"), "left_anti")
+      .count() === 0L)
+    // the cadence kept the CODE table's file count bounded too: after the
+    // compaction at batch 2, only batch 3's appends fragment it
+    val frag = Compaction.partitionStats(spark, codesName)
+    assert(frag.forall(_.files <= 2),
+      s"code table not compacted in-loop: ${frag.filter(_.files > 2)}")
+    Seq(storeName, centName, codesName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
