@@ -88,13 +88,19 @@ object Compaction {
   /** `aborted`: partition specs whose rewrite batch was skipped because a
     * concurrent append changed their files between the stats snapshot and
     * the overwrite — nothing was rewritten there; the next pass picks them
-    * up. */
+    * up. `commitWindowSeconds` is the measured residual race window: the
+    * longest span (across batches) from the late-append re-list to the
+    * overwrite job's completed commit — an append landing inside it is
+    * neither detected nor preserved, so this number is what "quiesce
+    * high-rate writers" buys; the truly unfenced instant (re-list → the
+    * commit's FIRST delete) is strictly shorter than this span. */
   case class Report(scanned: Int, compacted: Seq[PartitionStats],
                     filesBefore: Int, filesAfter: Int, seconds: Double,
-                    aborted: Seq[String] = Nil)
+                    aborted: Seq[String] = Nil,
+                    commitWindowSeconds: Double = 0.0)
 
-  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
-                        dir: org.apache.hadoop.fs.Path) =
+  private[graft] def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path) =
     fs.listStatus(dir).toSeq.filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
@@ -132,13 +138,18 @@ object Compaction {
   }
 
   /** The file fingerprint (name, length) of each of `specs`' directories —
-    * the late-append detector's snapshot unit. */
-  private def fileFingerprint(fs: org.apache.hadoop.fs.FileSystem,
-                              root: org.apache.hadoop.fs.Path,
-                              specs: Seq[String]): Map[String, Set[(String, Long)]] =
+    * the late-append detector's snapshot unit. A spec whose directory does
+    * not exist yet (a rewrite targeting a brand-new cell) fingerprints as
+    * empty — creation of the directory then reads as a change. Shared with
+    * [[DocLifecycle]]'s cell rewrites, which carry the same hazard. */
+  private[graft] def fileFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: org.apache.hadoop.fs.Path,
+                                     specs: Seq[String]): Map[String, Set[(String, Long)]] =
     specs.map { spec =>
       val dir = new org.apache.hadoop.fs.Path(root, spec)
-      spec -> dataFiles(fs, dir).map(st => (st.getPath.getName, st.getLen)).toSet
+      spec -> (if (fs.exists(dir))
+                 dataFiles(fs, dir).map(st => (st.getPath.getName, st.getLen)).toSet
+               else Set.empty[(String, Long)])
     }.toMap
 
   /** Typed row predicate for one partition spec path: conjunction over the
@@ -199,6 +210,7 @@ object Compaction {
 
     val compacted = Seq.newBuilder[PartitionStats]
     val aborted = Seq.newBuilder[String]
+    var commitWindow = 0.0
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -264,6 +276,7 @@ object Compaction {
           if (fileFingerprint(fs, root, specs) != snapshot) {
             aborted ++= specs
           } else {
+            val tRelist = System.nanoTime() // residual window opens here
             val nBuckets = batch.map(_.packedFiles(targetBytes)).sum
             val staged = spark.read.parquet(tmp.toString)
             staged
@@ -271,6 +284,7 @@ object Compaction {
                 (partCols.map(col) :+ col("__bucket")): _*)
               .select(schema.fieldNames.map(col).toIndexedSeq: _*)
               .write.mode("overwrite").insertInto(name)
+            commitWindow = math.max(commitWindow, (System.nanoTime() - tRelist) / 1e9)
             compacted ++= batch
           }
         } finally {
@@ -289,7 +303,7 @@ object Compaction {
     Report(all.size, compacted.result(),
       all.map(_.files).sum, after.map(_.files).sum,
       (System.nanoTime() - t0) / 1e9,
-      aborted.result())
+      aborted.result(), commitWindow)
   }
 
   /** Data-file count of a NON-partitioned table (files live at the root). */

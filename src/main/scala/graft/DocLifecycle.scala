@@ -35,17 +35,33 @@ import graft.pipelines.Pipelines
   * replaces partitions present in the OUTPUT, so an emptied cell would
   * otherwise keep its stale files). Readers get Compaction's contract:
   * fail-loud on a raced listing, clean on refresh-retry
-  * ([[TableStore.retryingStale]]). Writers get Compaction's contract too:
-  * these are maintenance-class rewrites — run them serially with the
-  * ingest loop's appends (the loop itself is serial by construction; an
-  * external upsert job quiesces ingest for its cells or accepts the
-  * late-append hazard compactTable documents).
+  * ([[TableStore.retryingStale]]). Writers get Compaction's DETECTED
+  * contract, not a prose one: every cell rewrite snapshots the touched
+  * partitions' file fingerprints, reads exactly those files as its input
+  * (never the session's possibly-stale cached listing), re-lists
+  * immediately before the overwrite, and RETRIES the rewrite from a fresh
+  * snapshot if anything changed — an ingest-loop append landing in a
+  * touched cell mid-rewrite is re-read into the next attempt instead of
+  * silently deleted ([[Compaction.compactTable]]'s fingerprint mechanism;
+  * a writer still racing after `maxAttempts` fails loudly). Serial
+  * operation with the ingest loop remains the deployment shape — the
+  * detection is defense-in-depth, and the instant between the final
+  * re-list and the overwrite's commit stays unfenced, same residual as
+  * compactTable (whose Report measures it).
   *
   * The IVFADC code table (when the store is also served compressed) is
-  * maintained in the same call when `pqM > 0`: dead ids' codes are dropped
-  * from the touched cells and replacement chunks are encoded with the
-  * frozen codebook — without this, deleted ids linger as ADC candidates
-  * and burn rerank slots. */
+  * maintained in the same call when `pqM > 0`, ordered for crash
+  * convergence like the ingest loop: replacement chunks' codes are
+  * appended FIRST (idempotent by id against the frozen codebook), the raw
+  * store is rewritten second, and dead codes are purged LAST by keeping
+  * only codes whose id is live in the rewritten store. A crash after the
+  * code append leaves codes whose raw rows don't exist yet — ADC
+  * candidates that drop out at the exact-rerank join, reclaimed by replay
+  * or the purge of any later call touching the cell; a crash before the
+  * purge leaves dead ids as candidates that likewise rerank away. Neither
+  * state serves wrong answers, and replaying the call converges both —
+  * unlike purge-by-removed-ids ordering, which a replayed unchanged upsert
+  * would turn into deleting LIVE codes. */
 object DocLifecycle {
 
   /** Catalog table name of the doc→cells index for (dir, nlist, mode). */
@@ -110,24 +126,61 @@ object DocLifecycle {
       .select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
 
-  /** Dynamic-partition-overwrite `cells` of `name` with `content` (their
-    * complete replacement rows); cells absent from the output are emptied —
-    * dropped as partitions. Compaction's temp-hop shape: spill first (a
-    * plan reading the table can't overwrite it), nonce-suffixed, deleted in
-    * the finally. */
+  /** Dynamic-partition-overwrite `cells` of `name` with
+    * `transform(existing rows of those cells)`; cells absent from the output
+    * are emptied — dropped as partitions. Compaction's hardened shape end to
+    * end: the touched cells' files are FINGERPRINT-snapshotted and the input
+    * is read from exactly those files by path (so input == snapshot by
+    * construction, immune to a stale cached listing), the transformed
+    * content spills to a nonce-suffixed temp dir deleted in the finally (a
+    * plan reading the table can't overwrite it), and the fingerprints are
+    * re-listed immediately before the overwrite — any change (a concurrent
+    * append landing in a touched cell) ABORTS the attempt, returning false,
+    * and [[overwriteCellsRetrying]] re-runs the whole rewrite from a fresh
+    * snapshot that includes the appended rows. `beforeOverwrite` is the
+    * post-spill seam the race spec injects a writer through. */
   private def overwriteCells(spark: SparkSession, name: String,
-                             cells: Seq[Long], content: DataFrame): Unit = {
-    if (cells.isEmpty) return
+                             cells: Seq[Long], transform: DataFrame => DataFrame,
+                             beforeOverwrite: () => Unit = () => ()): Boolean = {
+    if (cells.isEmpty) return true
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(name))
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = spark.table(name).schema
+    val specs = cells.map(c => s"centroid_id=$c")
+    val snapshot = Compaction.fileFingerprint(fs, root, specs)
+    val snapFiles = specs.flatMap { spec =>
+      snapshot(spec).map { case (fname, _) =>
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, spec), fname).toString }
+    }
+    val existing =
+      if (snapFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        // explicit data schema + basePath partition recovery, cast to the
+        // table's declared partition type (Compaction's spill discipline)
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name == "centroid_id"))
+        spark.read.schema(dataSchema)
+          .option("basePath", meta.location.toString)
+          .parquet(snapFiles: _*)
+          .withColumn("centroid_id",
+            col("centroid_id").cast(schema("centroid_id").dataType))
+      }
     val tmp = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
       s"__upsert_tmp_${name}_${System.nanoTime()}")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      content.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      transform(existing).select(schema.fieldNames.map(col).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(tmp.toString)
+      beforeOverwrite()
+      if (Compaction.fileFingerprint(fs, root, specs) != snapshot)
+        return false // late append detected — caller retries from a fresh snapshot
       val staged = spark.read.parquet(tmp.toString)
       val present = staged.select("centroid_id").distinct()
         .collect().map(_.getLong(0)).toSet
@@ -139,12 +192,31 @@ object DocLifecycle {
         spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (centroid_id=$c)")
       }
       spark.catalog.refreshTable(name)
+      true
     } finally {
       fs.delete(tmp, true)
       prevMode match {
         case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
         case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+    }
+  }
+
+  /** [[overwriteCells]] until it commits: each aborted attempt re-snapshots
+    * the touched cells, so the retried transform sees every row the racing
+    * writer appended. A writer still racing after `maxAttempts` fails loudly
+    * — never a silent drop. */
+  private def overwriteCellsRetrying(spark: SparkSession, name: String,
+                                     cells: Seq[Long], transform: DataFrame => DataFrame,
+                                     beforeOverwrite: () => Unit = () => (),
+                                     maxAttempts: Int = 5): Unit = {
+    var left = maxAttempts
+    while (!overwriteCells(spark, name, cells, transform, beforeOverwrite)) {
+      left -= 1
+      if (left <= 0) throw new IllegalStateException(
+        s"cell rewrite of $name raced concurrent appends $maxAttempts times — " +
+          "quiesce the writer (maintenance rewrites are serial with ingest by contract)")
+      spark.catalog.refreshTable(name)
     }
   }
 
@@ -162,33 +234,48 @@ object DocLifecycle {
     * the ingest loop stamps ([[graft.streaming.StreamingIngest.ingestDocBatch]])
     * — flagged against the store MINUS the document's own outgoing rows (an
     * edited chunk near-dupping its predecessor must not point at a removed
-    * id) plus its batch-mates; `flagNearDups = false` skips the kernel. */
+    * id) plus its batch-mates; `flagNearDups = false` skips the kernel.
+    *
+    * One revision per document: rows duplicated verbatim inside `docs`
+    * (source redelivery) collapse to one, but TWO DISTINCT revisions of the
+    * same id in one batch are rejected — `replace_one` semantics need a
+    * single winner, and silently picking one would be nondeterministic;
+    * reduce upstream (the streaming edits channel keeps the max-sequence
+    * revision) before calling. `beforeOverwrite` is the race spec's seam
+    * into the store rewrite. */
   def upsertDocChunks(spark: SparkSession, dir: String, docs: DataFrame,
                       nlist: Int, qualityThreshold: Double = 0.0,
                       idCol: String = "doc_id", textCol: String = "text",
                       trained: Boolean = false,
                       flagNearDups: Boolean = true,
                       flagMinCosine: Double = 0.9, flagNprobe: Int = 2,
-                      pqM: Int = 0, pqKsub: Int = 32): (Long, Long) = {
+                      pqM: Int = 0, pqKsub: Int = 32,
+                      beforeOverwrite: () => Unit = () => ()): (Long, Long) = {
     val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
-    val ids = docs.select(col(idCol).cast("long")).distinct()
+    val d = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .dropDuplicates(idCol, textCol) // a doc redelivered verbatim in one batch
+    val multiRev = d.groupBy(col(idCol)).count()
+      .filter(col("count") > 1).select(col(idCol)).limit(1).collect()
+    require(multiRev.isEmpty,
+      s"batch carries more than one distinct revision of $idCol=${multiRev.headOption.map(_.get(0)).orNull}" +
+        " — reduce to one revision per document (e.g. latest by sequence) before upserting")
+    val ids = d.select(col(idCol)).distinct()
       .collect().map(_.getLong(0)).toSeq // batch-sized by construction
-    val chunks = Pipelines.featurePipeline(docs, qualityThreshold, idCol, textCol)
+    val chunks = Pipelines.featurePipeline(d, qualityThreshold, idCol, textCol)
       .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
     val assigned = Similarity.ivfAssign(chunks,
-      IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained), idCol = "chunk_id").cache()
+        IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained), idCol = "chunk_id")
+      .dropDuplicates("chunk_id") // belt: content-derived ids can't collide across docs
+      .cache()
     val newCells = assigned.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val touched = (newCells ++ cellsOf(spark, dir, nlist, trained, ids)).distinct
     spark.catalog.refreshTable(store)
-    val pruned = spark.table(store).filter(col("centroid_id").isin(touched: _*))
-    // localCheckpoint, not cache: the store rewrite below refreshes the
-    // table, which would invalidate a cached plan reading it — a recompute
-    // against the REWRITTEN store would see no removed rows at all
-    val removedIds = pruned.filter(inIds(ids)).select("chunk_id").localCheckpoint(true)
-    val nRemoved = removedIds.count()
+    // counted eagerly, BEFORE the rewrite removes exactly these rows
+    val nRemoved = spark.table(store)
+      .filter(col("centroid_id").isin(touched: _*)).filter(inIds(ids)).count()
     val nAdded = assigned.count()
     val flagged =
       if (!flagNearDups) assigned.withColumn("near_dup_of", lit(null).cast("string"))
@@ -213,50 +300,67 @@ object DocLifecycle {
     val newRows = flagged.select(storeSchema.fieldNames.map { f =>
       if (flagged.columns.contains(f)) col(f).cast(storeSchema(f).dataType).as(f)
       else lit(null).cast(storeSchema(f).dataType).as(f)
-    }.toIndexedSeq: _*)
-    overwriteCells(spark, store, touched,
-      pruned.filter(!inIds(ids)).unionByName(newRows))
+    }.toIndexedSeq: _*).localCheckpoint(true) // pinned: the rewrite invalidates its lineage
+    // mutation order is the crash-convergence contract (object scaladoc):
+    // (1) index pairs FIRST — a crash after leaves superset false positives,
+    //     pairs-after would leave live rows in unlisted cells forever;
     appendDocCells(spark, dir, nlist, trained, assigned)
-
-    if (pqM > 0) {
-      val codes = IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained)
-      if (spark.catalog.tableExists(codes)) {
-        spark.catalog.refreshTable(codes)
-        val kept = spark.table(codes)
-          .filter(col("centroid_id").isin(touched: _*))
-          .join(broadcast(removedIds), Seq("chunk_id"), "left_anti")
-        overwriteCells(spark, codes, touched, kept)
-        IvfPqCatalog.appendChunkCodes(spark, dir,
-          assigned.select(col("chunk_id"), col("embedding")), nlist, pqM, pqKsub, trained)
-      }
+    val codesTable =
+      if (pqM == 0) None
+      else Some(IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained))
+        .filter(spark.catalog.tableExists)
+    // (2) replacement codes SECOND (idempotent by id) — visible-raw-but-
+    //     uncoded is the one state with no converging replay;
+    codesTable.foreach { _ =>
+      IvfPqCatalog.appendChunkCodes(spark, dir,
+        assigned.select(col("chunk_id"), col("embedding")), nlist, pqM, pqKsub, trained)
+    }
+    // (3) the raw-store rewrite — fingerprint-defended, retried on a race;
+    overwriteCellsRetrying(spark, store, touched,
+      base => base.filter(!inIds(ids)).unionByName(newRows),
+      beforeOverwrite)
+    // (4) dead-code purge LAST, keeping codes live in the REWRITTEN store —
+    //     a removed-ids purge would delete live codes on a replayed
+    //     unchanged upsert (same ids skipped by (2), then purged)
+    codesTable.foreach { codes =>
+      val liveIds = spark.table(store)
+        .filter(col("centroid_id").isin(touched: _*))
+        .select(col("chunk_id"))
+      overwriteCellsRetrying(spark, codes, touched,
+        base => base.join(liveIds, Seq("chunk_id"), "left_semi"))
     }
     assigned.unpersist()
     (nRemoved, nAdded)
   }
 
   /** Cascading delete of `ids`' chunks from the stored index — S10 at the
-    * serving-index level. Returns the number of chunks removed. */
+    * serving-index level. Returns the number of chunks removed. Mutation
+    * order: raw store first, code purge last (live-id semi-join, same as
+    * upsert) — a crash between the two leaves dead codes that rerank away,
+    * never live rows invisible to the compressed probe. */
   def deleteDocChunks(spark: SparkSession, dir: String, ids: Seq[Long],
                       nlist: Int, trained: Boolean = false,
-                      pqM: Int = 0, pqKsub: Int = 32): Long = {
+                      pqM: Int = 0, pqKsub: Int = 32,
+                      beforeOverwrite: () => Unit = () => ()): Long = {
     val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
     val touched = cellsOf(spark, dir, nlist, trained, ids)
     if (touched.isEmpty) return 0L
     spark.catalog.refreshTable(store)
-    val pruned = spark.table(store).filter(col("centroid_id").isin(touched: _*))
-    val removedIds = pruned.filter(inIds(ids)).select("chunk_id").localCheckpoint(true)
-    val nRemoved = removedIds.count()
-    overwriteCells(spark, store, touched, pruned.filter(!inIds(ids)))
+    // counted eagerly, BEFORE the rewrite removes exactly these rows
+    val nRemoved = spark.table(store)
+      .filter(col("centroid_id").isin(touched: _*)).filter(inIds(ids)).count()
+    overwriteCellsRetrying(spark, store, touched,
+      base => base.filter(!inIds(ids)), beforeOverwrite)
     if (pqM > 0) {
       val codes = IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained)
       if (spark.catalog.tableExists(codes)) {
-        spark.catalog.refreshTable(codes)
-        val kept = spark.table(codes)
+        val liveIds = spark.table(store)
           .filter(col("centroid_id").isin(touched: _*))
-          .join(broadcast(removedIds), Seq("chunk_id"), "left_anti")
-        overwriteCells(spark, codes, touched, kept)
+          .select(col("chunk_id"))
+        overwriteCellsRetrying(spark, codes, touched,
+          base => base.join(liveIds, Seq("chunk_id"), "left_semi"))
       }
     }
     nRemoved

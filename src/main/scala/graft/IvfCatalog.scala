@@ -183,6 +183,13 @@ object IvfCatalog {
         Some(assigned.select(col("document_id"), col("centroid_id"))
           .distinct().localCheckpoint(true))
       else None
+    // the index's pairs land BEFORE the rows themselves (DocLifecycle's
+    // superset contract: over-listing a cell costs one pruned false-positive
+    // read, MISSING one serves stale rows forever) — a crash between the two
+    // appends leaves only tolerated false positives, and the row append is
+    // what a checkpoint replay retries (replayed chunks dedup away upstream,
+    // so a pairs-after ordering would never re-offer the lost pairs)
+    docPairs.foreach(p => DocLifecycle.appendDocCells(spark, dir, centroids, trained, p))
     val aligned = spark.table(name).schema.fields.map { f =>
       if (assigned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
@@ -191,10 +198,6 @@ object IvfCatalog {
       .repartition(col("centroid_id")) // one file per touched cell per batch
       .write.mode("append").insertInto(name)
     spark.catalog.refreshTable(name)
-    // keep the doc→cells secondary index complete (DocLifecycle's superset
-    // contract: it may over-list cells, it must never miss one) — appended
-    // in the same micro-batch as the rows themselves
-    docPairs.foreach(p => DocLifecycle.appendDocCells(spark, dir, centroids, trained, p))
   }
 
   /** Append one ingest batch to the stored index — the write half of the

@@ -217,6 +217,71 @@ class DocLifecycleSpec extends AnyFunSuite {
     Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("a concurrent append racing an upsert's rewrite is retried in, never silently deleted") {
+    import spark.implicits._
+    import graft.pipelines.Pipelines
+    val nlist = 53
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    val idxName = DocLifecycle.docCellsName(dir, nlist)
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    val store = () => IvfCatalog.assignedChunks(spark, dir, nlist)
+    val before = snapshot(store())
+
+    def mk(word: String): String =
+      (1 to 4).map(i => s"The $word ledger tracks region $i across the pruned cells " +
+        "while concurrent appends land in the very partitions being rewritten.").mkString(" ")
+    // the racing writer appends a DIFFERENT doc with the SAME text — its
+    // chunks embed identically, so they land in exactly the cells the
+    // upsert is rewriting (the worst-case race by construction)
+    val lateChunks = Pipelines.featurePipeline(
+        Seq((911002L, mk("onyx"))).toDF("doc_id", "text"), 0.0)
+      .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
+      .localCheckpoint(true)
+    var fired = false
+    val (rm, add) = DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((911001L, mk("onyx"))).toDF("doc_id", "text"), nlist,
+      beforeOverwrite = () => if (!fired) { fired = true
+        IvfCatalog.appendChunks(spark, dir, lateChunks, nlist) })
+    assert(fired, "the race seam must have injected the append")
+    assert(rm === 0L && add >= 1L)
+    val after = snapshot(store())
+    assert(after.filter(_._3 == 911001L).size.toLong === add)
+    assert(after.count(_._3 == 911002L) === lateChunks.count(),
+      "the late-appended document's rows must survive the raced rewrite")
+    assert(after.filter(t => t._3 != 911001L && t._3 != 911002L) === before,
+      "no pre-existing row may be touched")
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("verbatim-duplicate doc rows collapse; two distinct revisions in one batch are rejected") {
+    import spark.implicits._
+    val nlist = 59
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    val idxName = DocLifecycle.docCellsName(dir, nlist)
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    def mk(rev: Int): String =
+      (1 to 4).map(i => s"Revision $rev paragraph $i narrates the replacement " +
+        "semantics of a document batch that repeats itself inside one call.").mkString(" ")
+    // redelivered verbatim: one set of chunks, not two of everything
+    val (rm, add) = DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((921001L, mk(1)), (921001L, mk(1))).toDF("doc_id", "text"), nlist)
+    assert(rm === 0L)
+    val stored = IvfCatalog.assignedChunks(spark, dir, nlist)
+      .filter(col("document_id") === 921001L).select("chunk_id").distinct().count()
+    assert(add === stored, "verbatim duplicates must collapse to one revision's chunks")
+    // two DISTINCT revisions: no silent winner — replace_one needs exactly one
+    val ex = intercept[IllegalArgumentException] {
+      DocLifecycle.upsertDocChunks(spark, dir,
+        Seq((921001L, mk(1)), (921001L, mk(2))).toDF("doc_id", "text"), nlist)
+    }
+    assert(ex.getMessage.contains("one revision"))
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("lifecycle composes with the ingest loop and the IVFADC code table") {
     import spark.implicits._
     val (nlist, m, ksub) = (41, 24, 16)
@@ -267,6 +332,15 @@ class DocLifecycleSpec extends AnyFunSuite {
     assert(codes().count() === store().count())
     assert(codes().join(store(), Seq("chunk_id"), "left_anti").count() === 0L,
       "no dead ids may linger in the code table")
+
+    // REPLAYING the unchanged edit must keep every live code: the append
+    // skips already-coded ids, so a purge keyed on the doc's removed ids
+    // would delete the live codes here — the live-store semi-join keeps them
+    DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((930001L, mk("cirrus"))).toDF("doc_id", "text"), nlist, pqM = m, pqKsub = ksub)
+    assert(store().join(codes(), Seq("chunk_id"), "left_anti").count() === 0L,
+      "a replayed unchanged upsert purged live codes")
+    assert(codes().count() === store().count())
 
     // ...and is finally deleted: both tables drop its rows
     val rmDel = DocLifecycle.deleteDocChunks(spark, dir, Seq(930001L), nlist,
