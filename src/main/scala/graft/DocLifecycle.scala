@@ -107,13 +107,39 @@ object DocLifecycle {
   }
 
   /** Rewrite the index down to the store's LIVE pairs — reclaims upsert
-    * false positives and delete leftovers; cadence with file compaction. */
+    * false positives, delete leftovers, AND the one-file-per-bucket-per-batch
+    * fragmentation [[appendDocCells]] accrues; [[graft.streaming.StreamingIngest.startDocs]]
+    * runs it on the same `compactEvery` cadence as the stores. Staged like
+    * [[Compaction.compactBucketed]]: the rebuild lands in a sibling staging
+    * table first, then a DROP/RENAME metadata swap — at no point does the
+    * index not exist (a drop-then-rebuild window would make a concurrent
+    * [[IvfCatalog.appendChunks]] see no table and skip its pairs, silently
+    * breaking the never-miss contract), and a crash before the swap leaves
+    * the original intact. */
   def compactDocCells(spark: SparkSession, dir: String, nlist: Int,
                       trained: Boolean = false): Unit = {
     val name = docCellsName(dir, nlist, trained)
     if (spark.catalog.tableExists(name)) {
-      spark.sql(s"DROP TABLE $name")
-      docCells(spark, dir, nlist, trained)
+      val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+      val stage = s"${name}__cstage${System.nanoTime()}"
+      try {
+        spark.catalog.refreshTable(store)
+        spark.table(store)
+          .select(col("document_id"), col("centroid_id")).distinct()
+          .repartition(32, col("document_id")) // clusterWrite: one file per bucket
+          .write.mode("overwrite")
+          .bucketBy(32, "document_id").sortBy("document_id")
+          .format("parquet").saveAsTable(stage)
+        spark.sql(s"DROP TABLE $name")
+        spark.sql(s"ALTER TABLE $stage RENAME TO $name")
+      } catch {
+        case e: Throwable =>
+          // failed before the swap: the original is intact; drop the staging
+          if (spark.catalog.tableExists(name) && spark.catalog.tableExists(stage))
+            spark.sql(s"DROP TABLE IF EXISTS $stage")
+          throw e
+      }
+      spark.catalog.refreshTable(name)
     }
   }
 

@@ -275,6 +275,12 @@ object StreamingIngest {
               Compaction.compactTable(batch.sparkSession,
                 graft.IvfPqCatalog.chunkCodesTableName(batch.sparkSession, dir, nlist,
                   pqM, pqKsub, trained), idCol = "chunk_id")
+            // the doc→cells secondary index fragments at the same cadence
+            // too (one file per bucket per appended batch) and accumulates
+            // superset false positives from upserts — rebuild it to the
+            // store's live pairs, one file per bucket (staged swap, so the
+            // loop's own next append never sees a missing table)
+            graft.DocLifecycle.compactDocCells(batch.sparkSession, dir, nlist, trained)
             sinceCompact = 0
           }
           onBatch(BatchReport(batchId, arrived, dropped, appended,

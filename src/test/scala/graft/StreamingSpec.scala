@@ -889,6 +889,54 @@ class StreamingSpec extends AnyFunSuite {
     dropAll()
   }
 
+  test("doc loop cadence compacts the doc→cells index to live pairs, one file per bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val nlist = 29 // isolated store/cent/index tables
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    val idxName = DocLifecycle.docCellsName(dir, nlist)
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    DocLifecycle.docCells(spark, dir, nlist).count() // index live BEFORE the loop
+    val files0 = Compaction.tableFiles(spark, idxName)
+
+    def mkText(tag: String): String =
+      (1 to 8).map(i => s"The $tag pipeline emits segment $i with sequence " +
+        "numbers and enough prose that the chunker produces genuine chunks.").mkString(" ")
+    // an upsert seeds FALSE POSITIVES in the index (the edited doc's old
+    // cells stay listed); the in-loop cadence must reclaim them too
+    graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq((950001L, mkText("meridian"))).toDF("doc_id", "text"), dir, nlist)
+    DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((950001L, mkText("meridian edited"))).toDF("doc_id", "text"), nlist)
+
+    val source = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_doccells_ckpt").toString
+    val q = graft.streaming.StreamingIngest.startDocs(
+      source.toDF().toDF("doc_id", "text"), dir, ckpt, nlist, compactEvery = 2)
+    Seq(Seq(950002L -> mkText("borealis")), Seq(950003L -> mkText("cascade")),
+        Seq(950004L -> mkText("delta")), Seq(950005L -> mkText("ember")))
+      .foreach { b => source.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    spark.catalog.refreshTable(idxName)
+    // four appended batches + an upsert would have left files0+≥5 files and
+    // stale pairs; the cadence rebuilt to one file per bucket, live only
+    assert(Compaction.tableFiles(spark, idxName) <= files0,
+      "cadence did not reclaim the index's per-batch files")
+    val live = IvfCatalog.assignedChunks(spark, dir, nlist)
+      .select("document_id", "centroid_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = DocLifecycle.docCells(spark, dir, nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed === live,
+      "after the cadence the index must hold EXACTLY the live pairs")
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming vec loop with pqCb compacts the code table on the same cadence") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
