@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.{Compaction, IvfCatalog}
+import graft.{Compaction, DocLifecycle, IvfCatalog}
 import graft.operators.Dedup
 import graft.pipelines.Pipelines
 
@@ -238,6 +238,112 @@ object StreamingIngest {
     }
     assigned.unpersist(); survivors.unpersist()
     (nDropped, nAppended)
+  }
+
+  /** One edit micro-batch's outcome, surfaced through `onBatch`. */
+  case class EditReport(batchId: Long, edits: Long, upsertedDocs: Long,
+                        deletedDocs: Long, removedChunks: Long,
+                        addedChunks: Long, seconds: Double)
+
+  /** Apply ONE batch of document edits to the serving index — shared by the
+    * streaming channel below and the batch-parity path in specs. `batch`
+    * carries (idCol, textCol, opCol[, seqCol]) rows; it is first reduced to
+    * the LAST revision per document (max `seqCol` — without the column, the
+    * batch must already hold one revision per doc or
+    * [[graft.DocLifecycle.upsertDocChunks]]'s guard rejects it), then routed:
+    * a document whose winning op is `delete` cascades out
+    * ([[graft.DocLifecycle.deleteDocChunks]]), anything else replaces its
+    * chunks ([[graft.DocLifecycle.upsertDocChunks]]). The winner-per-doc
+    * reduce makes the net effect of any in-batch sequence (edit→delete,
+    * delete→re-add, edit→edit) exactly its last op, and both routes are
+    * idempotent — upserts by content-derived chunk ids, deletes trivially —
+    * so a checkpoint-replayed batch round-trips the store unchanged.
+    * Returns (upserted docs, deleted docs, chunks removed, chunks added). */
+  def applyEditBatch(batch: DataFrame, dir: String, nlist: Int,
+                     qualityThreshold: Double = 0.0,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     opCol: String = "op", seqCol: String = "seq",
+                     trained: Boolean = false,
+                     flagNearDups: Boolean = true,
+                     flagMinCosine: Double = 0.9, flagNprobe: Int = 2,
+                     pqM: Int = 0, pqKsub: Int = 32): (Long, Long, Long, Long) = {
+    val spark = batch.sparkSession
+    val reduced =
+      if (!batch.columns.contains(seqCol)) batch
+      else batch.withColumn("__rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol)).orderBy(col(seqCol).desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+    val routed = reduced
+      .withColumn("__del", lower(col(opCol)) === lit("delete"))
+      .select(col(idCol).cast("long").as(idCol), col(textCol), col("__del"))
+      .localCheckpoint(true) // edits are batch-sized; pin before the index mutates
+    val delIds = routed.filter(col("__del")).select(col(idCol))
+      .collect().map(_.getLong(0)).toSeq
+    val upserts = routed.filter(!col("__del")).drop("__del")
+    val nUpserts = upserts.count()
+    var (removed, added) = (0L, 0L)
+    if (delIds.nonEmpty)
+      removed += DocLifecycle.deleteDocChunks(spark, dir, delIds, nlist, trained,
+        pqM, pqKsub)
+    if (nUpserts > 0) {
+      val (rm, add) = DocLifecycle.upsertDocChunks(spark, dir, upserts, nlist,
+        qualityThreshold, idCol, textCol, trained, flagNearDups, flagMinCosine,
+        flagNprobe, pqM, pqKsub)
+      removed += rm; added += add
+    }
+    (nUpserts, delIds.size.toLong, removed, added)
+  }
+
+  /** Start the EDIT/DELETE channel against the serving index — S9 (update)
+    * and S10 (cascading delete) as a RUNNING loop, completing the lifecycle
+    * triad: [[startDocs]] owns arrivals (append-only by design; an edited
+    * document is deliberately outside it), this owns revisions and
+    * removals. Micro-batches route through [[applyEditBatch]]; `compactEvery`
+    * folds the same maintenance cadence as [[startDocs]] over the store,
+    * the IVFADC code table, and the doc→cells index (edit rewrites leave
+    * false-positive index pairs where appends leave small files — the same
+    * rebuild reclaims both). Run it serially with the ingest loop's appends
+    * (one maintenance writer, Compaction's contract) — the rewrites'
+    * fingerprint-retry defense covers a straggler, not a sustained race. */
+  def startDocEdits(edits: DataFrame, dir: String, checkpoint: String, nlist: Int,
+                    qualityThreshold: Double = 0.0,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    opCol: String = "op", seqCol: String = "seq",
+                    trained: Boolean = false,
+                    flagNearDups: Boolean = true,
+                    flagMinCosine: Double = 0.9, flagNprobe: Int = 2,
+                    pqM: Int = 0, pqKsub: Int = 32,
+                    compactEvery: Int = 0,
+                    onBatch: EditReport => Unit = _ => ()): StreamingQuery = {
+    var sinceCompact = 0
+    edits.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val t0 = System.nanoTime()
+        val arrived = batch.count()
+        if (arrived > 0) {
+          val spark = batch.sparkSession
+          val (up, del, removed, added) =
+            applyEditBatch(batch.toDF(), dir, nlist, qualityThreshold, idCol,
+              textCol, opCol, seqCol, trained, flagNearDups, flagMinCosine,
+              flagNprobe, pqM, pqKsub)
+          sinceCompact += 1
+          if (compactEvery > 0 && sinceCompact >= compactEvery) {
+            Compaction.compactTable(spark,
+              IvfCatalog.chunkStoreName(dir, nlist, trained), idCol = "chunk_id")
+            if (pqM > 0)
+              Compaction.compactTable(spark,
+                graft.IvfPqCatalog.chunkCodesTableName(spark, dir, nlist,
+                  pqM, pqKsub, trained), idCol = "chunk_id")
+            graft.DocLifecycle.compactDocCells(spark, dir, nlist, trained)
+            sinceCompact = 0
+          }
+          onBatch(EditReport(batchId, arrived, up, del, removed, added,
+            (System.nanoTime() - t0) / 1e9))
+        }
+      }
+      .start()
   }
 
   /** Start the document-ingest loop on a streaming DataFrame of

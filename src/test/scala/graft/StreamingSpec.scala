@@ -889,6 +889,82 @@ class StreamingSpec extends AnyFunSuite {
     dropAll()
   }
 
+  test("edits channel: stream ≡ batch sequence, last op per doc wins, replayed batch round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val tdir = "/tmp/graft_editstream_fixture"
+    val nlist = 31
+    def mkDoc(id: Long, rev: Int): String =
+      (1 to 6).map(i => s"Document $id revision $rev sentence $i walks the edit " +
+        s"channel through topic ${(id * 11 + rev * 13 + i) % 17} with a stable " +
+        "vocabulary and enough words for real chunks.").mkString(" ")
+    val base: Map[Long, String] = (1L to 8L).map(id => id -> mkDoc(id, 0)).toMap
+    base.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tdir/documents.parquet")
+    val toDrop = Seq(TableStore.tableName("chunks", tdir),
+      TableStore.tableName(s"ivfchunks$nlist", tdir),
+      TableStore.tableName(s"ivfchunkcent$nlist", tdir),
+      DocLifecycle.docCellsName(tdir, nlist))
+
+    // the edit script: last-op-per-doc semantics exercised in-batch
+    //  b1: doc 2 edited twice in ONE batch — seq 2 must win
+    //  b2: doc 3 deleted; doc 20 added
+    //  b3: doc 20 deleted-then-readded in one batch (winner: the re-add);
+    //      doc 4 edited-then-deleted in one batch (winner: the delete)
+    val batches: Seq[Seq[(Long, String, String, Int)]] = Seq(
+      Seq((2L, mkDoc(2, 1), "upsert", 1), (2L, mkDoc(2, 2), "upsert", 2)),
+      Seq((3L, "", "delete", 1), (20L, mkDoc(20, 1), "upsert", 1)),
+      Seq((20L, "", "delete", 1), (20L, mkDoc(20, 2), "upsert", 2),
+          (4L, mkDoc(4, 9), "upsert", 1), (4L, "", "delete", 2)))
+    val ref = base ++ Map(2L -> mkDoc(2, 2), 20L -> mkDoc(20, 2)) - 3L - 4L
+
+    def expected(): Set[(String, Long, Long)] =
+      graft.operators.Similarity.ivfAssign(
+          graft.pipelines.Pipelines.featurePipeline(
+              ref.toSeq.toDF("doc_id", "text"), 0.0)
+            .select(col("chunk_id"), col("document_id"), col("embedding")),
+          IvfCatalog.chunkCentroidsStored(spark, tdir, nlist), idCol = "chunk_id")
+        .select("chunk_id", "document_id", "centroid_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    def currentStore(): Set[(String, Long, Long)] =
+      IvfCatalog.assignedChunks(spark, tdir, nlist)
+        .select("chunk_id", "document_id", "centroid_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    def runEdits(viaStream: Boolean): Set[(String, Long, Long)] = {
+      toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+      IvfCatalog.assignedChunks(spark, tdir, nlist).count()
+      DocLifecycle.docCells(spark, tdir, nlist).count()
+      if (viaStream) {
+        val source = MemoryStream[(Long, String, String, Int)]
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_edits_ckpt").toString
+        val q = graft.streaming.StreamingIngest.startDocEdits(
+          source.toDF().toDF("doc_id", "text", "op", "seq"), tdir, ckpt, nlist,
+          compactEvery = 2)
+        batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+      } else batches.foreach { b =>
+        graft.streaming.StreamingIngest.applyEditBatch(
+          b.toDF("doc_id", "text", "op", "seq"), tdir, nlist)
+      }
+      currentStore()
+    }
+
+    val streamed = runEdits(viaStream = true)
+    assert(streamed === expected(), "streamed edits diverged from the rebuild oracle")
+    // checkpoint-replay: re-delivering the final batch must round-trip
+    graft.streaming.StreamingIngest.applyEditBatch(
+      batches.last.toDF("doc_id", "text", "op", "seq"), tdir, nlist)
+    assert(currentStore() === streamed, "a replayed edit batch must be a no-op")
+    // stream ≡ the same ops applied as batch calls
+    val batched = runEdits(viaStream = false)
+    assert(batched === streamed)
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("doc loop cadence compacts the doc→cells index to live pairs, one file per bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
