@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -143,14 +143,61 @@ object DocLifecycle {
     }
   }
 
-  /** The cells the index lists for `ids` — a bucket-pruned read; ≤ nlist
-    * values by construction. */
+  /** Above this many edited documents the lifecycle path switches from
+    * literal IN-list pruning to broadcast-join pruning: a 100k-document bulk
+    * re-crawl must not inflate every plan with a 100k-term IN list (plan
+    * size, analysis time, and codegen all scale with the literal count; a
+    * broadcast hash join is constant-size in the plan and the id frame
+    * ships once per executor). Touched CELLS stay driver-collected in both
+    * forms — ≤ nlist by construction, never edit-batch-sized. */
+  val BulkThreshold = 10000
+
+  /** The edit batch's document-id set in a plan-size-safe predicate form —
+    * literals below [[BulkThreshold]] (partition/bucket pruning straight off
+    * the scan), a broadcast-joined frame above it. */
+  private final class EditIds(spark: SparkSession, val ids: Seq[Long], threshold: Int) {
+    private val bulk = ids.size > threshold
+    private lazy val df = {
+      import spark.implicits._
+      ids.toDF("document_id").localCheckpoint(true)
+    }
+    def keep(d: DataFrame): DataFrame =
+      if (!bulk) d.filter(col("document_id").isin(ids: _*))
+      else d.join(broadcast(df), Seq("document_id"), "left_semi")
+    def drop(d: DataFrame): DataFrame =
+      if (!bulk) d.filter(!col("document_id").isin(ids: _*))
+      else d.join(broadcast(df), Seq("document_id"), "left_anti")
+  }
+
+  /** The cells the index lists for the edit batch — a bucket-pruned read;
+    * ≤ nlist values by construction. */
   private def cellsOf(spark: SparkSession, dir: String, nlist: Int,
-                      trained: Boolean, ids: Seq[Long]): Seq[Long] =
-    docCells(spark, dir, nlist, trained)
-      .filter(col("document_id").isin(ids: _*))
+                      trained: Boolean, eids: EditIds): Seq[Long] =
+    eids.keep(docCells(spark, dir, nlist, trained))
       .select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
+
+  /** Group `cells` into rewrite batches bounded by `maxBatchBytes` of their
+    * CURRENT store bytes — [[Compaction.compactTable]]'s working-set cap, so
+    * a bulk edit touching half the corpus' cells becomes a sequence of small
+    * bounded rewrites instead of one giant job. Cells with no directory yet
+    * (brand-new) count zero. */
+  private def cellBatches(spark: SparkSession, name: String, cells: Seq[Long],
+                          maxBatchBytes: Long): Seq[Seq[Long]] = {
+    if (cells.isEmpty) return Nil
+    val bytes: Map[Long, Long] = Compaction.partitionStats(spark, name)
+      .flatMap(p => p.spec.split("=", 2) match {
+        case Array("centroid_id", v) if v != "__HIVE_DEFAULT_PARTITION__" =>
+          Some(v.toLong -> p.bytes)
+        case _ => None
+      }).toMap
+    cells.map(c => c -> bytes.getOrElse(c, 0L))
+      .foldLeft(List(List.empty[(Long, Long)])) { (acc, p) =>
+        if (acc.head.nonEmpty && acc.head.map(_._2).sum + p._2 > maxBatchBytes)
+          List(p) :: acc
+        else (p :: acc.head) :: acc.tail
+      }.map(_.reverse.map(_._1)).reverse.filter(_.nonEmpty)
+  }
 
   /** Dynamic-partition-overwrite `cells` of `name` with
     * `transform(existing rows of those cells)`; cells absent from the output
@@ -246,8 +293,6 @@ object DocLifecycle {
     }
   }
 
-  private def inIds(ids: Seq[Long]): Column = col("document_id").isin(ids: _*)
-
   /** Replace `docs`' chunks in the stored index with their re-run feature
     * pipeline — the edited-document path. Returns (chunks removed, chunks
     * added). A document absent from the store is simply added (upsert), one
@@ -276,7 +321,9 @@ object DocLifecycle {
                       flagNearDups: Boolean = true,
                       flagMinCosine: Double = 0.9, flagNprobe: Int = 2,
                       pqM: Int = 0, pqKsub: Int = 32,
-                      beforeOverwrite: () => Unit = () => ()): (Long, Long) = {
+                      beforeOverwrite: () => Unit = () => (),
+                      bulkThreshold: Int = BulkThreshold,
+                      maxBatchBytes: Long = 4L << 30): (Long, Long) = {
     val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
@@ -295,13 +342,14 @@ object DocLifecycle {
         IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained), idCol = "chunk_id")
       .dropDuplicates("chunk_id") // belt: content-derived ids can't collide across docs
       .cache()
+    val eids = new EditIds(spark, ids, bulkThreshold)
     val newCells = assigned.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val touched = (newCells ++ cellsOf(spark, dir, nlist, trained, ids)).distinct
+    val touched = (newCells ++ cellsOf(spark, dir, nlist, trained, eids)).distinct
     spark.catalog.refreshTable(store)
     // counted eagerly, BEFORE the rewrite removes exactly these rows
-    val nRemoved = spark.table(store)
-      .filter(col("centroid_id").isin(touched: _*)).filter(inIds(ids)).count()
+    val nRemoved = eids.keep(spark.table(store)
+      .filter(col("centroid_id").isin(touched: _*))).count()
     val nAdded = assigned.count()
     val flagged =
       if (!flagNearDups) assigned.withColumn("near_dup_of", lit(null).cast("string"))
@@ -312,7 +360,7 @@ object DocLifecycle {
         // point at an id this very call removes
         val pairs = graft.operators.Dedup.embeddingPairsCelledIncrementalById(
           assigned.select(col("chunk_id"), col("embedding")),
-          spark.table(store).filter(!inIds(ids)),
+          eids.drop(spark.table(store)),
           IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained),
           flagMinCosine, flagNprobe)
         val bIds = assigned.select(col("chunk_id"))
@@ -341,19 +389,28 @@ object DocLifecycle {
       IvfPqCatalog.appendChunkCodes(spark, dir,
         assigned.select(col("chunk_id"), col("embedding")), nlist, pqM, pqKsub, trained)
     }
-    // (3) the raw-store rewrite — fingerprint-defended, retried on a race;
-    overwriteCellsRetrying(spark, store, touched,
-      base => base.filter(!inIds(ids)).unionByName(newRows),
-      beforeOverwrite)
+    // (3) the raw-store rewrite — fingerprint-defended, retried on a race,
+    //     and byte-batched: each batch rewrites ≤ maxBatchBytes of store
+    //     (one batch for an edit-stream call; a bulk re-crawl touching half
+    //     the cells becomes a sequence of bounded jobs)
+    val batches = cellBatches(spark, store, touched, maxBatchBytes)
+    batches.foreach { cb =>
+      overwriteCellsRetrying(spark, store, cb,
+        base => eids.drop(base)
+          .unionByName(newRows.filter(col("centroid_id").isin(cb: _*))),
+        beforeOverwrite)
+    }
     // (4) dead-code purge LAST, keeping codes live in the REWRITTEN store —
     //     a removed-ids purge would delete live codes on a replayed
     //     unchanged upsert (same ids skipped by (2), then purged)
     codesTable.foreach { codes =>
-      val liveIds = spark.table(store)
-        .filter(col("centroid_id").isin(touched: _*))
-        .select(col("chunk_id"))
-      overwriteCellsRetrying(spark, codes, touched,
-        base => base.join(liveIds, Seq("chunk_id"), "left_semi"))
+      batches.foreach { cb =>
+        val liveIds = spark.table(store)
+          .filter(col("centroid_id").isin(cb: _*))
+          .select(col("chunk_id"))
+        overwriteCellsRetrying(spark, codes, cb,
+          base => base.join(liveIds, Seq("chunk_id"), "left_semi"))
+      }
     }
     assigned.unpersist()
     (nRemoved, nAdded)
@@ -367,26 +424,33 @@ object DocLifecycle {
   def deleteDocChunks(spark: SparkSession, dir: String, ids: Seq[Long],
                       nlist: Int, trained: Boolean = false,
                       pqM: Int = 0, pqKsub: Int = 32,
-                      beforeOverwrite: () => Unit = () => ()): Long = {
+                      beforeOverwrite: () => Unit = () => (),
+                      bulkThreshold: Int = BulkThreshold,
+                      maxBatchBytes: Long = 4L << 30): Long = {
     val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
-    val touched = cellsOf(spark, dir, nlist, trained, ids)
+    val eids = new EditIds(spark, ids, bulkThreshold)
+    val touched = cellsOf(spark, dir, nlist, trained, eids)
     if (touched.isEmpty) return 0L
     spark.catalog.refreshTable(store)
     // counted eagerly, BEFORE the rewrite removes exactly these rows
-    val nRemoved = spark.table(store)
-      .filter(col("centroid_id").isin(touched: _*)).filter(inIds(ids)).count()
-    overwriteCellsRetrying(spark, store, touched,
-      base => base.filter(!inIds(ids)), beforeOverwrite)
+    val nRemoved = eids.keep(spark.table(store)
+      .filter(col("centroid_id").isin(touched: _*))).count()
+    val batches = cellBatches(spark, store, touched, maxBatchBytes)
+    batches.foreach { cb =>
+      overwriteCellsRetrying(spark, store, cb, base => eids.drop(base), beforeOverwrite)
+    }
     if (pqM > 0) {
       val codes = IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained)
       if (spark.catalog.tableExists(codes)) {
-        val liveIds = spark.table(store)
-          .filter(col("centroid_id").isin(touched: _*))
-          .select(col("chunk_id"))
-        overwriteCellsRetrying(spark, codes, touched,
-          base => base.join(liveIds, Seq("chunk_id"), "left_semi"))
+        batches.foreach { cb =>
+          val liveIds = spark.table(store)
+            .filter(col("centroid_id").isin(cb: _*))
+            .select(col("chunk_id"))
+          overwriteCellsRetrying(spark, codes, cb,
+            base => base.join(liveIds, Seq("chunk_id"), "left_semi"))
+        }
       }
     }
     nRemoved

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * strawman (what finding a document's rows costs WITHOUT the secondary
   * index: a full-store filter on a non-partition column).
   *
-  * Usage: `sbt "runMain graft.DocLifecycleBench [dir [nlist [nDocs]]]"` —
-  * defaults to the ×100 ScaleGen corpus, √n-chunks cells, 3 documents
-  * upserted then deleted one call each.
+  * Usage: `sbt "runMain graft.DocLifecycleBench [dir [nlist [nDocs [nBulk]]]]"`
+  * — defaults to the ×100 ScaleGen corpus, √n-chunks cells, 3 documents
+  * upserted then deleted one call each. `nBulk > 0` adds the BULK leg: one
+  * upsert + one delete of nBulk documents through the join-pruned,
+  * byte-batched form (bulkThreshold forced low), the 100k-re-crawl shape —
+  * near-dup flagging off so the row prices the edit machinery itself (flag
+  * cost is DocIngestBench's row).
   */
 object DocLifecycleBench {
   def main(args: Array[String]): Unit = {
@@ -76,6 +80,25 @@ object DocLifecycleBench {
     }
     println(s"[doclife] store rows after lifecycle: " +
       IvfCatalog.assignedChunks(spark, dir, nlist).count())
+
+    val nBulk = args.lift(3).map(_.toInt).getOrElse(0)
+    if (nBulk > 0) {
+      val bulkDocs = docs.orderBy($"doc_id".asc).limit(nBulk)
+        .select($"doc_id", concat(lit("bulk edited "), $"text").as("text"))
+      val (brm, badd) = timed(s"BULK upsert of $nBulk docs (join pruning, byte-batched)") {
+        DocLifecycle.upsertDocChunks(spark, dir, bulkDocs, nlist,
+          flagNearDups = false, bulkThreshold = 1000)
+      }
+      println(s"[doclife]   bulk removed=$brm added=$badd")
+      val bulkIds = docs.orderBy($"doc_id".asc).limit(nBulk)
+        .select($"doc_id").as[Long].collect().toSeq
+      val bdel = timed(s"BULK delete of $nBulk docs") {
+        DocLifecycle.deleteDocChunks(spark, dir, bulkIds, nlist, bulkThreshold = 1000)
+      }
+      println(s"[doclife]   bulk removed=$bdel")
+      println(s"[doclife] store rows after bulk leg: " +
+        IvfCatalog.assignedChunks(spark, dir, nlist).count())
+    }
     spark.stop()
   }
 }

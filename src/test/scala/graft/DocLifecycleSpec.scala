@@ -282,6 +282,48 @@ class DocLifecycleSpec extends AnyFunSuite {
     Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bulk form (join pruning, byte-batched rewrites) matches the literal path exactly") {
+    import spark.implicits._
+    val nlist = 61
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    val idxName = DocLifecycle.docCellsName(dir, nlist)
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    val store = () => IvfCatalog.assignedChunks(spark, dir, nlist)
+    val before = snapshot(store())
+
+    // bulkThreshold = 0 forces the broadcast-join predicates; maxBatchBytes
+    // = 1 forces one rewrite batch per touched cell — the 100k-doc shape
+    // exercised at fixture size
+    val vid = before.groupBy(_._3).maxBy(_._2.size)._1
+    val vtext = Tables.documents(spark, dir)
+      .filter($"doc_id" === vid).select("text").head.getString(0)
+    val oldRows = before.filter(_._3 == vid)
+    val (rm, add) = DocLifecycle.upsertDocChunks(spark, dir,
+      Seq((vid, s"bulk edited $vtext")).toDF("doc_id", "text"), nlist,
+      bulkThreshold = 0, maxBatchBytes = 1L)
+    assert(rm === oldRows.size.toLong && add > 0L)
+    val mid = snapshot(store())
+    assert(mid.filter(_._3 == vid).size.toLong === add)
+    assert((mid.map(_._1) intersect oldRows.map(_._1)) === Set.empty)
+    assert(mid.filter(_._3 != vid) === before.filter(_._3 != vid),
+      "bulk-form upsert may not move any other document's rows")
+
+    // bulk-form delete of every doc in the smallest cell: the cell's
+    // partition must still be dropped batch by batch
+    val cell = mid.groupBy(_._2).view.mapValues(_.size).minBy(_._2)._1
+    val ids = mid.filter(_._2 == cell).map(_._3).toSeq.distinct
+    val expected = mid.filter(t => ids.contains(t._3))
+    val rmDel = DocLifecycle.deleteDocChunks(spark, dir, ids, nlist,
+      bulkThreshold = 0, maxBatchBytes = 1L)
+    assert(rmDel === expected.size.toLong)
+    val after = snapshot(store())
+    assert(after === mid -- expected)
+    assert(!Compaction.partitionStats(spark, storeName).exists(_.spec == s"centroid_id=$cell"))
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("lifecycle composes with the ingest loop and the IVFADC code table") {
     import spark.implicits._
     val (nlist, m, ksub) = (41, 24, 16)
