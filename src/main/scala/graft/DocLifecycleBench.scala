@@ -81,6 +81,28 @@ object DocLifecycleBench {
     println(s"[doclife] store rows after lifecycle: " +
       IvfCatalog.assignedChunks(spark, dir, nlist).count())
 
+    // the streaming edits channel end to end: per-batch latency of the
+    // production foreachBatch loop (last-revision reduce → delete route →
+    // upsert route), an upsert batch then a delete batch of nDocs each
+    {
+      implicit val sqlCtx = spark.sqlContext
+      val fresh = docs.orderBy($"doc_id".desc).limit(nDocs * 3)
+        .select($"doc_id", $"text").as[(Long, String)].collect().drop(nDocs)
+      val editBatches: Seq[Seq[(Long, String, String, Int)]] = Seq(
+        fresh.take(nDocs).map { case (id, t) => (id, s"stream edited $t", "upsert", 1) }.toSeq,
+        fresh.take(nDocs).map { case (id, _) => (id, "", "delete", 1) }.toSeq)
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Int)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_editbench_ckpt").toString
+      val q = streaming.StreamingIngest.startDocEdits(
+        source.toDF().toDF("doc_id", "text", "op", "seq"), dir, ckpt, nlist,
+        onBatch = r => println(f"[doclife] edit-stream batch ${r.batchId}: " +
+          f"edits=${r.edits} upserted=${r.upsertedDocs} deleted=${r.deletedDocs} " +
+          f"removed=${r.removedChunks} added=${r.addedChunks} ${r.seconds}%.1f s"))
+      editBatches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+
     val nBulk = args.lift(3).map(_.toInt).getOrElse(0)
     if (nBulk > 0) {
       val bulkDocs = docs.orderBy($"doc_id".asc).limit(nBulk)
