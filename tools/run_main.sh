@@ -1,0 +1,21 @@
+#!/bin/bash
+# Run a graft main directly on the compiled classes + /opt/spark/jars,
+# bypassing sbt (avoids the project lock while sbt test runs, and skips
+# sbt JVM startup). Usage: tools/run_main.sh graft.ScaleGen arg1 arg2 ...
+# SPARK_DRIVER_MEM (default 48g) sizes the single JVM.
+set -euo pipefail
+MAIN="$1"; shift
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-48g}" \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$MAIN" "$@"
