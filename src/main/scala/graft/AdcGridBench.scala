@@ -76,17 +76,37 @@ object AdcGridBench {
       }.toMap
     }
 
-    for (nprobe <- Seq(2, 4, 8, 16); rerank <- Seq(2, 4, 8, 16)) {
-      val t0 = System.nanoTime()
-      val recalls = qs.map { case (qid, qv) =>
-        val hits = Similarity.ivfPqSearchPruned(codes, store, cents, cb, qv,
-            k = 10, nprobe = nprobe, rerankFactor = rerank, idCol = "chunk_id")
+    val nprobes = sys.env.get("SPARK_GRAFT_GRID_NPROBE")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(2, 4, 8, 16))
+    val reranks = sys.env.get("SPARK_GRAFT_GRID_RERANK")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(2, 4, 8, 16))
+    for (nprobe <- nprobes) {
+      // the raw-IVF probe at this nprobe is the COVERAGE ceiling: every hit
+      // ADC can return lives in the probed cells, so (ceiling − adc recall)
+      // is pure quantization error and (1 − ceiling) is cell miss — the
+      // column that says which knob to turn
+      val t0c = System.nanoTime()
+      val ceil = qs.map { case (qid, qv) =>
+        Similarity.ivfSearchPruned(store, cents, qv, k = 10, nprobe = nprobe,
+            idCol = "chunk_id")
           .select("chunk_id").collect().map(_.getString(0)).toSet
-        hits.intersect(exact(qid)).size / 10.0
+          .intersect(exact(qid)).size / 10.0
       }
-      val perQuery = (System.nanoTime() - t0) / 1e9 / qs.length
-      println(f"[adcgrid] nprobe=$nprobe%2d rerank=$rerank%2d  " +
-        f"recall@10=${recalls.sum / recalls.length}%.3f  s/query=$perQuery%.2f")
+      val perQueryC = (System.nanoTime() - t0c) / 1e9 / qs.length
+      println(f"[adcgrid] nprobe=$nprobe%2d RAW ceiling   " +
+        f"recall@10=${ceil.sum / ceil.length}%.3f  s/query=$perQueryC%.2f")
+      for (rerank <- reranks) {
+        val t0 = System.nanoTime()
+        val recalls = qs.map { case (qid, qv) =>
+          val hits = Similarity.ivfPqSearchPruned(codes, store, cents, cb, qv,
+              k = 10, nprobe = nprobe, rerankFactor = rerank, idCol = "chunk_id")
+            .select("chunk_id").collect().map(_.getString(0)).toSet
+          hits.intersect(exact(qid)).size / 10.0
+        }
+        val perQuery = (System.nanoTime() - t0) / 1e9 / qs.length
+        println(f"[adcgrid] nprobe=$nprobe%2d rerank=$rerank%2d  " +
+          f"recall@10=${recalls.sum / recalls.length}%.3f  s/query=$perQuery%.2f")
+      }
     }
     spark.stop()
   }

@@ -152,18 +152,6 @@ object Compaction {
                else Set.empty[(String, Long)])
     }.toMap
 
-  /** Typed row predicate for one partition spec path: conjunction over the
-    * levels, Hive-unescaped values, `IS NULL` for default-partition dirs —
-    * partition-column-only, so the scan prunes to exactly these
-    * directories. */
-  private def partPredicate(spec: String,
-                            schema: org.apache.spark.sql.types.StructType): Column =
-    spec.split("/").map { kv =>
-      val Array(k, raw) = kv.split("=", 2)
-      if (raw == "__HIVE_DEFAULT_PARTITION__") col(k).isNull
-      else col(k) === lit(ExternalCatalogUtils.unescapePathName(raw)).cast(schema(k).dataType)
-    }.reduce(_ && _)
-
   /** Compact the fragmented partitions of catalog table `name`.
     *
     * @param targetBytes  bin-pack target per output file (default 128 MB —
@@ -221,9 +209,30 @@ object Compaction {
         // spill is caught by the re-list below (the spill may even have read
         // it — it is discarded either way)
         val snapshot = fileFingerprint(fs, root, specs)
-        // per-partition output-file target, folded into one bucket expression
-        val nfCol = batch.foldLeft(lit(1)) { (acc, p) =>
-          when(partPredicate(p.spec, schema), lit(p.packedFiles(targetBytes))).otherwise(acc)
+        // per-partition output-file target as a BROADCAST-JOINED frame, not
+        // a folded when-chain: a chain nests one level per partition, and a
+        // ×1000 pass whose single byte-bounded batch holds ~1400 fragmented
+        // cells overflows the stack converting the Column tree (found at
+        // scale by MaintenanceWindowBench). The tiny (spec → packedFiles)
+        // frame keeps plan depth constant at any batch size.
+        val nfRows = batch.map { p =>
+          val values = p.spec.split("/").map { kv =>
+            val raw = kv.split("=", 2)(1)
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else ExternalCatalogUtils.unescapePathName(raw)
+          }
+          org.apache.spark.sql.Row.fromSeq(
+            values.toSeq :+ Integer.valueOf(p.packedFiles(targetBytes)))
+        }
+        val nfSchema = org.apache.spark.sql.types.StructType(
+          partCols.map(c => org.apache.spark.sql.types.StructField(
+            s"__pv_$c", org.apache.spark.sql.types.StringType)) :+
+            org.apache.spark.sql.types.StructField("__nf",
+              org.apache.spark.sql.types.IntegerType))
+        val nfDf = partCols.foldLeft(
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(nfRows, 1), nfSchema)) {
+          (df, c) => df.withColumn(s"__pv_$c", col(s"__pv_$c").cast(schema(c).dataType))
         }
         val bucketKey =
           if (schema.fieldNames.contains(idCol)) idCol
@@ -255,10 +264,15 @@ object Compaction {
           .parquet(snapFiles: _*)
         // path-inferred partition columns come back in their narrowest type
         // (centroid_id=10 → int); align to the table's declared types
-        val selected = partCols.foldLeft(raw) { (df, c) =>
-            df.withColumn(c, col(c).cast(schema(c).dataType))
-          }
-          .withColumn("__bucket", pmod(xxhash64(col(bucketKey)), nfCol))
+        val typed = partCols.foldLeft(raw) { (df, c) =>
+          df.withColumn(c, col(c).cast(schema(c).dataType))
+        }
+        val selected = typed
+          .join(broadcast(nfDf),
+            partCols.map(c => typed(c) <=> nfDf(s"__pv_$c")).reduce(_ && _), "left")
+          .withColumn("__bucket",
+            pmod(xxhash64(col(bucketKey)), coalesce(col("__nf"), lit(1))))
+          .drop("__nf").drop(partCols.map(c => s"__pv_$c").toSeq: _*)
         // temp hop: can't overwrite a table from a plan that reads it.
         // Nonce-suffixed (concurrent passes never clobber each other's
         // staging) and deleted in the finally (a failed batch doesn't leak

@@ -703,11 +703,18 @@ object Similarity {
     * are (codes of probed cells) + (raw vectors of probed cells), never the
     * whole float store — at 100 TB the difference between an
     * m-bytes-per-row pass over 1/nlist of the corpus and a full-table
-    * read. */
+    * read.
+    *
+    * `rerankFactor = 16` is the measured serving default (SCALE.md
+    * round-12 ADC grid, ×1000 corpus): at 16 the ADC recall saturates the
+    * raw-IVF coverage ceiling of every probed-cell budget — the residual
+    * loss is cell MISS (an nprobe/centroid-quality knob), not quantization
+    * — while the deeper rerank costs nothing measurable (k·16 candidates
+    * semi-joined against already-probed partitions). */
   def ivfPqSearchPruned(codesAssigned: DataFrame, corpusAssigned: DataFrame,
                         centroids: DataFrame, cb: PqCodebook,
                         queryVec: Array[Float], k: Int, nprobe: Int,
-                        rerankFactor: Int = 8,
+                        rerankFactor: Int = 16,
                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val probedIds = probedCentroidIds(centroids, queryVec, nprobe)
     val prunedCodes = codesAssigned.filter(col("centroid_id").isin(probedIds: _*))

@@ -219,14 +219,19 @@ object Pipelines {
     * pruned read of the SAME cells, exact-rescored with the codegen
     * cosine, so emitted scores are bit-identical to [[flagshipIvf]]'s for
     * any candidate both would rank. At 100 TB this is the serving-path
-    * form: probe cost = (1/nlist of the files) × (1/32 of the bytes) +
-    * a candidate-bounded raw read. Recall is probe- AND candidate-bounded
-    * (the documented IVFADC trade); fixture overlap vs the brute flagship
+    * form: probe cost = (1/nlist of the files) × (1/32 of the ADC scan
+    * arithmetic; on-disk bytes measured 4.5× smaller at ×1000 — parquet
+    * already compresses the raw floats and the id strings dominate code
+    * rows, SCALE.md round-12) + a candidate-bounded raw read. Recall is
+    * probe- AND candidate-bounded (the documented IVFADC trade);
+    * `rerankFactor = 16` is the measured serving default — it saturates
+    * the coverage ceiling at every probed-cell budget for free (the ADC
+    * grid row, SCALE.md round-12). Fixture overlap vs the brute flagship
     * is pinned by PipelineSpec, the digest by GoldenSpec. */
   def flagshipIvfPq(spark: SparkSession, dir: String,
                     queryText: String = "spark join vector query",
                     k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-                    m: Int = 48, ksub: Int = 32, rerankFactor: Int = 8,
+                    m: Int = 48, ksub: Int = 32, rerankFactor: Int = 16,
                     trained: Boolean = false): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained)

@@ -404,4 +404,39 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.table(name).filter($"vec_id" >= 9000L).count() === 4)
     spark.sql(s"DROP TABLE IF EXISTS $name")
   }
+
+  test("a single batch holding ~1500 fragmented partitions compacts without blowing plan depth") {
+    import spark.implicits._
+    // regression, found at ×1000 by MaintenanceWindowBench: the
+    // per-partition file-target used to fold into a when().otherwise()
+    // chain nested one level per partition, and a byte-bounded batch
+    // holding every cell of a 1414-cell store overflowed the stack
+    // converting the Column tree. The target is now a broadcast-joined
+    // frame — constant plan depth at any batch width.
+    val name = "graft_compact_manycells"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a crashed earlier run may have left the managed location behind (the
+    // in-memory catalog forgets the table across JVMs, DROP won't clean it)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    // 1500 cells × 2 tiny files each: two single-task writes, each landing
+    // one file in every cell dir
+    val rows = spark.range(1500).select($"id".as("centroid_id"), $"id".as("vec_id"))
+    rows.coalesce(1)
+      .write.partitionBy("centroid_id").format("parquet").saveAsTable(name)
+    rows.select($"centroid_id", ($"vec_id" + 1500).as("vec_id")).coalesce(1)
+      .write.mode("append").partitionBy("centroid_id").format("parquet").saveAsTable(name)
+    val before = Compaction.partitionStats(spark, name)
+    assert(before.size === 1500)
+    assert(before.forall(_.files >= 2), "fixture failed to fragment every cell")
+    val sum0 = spark.table(name).agg(sum($"vec_id")).head.getLong(0)
+
+    val rep = Compaction.compactTable(spark, name, targetBytes = 1L << 30)
+    assert(rep.compacted.size === 1500, s"expected all 1500 cells rewritten: $rep")
+    assert(Compaction.partitionStats(spark, name).forall(_.files === 1))
+    assert(spark.table(name).count() === 3000)
+    assert(spark.table(name).agg(sum($"vec_id")).head.getLong(0) === sum0)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 }
