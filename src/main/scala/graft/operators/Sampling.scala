@@ -28,7 +28,12 @@ object Sampling {
 
   /** Keep each row iff its hash bucket falls under its stratum's rate.
     * `rates` maps stratum value → keep fraction; `default` covers strata
-    * not listed. Expected kept fraction per stratum is exact to 1e-6. */
+    * not listed. Expected kept fraction per stratum is exact to 1e-6.
+    * The rate table is a single map literal, not a per-stratum
+    * when-chain: a curation job stratifying on (lang × domain) can carry
+    * thousands of strata, and a chain nesting one plan level per stratum
+    * overflows the stack converting the Column tree (the compaction
+    * plan-depth bug's class — found at ×1000, fixed everywhere). */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double], default: Double,
                        seed: String = "samp"): DataFrame = {
@@ -36,9 +41,12 @@ object Sampling {
       require(f >= 0.0 && f <= 1.0, s"rate $f outside [0,1]")
       math.round(f * 1e6)
     }
-    val threshold = rates.foldLeft(lit(ppm(default))) { case (acc, (k, v)) =>
-      when(col(strataCol) === lit(k), lit(ppm(v))).otherwise(acc)
-    }
+    val threshold =
+      if (rates.isEmpty) lit(ppm(default))
+      else coalesce(
+        element_at(typedLit(rates.map { case (k, v) => k -> ppm(v) }),
+          col(strataCol).cast("string")),
+        lit(ppm(default)))
     df.filter(hashBucket(col(idCol), seed) < threshold)
   }
 

@@ -73,6 +73,22 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
   }
 
+  test("thousands of strata sample in one plan without blowing plan depth") {
+    import spark.implicits._
+    // regression (the compaction plan-depth bug's class): the rate table
+    // used to fold into a when-chain nesting one level per stratum — a
+    // (lang × domain) curation job with thousands of strata overflowed
+    // the stack converting the Column tree. Now a single map literal.
+    val df = (1L to 6000L).toDF("id")
+      .withColumn("stratum", concat(lit("s"), ($"id" % 3000).cast("string")))
+    val rates = (0 until 3000).map(i => s"s$i" -> (if (i % 2 == 0) 1.0 else 0.0)).toMap
+    val kept = Sampling.stratifiedSample(df, "id", "stratum", rates, default = 0.5)
+      .select($"id").as[Long].collect()
+    // rate 1.0 strata keep both rows, rate 0.0 strata keep none
+    assert(kept.length === 3000)
+    assert(kept.forall(_ % 2 == 0))
+  }
+
   test("split fractions partition every row exactly once, deterministically") {
     import spark.implicits._
     val df = (1L to 3000L).toDF("id")
