@@ -48,17 +48,22 @@ object AdcGridBench {
     val nlist = args.lift(2).map(_.toInt).getOrElse(
       math.max(16, math.sqrt(nChunks.toDouble).toInt))
     val (m, ksub) = (48, sys.env.get("SPARK_GRAFT_PQ_KSUB").map(_.toInt).getOrElse(256))
-    println(s"[adcgrid] corpus $dir: $nChunks chunks, nlist=$nlist, pq m=$m ksub=$ksub")
+    // SPARK_GRAFT_TRAINED=1 runs the grid over the PRODUCTION index shape:
+    // bounded-sample k-means centroids (and a k-means codebook) — the
+    // coverage-ceiling lift the flagship rows measure, priced per knob
+    val trained = sys.env.get("SPARK_GRAFT_TRAINED").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    println(s"[adcgrid] corpus $dir: $nChunks chunks, nlist=$nlist, pq m=$m ksub=$ksub trained=$trained")
     timed("IVF chunk index build (ONCE)") {
-      IvfCatalog.assignedChunks(spark, dir, nlist).count()
+      IvfCatalog.assignedChunks(spark, dir, nlist, trained).count()
     }
     timed("IVFADC code table build (ONCE)") {
-      IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub).count()
+      IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub, trained).count()
     }
-    val store = IvfCatalog.assignedChunks(spark, dir, nlist)
-    val cents = IvfCatalog.chunkCentroidsStored(spark, dir, nlist)
-    val codes = IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub)
-    val cb = IvfPqCatalog.chunkCodebookStored(spark, dir, m, ksub)
+    val store = IvfCatalog.assignedChunks(spark, dir, nlist, trained)
+    val cents = IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained)
+    val codes = IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub, trained)
+    val cb = IvfPqCatalog.chunkCodebookStored(spark, dir, m, ksub, trained)
 
     // deterministic query sample spread across the stored id space
     val qs = store
