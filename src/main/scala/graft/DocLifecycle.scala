@@ -181,16 +181,22 @@ object DocLifecycle {
     * CURRENT store bytes — [[Compaction.compactTable]]'s working-set cap, so
     * a bulk edit touching half the corpus' cells becomes a sequence of small
     * bounded rewrites instead of one giant job. Cells with no directory yet
-    * (brand-new) count zero. */
+    * (brand-new) count zero. Stats ONLY the touched cells' directories — an
+    * edit-stream call touches a handful of cells, and listing every one of
+    * the store's nlist partition dirs (10^5 at 100 TB) per call would put a
+    * corpus-shaped term back into the batch-shaped path. */
   private def cellBatches(spark: SparkSession, name: String, cells: Seq[Long],
                           maxBatchBytes: Long): Seq[Seq[Long]] = {
     if (cells.isEmpty) return Nil
-    val bytes: Map[Long, Long] = Compaction.partitionStats(spark, name)
-      .flatMap(p => p.spec.split("=", 2) match {
-        case Array("centroid_id", v) if v != "__HIVE_DEFAULT_PARTITION__" =>
-          Some(v.toLong -> p.bytes)
-        case _ => None
-      }).toMap
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(name))
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes: Map[Long, Long] = cells.map { c =>
+      val dir = new org.apache.hadoop.fs.Path(root, s"centroid_id=$c")
+      c -> (if (fs.exists(dir)) Compaction.dataFiles(fs, dir).map(_.getLen).sum
+            else 0L)
+    }.toMap
     cells.map(c => c -> bytes.getOrElse(c, 0L))
       .foldLeft(List(List.empty[(Long, Long)])) { (acc, p) =>
         if (acc.head.nonEmpty && acc.head.map(_._2).sum + p._2 > maxBatchBytes)
