@@ -965,6 +965,83 @@ class StreamingSpec extends AnyFunSuite {
     toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("arrivals, edits, deletes and compaction interleave — the store tracks the net document set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the full production triad run SERIALLY interleaved (the documented
+    // single-maintenance-writer deployment shape): the append-only ingest
+    // loop takes arrivals, the edits channel revises/removes both old and
+    // just-arrived documents, compaction passes land between them — and at
+    // every checkpoint the store equals the from-scratch feature pipeline
+    // of the net document set. Pins that the three paths compose: an edit
+    // can't resurrect a compacted-away file, an arrival can't dodge a later
+    // delete, the doc→cells index never misses a rewrite.
+    val tdir = "/tmp/graft_triad_fixture"
+    val nlist = 29
+    def mkDoc(id: Long, rev: Int): String =
+      (1 to 6).map(i => s"Document $id revision $rev sentence $i exercises the " +
+        s"interleaved lifecycle on topic ${(id * 7 + rev * 5 + i) % 13} with a " +
+        "stable vocabulary and enough words for real chunks.").mkString(" ")
+    val base: Map[Long, String] = (1L to 6L).map(id => id -> mkDoc(id, 0)).toMap
+    base.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tdir/documents.parquet")
+    val toDrop = Seq(TableStore.tableName("chunks", tdir),
+      TableStore.tableName(s"ivfchunks$nlist", tdir),
+      TableStore.tableName(s"ivfchunkcent$nlist", tdir),
+      DocLifecycle.docCellsName(tdir, nlist))
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.catalog.clearCache()
+    IvfCatalog.assignedChunks(spark, tdir, nlist).count()
+    DocLifecycle.docCells(spark, tdir, nlist).count()
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", tdir)
+
+    var ref: Map[Long, String] = base
+    def check(step: String): Unit = {
+      val expected = graft.operators.Similarity.ivfAssign(
+          graft.pipelines.Pipelines.featurePipeline(
+              ref.toSeq.toDF("doc_id", "text"), 0.0)
+            .select(col("chunk_id"), col("document_id"), col("embedding")),
+          IvfCatalog.chunkCentroidsStored(spark, tdir, nlist), idCol = "chunk_id")
+        .select("chunk_id", "document_id", "centroid_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = IvfCatalog.assignedChunks(spark, tdir, nlist)
+        .select("chunk_id", "document_id", "centroid_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"store diverged from the rebuild oracle after: $step")
+    }
+    def arrive(docs: (Long, String)*): Unit = {
+      graft.streaming.StreamingIngest.ingestDocBatch(
+        docs.toSeq.toDF("doc_id", "text"), tdir, nlist)
+      ref = ref ++ docs
+    }
+    def edit(batch: (Long, String, String, Int)*): Unit = {
+      graft.streaming.StreamingIngest.applyEditBatch(
+        batch.toSeq.toDF("doc_id", "text", "op", "seq"), tdir, nlist)
+      batch.groupBy(_._1).foreach { case (id, ops) =>
+        val last = ops.maxBy(_._4)
+        ref = if (last._3 == "delete") ref - id else ref + (id -> last._2)
+      }
+    }
+
+    arrive(10L -> mkDoc(10, 0), 11L -> mkDoc(11, 0))
+    check("arrivals 10,11")
+    edit((2L, mkDoc(2, 1), "upsert", 1), (10L, "", "delete", 1))
+    check("edit pre-built doc 2 + delete just-arrived doc 10")
+    Compaction.compactTable(spark, storeName, idCol = "chunk_id")
+    check("compaction between channels")
+    arrive(12L -> mkDoc(12, 0), 11L -> mkDoc(11, 0)) // 11 replays, dedups away
+    check("arrival 12 + replay of 11")
+    edit((11L, mkDoc(11, 1), "upsert", 1), (3L, "", "delete", 1))
+    check("edit just-arrived doc 11 + delete pre-built doc 3")
+    Compaction.compactTable(spark, storeName, idCol = "chunk_id")
+    DocLifecycle.compactDocCells(spark, tdir, nlist)
+    check("final compaction incl. doc→cells rebuild")
+    // post-compaction edit: the rebuilt index must still route the rewrite
+    edit((12L, "", "delete", 1))
+    check("delete after doc→cells compaction")
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("doc loop cadence compacts the doc→cells index to live pairs, one file per bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
