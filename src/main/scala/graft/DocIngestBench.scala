@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * self-maintaining steady state, not unbounded fragmentation.
   * `SPARK_GRAFT_PQ=1` adds the IVFADC leg: the code table is built before
   * the loop and every batch also appends PQ codes (`pqM = 48`), pricing the
-  * full compressed-serving maintenance path.
+  * full compressed-serving maintenance path. `SPARK_GRAFT_DOCCELLS=1`
+  * derives the doc→cells secondary index before the loop, so every batch
+  * ALSO appends its (doc, cell) pairs and the cadence rebuilds the index —
+  * the full lifecycle-capable deployment (arrivals loop + editable store).
   */
 object DocIngestBench {
   def main(args: Array[String]): Unit = {
@@ -80,6 +83,11 @@ object DocIngestBench {
     if (pq) timed(s"IVFADC code table build (m=$pqM, ksub=$pqKsub, ONCE)") {
       IvfPqCatalog.encodedChunks(spark, dir, nlist, pqM, pqKsub, trained).count()
     }
+    val docCells = sys.env.get("SPARK_GRAFT_DOCCELLS").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    if (docCells) timed("doc→cells secondary index derivation (ONCE)") {
+      DocLifecycle.docCells(spark, dir, nlist, trained).count()
+    }
 
     // batch b: `batchDocs` corpus docs with doc_id ≡ b (mod M) replayed
     // verbatim (identity dedup drops every chunk), plus the same docs
@@ -123,6 +131,17 @@ object DocIngestBench {
       val cfrag = Compaction.partitionStats(spark, codes)
       println(s"[docingest] code-table files: total=${cfrag.map(_.files).sum}, rows=" +
         IvfPqCatalog.encodedChunks(spark, dir, nlist, pqM, pqKsub, trained).count())
+    }
+    if (docCells) {
+      // the cadence's staged swap ran in the foreachBatch-cloned session;
+      // this session's cached relation is stale — re-resolve first (the
+      // documented reader contract, TableStore.getOrBuild's refresh)
+      val idxName = DocLifecycle.docCellsName(dir, nlist, trained)
+      spark.catalog.refreshTable(idxName)
+      val idx = spark.table(idxName)
+      val live = spark.table(store).select("document_id", "centroid_id").distinct().count()
+      println(s"[docingest] doc→cells index after cadence: rows=${idx.count()} " +
+        s"(live pairs=$live), distinct=${idx.distinct().count()}")
     }
     spark.stop()
   }
