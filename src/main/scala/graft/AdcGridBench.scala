@@ -71,6 +71,10 @@ object AdcGridBench {
       .orderBy(col("chunk_id").asc).limit(nQueries)
       .select("chunk_id", "embedding").collect()
       .map(r => r.getString(0) -> r.getSeq[Float](1).toArray)
+    require(qs.nonEmpty,
+      s"no query vectors sampled from $dir (hash stride too sparse for this " +
+        "corpus) — rerun with a larger nQueries or a bigger corpus; failing " +
+        "now rather than printing NaN recall after the index builds")
     println(s"[adcgrid] ${qs.length} query vectors sampled")
 
     val exact: Map[String, Set[String]] = timed("exact brute-force ground truth") {

@@ -69,6 +69,19 @@ object DocLifecycle {
     TableStore.tableName(
       if (trained) s"ivfdoccellsk$nlist" else s"ivfdoccells$nlist", dir)
 
+  /** The one physical shape of the index — shared by the first derivation
+    * and the cadence rebuild, so the compacted form can never silently
+    * diverge from the initial build (same bucketing, same sort, same
+    * clusterWrite). */
+  private def rebuildDocCells(spark: SparkSession, storeName: String,
+                              target: String): Unit =
+    spark.table(storeName)
+      .select(col("document_id"), col("centroid_id")).distinct()
+      .repartition(32, col("document_id")) // clusterWrite: one file per bucket
+      .write.mode("overwrite")
+      .bucketBy(32, "document_id").sortBy("document_id")
+      .format("parquet").saveAsTable(target)
+
   /** The (document_id, centroid_id) secondary index for the chunk store,
     * bucketed by document_id. First use derives it from the LIVE store (a
     * one-time scan — complete by construction); from then on
@@ -81,29 +94,37 @@ object DocLifecycle {
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
     TableStore.getOrBuild(spark, name) {
-      spark.table(store)
-        .select(col("document_id"), col("centroid_id")).distinct()
-        .repartition(32, col("document_id")) // clusterWrite: one file per bucket
-        .write.mode("overwrite")
-        .bucketBy(32, "document_id").sortBy("document_id")
-        .format("parquet").saveAsTable(name)
+      rebuildDocCells(spark, store, name)
     }
   }
 
   /** Append one batch's (document_id, centroid_id) pairs — called by
     * [[IvfCatalog.appendChunks]] when the index exists, in the same
-    * micro-batch as the row append (the index must never miss a cell). */
+    * micro-batch as the row append (the index must never miss a cell).
+    * The caller checked existence; if the table is missing HERE, the
+    * append is racing [[compactDocCells]]' metadata swap (a DROP/RENAME
+    * pair, milliseconds wide) — wait it out and retry rather than either
+    * silently skipping (a never-miss violation: the swapped-in rebuild
+    * predates this batch's rows) or appending into a freshly CREATED
+    * table (which would then collide with the pending RENAME). A table
+    * still missing after the tolerance fails loudly. */
   private[graft] def appendDocCells(spark: SparkSession, dir: String, nlist: Int,
                                     trained: Boolean, assigned: DataFrame): Unit = {
     val name = docCellsName(dir, nlist, trained)
-    if (spark.catalog.tableExists(name)) {
-      assigned.select(col("document_id"), col("centroid_id")).distinct()
-        .repartition(32, col("document_id"))
-        .write.mode("append")
-        .bucketBy(32, "document_id").sortBy("document_id")
-        .format("parquet").saveAsTable(name)
-      spark.catalog.refreshTable(name)
+    var waited = 0
+    while (!spark.catalog.tableExists(name)) {
+      if (waited >= 30) throw new IllegalStateException(
+        s"doc→cells index $name vanished mid-append and did not reappear — " +
+          "a racing compactDocCells swap should resolve in milliseconds; " +
+          "rerun the batch once the maintenance writer is done")
+      Thread.sleep(100); waited += 1
     }
+    assigned.select(col("document_id"), col("centroid_id")).distinct()
+      .repartition(32, col("document_id"))
+      .write.mode("append")
+      .bucketBy(32, "document_id").sortBy("document_id")
+      .format("parquet").saveAsTable(name)
+    spark.catalog.refreshTable(name)
   }
 
   /** Rewrite the index down to the store's LIVE pairs — reclaims upsert
@@ -111,11 +132,16 @@ object DocLifecycle {
     * fragmentation [[appendDocCells]] accrues; [[graft.streaming.StreamingIngest.startDocs]]
     * runs it on the same `compactEvery` cadence as the stores. Staged like
     * [[Compaction.compactBucketed]]: the rebuild lands in a sibling staging
-    * table first, then a DROP/RENAME metadata swap — at no point does the
-    * index not exist (a drop-then-rebuild window would make a concurrent
-    * [[IvfCatalog.appendChunks]] see no table and skip its pairs, silently
-    * breaking the never-miss contract), and a crash before the swap leaves
-    * the original intact. */
+    * table first, then a DROP/RENAME metadata swap. The swap is two catalog
+    * ops, not one, so the index IS briefly absent — a concurrent
+    * [[appendDocCells]] covers that window by retrying until the renamed
+    * table appears (it never silently skips). Crash recovery favors
+    * self-healing: a crash before the DROP leaves the original intact
+    * (staging dropped here); a crash between DROP and RENAME leaves no
+    * table, and the next [[docCells]] use derives a COMPLETE index from
+    * the live store — which is why the swap is not an in-place
+    * `INSERT OVERWRITE` (whose mid-write crash would leave a PRESENT but
+    * incomplete index, silently violating never-miss). */
   def compactDocCells(spark: SparkSession, dir: String, nlist: Int,
                       trained: Boolean = false): Unit = {
     val name = docCellsName(dir, nlist, trained)
@@ -124,18 +150,18 @@ object DocLifecycle {
       val stage = s"${name}__cstage${System.nanoTime()}"
       try {
         spark.catalog.refreshTable(store)
-        spark.table(store)
-          .select(col("document_id"), col("centroid_id")).distinct()
-          .repartition(32, col("document_id")) // clusterWrite: one file per bucket
-          .write.mode("overwrite")
-          .bucketBy(32, "document_id").sortBy("document_id")
-          .format("parquet").saveAsTable(stage)
+        rebuildDocCells(spark, store, stage)
         spark.sql(s"DROP TABLE $name")
         spark.sql(s"ALTER TABLE $stage RENAME TO $name")
       } catch {
         case e: Throwable =>
-          // failed before the swap: the original is intact; drop the staging
-          if (spark.catalog.tableExists(name) && spark.catalog.tableExists(stage))
+          if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(stage)) {
+            // the DROP landed but the RENAME did not — retry it once; on a
+            // second failure drop the staging too (the index is derivable:
+            // the next docCells() rebuilds complete from the live store)
+            try spark.sql(s"ALTER TABLE $stage RENAME TO $name")
+            catch { case _: Throwable => spark.sql(s"DROP TABLE IF EXISTS $stage") }
+          } else
             spark.sql(s"DROP TABLE IF EXISTS $stage")
           throw e
       }
@@ -351,7 +377,8 @@ object DocLifecycle {
     val eids = new EditIds(spark, ids, bulkThreshold)
     val newCells = assigned.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val touched = (newCells ++ cellsOf(spark, dir, nlist, trained, eids)).distinct
+    val oldCells = cellsOf(spark, dir, nlist, trained, eids)
+    val touched = (newCells ++ oldCells).distinct
     spark.catalog.refreshTable(store)
     // counted eagerly, BEFORE the rewrite removes exactly these rows
     val nRemoved = eids.keep(spark.table(store)
@@ -408,9 +435,15 @@ object DocLifecycle {
     }
     // (4) dead-code purge LAST, keeping codes live in the REWRITTEN store —
     //     a removed-ids purge would delete live codes on a replayed
-    //     unchanged upsert (same ids skipped by (2), then purged)
+    //     unchanged upsert (same ids skipped by (2), then purged). Scope:
+    //     only the documents' OLD cells — that is where the removed ids'
+    //     codes live; rewriting every touched cell would pay a second full
+    //     code rewrite per edit for nothing (a brand-new doc has no dead
+    //     codes, and a crash orphan in a new cell merely reranks away until
+    //     a later edit of that doc lists the cell and purges it)
+    val oldCellSet = oldCells.toSet
     codesTable.foreach { codes =>
-      batches.foreach { cb =>
+      batches.map(_.filter(oldCellSet)).filter(_.nonEmpty).foreach { cb =>
         val liveIds = spark.table(store)
           .filter(col("centroid_id").isin(cb: _*))
           .select(col("chunk_id"))

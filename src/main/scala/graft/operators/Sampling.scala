@@ -33,7 +33,11 @@ object Sampling {
     * when-chain: a curation job stratifying on (lang × domain) can carry
     * thousands of strata, and a chain nesting one plan level per stratum
     * overflows the stack converting the Column tree (the compaction
-    * plan-depth bug's class — found at ×1000, fixed everywhere). */
+    * plan-depth bug's class — found at ×1000, fixed everywhere).
+    * Keys match the COLUMN'S CANONICAL STRING FORM (`strataCol` is cast to
+    * string for the lookup): for a non-string strata column, write keys the
+    * way Spark renders the value — `"1.0"` for a double 1.0, not `"1"` —
+    * or the stratum silently falls through to `default`. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double], default: Double,
                        seed: String = "samp"): DataFrame = {

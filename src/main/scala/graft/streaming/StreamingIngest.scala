@@ -248,8 +248,11 @@ object StreamingIngest {
   /** Apply ONE batch of document edits to the serving index — shared by the
     * streaming channel below and the batch-parity path in specs. `batch`
     * carries (idCol, textCol, opCol[, seqCol]) rows; it is first reduced to
-    * the LAST revision per document (max `seqCol` — without the column, the
-    * batch must already hold one revision per doc or
+    * the LAST revision per document (max `seqCol`, ties broken
+    * deterministically by (op, text) so a replayed batch picks the SAME
+    * winner — a source stamping coarse sequence numbers must not make the
+    * round-trip guarantee partition-order-dependent; without the column,
+    * the batch must already hold one revision per doc or
     * [[graft.DocLifecycle.upsertDocChunks]]'s guard rejects it), then routed:
     * a document whose winning op is `delete` cascades out
     * ([[graft.DocLifecycle.deleteDocChunks]]), anything else replaces its
@@ -272,12 +275,22 @@ object StreamingIngest {
       if (!batch.columns.contains(seqCol)) batch
       else batch.withColumn("__rn",
           row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col(idCol)).orderBy(col(seqCol).desc)))
+            .partitionBy(col(idCol))
+            // total order: equal-seq rows would otherwise pick a winner by
+            // physical row order, which changes across shuffles/replays
+            .orderBy(col(seqCol).desc, col(opCol).asc, col(textCol).asc)))
         .filter(col("__rn") === 1).drop("__rn")
     val routed = reduced
       .withColumn("__del", lower(col(opCol)) === lit("delete"))
       .select(col(idCol).cast("long").as(idCol), col(textCol), col("__del"))
       .localCheckpoint(true) // edits are batch-sized; pin before the index mutates
+    // a NULL op matches neither route (NULL is not true and !NULL is NULL):
+    // the row would silently vanish — fail loudly like every other
+    // invalid-input path instead
+    val nullOps = routed.filter(col("__del").isNull).select(col(idCol)).limit(1).collect()
+    require(nullOps.isEmpty,
+      s"edit batch carries a NULL $opCol for $idCol=${nullOps.headOption.map(_.get(0)).orNull}" +
+        " — every edit row must be an upsert or a delete")
     val delIds = routed.filter(col("__del")).select(col(idCol))
       .collect().map(_.getLong(0)).toSeq
     val upserts = routed.filter(!col("__del")).drop("__del")

@@ -965,6 +965,50 @@ class StreamingSpec extends AnyFunSuite {
     toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("edit batches: equal-seq ties resolve deterministically; a NULL op fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tdir = "/tmp/graft_edittie_fixture"
+    val nlist = 17
+    def mkDoc(id: Long, rev: Int): String =
+      (1 to 6).map(i => s"Document $id revision $rev sentence $i keeps the tie " +
+        s"fixture on topic ${(id * 3 + rev + i) % 7} with enough words for real " +
+        "chunks in every revision.").mkString(" ")
+    Seq(1L -> mkDoc(1, 0), 2L -> mkDoc(2, 0)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tdir/documents.parquet")
+    val toDrop = Seq(TableStore.tableName("chunks", tdir),
+      TableStore.tableName(s"ivfchunks$nlist", tdir),
+      TableStore.tableName(s"ivfchunkcent$nlist", tdir),
+      DocLifecycle.docCellsName(tdir, nlist))
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.catalog.clearCache()
+    IvfCatalog.assignedChunks(spark, tdir, nlist).count()
+
+    // a source stamping coarse sequence numbers: upsert and delete of the
+    // same doc carry the SAME seq — the winner must be deterministic
+    // (total order seq desc, op asc, text asc → "delete" < "upsert"), and a
+    // checkpoint replay of the identical batch must land the same way
+    val tie = Seq((1L, mkDoc(1, 1), "upsert", 1), (1L, "", "delete", 1))
+    def docRows(id: Long): Long = IvfCatalog.assignedChunks(spark, tdir, nlist)
+      .filter(col("document_id") === id).count()
+    graft.streaming.StreamingIngest.applyEditBatch(
+      tie.toDF("doc_id", "text", "op", "seq"), tdir, nlist)
+    assert(docRows(1L) === 0L, "tie must resolve to the delete, deterministically")
+    graft.streaming.StreamingIngest.applyEditBatch( // replay: same winner
+      tie.toDF("doc_id", "text", "op", "seq"), tdir, nlist)
+    assert(docRows(1L) === 0L, "a replayed tie batch must pick the same winner")
+
+    // a NULL op routes to neither path — it must be rejected, not dropped
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.applyEditBatch(
+        Seq((2L, mkDoc(2, 1), null: String, 1))
+          .toDF("doc_id", "text", "op", "seq"), tdir, nlist)
+    }
+    assert(ex.getMessage.contains("NULL"))
+    assert(docRows(2L) > 0L, "the rejected batch must not have touched doc 2")
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("arrivals, edits, deletes and compaction interleave — the store tracks the net document set") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
