@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * upsert + one delete of nBulk documents through the join-pruned,
   * byte-batched form (bulkThreshold forced low), the 100k-re-crawl shape —
   * near-dup flagging off so the row prices the edit machinery itself (flag
-  * cost is DocIngestBench's row).
+  * cost is DocIngestBench's row). `SPARK_GRAFT_PQ=1` runs every leg against
+  * the compressed-serving deployment: the IVFADC code table is built once
+  * and each upsert/delete co-maintains it (codes-first append, scoped
+  * dead-code purge) — the one path combination the other benches don't
+  * price.
   */
 object DocLifecycleBench {
   def main(args: Array[String]): Unit = {
@@ -52,6 +56,11 @@ object DocLifecycleBench {
     timed("docCells secondary index derivation (ONCE — then append-maintained)") {
       DocLifecycle.docCells(spark, dir, nlist).count()
     }
+    val pq = sys.env.get("SPARK_GRAFT_PQ").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val (pqM, pqKsub) = (if (pq) 48 else 0, 32)
+    if (pq) timed("IVFADC code table build (m=48, ONCE)") {
+      IvfPqCatalog.encodedChunks(spark, dir, nlist, pqM, pqKsub).count()
+    }
 
     val docs = Tables.documents(spark, dir)
     val victims = docs.orderBy($"doc_id".desc).limit(nDocs)
@@ -68,13 +77,15 @@ object DocLifecycleBench {
     victims.zipWithIndex.foreach { case ((id, text), i) =>
       val (rm, add) = timed(s"upsert doc $id (edit ${i + 1}/$nDocs)") {
         DocLifecycle.upsertDocChunks(spark, dir,
-          Seq((id, s"edited pass$i $text")).toDF("doc_id", "text"), nlist)
+          Seq((id, s"edited pass$i $text")).toDF("doc_id", "text"), nlist,
+          pqM = pqM, pqKsub = pqKsub)
       }
       println(s"[doclife]   removed=$rm added=$add")
     }
     victims.foreach { case (id, _) =>
       val rm = timed(s"delete doc $id") {
-        DocLifecycle.deleteDocChunks(spark, dir, Seq(id), nlist)
+        DocLifecycle.deleteDocChunks(spark, dir, Seq(id), nlist,
+          pqM = pqM, pqKsub = pqKsub)
       }
       println(s"[doclife]   removed=$rm")
     }
@@ -96,6 +107,7 @@ object DocLifecycleBench {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_editbench_ckpt").toString
       val q = streaming.StreamingIngest.startDocEdits(
         source.toDF().toDF("doc_id", "text", "op", "seq"), dir, ckpt, nlist,
+        pqM = pqM, pqKsub = pqKsub,
         onBatch = r => println(f"[doclife] edit-stream batch ${r.batchId}: " +
           f"edits=${r.edits} upserted=${r.upsertedDocs} deleted=${r.deletedDocs} " +
           f"removed=${r.removedChunks} added=${r.addedChunks} ${r.seconds}%.1f s"))
@@ -109,13 +121,14 @@ object DocLifecycleBench {
         .select($"doc_id", concat(lit("bulk edited "), $"text").as("text"))
       val (brm, badd) = timed(s"BULK upsert of $nBulk docs (join pruning, byte-batched)") {
         DocLifecycle.upsertDocChunks(spark, dir, bulkDocs, nlist,
-          flagNearDups = false, bulkThreshold = 1000)
+          flagNearDups = false, bulkThreshold = 1000, pqM = pqM, pqKsub = pqKsub)
       }
       println(s"[doclife]   bulk removed=$brm added=$badd")
       val bulkIds = docs.orderBy($"doc_id".asc).limit(nBulk)
         .select($"doc_id").as[Long].collect().toSeq
       val bdel = timed(s"BULK delete of $nBulk docs") {
-        DocLifecycle.deleteDocChunks(spark, dir, bulkIds, nlist, bulkThreshold = 1000)
+        DocLifecycle.deleteDocChunks(spark, dir, bulkIds, nlist,
+          bulkThreshold = 1000, pqM = pqM, pqKsub = pqKsub)
       }
       println(s"[doclife]   bulk removed=$bdel")
       println(s"[doclife] store rows after bulk leg: " +
