@@ -155,15 +155,19 @@ object DocLifecycle {
         spark.sql(s"ALTER TABLE $stage RENAME TO $name")
       } catch {
         case e: Throwable =>
+          var healed = false
           if (!spark.catalog.tableExists(name) && spark.catalog.tableExists(stage)) {
             // the DROP landed but the RENAME did not — retry it once; on a
             // second failure drop the staging too (the index is derivable:
-            // the next docCells() rebuilds complete from the live store)
-            try spark.sql(s"ALTER TABLE $stage RENAME TO $name")
+            // the next docCells() rebuilds complete from the live store).
+            // A successful retry means the swap IS complete and the index
+            // healthy — return normally rather than failing a cadence
+            // caller over a healed state.
+            try { spark.sql(s"ALTER TABLE $stage RENAME TO $name"); healed = true }
             catch { case _: Throwable => spark.sql(s"DROP TABLE IF EXISTS $stage") }
           } else
             spark.sql(s"DROP TABLE IF EXISTS $stage")
-          throw e
+          if (!healed) throw e
       }
       spark.catalog.refreshTable(name)
     }

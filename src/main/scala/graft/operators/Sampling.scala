@@ -36,8 +36,13 @@ object Sampling {
     * plan-depth bug's class — found at ×1000, fixed everywhere).
     * Keys match the COLUMN'S CANONICAL STRING FORM (`strataCol` is cast to
     * string for the lookup): for a non-string strata column, write keys the
-    * way Spark renders the value — `"1.0"` for a double 1.0, not `"1"` —
-    * or the stratum silently falls through to `default`. */
+    * way Spark renders the value — `"1.0"` for a double 1.0, not `"1"`.
+    * A key that cannot round-trip through the column's type is rejected at
+    * plan time (it could never match any row, so the stratum would silently
+    * sample at `default` — the fail-loud guard converts that to an error);
+    * a stratum VALUE absent from the map still falls through to `default`
+    * by design. The lookup is `try_element_at`, so a missing key is an
+    * explicit NULL → `default` under any ANSI mode, version-proof. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double], default: Double,
                        seed: String = "samp"): DataFrame = {
@@ -45,10 +50,24 @@ object Sampling {
       require(f >= 0.0 && f <= 1.0, s"rate $f outside [0,1]")
       math.round(f * 1e6)
     }
+    val dt = df.schema(strataCol).dataType
+    if (dt != org.apache.spark.sql.types.StringType) {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+      rates.keys.foreach { k =>
+        val parsed = Cast(Literal(k), dt, Some("UTC"), EvalMode.TRY).eval()
+        val back = Option(parsed).map(p =>
+          Cast(Literal.create(p, dt), org.apache.spark.sql.types.StringType,
+            Some("UTC"), EvalMode.TRY).eval().toString).orNull
+        require(back == k,
+          s"rate key '$k' is not the canonical string form of a $dt value " +
+            s"(round-trips to '$back') — it can never match $strataCol and the " +
+            "stratum would silently sample at the default rate")
+      }
+    }
     val threshold =
       if (rates.isEmpty) lit(ppm(default))
       else coalesce(
-        element_at(typedLit(rates.map { case (k, v) => k -> ppm(v) }),
+        try_element_at(typedLit(rates.map { case (k, v) => k -> ppm(v) }),
           col(strataCol).cast("string")),
         lit(ppm(default)))
     df.filter(hashBucket(col(idCol), seed) < threshold)

@@ -89,6 +89,26 @@ class AsOfSamplingSpec extends AnyFunSuite {
     assert(kept.forall(_ % 2 == 0))
   }
 
+  test("non-string strata: mis-keyed rates fail fast; absent strata fall to default") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+      .withColumn("score", (($"id" % 2) + lit(0.0)).cast("double")) // 0.0 / 1.0
+    // "1" is not the canonical string form of double 1.0 — it could never
+    // match a row, so the stratum would silently sample at default; the
+    // guard must reject it at plan time
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(df, "id", "score", Map("1" -> 0.0), default = 1.0)
+    }
+    assert(ex.getMessage.contains("canonical"))
+    // canonically-keyed doubles route per-stratum; the 0.0 stratum (absent
+    // from a NON-EMPTY rates map) falls through to default — try_element_at
+    // keeps that NULL-on-missing fallback under any ANSI mode
+    val kept = Sampling.stratifiedSample(df, "id", "score",
+        Map("1.0" -> 0.0), default = 1.0)
+      .select($"score").as[Double].collect()
+    assert(kept.length === 1000 && kept.forall(_ == 0.0))
+  }
+
   test("split fractions partition every row exactly once, deterministically") {
     import spark.implicits._
     val df = (1L to 3000L).toDF("id")

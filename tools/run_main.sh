@@ -4,6 +4,7 @@
 # sbt JVM startup). Usage: tools/run_main.sh graft.ScaleGen arg1 arg2 ...
 # SPARK_DRIVER_MEM (default 48g) sizes the single JVM.
 set -euo pipefail
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 MAIN="$1"; shift
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -17,5 +18,5 @@ exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-48g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$ROOT/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"
