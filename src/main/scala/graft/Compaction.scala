@@ -171,19 +171,28 @@ object Compaction {
     *                     + overwrite — the seam a deployment uses to fence
     *                     external writers (and the race spec uses to inject
     *                     one)
+    * @param leaseScope   [[MaintenanceLease]] scope; defaults to the table
+    *                     itself. Callers maintaining one index's table
+    *                     GROUP (raw store + code table + doc→cells) pass
+    *                     the store's name for all of them, so the group's
+    *                     maintenance excludes the lifecycle rewrites that
+    *                     touch the same cells
     */
   def compactTable(spark: SparkSession, name: String,
                    targetBytes: Long = 128L << 20,
                    minFiles: Int = 2,
                    maxBatchBytes: Long = 4L << 30,
                    idCol: String = "vec_id",
-                   beforeOverwrite: () => Unit = () => ()): Report = {
+                   beforeOverwrite: () => Unit = () => (),
+                   leaseScope: String = ""): Report =
+    MaintenanceLease.withLease(spark,
+        if (leaseScope.isEmpty) name else leaseScope) {
     val t0 = System.nanoTime()
     val all = partitionStats(spark, name)
     val need = all.filter(p => p.files >= minFiles && p.files > p.packedFiles(targetBytes))
     if (need.isEmpty)
-      return Report(all.size, Nil, all.map(_.files).sum, all.map(_.files).sum, 0.0)
-
+      Report(all.size, Nil, all.map(_.files).sum, all.map(_.files).sum, 0.0)
+    else {
     val meta = tableMeta(spark, name)
     val root = new org.apache.hadoop.fs.Path(meta.location)
     val schema = spark.table(name).schema
@@ -318,7 +327,8 @@ object Compaction {
       all.map(_.files).sum, after.map(_.files).sum,
       (System.nanoTime() - t0) / 1e9,
       aborted.result(), commitWindow)
-  }
+    }
+    }
 
   /** Data-file count of a NON-partitioned table (files live at the root). */
   def tableFiles(spark: SparkSession, name: String): Int = {
@@ -352,7 +362,8 @@ object Compaction {
     * ingests daily increments, weekly is plenty, and the cost scales with
     * the INDEX, which bucketing already sized to be scanned. Returns
     * (files before, files after, seconds). */
-  def compactBucketed(spark: SparkSession, name: String): (Int, Int, Double) = {
+  def compactBucketed(spark: SparkSession, name: String): (Int, Int, Double) =
+    MaintenanceLease.withLease(spark, name) {
     val t0 = System.nanoTime()
     val meta = tableMeta(spark, name)
     val bucketSpec = meta.bucketSpec.getOrElse(
@@ -391,5 +402,5 @@ object Compaction {
     }
     spark.catalog.refreshTable(name)
     (filesBefore, tableFiles(spark, name), (System.nanoTime() - t0) / 1e9)
-  }
+    }
 }

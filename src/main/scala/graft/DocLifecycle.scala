@@ -101,30 +101,34 @@ object DocLifecycle {
   /** Append one batch's (document_id, centroid_id) pairs — called by
     * [[IvfCatalog.appendChunks]] when the index exists, in the same
     * micro-batch as the row append (the index must never miss a cell).
-    * The caller checked existence; if the table is missing HERE, the
-    * append is racing [[compactDocCells]]' metadata swap (a DROP/RENAME
-    * pair, milliseconds wide) — wait it out and retry rather than either
-    * silently skipping (a never-miss violation: the swapped-in rebuild
-    * predates this batch's rows) or appending into a freshly CREATED
-    * table (which would then collide with the pending RENAME). A table
+    * Serialized against [[compactDocCells]]' swap by [[MaintenanceLock]]:
+    * within the driver JVM (the deployment shape — all of a pipeline's
+    * writer loops run on one driver) the append can never observe the
+    * mid-swap absent table, never CREATE a fresh table that collides with
+    * the pending RENAME, and any pair appended after the rebuild's
+    * snapshot is preserved by the swap's late-pair merge. The existence
+    * poll remains as cross-JVM defense-in-depth (a foreign writer's swap,
+    * already a contract violation the lease fails loudly on); a table
     * still missing after the tolerance fails loudly. */
   private[graft] def appendDocCells(spark: SparkSession, dir: String, nlist: Int,
                                     trained: Boolean, assigned: DataFrame): Unit = {
     val name = docCellsName(dir, nlist, trained)
-    var waited = 0
-    while (!spark.catalog.tableExists(name)) {
-      if (waited >= 30) throw new IllegalStateException(
-        s"doc→cells index $name vanished mid-append and did not reappear — " +
-          "a racing compactDocCells swap should resolve in milliseconds; " +
-          "rerun the batch once the maintenance writer is done")
-      Thread.sleep(100); waited += 1
+    MaintenanceLock(name) {
+      var waited = 0
+      while (!spark.catalog.tableExists(name)) {
+        if (waited >= 30) throw new IllegalStateException(
+          s"doc→cells index $name vanished mid-append and did not reappear — " +
+            "a racing compactDocCells swap should resolve in milliseconds; " +
+            "rerun the batch once the maintenance writer is done")
+        Thread.sleep(100); waited += 1
+      }
+      assigned.select(col("document_id"), col("centroid_id")).distinct()
+        .repartition(32, col("document_id"))
+        .write.mode("append")
+        .bucketBy(32, "document_id").sortBy("document_id")
+        .format("parquet").saveAsTable(name)
+      spark.catalog.refreshTable(name)
     }
-    assigned.select(col("document_id"), col("centroid_id")).distinct()
-      .repartition(32, col("document_id"))
-      .write.mode("append")
-      .bucketBy(32, "document_id").sortBy("document_id")
-      .format("parquet").saveAsTable(name)
-    spark.catalog.refreshTable(name)
   }
 
   /** Rewrite the index down to the store's LIVE pairs — reclaims upsert
@@ -132,27 +136,82 @@ object DocLifecycle {
     * fragmentation [[appendDocCells]] accrues; [[graft.streaming.StreamingIngest.startDocs]]
     * runs it on the same `compactEvery` cadence as the stores. Staged like
     * [[Compaction.compactBucketed]]: the rebuild lands in a sibling staging
-    * table first, then a DROP/RENAME metadata swap. The swap is two catalog
-    * ops, not one, so the index IS briefly absent — a concurrent
-    * [[appendDocCells]] covers that window by retrying until the renamed
-    * table appears (it never silently skips). Crash recovery favors
-    * self-healing: a crash before the DROP leaves the original intact
-    * (staging dropped here); a crash between DROP and RENAME leaves no
-    * table, and the next [[docCells]] use derives a COMPLETE index from
-    * the live store — which is why the swap is not an in-place
-    * `INSERT OVERWRITE` (whose mid-write crash would leave a PRESENT but
-    * incomplete index, silently violating never-miss). */
+    * table first, then a DROP/RENAME metadata swap.
+    *
+    * Concurrency is mechanical, not prose. The whole call holds the
+    * index's [[MaintenanceLease]] (scope = the store), so it can never run
+    * concurrently with an upsert/delete — whose pairs land long before
+    * their rewritten rows and would otherwise be erasable by the swap. The
+    * swap section holds [[MaintenanceLock]] with [[appendDocCells]] /
+    * [[IvfCatalog.appendChunks]], so an ingest append can never observe
+    * the mid-swap absent table or collide a CREATE with the pending
+    * RENAME. And because the ingest loop keeps appending while the rebuild
+    * scans, the locked section runs a LATE-PAIR MERGE before swapping:
+    * pairs present in the live index but absent from the staged rebuild
+    * are kept iff the (refreshed) store holds live rows for them — an
+    * append that landed after the rebuild's snapshot is preserved
+    * (appendChunks' lock spans pairs + rows, so its rows are visible by
+    * merge time), while a true false positive has no rows and is
+    * reclaimed. Crash recovery favors self-healing: a crash before the
+    * DROP leaves the original intact (staging dropped here); a crash
+    * between DROP and RENAME leaves no table, and the next [[docCells]]
+    * use derives a COMPLETE index from the live store — which is why the
+    * swap is not an in-place `INSERT OVERWRITE` (whose mid-write crash
+    * would leave a PRESENT but incomplete index, silently violating
+    * never-miss). `beforeSwap` is the race spec's injection seam, invoked
+    * after the staged rebuild and before the locked merge+swap. */
   def compactDocCells(spark: SparkSession, dir: String, nlist: Int,
-                      trained: Boolean = false): Unit = {
+                      trained: Boolean = false,
+                      beforeSwap: () => Unit = () => ()): Unit = {
     val name = docCellsName(dir, nlist, trained)
     if (spark.catalog.tableExists(name)) {
       val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+      MaintenanceLease.withLease(spark, store) {
       val stage = s"${name}__cstage${System.nanoTime()}"
       try {
         spark.catalog.refreshTable(store)
         rebuildDocCells(spark, store, stage)
-        spark.sql(s"DROP TABLE $name")
-        spark.sql(s"ALTER TABLE $stage RENAME TO $name")
+        beforeSwap()
+        MaintenanceLock(name) {
+          // late-pair merge: anything appended to the index since the
+          // rebuild's store snapshot is in the live index but not the
+          // staging. Keep exactly those with live store rows (a completed
+          // append — the lock ordering guarantees its rows are visible);
+          // drop the rest (false positives, the reclaim this rebuild is
+          // for). Pinned eagerly: the keep-set reads `name`, which the
+          // swap below drops.
+          spark.catalog.refreshTable(name)
+          spark.catalog.refreshTable(store)
+          val cols = Seq(col("document_id"), col("centroid_id"))
+          val delta = spark.table(name).select(cols: _*).distinct()
+            .join(spark.table(stage).select(cols: _*),
+              Seq("document_id", "centroid_id"), "left_anti")
+            .localCheckpoint(true)
+          val dCells = delta.select("centroid_id").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          if (dCells.nonEmpty) {
+            // pruned read of just the delta's cells; isin only while the
+            // cell list is plan-size-safe (the compaction plan-depth
+            // lesson), broadcast semi-join beyond that
+            val storeRows =
+              if (dCells.size <= 1000)
+                spark.table(store).filter(col("centroid_id").isin(dCells: _*))
+              else {
+                import spark.implicits._
+                spark.table(store).join(
+                  broadcast(dCells.toDF("centroid_id")), Seq("centroid_id"), "left_semi")
+              }
+            val keep = delta.join(
+              storeRows.select(cols: _*).distinct(),
+              Seq("document_id", "centroid_id"), "left_semi")
+            keep.repartition(32, col("document_id"))
+              .write.mode("append")
+              .bucketBy(32, "document_id").sortBy("document_id")
+              .format("parquet").saveAsTable(stage)
+          }
+          spark.sql(s"DROP TABLE $name")
+          spark.sql(s"ALTER TABLE $stage RENAME TO $name")
+        }
       } catch {
         case e: Throwable =>
           var healed = false
@@ -170,6 +229,7 @@ object DocLifecycle {
           if (!healed) throw e
       }
       spark.catalog.refreshTable(name)
+      }
     }
   }
 
@@ -363,6 +423,7 @@ object DocLifecycle {
     val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
+    MaintenanceLease.withLease(spark, store) {
     val d = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
       .dropDuplicates(idCol, textCol) // a doc redelivered verbatim in one batch
     val multiRev = d.groupBy(col(idCol)).count()
@@ -457,6 +518,7 @@ object DocLifecycle {
     }
     assigned.unpersist()
     (nRemoved, nAdded)
+    }
   }
 
   /** Cascading delete of `ids`' chunks from the stored index — S10 at the
@@ -473,9 +535,11 @@ object DocLifecycle {
     val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
+    MaintenanceLease.withLease(spark, store) {
     val eids = new EditIds(spark, ids, bulkThreshold)
     val touched = cellsOf(spark, dir, nlist, trained, eids)
-    if (touched.isEmpty) return 0L
+    if (touched.isEmpty) 0L
+    else {
     spark.catalog.refreshTable(store)
     // counted eagerly, BEFORE the rewrite removes exactly these rows
     val nRemoved = eids.keep(spark.table(store)
@@ -497,5 +561,7 @@ object DocLifecycle {
       }
     }
     nRemoved
+    }
+    }
   }
 }

@@ -188,16 +188,27 @@ object IvfCatalog {
     // read, MISSING one serves stale rows forever) — a crash between the two
     // appends leaves only tolerated false positives, and the row append is
     // what a checkpoint replay retries (replayed chunks dedup away upstream,
-    // so a pairs-after ordering would never re-offer the lost pairs)
-    docPairs.foreach(p => DocLifecycle.appendDocCells(spark, dir, centroids, trained, p))
-    val aligned = spark.table(name).schema.fields.map { f =>
-      if (assigned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    // so a pairs-after ordering would never re-offer the lost pairs).
+    // MaintenanceLock spans pairs + rows so a concurrent compactDocCells
+    // swap can never observe pairs whose rows are still in flight: by the
+    // time the swap's late-pair merge runs, this batch is either entirely
+    // invisible (merge keeps nothing, rebuild is pre-batch — but the pairs
+    // append hasn't happened either) or entirely committed (merge sees live
+    // rows for the late pairs and preserves them).
+    def doAppend(): Unit = {
+      docPairs.foreach(p => DocLifecycle.appendDocCells(spark, dir, centroids, trained, p))
+      val aligned = spark.table(name).schema.fields.map { f =>
+        if (assigned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+      }
+      assigned.select(aligned.toIndexedSeq: _*)
+        .repartition(col("centroid_id")) // one file per touched cell per batch
+        .write.mode("append").insertInto(name)
+      spark.catalog.refreshTable(name)
     }
-    assigned.select(aligned.toIndexedSeq: _*)
-      .repartition(col("centroid_id")) // one file per touched cell per batch
-      .write.mode("append").insertInto(name)
-    spark.catalog.refreshTable(name)
+    if (docPairs.isDefined)
+      MaintenanceLock(DocLifecycle.docCellsName(dir, centroids, trained))(doAppend())
+    else doAppend()
   }
 
   /** Append one ingest batch to the stored index — the write half of the

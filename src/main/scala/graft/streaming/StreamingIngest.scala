@@ -132,7 +132,8 @@ object StreamingIngest {
               IvfCatalog.vectorStoreName(dir, nlist, step, trained), idCol = idCol)
             pqCb.foreach(cb => Compaction.compactTable(spark, // same cadence
               graft.IvfPqCatalog.vecCodesName(dir, nlist, step, cb, trained),
-              idCol = "vec_id"))
+              idCol = "vec_id", // one lease scope per index table GROUP
+              leaseScope = IvfCatalog.vectorStoreName(dir, nlist, step, trained)))
             sinceCompact = 0
           }
           onBatch(BatchReport(batchId, arrived, dropped, appended,
@@ -348,7 +349,8 @@ object StreamingIngest {
             if (pqM > 0)
               Compaction.compactTable(spark,
                 graft.IvfPqCatalog.chunkCodesTableName(spark, dir, nlist,
-                  pqM, pqKsub, trained), idCol = "chunk_id")
+                  pqM, pqKsub, trained), idCol = "chunk_id",
+                leaseScope = IvfCatalog.chunkStoreName(dir, nlist, trained))
             graft.DocLifecycle.compactDocCells(spark, dir, nlist, trained)
             sinceCompact = 0
           }
@@ -393,7 +395,8 @@ object StreamingIngest {
             if (pqM > 0) // the code table fragments at the same cadence
               Compaction.compactTable(batch.sparkSession,
                 graft.IvfPqCatalog.chunkCodesTableName(batch.sparkSession, dir, nlist,
-                  pqM, pqKsub, trained), idCol = "chunk_id")
+                  pqM, pqKsub, trained), idCol = "chunk_id",
+                leaseScope = IvfCatalog.chunkStoreName(dir, nlist, trained))
             // the doc→cells secondary index fragments at the same cadence
             // too (one file per bucket per appended batch) and accumulates
             // superset false positives from upserts — rebuild it to the

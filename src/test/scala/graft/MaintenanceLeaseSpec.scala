@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The single-maintenance-writer contract as MECHANISM
+  * ([[MaintenanceLease]] / [[MaintenanceLock]]): a second concurrent
+  * maintenance writer fails fast naming the holder, short overlaps wait
+  * and proceed, dead writers' leases break by TTL — and the doc→cells
+  * swap preserves pairs appended after its rebuild snapshot (the
+  * late-pair merge), the race the lease/lock pair exists to close. */
+class MaintenanceLeaseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("a second concurrent writer fails fast, naming the holder") {
+    spark.sparkContext.setLogLevel("WARN")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() =>
+      MaintenanceLease.withLease(spark, "spec_scope_a") { entered.countDown(); gate.await() })
+    t.start(); entered.await()
+    val ex = intercept[IllegalStateException] {
+      // a different thread: the ThreadLocal reentrancy must not apply
+      MaintenanceLease.withLease(spark, "spec_scope_a", waitMs = 300) { fail("must not enter") }
+    }
+    assert(ex.getMessage.contains("held by") && ex.getMessage.contains("pid"))
+    gate.countDown(); t.join()
+    // released: acquirable again
+    MaintenanceLease.withLease(spark, "spec_scope_a", waitMs = 300) { () }
+  }
+
+  test("short overlaps wait and proceed; reentrant in-thread; released on exception") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => MaintenanceLease.withLease(spark, "spec_scope_b") {
+      entered.countDown(); gate.await()
+    })
+    t.start(); entered.await()
+    // release the holder shortly; the waiter (waitMs = 5 s) must proceed
+    new Thread(() => { Thread.sleep(300); gate.countDown() }).start()
+    var ran = false
+    MaintenanceLease.withLease(spark, "spec_scope_b", waitMs = 5000) {
+      // nested re-acquire of the same scope in the same thread is a no-op
+      MaintenanceLease.withLease(spark, "spec_scope_b", waitMs = 0) { ran = true }
+    }
+    assert(ran)
+    t.join()
+    // an exception in the body still releases the lease
+    intercept[RuntimeException] {
+      MaintenanceLease.withLease(spark, "spec_scope_b") { throw new RuntimeException("boom") }
+    }
+    MaintenanceLease.withLease(spark, "spec_scope_b", waitMs = 0) { () }
+  }
+
+  test("a dead writer's lease (older than ttl) is broken, not waited on") {
+    val path = MaintenanceLease.leasePath(spark, "spec_scope_c")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    out.write("deadhost:pid0:crashed:0".getBytes("UTF-8")); out.close()
+    fs.setTimes(path, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    var ran = false
+    MaintenanceLease.withLease(spark, "spec_scope_c", ttlMs = 1000, waitMs = 0) { ran = true }
+    assert(ran)
+    assert(!fs.exists(path), "the broken-and-reacquired lease must be released after the body")
+  }
+
+  test("doc-cells swap preserves pairs appended after its rebuild snapshot and reclaims false positives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tdir = "/tmp/graft_leaserace_fixture"
+    val nlist = 19
+    def mkDoc(id: Long, rev: Int): String =
+      (1 to 6).map(i => s"Document $id revision $rev sentence $i keeps the lease race " +
+        s"fixture on subject ${(id * 5 + rev * 3 + i) % 11} with enough words for " +
+        "genuine chunks in every revision.").mkString(" ")
+    (1L to 6L).map(id => id -> mkDoc(id, 0)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tdir/documents.parquet")
+    val toDrop = Seq(TableStore.tableName("chunks", tdir),
+      TableStore.tableName(s"ivfchunks$nlist", tdir),
+      TableStore.tableName(s"ivfchunkcent$nlist", tdir),
+      DocLifecycle.docCellsName(tdir, nlist))
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.catalog.clearCache()
+    IvfCatalog.assignedChunks(spark, tdir, nlist).count()
+    DocLifecycle.docCells(spark, tdir, nlist).count()
+
+    // seed FALSE POSITIVES: an edit leaves the doc's old cells listed
+    DocLifecycle.upsertDocChunks(spark, tdir,
+      Seq((2L, mkDoc(2, 1))).toDF("doc_id", "text"), nlist)
+
+    // the race the merge closes: an ingest append lands AFTER the swap's
+    // rebuild snapshot (injected through the beforeSwap seam) — its pairs
+    // are in the live index but not the staged rebuild, and the old code
+    // erased them, leaving live rows in never-listed cells forever
+    DocLifecycle.compactDocCells(spark, tdir, nlist, beforeSwap = () =>
+      graft.streaming.StreamingIngest.ingestDocBatch(
+        Seq((30L, mkDoc(30, 0))).toDF("doc_id", "text"), tdir, nlist))
+
+    val livePairs = IvfCatalog.assignedChunks(spark, tdir, nlist)
+      .select("document_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = DocLifecycle.docCells(spark, tdir, nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(livePairs.exists(_._1 == 30L), "the injected append must be in the store")
+    // exact equality: late pairs preserved (never-miss) AND the upsert's
+    // false positives reclaimed (the rebuild's purpose) in one swap
+    assert(indexed === livePairs,
+      "post-swap index must equal the store's live pairs exactly")
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("lifecycle ops and the doc-cells swap serialize on the store's lease across threads") {
+    import spark.implicits._
+    val tdir = "/tmp/graft_leaserace_fixture" // built by the previous test's fixture
+    val nlist = 23
+    def mkDoc(id: Long, rev: Int): String =
+      (1 to 6).map(i => s"Document $id revision $rev sentence $i keeps the serialization " +
+        s"fixture on subject ${(id * 5 + rev * 3 + i) % 11} with enough words for " +
+        "genuine chunks in every revision.").mkString(" ")
+    (1L to 4L).map(id => id -> mkDoc(id, 0)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tdir/documents.parquet")
+    val toDrop = Seq(TableStore.tableName("chunks", tdir),
+      TableStore.tableName(s"ivfchunks$nlist", tdir),
+      TableStore.tableName(s"ivfchunkcent$nlist", tdir),
+      DocLifecycle.docCellsName(tdir, nlist))
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.catalog.clearCache()
+    IvfCatalog.assignedChunks(spark, tdir, nlist).count()
+    DocLifecycle.docCells(spark, tdir, nlist).count()
+
+    // an upsert stalled mid-rewrite (beforeOverwrite latch) holds the
+    // store's lease; a compactDocCells from another thread must NOT
+    // interleave its swap into the upsert's pairs-then-rewrite window —
+    // it waits for the lease and runs after
+    val inRewrite = new java.util.concurrent.CountDownLatch(1)
+    val stall = new java.util.concurrent.CountDownLatch(1)
+    val upsert = new Thread(() =>
+      DocLifecycle.upsertDocChunks(spark, tdir,
+        Seq((2L, mkDoc(2, 7))).toDF("doc_id", "text"), nlist,
+        beforeOverwrite = () => { inRewrite.countDown(); stall.await() }))
+    upsert.start(); inRewrite.await()
+    val compactor = new Thread(() => DocLifecycle.compactDocCells(spark, tdir, nlist))
+    compactor.start()
+    compactor.join(1500)
+    assert(compactor.isAlive, "compactDocCells must be blocked on the upsert's lease")
+    stall.countDown()
+    upsert.join(); compactor.join()
+    val livePairs = IvfCatalog.assignedChunks(spark, tdir, nlist)
+      .select("document_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = DocLifecycle.docCells(spark, tdir, nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed === livePairs, "serialized swap must land on the post-upsert store")
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}
