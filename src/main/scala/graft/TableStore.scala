@@ -47,6 +47,57 @@ object TableStore {
     false
   }
 
+  /** Sweep crash orphans out of the warehouse directory: a hard JVM kill
+    * mid-maintenance leaks the nonce-suffixed spill dirs
+    * ([[DocLifecycle]]'s `__upsert_tmp_*`, [[Compaction]]'s
+    * `__compact_tmp_*`), staged swap tables (`*__cstage*`,
+    * `*__rstage*`), and the dead writer's lease file (`__graft_lease_*`)
+    * — a live process deletes all of these in its own `finally`/catch
+    * paths, so anything old enough to be past `olderThanMs` belongs to a
+    * writer that is gone. Age is the NEWEST of the entry's own mtime and
+    * its direct children's (an in-flight spill keeps writing files, so an
+    * active job's dir always reads young); the default horizon is sized
+    * above the longest measured maintenance job (the ×1000 trained build,
+    * ~15 min) with a wide margin. Everything else in the warehouse — every
+    * live table — is untouched by construction (prefix/suffix match, never
+    * a catch-all). A `__compact_tmp`/`__upsert_tmp` orphan younger than a
+    * crash-then-restart gap can be a mid-commit rewrite's staged content
+    * (the rename-commit's recovery copy) — the horizon is what makes the
+    * sweep safe to run on a cadence. Returns the removed entry names.
+    * Run at startup and/or on the maintenance cadence (the streaming
+    * loops fold it into `compactEvery`). */
+  def sweepOrphans(spark: SparkSession,
+                   olderThanMs: Long = 6 * 3600 * 1000L): Seq[String] = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return Nil
+    val horizon = System.currentTimeMillis() - olderThanMs
+    val removed = Seq.newBuilder[String]
+    fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      val orphanShaped =
+        n.startsWith("__upsert_tmp_") || n.startsWith("__compact_tmp_") ||
+          n.contains("__cstage") || n.contains("__rstage") ||
+          n.startsWith("__graft_lease_")
+      if (orphanShaped) {
+        val age =
+          if (!st.isDirectory) st.getModificationTime
+          else (st.getModificationTime +:
+            fs.listStatus(st.getPath).toSeq.map(_.getModificationTime)).max
+        if (age < horizon) {
+          // a staging table may still be registered under a persistent
+          // metastore — drop the catalog entry with its files
+          if ((n.contains("__cstage") || n.contains("__rstage")) &&
+              spark.catalog.tableExists(n))
+            spark.sql(s"DROP TABLE IF EXISTS `$n`")
+          if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
+          removed += n
+        }
+      }
+    }
+    removed.result()
+  }
+
   /** Get `name` from the session catalog, running `write` (which must
     * saveAsTable(name)) on first use. Clears a stale warehouse location left
     * behind by a previous JVM (the in-memory catalog forgets tables across

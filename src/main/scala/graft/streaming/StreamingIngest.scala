@@ -134,6 +134,7 @@ object StreamingIngest {
               graft.IvfPqCatalog.vecCodesName(dir, nlist, step, cb, trained),
               idCol = "vec_id", // one lease scope per index table GROUP
               leaseScope = IvfCatalog.vectorStoreName(dir, nlist, step, trained)))
+            graft.TableStore.sweepOrphans(spark) // crash leftovers, age-gated
             sinceCompact = 0
           }
           onBatch(BatchReport(batchId, arrived, dropped, appended,
@@ -352,6 +353,7 @@ object StreamingIngest {
                   pqM, pqKsub, trained), idCol = "chunk_id",
                 leaseScope = IvfCatalog.chunkStoreName(dir, nlist, trained))
             graft.DocLifecycle.compactDocCells(spark, dir, nlist, trained)
+            graft.TableStore.sweepOrphans(spark) // crash leftovers, age-gated
             sinceCompact = 0
           }
           onBatch(EditReport(batchId, arrived, up, del, removed, added,
@@ -403,6 +405,7 @@ object StreamingIngest {
             // store's live pairs, one file per bucket (staged swap, so the
             // loop's own next append never sees a missing table)
             graft.DocLifecycle.compactDocCells(batch.sparkSession, dir, nlist, trained)
+            graft.TableStore.sweepOrphans(batch.sparkSession) // crash leftovers
             sinceCompact = 0
           }
           onBatch(BatchReport(batchId, arrived, dropped, appended,

@@ -439,4 +439,49 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.table(name).agg(sum($"vec_id")).head.getLong(0) === sum0)
     spark.sql(s"DROP TABLE IF EXISTS $name")
   }
+
+  test("sweepOrphans removes aged crash leftovers, keeps young staging and live tables") {
+    import spark.implicits._
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plantDir(name: String, old: Boolean): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(wh, name)
+      fs.mkdirs(p)
+      val f = new org.apache.hadoop.fs.Path(p, "part-0.parquet")
+      val out = fs.create(f, true); out.write(Array[Byte](1, 2, 3)); out.close()
+      if (old) { val t = System.currentTimeMillis() - 60 * 60 * 1000L
+                 fs.setTimes(f, t, -1); fs.setTimes(p, t, -1) }
+      p
+    }
+    // aged orphans of every class a JVM kill can leak
+    val oldUpsert = plantDir("__upsert_tmp_graft_sweep_x_123", old = true)
+    val oldCompact = plantDir("__compact_tmp_graft_sweep_y_456", old = true)
+    val leaseP = new org.apache.hadoop.fs.Path(wh, "__graft_lease_graft_sweep_z")
+    val lo = fs.create(leaseP, true); lo.write("dead:pid0:t:0".getBytes("UTF-8")); lo.close()
+    fs.setTimes(leaseP, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    // an aged REGISTERED staging table (a persistent-metastore crash shape)
+    val stage = "graft_sweep_live__cstage777"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    Seq((1L, "a")).toDF("id", "v").write.format("parquet").saveAsTable(stage)
+    val stageDir = new org.apache.hadoop.fs.Path(wh, stage)
+    val t = System.currentTimeMillis() - 60 * 60 * 1000L
+    fs.listStatus(stageDir).foreach(st => fs.setTimes(st.getPath, t, -1))
+    fs.setTimes(stageDir, t, -1)
+    // a YOUNG spill (an in-flight job's) and a live table must survive
+    val young = plantDir("__compact_tmp_graft_sweep_young_789", old = false)
+    val live = "graft_sweep_live_table"
+    spark.sql(s"DROP TABLE IF EXISTS $live")
+    Seq((1L, "keep")).toDF("id", "v").write.format("parquet").saveAsTable(live)
+
+    val removed = TableStore.sweepOrphans(spark, olderThanMs = 30 * 60 * 1000L)
+    assert(removed.toSet === Set(oldUpsert.getName, oldCompact.getName,
+      leaseP.getName, stage))
+    assert(!fs.exists(oldUpsert) && !fs.exists(oldCompact) && !fs.exists(leaseP))
+    assert(!fs.exists(stageDir) && !spark.catalog.tableExists(stage),
+      "the aged staging table must be dropped from catalog AND disk")
+    assert(fs.exists(young), "a young in-flight spill must be kept")
+    assert(spark.catalog.tableExists(live) && spark.table(live).count() === 1L)
+    fs.delete(young, true)
+    spark.sql(s"DROP TABLE IF EXISTS $live")
+  }
 }
