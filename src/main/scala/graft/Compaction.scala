@@ -27,13 +27,13 @@ import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
   *     never rewritten);
   *  3. per batch of selected partitions (bounded by `maxBatchBytes`, so the
   *     rewrite's working set is capped no matter how fragmented the store
-  *     got): partition-pruned read of just those directories, spill to a
-  *     temp parquet dir (Spark refuses to overwrite a table from a plan
-  *     that reads it — the temp hop breaks the cycle durably, not via
-  *     driver/executor memory), then a dynamic-partition-overwrite
-  *     `insertInto` repartitioned by (partition columns, bucket) where
-  *     `bucket = pmod(xxhash64(id), filesTarget)` — ≤ filesTarget files per
-  *     partition, each ≈ `targetBytes`.
+  *     got): partition-pruned read of just those directories, spilled to a
+  *     temp dir IN THE TABLE'S OWN PARTITIONED LAYOUT, repartitioned by
+  *     (partition columns, bucket) where `bucket = pmod(xxhash64(id),
+  *     filesTarget)` — ≤ filesTarget files per partition, each ≈
+  *     `targetBytes`; the commit is then [[renameCommit]]'s metadata-only
+  *     swap (delete old data files, move staged files in), never a second
+  *     write job.
   *
   * Row content is untouched — same rows, same partition values, fewer
   * files — so digests over (id, partition) pin the rewrite exactly
@@ -90,10 +90,11 @@ object Compaction {
     * the overwrite — nothing was rewritten there; the next pass picks them
     * up. `commitWindowSeconds` is the measured residual race window: the
     * longest span (across batches) from the late-append re-list to the
-    * overwrite job's completed commit — an append landing inside it is
-    * neither detected nor preserved, so this number is what "quiesce
-    * high-rate writers" buys; the truly unfenced instant (re-list → the
-    * commit's FIRST delete) is strictly shorter than this span. */
+    * completed [[renameCommit]] — an append landing inside it is neither
+    * detected nor preserved. Since the commit became rename-only (it was
+    * a full `insertInto` write job, 3.92 s at ×1000) the span is file-
+    * metadata ops — milliseconds — which is what "quiesce high-rate
+    * writers" now buys. */
   case class Report(scanned: Int, compacted: Seq[PartitionStats],
                     filesBefore: Int, filesAfter: Int, seconds: Double,
                     aborted: Seq[String] = Nil,
@@ -135,6 +136,52 @@ object Compaction {
       val files = dataFiles(fs, p)
       PartitionStats(spec, files.size, files.map(_.getLen).sum)
     }.sortBy(_.spec)
+  }
+
+  /** Rename-only commit of a staged partitioned spill into `name`'s
+    * partition directories: per partition, delete the old data files and
+    * MOVE the staged files in — pure file-metadata ops, no second write
+    * job, so the unfenced interval between the late-append re-list and the
+    * committed swap shrinks from a full `insertInto` write (3.92 s measured
+    * at ×1000) to milliseconds. `tmp` must hold the transformed output
+    * written `partitionBy(partition cols)` — dir-per-value, data files
+    * without the partition columns, exactly the table's own layout — so a
+    * staged file IS a final file and the commit is renames. On HDFS/local
+    * FS a rename is a metadata op; an object store without rename (S3)
+    * pays a copy per file, still far below a rewrite.
+    *
+    * Readers racing the per-partition delete+move keep Compaction's
+    * contract (fail loudly on a resolved-then-rewritten listing, clean on
+    * refresh-retry), with the exposure now metadata-width. An exception
+    * mid-commit leaves `tmp` IN PLACE as the recovery copy (the caller's
+    * cleanup must skip deletion when this throws) — re-running the move is
+    * manual recovery; a JVM kill mid-commit likewise leaves `tmp`, which
+    * is why [[TableStore.sweepOrphans]] is age-gated. Returns the staged
+    * specs (partitions present in `tmp`); `touched` partitions absent from
+    * the staging are left EMPTIED of data files (the caller drops them). */
+  private[graft] def renameCommit(spark: SparkSession, name: String,
+                                  root: org.apache.hadoop.fs.Path,
+                                  tmp: org.apache.hadoop.fs.Path,
+                                  depth: Int, touched: Seq[String]): Set[String] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = leafDirs(fs, tmp, depth)
+    val stagedMap = staged.toMap
+    (touched ++ staged.map(_._1)).distinct.foreach { spec =>
+      val dir = new org.apache.hadoop.fs.Path(root, spec)
+      if (fs.exists(dir)) dataFiles(fs, dir).foreach { st =>
+        if (!fs.delete(st.getPath, false)) throw new IllegalStateException(
+          s"rename-commit could not delete stale ${st.getPath} — staging kept at $tmp")
+      }
+      stagedMap.get(spec).foreach { from =>
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        dataFiles(fs, from).foreach { st =>
+          if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, st.getPath.getName)))
+            throw new IllegalStateException(
+              s"rename-commit could not move ${st.getPath} into $dir — staging kept at $tmp")
+        }
+      }
+    }
+    staged.map(_._1).toSet
   }
 
   /** The file fingerprint (name, length) of each of `specs`' directories —
@@ -208,9 +255,7 @@ object Compaction {
     val compacted = Seq.newBuilder[PartitionStats]
     val aborted = Seq.newBuilder[String]
     var commitWindow = 0.0
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
+    locally {
       batches.foreach { batch =>
         val specs = batch.map(_.spec)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -282,15 +327,22 @@ object Compaction {
           .withColumn("__bucket",
             pmod(xxhash64(col(bucketKey)), coalesce(col("__nf"), lit(1))))
           .drop("__nf").drop(partCols.map(c => s"__pv_$c").toSeq: _*)
-        // temp hop: can't overwrite a table from a plan that reads it.
-        // Nonce-suffixed (concurrent passes never clobber each other's
-        // staging) and deleted in the finally (a failed batch doesn't leak
-        // the spill).
+        // temp hop, written in the TABLE'S OWN LAYOUT (partitionBy — dir
+        // per value, data files without the partition columns) so the
+        // commit below is rename-only. Nonce-suffixed (concurrent passes
+        // never clobber each other's staging); deleted on every exit
+        // EXCEPT an exception mid-commit, where it is the recovery copy.
         val tmp = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"),
           s"__compact_tmp_${name}_${System.nanoTime()}")
+        var keepTmp = false
         try {
-          selected.write.mode("overwrite").parquet(tmp.toString)
+          val nBuckets = batch.map(_.packedFiles(targetBytes)).sum
+          selected
+            .repartition(math.max(nBuckets * 2, 1),
+              (partCols.map(col) :+ col("__bucket")): _*)
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
           beforeOverwrite()
           // late-append detection: if any selected partition's files changed
           // since the snapshot, a concurrent writer appended — abort this
@@ -300,26 +352,17 @@ object Compaction {
             aborted ++= specs
           } else {
             val tRelist = System.nanoTime() // residual window opens here
-            val nBuckets = batch.map(_.packedFiles(targetBytes)).sum
-            val staged = spark.read.parquet(tmp.toString)
-            staged
-              .repartition(math.max(nBuckets * 2, 1),
-                (partCols.map(col) :+ col("__bucket")): _*)
-              .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-              .write.mode("overwrite").insertInto(name)
+            keepTmp = true // an exception mid-commit must keep the staging
+            renameCommit(spark, name, root, tmp, partCols.size, specs)
+            keepTmp = false
             commitWindow = math.max(commitWindow, (System.nanoTime() - tRelist) / 1e9)
             compacted ++= batch
           }
         } finally {
-          fs.delete(tmp, true)
+          if (!keepTmp) fs.delete(tmp, true)
         }
       }
       spark.catalog.refreshTable(name)
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
     }
 
     val after = partitionStats(spark, name)

@@ -342,32 +342,36 @@ object DocLifecycle {
     val tmp = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
       s"__upsert_tmp_${name}_${System.nanoTime()}")
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    var keepTmp = false
     try {
+      // spill in the table's own layout (partitionBy, one file per cell) so
+      // the commit is [[Compaction.renameCommit]]'s metadata-only swap —
+      // the interval after the late-append re-list is file renames, not a
+      // second write job
       transform(existing).select(schema.fieldNames.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite").parquet(tmp.toString)
+        .repartition(col("centroid_id")) // one file per rewritten cell
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp.toString)
       beforeOverwrite()
       if (Compaction.fileFingerprint(fs, root, specs) != snapshot)
         return false // late append detected — caller retries from a fresh snapshot
-      val staged = spark.read.parquet(tmp.toString)
-      val present = staged.select("centroid_id").distinct()
-        .collect().map(_.getLong(0)).toSet
-      if (present.nonEmpty)
-        staged.repartition(col("centroid_id")) // one file per rewritten cell
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(name)
+      val preExisting = cells.filter(c =>
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"centroid_id=$c"))).toSet
+      keepTmp = true // an exception mid-commit must keep the staging copy
+      val stagedSpecs = Compaction.renameCommit(spark, name, root, tmp, 1, specs)
+      keepTmp = false
+      val present = stagedSpecs.map(s => s.split("=", 2)(1).toLong)
+      // register brand-new cells (insertInto used to do this implicitly);
+      // drop the emptied ones (dirs renameCommit left with no data files)
+      present.filterNot(preExisting).foreach { c =>
+        spark.sql(s"ALTER TABLE $name ADD IF NOT EXISTS PARTITION (centroid_id=$c)")
+      }
       cells.filterNot(present).foreach { c =>
         spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (centroid_id=$c)")
       }
       spark.catalog.refreshTable(name)
       true
     } finally {
-      fs.delete(tmp, true)
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      if (!keepTmp) fs.delete(tmp, true)
     }
   }
 
