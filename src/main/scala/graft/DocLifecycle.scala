@@ -73,8 +73,8 @@ object DocLifecycle {
     * and the cadence rebuild, so the compacted form can never silently
     * diverge from the initial build (same bucketing, same sort, same
     * clusterWrite). */
-  private def rebuildDocCells(spark: SparkSession, storeName: String,
-                              target: String): Unit =
+  private[graft] def rebuildDocCells(spark: SparkSession, storeName: String,
+                                     target: String): Unit =
     spark.table(storeName)
       .select(col("document_id"), col("centroid_id")).distinct()
       .repartition(32, col("document_id")) // clusterWrite: one file per bucket
@@ -275,8 +275,8 @@ object DocLifecycle {
     * edit-stream call touches a handful of cells, and listing every one of
     * the store's nlist partition dirs (10^5 at 100 TB) per call would put a
     * corpus-shaped term back into the batch-shaped path. */
-  private def cellBatches(spark: SparkSession, name: String, cells: Seq[Long],
-                          maxBatchBytes: Long): Seq[Seq[Long]] = {
+  private[graft] def cellBatches(spark: SparkSession, name: String, cells: Seq[Long],
+                                 maxBatchBytes: Long): Seq[Seq[Long]] = {
     if (cells.isEmpty) return Nil
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(name))
@@ -379,7 +379,7 @@ object DocLifecycle {
     * the touched cells, so the retried transform sees every row the racing
     * writer appended. A writer still racing after `maxAttempts` fails loudly
     * — never a silent drop. */
-  private def overwriteCellsRetrying(spark: SparkSession, name: String,
+  private[graft] def overwriteCellsRetrying(spark: SparkSession, name: String,
                                      cells: Seq[Long], transform: DataFrame => DataFrame,
                                      beforeOverwrite: () => Unit = () => (),
                                      maxAttempts: Int = 5): Unit = {

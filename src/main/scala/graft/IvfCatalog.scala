@@ -117,10 +117,16 @@ object IvfCatalog {
     * (the vector store's production mode, same recall argument) instead of
     * the hash-ordered sample; the registered `pipe_flagship_ivf` stays on
     * the seeded mode, whose golden pin is replayable without MLlib. */
+  /** Catalog table name of the frozen chunk-store centroid table — public
+    * so the blue/green reindex ([[Reindex]]) can stage/rename it. */
+  def chunkCentroidsName(dir: String, centroids: Int, trained: Boolean = false): String = {
+    val suffix = if (trained) s"k$centroids" else s"$centroids"
+    TableStore.tableName(s"ivfchunkcent$suffix", dir)
+  }
+
   def chunkCentroidsStored(spark: SparkSession, dir: String, centroids: Int,
                            trained: Boolean = false): DataFrame = {
-    val suffix = if (trained) s"k$centroids" else s"$centroids"
-    val name = TableStore.tableName(s"ivfchunkcent$suffix", dir)
+    val name = chunkCentroidsName(dir, centroids, trained)
     TableStore.getOrBuild(spark, name) {
       (if (trained)
          Similarity.kmeansCentroids(ChunkCatalog.flatChunks(spark, dir), centroids)

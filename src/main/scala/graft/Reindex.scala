@@ -1,0 +1,444 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Online blue/green rebuild of the chunk serving index — store + IVFADC
+  * code table + doc→cells — at a NEW nlist / centroid set, while the
+  * ingest and edit loops keep writing the old generation.
+  *
+  * Why it exists: the stored IVF index freezes its centroids at build time
+  * (the assignment is only meaningful against the exact centroids that
+  * made it, [[IvfCatalog.chunkCentroidsStored]]), and the nlist law
+  * (SCALE.md round-7: nlist ≈ max(√n, n/cell_cap)) scales with corpus
+  * size. A corpus that grows a decade under continuous ingest therefore
+  * outgrows its frozen centroid set — cells fatten toward corpus-shaped
+  * and probe cost degrades with cell size instead of nprobe/nlist. Every
+  * other maintenance operation here is batch-shaped; this is the one that
+  * ages by corpus decade, and doing it as "drop + rebuild from source"
+  * would take the index offline for the full build AND re-run the chunk /
+  * embed pipeline the store already paid for.
+  *
+  * Shape (the staged-sibling / delta-replay / metadata-swap pattern of
+  * [[Compaction.compactBucketed]] and [[DocLifecycle.compactDocCells]],
+  * scaled up to a four-table generation):
+  *
+  *  1. '''Stage centroids''': derive the new-generation centroid table
+  *     from the CURRENT old store's embeddings (k-means in trained mode,
+  *     the hash-seeded sample otherwise) into a `__rstage`-suffixed
+  *     sibling. Sampling drift from writes landing mid-derivation is
+  *     harmless — assignment uses the frozen result, same contract as any
+  *     build.
+  *  2. '''Stage the store''': fingerprint-snapshot the old store's
+  *     partition files ([[Compaction.fileFingerprint]] — the append log IS
+  *     the store, so the snapshot doubles as the replay cursor), read
+  *     exactly those files by path (immune to stale cached listings),
+  *     re-assign every row to the new centroids, and clusterWrite the
+  *     staged store `partitionBy(centroid_id)`. No re-chunking, no
+  *     re-embedding — the rebuild reuses the stored embeddings, which is
+  *     why it costs an assignment pass, not a pipeline run.
+  *  3. '''Delta rounds''' (unleased — loops keep writing): re-fingerprint,
+  *     and for every changed old cell reconcile the staged store: remove
+  *     staged rows whose OLD-centroid assignment falls in a changed cell
+  *     (recomputed from the embedding — assignment is deterministic, so
+  *     this identifies exactly the rows that came from those cells,
+  *     catching deletes and edits, not just appends), then add the cells'
+  *     CURRENT rows re-assigned to the new centroids. Repeat until a round
+  *     sees no change (or `maxRounds`). The staged cells each round
+  *     touches are found through a doc-level old↔new cell map (see
+  *     "removal soundness" below) — bounded by nlist, never corpus-shaped.
+  *  4. '''Stage codes + doc→cells''': the IVFADC code table re-cells by a
+  *     plain join of the CURRENT old code table with the staged store's
+  *     (chunk_id → new centroid_id) — codes are cell-independent payload,
+  *     the codebook ([[IvfPqCatalog.chunkCodebookStored]]) is
+  *     nlist-independent and carried over, so no re-encoding either. The
+  *     doc→cells index derives from the staged store
+  *     ([[DocLifecycle.rebuildDocCells]]'s one shape).
+  *  5. '''Cutover''' (holding the OLD store's [[MaintenanceLease]], so
+  *     edits and compaction are excluded by mechanism): run final
+  *     reconcile rounds — now also patching the staged code table and
+  *     appending doc→cells pairs — until a diff comes back empty, then
+  *     swap each staged table to its natural new-generation name
+  *     (`DROP IF EXISTS` + `RENAME` — metadata ops). A diff that will not
+  *     quiesce fails loudly: ingest APPENDS do not take the lease (ingest
+  *     never blocks on maintenance), so the operator pauses the append
+  *     loop for the seconds the cutover needs, exactly the quiesce the
+  *     compaction commit window asks for.
+  *
+  * '''Removal soundness.''' Step 3's removal must find which STAGED cells
+  * can hold rows that came from a changed old cell, without scanning the
+  * staged corpus. The live doc→cells index cannot answer this on its own:
+  * its cadence rebuild reclaims pairs of deleted rows, which could drop
+  * the very (doc, old cell) edge a later round needs. The rebuild
+  * therefore keeps a PRIVATE append-only pair log: a frozen copy of the
+  * old index taken at snapshot time (covers every phase-2 row, superset
+  * contract) extended each round with the reconciled rows' (doc, old
+  * cell) pairs (covers every row a round adds). Staged-side pairs
+  * accumulate in the staged doc→cells the same way. Joining the two on
+  * document_id maps changed old cells → candidate staged cells; false
+  * positives cost a pruned read, a miss is impossible by construction.
+  *
+  * '''Generations and retargeting.''' With `newNlist != oldNlist` the new
+  * generation lives under its own natural names: the old generation keeps
+  * serving until the cutover completes, probes/loops retarget by passing
+  * `newNlist` (the serving configuration is (dir, nlist, trained) — that
+  * pair IS the blue/green switch), and [[dropChunkGeneration]] reclaims
+  * the old tables once nothing reads them. With `newNlist == oldNlist`
+  * (a same-shape re-centroid, e.g. seeded→retrained drift repair) the
+  * swap REPLACES the live generation in place: readers must be quiet for
+  * the four renames — metadata-width, but a probe interleaving them could
+  * pair new centroids with the old store and prune wrong cells, which no
+  * fail-loud contract catches.
+  *
+  * '''Crash recovery.''' All staged tables carry `__rstage` in their
+  * names: a JVM kill mid-rebuild leaves them for
+  * [[TableStore.sweepOrphans]]' age-gated sweep, and the old generation
+  * is untouched (nothing mutates it at any phase). A kill mid-cutover
+  * (between renames) can leave a partial NEW generation — re-running the
+  * rebuild re-stages and re-renames; the old generation still serves.
+  */
+object Reindex {
+
+  /** What the rebuild did: `baseRows` re-assigned at the snapshot,
+    * `deltaRows` replayed across all reconcile rounds, and the wall-clock
+    * split — `cutoverSeconds` is the part that needs quiesced writers
+    * (the lease window: final diffs + reconcile + four renames). */
+  case class Report(oldNlist: Int, newNlist: Int,
+                    baseRows: Long, deltaRows: Long,
+                    rounds: Int, cutoverRounds: Int,
+                    centroidSeconds: Double, buildSeconds: Double,
+                    roundsSeconds: Double, codesSeconds: Double,
+                    cutoverSeconds: Double)
+
+  private type Fp = Map[String, Set[(String, Long)]]
+
+  private def tableRoot(spark: SparkSession, name: String) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(name))
+    new org.apache.hadoop.fs.Path(meta.location)
+  }
+
+  /** Current fingerprint of EVERY partition of `name` — the diff unit.
+    * Unlike a fixed-spec fingerprint, re-lists the partition dirs first, so
+    * cells appended into existence (and dirs dropped by emptied-cell
+    * partition drops) show up as changes. */
+  private def fingerprintAll(spark: SparkSession, name: String): Fp = {
+    val root = tableRoot(spark, name)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val specs = Compaction.partitionStats(spark, name).map(_.spec)
+    Compaction.fileFingerprint(fs, root, specs)
+  }
+
+  /** Old cells whose files changed between two fingerprints (either
+    * direction — appended, rewritten, emptied, or newly created). */
+  private def changedCells(prev: Fp, cur: Fp): Seq[Long] =
+    (prev.keySet ++ cur.keySet).toSeq
+      .filter(s => prev.getOrElse(s, Set.empty) != cur.getOrElse(s, Set.empty))
+      .map(_.split("=", 2)(1).toLong).sorted
+
+  /** The CURRENT rows of `cells` in the old store, read from exactly the
+    * fingerprint's files by path (the spill discipline of
+    * [[Compaction.compactTable]]): the rows this fingerprint state vouches
+    * for, immune to the session's cached listing. */
+  private def readCells(spark: SparkSession, name: String, fp: Fp,
+                        cells: Seq[Long]): DataFrame = {
+    val root = tableRoot(spark, name)
+    val schema = spark.table(name).schema
+    val files = cells.flatMap { c =>
+      val spec = s"centroid_id=$c"
+      fp.getOrElse(spec, Set.empty).map { case (fname, _) =>
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, spec), fname).toString }
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == "centroid_id"))
+      spark.read.schema(dataSchema)
+        .option("basePath", root.toString)
+        .parquet(files: _*)
+        .withColumn("centroid_id",
+          col("centroid_id").cast(schema("centroid_id").dataType))
+    }
+  }
+
+  /** Append `pairs` (document_id, centroid_id) into a bucketed pair table —
+    * [[DocLifecycle.appendDocCells]]'s write shape, on a private staged
+    * table (no lock needed: nothing else writes it). */
+  private def appendPairs(spark: SparkSession, table: String, pairs: DataFrame): Unit =
+    pairs.select(col("document_id"), col("centroid_id")).distinct()
+      .repartition(32, col("document_id"))
+      .write.mode("append")
+      .bucketBy(32, "document_id").sortBy("document_id")
+      .format("parquet").saveAsTable(table)
+
+  /** Rebuild the chunk serving index for `dir` from `oldNlist` (and its
+    * frozen centroids) to `newNlist` with freshly derived centroids, blue/
+    * green. `pqM > 0` carries the IVFADC code table into the new
+    * generation (the codebook is nlist-independent and reused). Returns a
+    * [[Report]]; the new generation is live under its natural
+    * (dir, newNlist, trained) names when this returns.
+    *
+    * `beforeRounds` / `beforeCutover` / `beforeSwap` are the race spec's
+    * injection seams: after the staged build (before the first reconcile
+    * round), after codes+pairs staging (before the lease), and INSIDE the
+    * lease after the final diff converges (before the renames — note it
+    * runs on the rebuild's own thread, where the lease is reentrant; a
+    * concurrent writer belongs on another thread). */
+  def rebuildChunkIndex(spark: SparkSession, dir: String,
+                        oldNlist: Int, newNlist: Int,
+                        trained: Boolean = false,
+                        pqM: Int = 0, pqKsub: Int = 32,
+                        maxRounds: Int = 8,
+                        maxBatchBytes: Long = 4L << 30,
+                        beforeRounds: () => Unit = () => (),
+                        beforeCutover: () => Unit = () => (),
+                        beforeSwap: () => Unit = () => ()): Report = {
+    val oldStore = IvfCatalog.chunkStoreName(dir, oldNlist, trained)
+    require(spark.catalog.tableExists(oldStore),
+      s"stored chunk IVF index for '$dir' at nlist=$oldNlist not built — nothing to rebuild")
+    val newStore = IvfCatalog.chunkStoreName(dir, newNlist, trained)
+    val newCents = IvfCatalog.chunkCentroidsName(dir, newNlist, trained)
+    val newDc = DocLifecycle.docCellsName(dir, newNlist, trained)
+    val nonce = System.nanoTime()
+    val stStore = s"${newStore}__rstage$nonce"
+    val stCents = s"${newCents}__rstage$nonce"
+    val stDc = s"${newDc}__rstage$nonce"
+    val stOldPairs = s"${DocLifecycle.docCellsName(dir, oldNlist, trained)}__rstage${nonce}_oldpairs"
+    val cb = if (pqM > 0) Some(IvfPqCatalog.chunkCodebookStored(spark, dir, pqM, pqKsub, trained))
+             else None
+    val oldCodes = cb.map(IvfPqCatalog.chunkCodesName(dir, oldNlist, pqM, pqKsub, trained, _))
+    val newCodes = cb.map(IvfPqCatalog.chunkCodesName(dir, newNlist, pqM, pqKsub, trained, _))
+    val stCodes = newCodes.map(n => s"${n}__rstage$nonce")
+    oldCodes.foreach(n => require(spark.catalog.tableExists(n),
+      s"pqM=$pqM but the old generation has no code table $n — build encodedChunks first"))
+
+    val schema = spark.table(oldStore).schema
+    val storeCols = schema.fieldNames.toIndexedSeq
+    var deltaRows = 0L
+    var renamed = false
+
+    // reconcile the staged store (and, once staged, the code table) to the
+    // current state of `cells` in the old generation: remove staged rows
+    // that CAME from those cells (identified by re-deriving their
+    // old-centroid assignment — deterministic, so exact), add the cells'
+    // current rows under the new assignment, log both pair sides
+    def reconcile(fp: Fp, cells: Seq[Long], withCodes: Boolean): Unit = {
+      if (cells.isEmpty) return
+      val oldCentTbl = IvfCatalog.chunkCentroidsStored(spark, dir, oldNlist, trained)
+      val newCentTbl = spark.table(stCents)
+      // current rows of the changed old cells, re-assigned to new centroids
+      val incoming = Similarity.ivfAssign(
+          readCells(spark, oldStore, fp, cells).withColumnRenamed("centroid_id", "__old_cid"),
+          newCentTbl, idCol = "chunk_id")
+        .localCheckpoint(true) // pinned: reads old-store files a racing edit may rewrite
+      deltaRows += incoming.count()
+      // pair logs FIRST (never-miss ordering, same as every append path)
+      appendPairs(spark, stOldPairs,
+        incoming.select(col("document_id"), col("__old_cid").as("centroid_id")))
+      appendPairs(spark, stDc, incoming.select(col("document_id"), col("centroid_id")))
+      // candidate staged cells: every new cell any doc that EVER had rows in
+      // a changed old cell maps to (private pair log join — superset, see
+      // object scaladoc) ∪ the incoming rows' own new cells
+      val cellSet = cells.toSet
+      val inCells = udf((c: Long) => cellSet.contains(c))
+      val mappedCells = spark.table(stOldPairs)
+        .filter(inCells(col("centroid_id"))).select("document_id").distinct()
+        .join(spark.table(stDc), "document_id")
+        .select("centroid_id").distinct()
+        .collect().map(_.getLong(0))
+      val incomingCells = incoming.select("centroid_id").distinct()
+        .collect().map(_.getLong(0))
+      val touched = (mappedCells ++ incomingCells).distinct.sorted.toSeq
+      val newRows = incoming.select(storeCols.map(col): _*)
+      // bounded rewrite of the touched staged cells (byte-batched like the
+      // lifecycle rewrites; the staged table is private, so the fingerprint
+      // defense inside never fires — it is reused, not needed)
+      DocLifecycle.cellBatches(spark, stStore, touched, maxBatchBytes).foreach { cbatch =>
+        DocLifecycle.overwriteCellsRetrying(spark, stStore, cbatch, { base =>
+          val kept = Similarity.ivfAssign(
+              base.withColumnRenamed("centroid_id", "__new_cid"),
+              oldCentTbl, idCol = "chunk_id")
+            .filter(!inCells(col("centroid_id"))) // came from an unchanged old cell
+            .drop("centroid_id").withColumnRenamed("__new_cid", "centroid_id")
+          kept.select(storeCols.map(col): _*)
+            .unionByName(newRows.filter(col("centroid_id").isInCollection(cbatch)))
+        })
+        if (withCodes) stCodes.foreach { sc =>
+          // same cells on the code side: drop codes of removed/changed
+          // chunks, add the incoming chunks' codes (read from the OLD code
+          // table's matching cells — the assignment is identical, so the
+          // pruned read finds them; a code-less chunk stays code-less, the
+          // same crash-orphan state the old generation serves)
+          val incomingCodes = spark.table(oldCodes.get)
+            .filter(inCells(col("centroid_id")))
+            .drop("centroid_id")
+            .join(newRows.filter(col("centroid_id").isInCollection(cbatch))
+                .select(col("chunk_id"), col("centroid_id")), "chunk_id")
+            .localCheckpoint(true)
+          val removedIds = spark.table(stStore) // post-rewrite live ids of the batch
+            .filter(col("centroid_id").isInCollection(cbatch))
+            .select("chunk_id")
+          DocLifecycle.overwriteCellsRetrying(spark, sc, cbatch, { base =>
+            val codeCols = base.columns.toIndexedSeq
+            base.join(incomingCodes.select("chunk_id"), Seq("chunk_id"), "left_anti")
+              .join(removedIds, Seq("chunk_id"), "left_semi") // keep only still-live
+              .select(codeCols.map(col): _*)
+              .unionByName(incomingCodes.select(codeCols.map(col): _*))
+          })
+        }
+      }
+    }
+
+    try {
+      // ---- 1. stage the new-generation centroids (from the current store)
+      val t0 = System.nanoTime()
+      val live = spark.table(oldStore).filter(col("embedding").isNotNull)
+      (if (trained) Similarity.kmeansCentroids(live, newNlist)
+       else Similarity.hashSeededCentroids(live, newNlist,
+         idCol = "chunk_id", embCol = "embedding"))
+        .write.mode("overwrite").format("parquet").saveAsTable(stCents)
+      val tCent = (System.nanoTime() - t0) / 1e9
+
+      // ---- 2. snapshot + stage the store (assignment pass, no re-embed)
+      val t1 = System.nanoTime()
+      var fp = fingerprintAll(spark, oldStore)
+      val allCells = fp.keySet.map(_.split("=", 2)(1).toLong).toSeq.sorted
+      val base = Similarity.ivfAssign(
+        readCells(spark, oldStore, fp, allCells).drop("centroid_id"),
+        spark.table(stCents), idCol = "chunk_id")
+      base.select(storeCols.map(col): _*)
+        .repartition(col("centroid_id")) // clusterWrite: one file per cell
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .format("parquet").saveAsTable(stStore)
+      val baseRows = spark.table(stStore).count()
+      // private pair logs: frozen old-index copy + staged-side index
+      DocLifecycle.docCells(spark, dir, oldNlist, trained)
+        .select("document_id", "centroid_id").distinct()
+        .repartition(32, col("document_id"))
+        .write.mode("overwrite")
+        .bucketBy(32, "document_id").sortBy("document_id")
+        .format("parquet").saveAsTable(stOldPairs)
+      DocLifecycle.rebuildDocCells(spark, stStore, stDc)
+      val tBuild = (System.nanoTime() - t1) / 1e9
+
+      // ---- 3. unleased delta rounds until quiet (loops keep writing)
+      beforeRounds()
+      val t2 = System.nanoTime()
+      var rounds = 0
+      var quiet = false
+      while (!quiet && rounds < maxRounds) {
+        val cur = fingerprintAll(spark, oldStore)
+        val changed = changedCells(fp, cur)
+        if (changed.isEmpty) quiet = true
+        else {
+          // a racing EDIT can delete the very files this round's diff
+          // vouched for mid-read — re-diff and redo rather than dying
+          // (reconcile is idempotent: cells stay flagged until fp advances)
+          try { reconcile(cur, changed, withCodes = false); fp = cur }
+          catch { case e: Throwable if TableStore.isStaleListing(e) => () }
+          rounds += 1
+        }
+      }
+      val tRounds = (System.nanoTime() - t2) / 1e9
+
+      // ---- 4. stage the code table: re-cell current codes by the staged
+      // assignment (payload join — no re-encoding; the codebook carries over)
+      val t3 = System.nanoTime()
+      stCodes.foreach { sc =>
+        spark.catalog.refreshTable(oldCodes.get)
+        val codeCols = spark.table(oldCodes.get).schema.fieldNames.toIndexedSeq
+        spark.table(oldCodes.get).drop("centroid_id")
+          .join(spark.table(stStore).select("chunk_id", "centroid_id"), "chunk_id")
+          .select(codeCols.map(col): _*) // old schema order, centroid_id last
+          .repartition(col("centroid_id"))
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .format("parquet").saveAsTable(sc)
+      }
+      val tCodes = (System.nanoTime() - t3) / 1e9
+
+      // ---- 5. cutover under the old generation's lease: edits/compaction
+      // excluded by mechanism; ingest appends must quiesce or the diff
+      // below fails loudly rather than cutting over a moving target
+      beforeCutover()
+      val t4 = System.nanoTime()
+      var cutRounds = 0
+      MaintenanceLease.withLease(spark, oldStore) {
+        var cur = fingerprintAll(spark, oldStore)
+        var changed = changedCells(fp, cur)
+        while (changed.nonEmpty && cutRounds < 3) {
+          reconcile(cur, changed, withCodes = pqM > 0)
+          fp = cur; cutRounds += 1
+          cur = fingerprintAll(spark, oldStore)
+          changed = changedCells(fp, cur)
+        }
+        if (changed.nonEmpty) throw new IllegalStateException(
+          s"old store $oldStore still changing after $cutRounds leased reconcile rounds — " +
+            "pause the ingest append loop for the cutover (edits are excluded by the lease; " +
+            "appends never block on maintenance by design)")
+        beforeSwap()
+        // the swap: metadata renames, one table at a time. Same-nlist swaps
+        // replace the live generation — readers quiesce for these four ops.
+        MaintenanceLock(newDc) {
+          val swaps = Seq(stCents -> newCents, stStore -> newStore) ++
+            stCodes.zip(newCodes).map { case (s, n) => s -> n } ++ Seq(stDc -> newDc)
+          swaps.foreach { case (stage, natural) =>
+            spark.sql(s"DROP TABLE IF EXISTS $natural")
+            // a previous JVM's table files can survive the in-memory
+            // catalog (TableStore.getOrBuild clears the same leftovers):
+            // the managed-table RENAME moves the staged dir to the natural
+            // location and refuses if a stale one is squatting there
+            val loc = new org.apache.hadoop.fs.Path(
+              spark.conf.get("spark.sql.warehouse.dir"),
+              natural.toLowerCase(java.util.Locale.ROOT))
+            val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (lfs.exists(loc)) lfs.delete(loc, true)
+            renamed = true
+            spark.sql(s"ALTER TABLE $stage RENAME TO $natural")
+            // a partitioned table's catalog entries keep PER-PARTITION
+            // locations, which the rename does not rewrite — re-discover
+            // them from the moved directory (metadata listing, nlist-scale)
+            if (natural == newStore || newCodes.contains(natural))
+              spark.sql(s"ALTER TABLE $natural RECOVER PARTITIONS")
+            spark.catalog.refreshTable(natural)
+          }
+        }
+      }
+      val tCut = (System.nanoTime() - t4) / 1e9
+      Report(oldNlist, newNlist, baseRows, deltaRows, rounds, cutRounds,
+        tCent, tBuild, tRounds, tCodes, tCut)
+    } catch {
+      case e: Throwable =>
+        // no rename happened: the old generation is intact and the staging
+        // is disposable. After the first rename, KEEP everything — dropping
+        // staged tables would destroy not-yet-renamed generation pieces;
+        // re-running the rebuild (or sweepOrphans, age-gated) recovers.
+        if (!renamed)
+          (Seq(stStore, stCents, stDc, stOldPairs) ++ stCodes.toSeq).foreach { t =>
+            spark.sql(s"DROP TABLE IF EXISTS $t") }
+        throw e
+    } finally {
+      if (renamed) spark.sql(s"DROP TABLE IF EXISTS $stOldPairs")
+    }
+  }
+
+  /** Reclaim a retired chunk-index generation — store, centroids,
+    * doc→cells, and (when `pqM > 0`) the code table for (dir, nlist,
+    * trained). Call once nothing probes or writes the generation; the
+    * blue/green flow is rebuild → retarget readers/loops → drop. */
+  def dropChunkGeneration(spark: SparkSession, dir: String, nlist: Int,
+                          trained: Boolean = false,
+                          pqM: Int = 0, pqKsub: Int = 32): Unit = {
+    val codes =
+      if (pqM > 0) Some(IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained))
+      else None
+    (Seq(IvfCatalog.chunkStoreName(dir, nlist, trained),
+      IvfCatalog.chunkCentroidsName(dir, nlist, trained),
+      DocLifecycle.docCellsName(dir, nlist, trained)) ++ codes.toSeq)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

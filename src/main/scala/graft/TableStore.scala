@@ -38,7 +38,7 @@ object TableStore {
         action
     }
 
-  private def isStaleListing(e: Throwable): Boolean = {
+  private[graft] def isStaleListing(e: Throwable): Boolean = {
     var t: Throwable = e
     while (t != null) {
       if (t.isInstanceOf[java.io.FileNotFoundException]) return true

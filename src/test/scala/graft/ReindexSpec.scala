@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.pipelines.Pipelines
+
+/** Online blue/green reindex ([[Reindex.rebuildChunkIndex]]): a quiet
+  * rebuild lands exactly the from-scratch index at the new nlist; writes
+  * racing the rebuild (ingest appends, upserts, deletes — injected through
+  * the phase seams) are reconciled so the cutover converges to the
+  * re-assign-the-current-store oracle; the code table and doc→cells follow;
+  * the cutover lease excludes a concurrent edit by mechanism; the same-nlist
+  * form swaps the live generation in place. */
+class ReindexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def snapshot(df: DataFrame): Set[(String, Long, Long)] =
+    df.select("chunk_id", "centroid_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def dropGen(nlist: Int, pqM: Int = 0, pqKsub: Int = 16): Unit = {
+    if (pqM > 0 && spark.catalog.tableExists(
+        TableStore.tableName(s"ivfpqcb_m${pqM}k$pqKsub", dir)))
+      spark.sql(s"DROP TABLE IF EXISTS ${IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub)}")
+    Seq(IvfCatalog.chunkStoreName(dir, nlist),
+      IvfCatalog.chunkCentroidsName(dir, nlist),
+      DocLifecycle.docCellsName(dir, nlist)).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("quiet rebuild to a new nlist equals the from-scratch build") {
+    val (a, b) = (23, 53)
+    dropGen(a); dropGen(b)
+    IvfCatalog.assignedChunks(spark, dir, a).count()
+    DocLifecycle.docCells(spark, dir, a).count()
+    val before = snapshot(spark.table(IvfCatalog.chunkStoreName(dir, a)))
+
+    val rep = Reindex.rebuildChunkIndex(spark, dir, a, b)
+    assert(rep.baseRows === before.size.toLong && rep.deltaRows === 0L)
+    assert(rep.rounds === 0 && rep.cutoverRounds === 0)
+
+    // from-scratch oracle at b, computed WITHOUT touching the catalog: same
+    // seeded sample over the same (chunk_id, embedding) set → identical
+    // centroids, identical assignment
+    val chunks = ChunkCatalog.flatChunks(spark, dir)
+      .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
+    val oracleCents = Similarity.hashSeededCentroids(chunks, b,
+      idCol = "chunk_id", embCol = "embedding")
+    val oracleRows = Similarity.ivfAssign(chunks, oracleCents, idCol = "chunk_id")
+      .select("chunk_id", "centroid_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuilt = snapshot(spark.table(IvfCatalog.chunkStoreName(dir, b)))
+    assert(rebuilt === oracleRows, "rebuilt store must equal the from-scratch assignment")
+    assert(rebuilt.map(t => (t._1, t._3)) === before.map(t => (t._1, t._3)),
+      "same rows, new cells")
+    // the new generation's centroid table equals the from-scratch derivation
+    val gotCents = spark.table(IvfCatalog.chunkCentroidsName(dir, b))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    val wantCents = oracleCents.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(gotCents === wantCents)
+    // doc→cells covers every live pair; probe serves end to end at b
+    val live = rebuilt.map(t => (t._3, t._2))
+    val idx = spark.table(DocLifecycle.docCellsName(dir, b))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live.subsetOf(idx))
+    assert(Pipelines.flagshipIvf(spark, dir, nlist = b, nprobe = 4).count() === 10L)
+    // no staging leaks
+    assert(!spark.catalog.listTables().collect().exists(_.name.contains("__rstage")))
+    // blue/green completion: retire the old generation
+    Reindex.dropChunkGeneration(spark, dir, a)
+    assert(!spark.catalog.tableExists(IvfCatalog.chunkStoreName(dir, a)))
+    dropGen(b)
+  }
+
+  test("writes racing the rebuild reconcile in; codes and pairs follow; the delta is probe-visible") {
+    import spark.implicits._
+    val (a, b, m, ksub) = (29, 47, 24, 16)
+    dropGen(a, m, ksub); dropGen(b, m, ksub)
+    IvfCatalog.assignedChunks(spark, dir, a).count()
+    IvfPqCatalog.encodedChunks(spark, dir, a, m, ksub).count()
+    DocLifecycle.docCells(spark, dir, a).count()
+    val storeA = IvfCatalog.chunkStoreName(dir, a)
+
+    def mk(word: String): String =
+      (1 to 4).map(i => s"The $word beacon catalogs sector $i with manifests and " +
+        "routes the surviving chunks into the partitioned serving store.").mkString(" ")
+    val editedId = snapshot(spark.table(storeA)).groupBy(_._3).maxBy(_._2.size)._1
+    val deletedId = (snapshot(spark.table(storeA)).map(_._3) - editedId).head
+
+    val rep = Reindex.rebuildChunkIndex(spark, dir, a, b, pqM = m, pqKsub = ksub,
+      beforeRounds = () => {
+        // arrivals + an edit + a delete land while the staged build is done
+        // but the rounds have not run — all three mutate the old generation
+        graft.streaming.StreamingIngest.ingestDocBatch(
+          Seq((940001L, mk("aurora"))).toDF("doc_id", "text"), dir, a,
+          pqM = m, pqKsub = ksub)
+        DocLifecycle.upsertDocChunks(spark, dir,
+          Seq((editedId, mk("meridian"))).toDF("doc_id", "text"), a,
+          pqM = m, pqKsub = ksub)
+        DocLifecycle.deleteDocChunks(spark, dir, Seq(deletedId), a,
+          pqM = m, pqKsub = ksub)
+      },
+      beforeCutover = () => {
+        // another arrival after the rounds went quiet — only the leased
+        // final reconcile can catch it
+        graft.streaming.StreamingIngest.ingestDocBatch(
+          Seq((940002L, mk("zephyr"))).toDF("doc_id", "text"), dir, a,
+          pqM = m, pqKsub = ksub)
+      })
+    assert(rep.deltaRows > 0L, "the racing writes must have been reconciled")
+    assert(rep.cutoverRounds >= 1, "the post-rounds arrival lands in the leased reconcile")
+
+    // oracle: the old generation's FINAL rows, re-assigned to the new cents
+    spark.catalog.refreshTable(storeA)
+    val finalOld = spark.table(storeA)
+    val want = Similarity.ivfAssign(finalOld.drop("centroid_id"),
+        spark.table(IvfCatalog.chunkCentroidsName(dir, b)), idCol = "chunk_id")
+      .select("chunk_id", "centroid_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = snapshot(spark.table(IvfCatalog.chunkStoreName(dir, b)))
+    assert(got === want, "new generation must equal the re-assigned final old store")
+    assert(got.exists(_._3 == 940001L) && got.exists(_._3 == 940002L))
+    assert(!got.exists(_._3 == deletedId))
+    assert(got.filter(_._3 == editedId).map(_._1) ===
+      snapshot(finalOld).filter(_._3 == editedId).map(_._1))
+
+    // the code table mirrors the new store exactly (no dead, no missing)
+    val codesB = spark.table(IvfPqCatalog.chunkCodesTableName(spark, dir, b, m, ksub))
+    val storeB = spark.table(IvfCatalog.chunkStoreName(dir, b))
+    assert(codesB.count() === storeB.count())
+    assert(codesB.join(storeB, Seq("chunk_id"), "left_anti").count() === 0L)
+    assert(storeB.join(codesB, Seq("chunk_id"), "left_anti").count() === 0L)
+    assert(codesB.select("chunk_id", "centroid_id").except(
+      storeB.select("chunk_id", "centroid_id")).count() === 0L,
+      "codes must sit in the same cells as their rows")
+    // doc→cells superset over the new generation
+    val idx = spark.table(DocLifecycle.docCellsName(dir, b))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._3, t._2)).subsetOf(idx))
+    // the mid-rebuild arrival is PROBE-visible through the compressed path
+    val hits = Pipelines.flagshipIvfPq(spark, dir, queryText = mk("zephyr"),
+      nlist = b, nprobe = 4, m = m, ksub = ksub)
+    assert(hits.select("document_id").as[Long].collect().headOption.contains(940002L),
+      "the doc ingested mid-rebuild must be the top hit for its own text")
+    dropGen(a, m, ksub); dropGen(b, m, ksub)
+  }
+
+  test("cutover lease excludes a concurrent edit; same-nlist swap replaces the live generation") {
+    import spark.implicits._
+    val a = 31
+    dropGen(a)
+    IvfCatalog.assignedChunks(spark, dir, a).count()
+    DocLifecycle.docCells(spark, dir, a).count()
+    def mk(word: String): String =
+      (1 to 3).map(i => s"The $word ledger records page $i and appends the " +
+        "surviving chunks into the partitioned serving store.").mkString(" ")
+    // grow the corpus first so the re-derived centroids actually differ
+    graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq((950001L, mk("obsidian"))).toDF("doc_id", "text"), dir, a)
+    spark.catalog.refreshTable(IvfCatalog.chunkStoreName(dir, a))
+    val beforeRows = spark.table(IvfCatalog.chunkStoreName(dir, a))
+      .select("chunk_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    @volatile var leaseError: Option[Throwable] = None
+    val rep = Reindex.rebuildChunkIndex(spark, dir, a, a,
+      beforeSwap = () => {
+        // a concurrent edit from ANOTHER thread while the cutover holds the
+        // lease: fails fast naming the holder (reentrancy is per-thread)
+        val t = new Thread(() => {
+          try DocLifecycle.upsertDocChunks(spark, dir,
+            Seq((950001L, mk("basalt"))).toDF("doc_id", "text"), a)
+          catch { case e: Throwable => leaseError = Some(e) }
+        })
+        t.start(); t.join()
+      })
+    assert(leaseError.exists(_.getMessage.contains("maintenance lease")),
+      s"the in-cutover edit must fail on the lease, got: $leaseError")
+    assert(rep.oldNlist === a && rep.newNlist === a)
+    // in-place: same names now hold the re-derived generation, same rows
+    spark.catalog.refreshTable(IvfCatalog.chunkStoreName(dir, a))
+    val after = spark.table(IvfCatalog.chunkStoreName(dir, a))
+      .select("chunk_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after === beforeRows, "same-nlist swap keeps every row")
+    val want = Similarity.ivfAssign(
+        spark.table(IvfCatalog.chunkStoreName(dir, a)).drop("centroid_id"),
+        spark.table(IvfCatalog.chunkCentroidsName(dir, a)), idCol = "chunk_id")
+      .select("chunk_id", "centroid_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotCells = spark.table(IvfCatalog.chunkStoreName(dir, a))
+      .select("chunk_id", "centroid_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotCells === want, "stored assignment must match the new centroid table")
+    assert(Pipelines.flagshipIvf(spark, dir, nlist = a, nprobe = 4).count() === 10L)
+    dropGen(a)
+  }
+}

@@ -1086,6 +1086,104 @@ class StreamingSpec extends AnyFunSuite {
     toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("ingest and edit loops running across a blue/green reindex converge to the rebuild oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // the triad's deployment story one decade later: while a RUNNING ingest
+    // loop and edits channel keep writing the old generation, the index is
+    // rebuilt blue/green at a larger nlist (Reindex.rebuildChunkIndex);
+    // waves landing during every rebuild phase (via the phase seams) must
+    // reconcile in, the cutover must converge, and the retargeted loops
+    // (same channels, new nlist) must keep the new generation tracking the
+    // net document set.
+    val tdir = "/tmp/graft_reindex_triad"
+    val (nlA, nlB) = (23, 41)
+    def mkDoc(id: Long, rev: Int): String =
+      (1 to 6).map(i => s"Document $id revision $rev sentence $i exercises the " +
+        s"reindexed lifecycle on topic ${(id * 7 + rev * 5 + i) % 13} with a " +
+        "stable vocabulary and enough words for real chunks.").mkString(" ")
+    val base: Map[Long, String] = (1L to 6L).map(id => id -> mkDoc(id, 0)).toMap
+    base.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tdir/documents.parquet")
+    val toDrop = Seq(TableStore.tableName("chunks", tdir)) ++
+      Seq(nlA, nlB).flatMap(n => Seq(
+        TableStore.tableName(s"ivfchunks$n", tdir),
+        TableStore.tableName(s"ivfchunkcent$n", tdir),
+        DocLifecycle.docCellsName(tdir, n)))
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.catalog.clearCache()
+    IvfCatalog.assignedChunks(spark, tdir, nlA).count()
+    DocLifecycle.docCells(spark, tdir, nlA).count()
+
+    var ref: Map[Long, String] = base
+    val arrivals = MemoryStream[(Long, String)]
+    val edits = MemoryStream[(Long, String, String, Int)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_reindex_ckpt")
+    var qArr = graft.streaming.StreamingIngest.startDocs(
+      arrivals.toDF().toDF("doc_id", "text"), tdir, s"$ckpt/arrA", nlA)
+    var qEd = graft.streaming.StreamingIngest.startDocEdits(
+      edits.toDF().toDF("doc_id", "text", "op", "seq"), tdir, s"$ckpt/edA", nlA)
+    def arrive(docs: (Long, String)*): Unit = {
+      arrivals.addData(docs: _*); qArr.processAllAvailable()
+      ref = ref ++ docs
+    }
+    def edit(batch: (Long, String, String, Int)*): Unit = {
+      edits.addData(batch: _*); qEd.processAllAvailable()
+      batch.groupBy(_._1).foreach { case (id, ops) =>
+        val last = ops.maxBy(_._4)
+        ref = if (last._3 == "delete") ref - id else ref + (id -> last._2)
+      }
+    }
+    def check(nlist: Int, step: String): Unit = {
+      val expected = graft.operators.Similarity.ivfAssign(
+          graft.pipelines.Pipelines.featurePipeline(
+              ref.toSeq.toDF("doc_id", "text"), 0.0)
+            .select(col("chunk_id"), col("document_id"), col("embedding")),
+          IvfCatalog.chunkCentroidsStored(spark, tdir, nlist), idCol = "chunk_id")
+        .select("chunk_id", "document_id", "centroid_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = IvfCatalog.assignedChunks(spark, tdir, nlist)
+        .select("chunk_id", "document_id", "centroid_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"store diverged from the rebuild oracle after: $step")
+    }
+
+    arrive(10L -> mkDoc(10, 0), 11L -> mkDoc(11, 0))
+    edit((2L, mkDoc(2, 1), "upsert", 1))
+    check(nlA, "pre-rebuild waves")
+    val rep = Reindex.rebuildChunkIndex(spark, tdir, nlA, nlB,
+      beforeRounds = () => { // lands while the staged build is already done
+        arrive(12L -> mkDoc(12, 0))
+        edit((10L, "", "delete", 1), (3L, mkDoc(3, 1), "upsert", 1))
+      },
+      beforeCutover = () => { // lands after the rounds went quiet
+        arrive(13L -> mkDoc(13, 0))
+        edit((11L, mkDoc(11, 1), "upsert", 1))
+      })
+    assert(rep.deltaRows > 0L && rep.cutoverRounds >= 1)
+    check(nlA, "old generation after the rebuild (untouched by it)")
+    check(nlB, "new generation at cutover")
+
+    // retarget the channels: same streams, SAME checkpoints (the committed
+    // source offsets must carry over — a fresh checkpoint would replay
+    // every retained wave into the new generation, resurrecting deleted
+    // docs), new nlist — the (dir, nlist) pair IS the blue/green switch
+    qArr.stop(); qEd.stop()
+    qArr = graft.streaming.StreamingIngest.startDocs(
+      arrivals.toDF().toDF("doc_id", "text"), tdir, s"$ckpt/arrA", nlB)
+    qEd = graft.streaming.StreamingIngest.startDocEdits(
+      edits.toDF().toDF("doc_id", "text", "op", "seq"), tdir, s"$ckpt/edA", nlB)
+    arrive(14L -> mkDoc(14, 0))
+    edit((13L, "", "delete", 2), (12L, mkDoc(12, 1), "upsert", 2))
+    check(nlB, "retargeted loops on the new generation")
+    qArr.stop(); qEd.stop()
+    Reindex.dropChunkGeneration(spark, tdir, nlA) // retire the old generation
+    assert(!spark.catalog.tableExists(IvfCatalog.chunkStoreName(tdir, nlA)))
+    check(nlB, "new generation after retiring the old")
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("doc loop cadence compacts the doc→cells index to live pairs, one file per bucket") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
