@@ -426,6 +426,155 @@ object Reindex {
     }
   }
 
+  /** One hot-cell split's outcome: `cell` was over `bytes`, its rows moved
+    * to `children` (the two local 2-means replacements) and `migrated`
+    * other cells (boundary rows whose globally-nearest centroid was never
+    * the parent's children); `parentRetired` is false when a late append
+    * raced the rewrite in — the parent stays a live centroid holding
+    * exactly those rows, and the next cadence pass re-examines it. */
+  case class SplitReport(cell: Long, bytes: Long, children: Seq[Long],
+                         migrated: Seq[Long], movedRows: Long,
+                         parentRetired: Boolean, seconds: Double)
+
+  /** Split the chunk store's oversized cells — the maintenance pass for
+    * SKEWED GEOMETRY under frozen centroids: ingest drift can fatten one
+    * cell far past every byte bound sized for the √n law, after which (a)
+    * every probe of that cell scans corpus-shaped bytes and (b)
+    * [[DocLifecycle.cellBatches]]' byte-batched rewrites degenerate to one
+    * oversized job (the cap bounds multi-cell batches; it cannot shrink a
+    * single cell). Run on the maintenance cadence off a
+    * [[Compaction.partitionStats]] trigger: any cell over `maxCellBytes`
+    * is split, largest first, at most `maxSplits` per pass (each split is
+    * a bounded job; a pathological store heals over a few cadences).
+    *
+    * Per cell: derive TWO replacement centroids by seeded 2-means over the
+    * cell's own rows, register them in the frozen centroid table FIRST
+    * (probe-safe — a child with no rows is an empty pruned scan), then
+    * re-assign the cell's rows against the FULL new centroid set (children
+    * and existing cells alike — restricting targets to the children would
+    * strand boundary rows whose nearest centroid is elsewhere): every
+    * MOVED row lands in its globally-nearest cell. Rows of OTHER cells are
+    * untouched, and a new child can become globally nearer for a few of
+    * their boundary rows — those cost at most one extra probe (the child
+    * outranks the row's own cell in the probe list) until the next
+    * blue/green rebuild restores the exact invariant corpus-wide; the
+    * probe-bounded recall trade every online IVF modification carries,
+    * pinned at nprobe=2 by ReindexSpec. Then append the moved
+    * (doc → cell) pairs to the
+    * doc→cells index (never-miss ordering; the parent's stale pairs are
+    * superset false positives the cadence reclaims), and rewrite the
+    * touched cells through [[DocLifecycle.overwriteCellsRetrying]]'s
+    * fingerprint defense. The move is keyed by a SNAPSHOT id→target map,
+    * so a concurrent append racing the rewrite retries in and its rows
+    * STAY in the parent — the parent centroid is then kept, not retired
+    * (a removed centroid whose cell still holds rows would hide them from
+    * every probe forever). When `pqM > 0` the code table's rows relabel
+    * through the same map. The parent centroid is removed last, only once
+    * its cell verifiably emptied.
+    *
+    * Deployment contract: the pass holds the store's [[MaintenanceLease]]
+    * per split (excludes edits/compaction); run it serial with the ingest
+    * loop like every maintenance writer — the fingerprint defense covers a
+    * straggler append, and the one unfenced instant is the rename-only
+    * commit window. Returns one report per split cell. */
+  def splitHotCells(spark: SparkSession, dir: String, nlist: Int,
+                    trained: Boolean = false,
+                    pqM: Int = 0, pqKsub: Int = 32,
+                    maxCellBytes: Long = 4L << 30,
+                    maxSplits: Int = 4,
+                    beforeRewrite: () => Unit = () => ()): Seq[SplitReport] = {
+    val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+    if (!spark.catalog.tableExists(store)) return Nil
+    val hot = Compaction.partitionStats(spark, store)
+      .filter(_.bytes > maxCellBytes).sortBy(-_.bytes).take(maxSplits)
+    hot.map { p =>
+      val cell = p.spec.split("=", 2)(1).toLong
+      splitCell(spark, dir, nlist, trained, pqM, pqKsub, cell, p.bytes, beforeRewrite)
+    }
+  }
+
+  private def splitCell(spark: SparkSession, dir: String, nlist: Int,
+                        trained: Boolean, pqM: Int, pqKsub: Int,
+                        cell: Long, bytes: Long,
+                        beforeRewrite: () => Unit): SplitReport =
+    MaintenanceLease.withLease(spark, IvfCatalog.chunkStoreName(dir, nlist, trained)) {
+    val t0 = System.nanoTime()
+    val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+    val centsName = IvfCatalog.chunkCentroidsName(dir, nlist, trained)
+    spark.catalog.refreshTable(store)
+    val rows = spark.table(store)
+      .filter(col("centroid_id") === cell && col("embedding").isNotNull)
+    if (rows.limit(2).count() < 2) // nothing to bisect (a single giant row)
+      return SplitReport(cell, bytes, Nil, Nil, 0L,
+        parentRetired = false, (System.nanoTime() - t0) / 1e9)
+    // index metadata: tiny by construction (one row per cell)
+    val existing = spark.table(centsName)
+      .select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val nextId = existing.keys.max + 1
+    val kids = Similarity.kmeansCentroids(rows, 2)
+      .select((col("centroid_id") + lit(nextId)).as("centroid_id"), col("centroid_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // 1. register the children (idempotent: rewrite the tiny table deduped
+    //    by id, so a crashed-then-replayed split can't double-register)
+    import spark.implicits._
+    def writeCents(entries: Seq[(Long, Seq[Float])]): Unit =
+      entries.sortBy(_._1).toDF("centroid_id", "centroid_vec")
+        .select(col("centroid_id"), col("centroid_vec").cast("array<float>").as("centroid_vec"))
+        .write.mode("overwrite").format("parquet").saveAsTable(centsName)
+    writeCents(((existing -- kids.map(_._1)) ++ kids).toSeq)
+    spark.catalog.refreshTable(centsName)
+    // 2. snapshot id→target map: global re-assignment of the cell's rows
+    val moved = Similarity.ivfAssign(
+        rows.drop("centroid_id"),
+        spark.table(centsName).filter(col("centroid_id") =!= cell),
+        idCol = "chunk_id")
+      .localCheckpoint(true) // pinned before the rewrite invalidates its lineage
+    val movedRows = moved.count()
+    val targets = moved.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // 3. pairs BEFORE rows (the index must never miss a cell)
+    if (spark.catalog.tableExists(DocLifecycle.docCellsName(dir, nlist, trained)))
+      DocLifecycle.appendDocCells(spark, dir, nlist, trained,
+        moved.select(col("document_id"), col("centroid_id")))
+    // 4. the store rewrite: moved ids land at their targets; anything ELSE
+    //    in the parent (a raced-in append, retried through the fingerprint
+    //    defense) stays put, keeping the parent alive. `beforeRewrite` is
+    //    the race spec's injection seam (post-snapshot, pre-rewrite).
+    beforeRewrite()
+    val storeCols = spark.table(store).schema.fieldNames.toIndexedSeq
+    val movedIds = moved.select("chunk_id")
+    DocLifecycle.overwriteCellsRetrying(spark, store, (cell +: targets).distinct, { base =>
+      base.join(movedIds, Seq("chunk_id"), "left_anti")
+        .select(storeCols.map(col): _*)
+        .unionByName(moved.select(storeCols.map(col): _*))
+    })
+    // 5. the code table relabels through the same map
+    if (pqM > 0) {
+      val codes = IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained)
+      if (spark.catalog.tableExists(codes)) {
+        val codeCols = spark.table(codes).schema.fieldNames.toIndexedSeq
+        val map = moved.select(col("chunk_id"), col("centroid_id").as("__target"))
+        DocLifecycle.overwriteCellsRetrying(spark, codes, (cell +: targets).distinct, { base =>
+          base.join(map, Seq("chunk_id"), "left")
+            .withColumn("centroid_id", coalesce(col("__target"), col("centroid_id")))
+            .select(codeCols.map(col): _*)
+        })
+      }
+    }
+    // 6. retire the parent centroid — only if its cell verifiably emptied
+    spark.catalog.refreshTable(store)
+    val parentLive = spark.table(store).filter(col("centroid_id") === cell)
+      .limit(1).count() > 0
+    if (!parentLive) {
+      writeCents((existing -- Seq(cell) -- kids.map(_._1) ++ kids).toSeq)
+      spark.catalog.refreshTable(centsName)
+    }
+    SplitReport(cell, bytes, kids.map(_._1).toSeq,
+      targets.filterNot(kids.map(_._1).contains), movedRows,
+      parentRetired = !parentLive, (System.nanoTime() - t0) / 1e9)
+    }
+
   /** Reclaim a retired chunk-index generation — store, centroids,
     * doc→cells, and (when `pqM > 0`) the code table for (dir, nlist,
     * trained). Call once nothing probes or writes the generation; the

@@ -330,6 +330,7 @@ object StreamingIngest {
                     flagMinCosine: Double = 0.9, flagNprobe: Int = 2,
                     pqM: Int = 0, pqKsub: Int = 32,
                     compactEvery: Int = 0,
+                    splitCellsOver: Long = 0L,
                     onBatch: EditReport => Unit = _ => ()): StreamingQuery = {
     var sinceCompact = 0
     edits.writeStream
@@ -353,6 +354,9 @@ object StreamingIngest {
                   pqM, pqKsub, trained), idCol = "chunk_id",
                 leaseScope = IvfCatalog.chunkStoreName(dir, nlist, trained))
             graft.DocLifecycle.compactDocCells(spark, dir, nlist, trained)
+            if (splitCellsOver > 0) // skew repair: bisect cells past the cap
+              graft.Reindex.splitHotCells(spark, dir, nlist, trained,
+                pqM, pqKsub, maxCellBytes = splitCellsOver)
             graft.TableStore.sweepOrphans(spark) // crash leftovers, age-gated
             sinceCompact = 0
           }
@@ -379,6 +383,7 @@ object StreamingIngest {
                 flagMinCosine: Double = 0.9,
                 flagNprobe: Int = 2,
                 pqM: Int = 0, pqKsub: Int = 32,
+                splitCellsOver: Long = 0L,
                 onBatch: BatchReport => Unit = _ => ()): StreamingQuery = {
     var sinceCompact = 0
     docs.writeStream
@@ -405,6 +410,9 @@ object StreamingIngest {
             // store's live pairs, one file per bucket (staged swap, so the
             // loop's own next append never sees a missing table)
             graft.DocLifecycle.compactDocCells(batch.sparkSession, dir, nlist, trained)
+            if (splitCellsOver > 0) // skew repair: bisect cells past the cap
+              graft.Reindex.splitHotCells(batch.sparkSession, dir, nlist, trained,
+                pqM, pqKsub, maxCellBytes = splitCellsOver)
             graft.TableStore.sweepOrphans(batch.sparkSession) // crash leftovers
             sinceCompact = 0
           }

@@ -156,6 +156,138 @@ class ReindexSpec extends AnyFunSuite {
     dropGen(a, m, ksub); dropGen(b, m, ksub)
   }
 
+  test("hot-cell split: content preserved, nearest-cell invariant restored, probes self-recall at nprobe=1") {
+    val (nl, m, ksub) = (7, 24, 16)
+    dropGen(nl, m, ksub)
+    IvfCatalog.assignedChunks(spark, dir, nl).count()
+    IvfPqCatalog.encodedChunks(spark, dir, nl, m, ksub).count()
+    DocLifecycle.docCells(spark, dir, nl).count()
+    val storeName = IvfCatalog.chunkStoreName(dir, nl)
+    val centsName = IvfCatalog.chunkCentroidsName(dir, nl)
+    val before = snapshot(spark.table(storeName))
+    val hot = Compaction.partitionStats(spark, storeName).maxBy(_.bytes)
+    val hotCell = hot.spec.split("=", 2)(1).toLong
+    val hotRows = before.count(_._2 == hotCell)
+
+    val reps = Reindex.splitHotCells(spark, dir, nl, pqM = m, pqKsub = ksub,
+      maxCellBytes = hot.bytes - 1, maxSplits = 1)
+    assert(reps.size === 1)
+    val rep = reps.head
+    assert(rep.cell === hotCell && rep.children.size === 2 && rep.parentRetired)
+    assert(rep.movedRows === hotRows.toLong)
+
+    spark.catalog.refreshTable(storeName)
+    val after = snapshot(spark.table(storeName))
+    assert(after.map(t => (t._1, t._3)) === before.map(t => (t._1, t._3)),
+      "every row survives the split")
+    assert(!after.exists(_._2 == hotCell), "the parent cell must be empty")
+    assert(rep.children.forall(c => after.exists(_._2 == c)))
+    val cents = spark.table(centsName).select("centroid_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!cents.contains(hotCell) && rep.children.forall(cents.contains),
+      "parent centroid retired, children registered")
+    // every MOVED row sits in its globally-nearest cell: the split
+    // re-assigned against the full new centroid set, so boundary rows
+    // migrated to other cells instead of being strapped to a child.
+    // (Rows of OTHER cells are untouched — a child can steal "nearest"
+    // from a few of their boundary rows, the documented one-extra-probe
+    // trade bounded below.)
+    val reassigned = Similarity.ivfAssign(
+        spark.table(storeName).drop("centroid_id"),
+        spark.table(centsName), idCol = "chunk_id")
+      .select("chunk_id", "centroid_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val movedNow = after.filter(t => before.find(_._1 == t._1).exists(_._2 == hotCell))
+    assert(movedNow.forall(t => reassigned(t._1) == t._2),
+      "every moved row must sit in its globally-nearest cell")
+    // codes follow: same ids, same cells
+    val codes = spark.table(IvfPqCatalog.chunkCodesTableName(spark, dir, nl, m, ksub))
+    assert(codes.select("chunk_id", "centroid_id")
+      .except(spark.table(storeName).select("chunk_id", "centroid_id")).count() === 0L)
+    assert(codes.count() === after.size.toLong)
+    // doc→cells covers every live pair; self-recall at nprobe=1 for rows of
+    // the split cell (the invariant's payoff: the probe finds each row in
+    // the single cell its own embedding points at)
+    val idx = spark.table(DocLifecycle.docCellsName(dir, nl))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.map(t => (t._3, t._2)).subsetOf(idx))
+    // probe-reachability, asserted on the probe ORDER itself (immune to the
+    // fixture's exact-duplicate embeddings): rank of a row's own cell among
+    // centroid cosines to the row's embedding. Moved rows sit at rank 1
+    // (re-assigned to the global nearest); unmoved rows degrade by at most
+    // the two new entrants — rank ≤ 3, i.e. nprobe=3 still scans their cell
+    val centsVecs = spark.table(centsName)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cellRank(vec: Array[Float], cellOf: Long): Int = {
+      import graft.functions.VectorFunctions.cosineArrays
+      val ranked = centsVecs.map { case (cid2, cv) => (cid2, cosineArrays(vec, cv)) }
+        .sortBy { case (cid2, c) => (-c, cid2) }.map(_._1)
+      ranked.indexOf(cellOf) + 1
+    }
+    def vecOf(cid: String): Array[Float] =
+      spark.table(storeName).filter(col("chunk_id") === cid)
+        .select("embedding").head.getSeq[Float](0).toArray
+    val afterCells = after.map(t => t._1 -> t._2).toMap
+    before.filter(_._2 == hotCell).take(3).foreach { case (cid, _, _) =>
+      assert(cellRank(vecOf(cid), afterCells(cid)) === 1,
+        s"moved row $cid must sit in the rank-1 cell of its own embedding")
+    }
+    before.filterNot(_._2 == hotCell).take(5).foreach { case (cid, _, _) =>
+      assert(cellRank(vecOf(cid), afterCells(cid)) <= 3,
+        s"unmoved row $cid must stay reachable within nprobe=3")
+    }
+    // and the probe path itself serves k rows end to end at the new layout
+    assert(Similarity.ivfSearchPruned(spark.table(storeName),
+      spark.table(centsName), vecOf(movedNow.head._1), k = 5, nprobe = 2,
+      idCol = "chunk_id").count() === 5L)
+    dropGen(nl, m, ksub)
+  }
+
+  test("a late append racing the split stays in the parent, which survives as a live centroid") {
+    import spark.implicits._
+    val nl = 11
+    dropGen(nl)
+    IvfCatalog.assignedChunks(spark, dir, nl).count()
+    DocLifecycle.docCells(spark, dir, nl).count()
+    val storeName = IvfCatalog.chunkStoreName(dir, nl)
+    val centsName = IvfCatalog.chunkCentroidsName(dir, nl)
+    val hot = Compaction.partitionStats(spark, storeName).maxBy(_.bytes)
+    val hotCell = hot.spec.split("=", 2)(1).toLong
+    // a vector IDENTICAL to the parent's centroid: cosine 1.0 beats both
+    // children (and the id tie-break keeps the parent on an exact tie), so
+    // the injected append lands in the parent cell mid-split
+    val parentVec = spark.table(centsName)
+      .filter(col("centroid_id") === hotCell)
+      .select("centroid_vec").head.getSeq[Float](0)
+
+    val reps = Reindex.splitHotCells(spark, dir, nl,
+      maxCellBytes = hot.bytes - 1, maxSplits = 1,
+      beforeRewrite = () => {
+        IvfCatalog.appendChunks(spark, dir,
+          Seq(("zzsplitrace", 970001L, 5, parentVec))
+            .toDF("chunk_id", "document_id", "word_count", "embedding")
+            .select(col("chunk_id"), col("document_id"), col("word_count"),
+              col("embedding").cast("array<float>").as("embedding")),
+          nl)
+      })
+    val rep = reps.head
+    assert(!rep.parentRetired, "a parent holding a raced-in row must not retire")
+    spark.catalog.refreshTable(storeName)
+    val raced = spark.table(storeName).filter(col("chunk_id") === "zzsplitrace")
+      .select("centroid_id").collect().map(_.getLong(0))
+    assert(raced.toSeq === Seq(hotCell), "the raced-in row stays in the parent cell")
+    val cents = spark.table(centsName).select("centroid_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cents.contains(hotCell),
+      "the parent centroid must survive — retiring it would hide the raced-in row from every probe")
+    // and the probe still finds it, in exactly that cell
+    val top = Similarity.ivfSearchPruned(spark.table(storeName),
+        spark.table(centsName), parentVec.toArray, k = 1, nprobe = 1, idCol = "chunk_id")
+      .select("chunk_id").head.getString(0)
+    assert(top === "zzsplitrace")
+    dropGen(nl)
+  }
+
   test("cutover lease excludes a concurrent edit; same-nlist swap replaces the live generation") {
     import spark.implicits._
     val a = 31
