@@ -58,7 +58,7 @@ object ServeUnderMaintBench {
     def probe(i: Int): Double = {
       val t0 = System.nanoTime()
       def run() = pipelines.Pipelines.flagshipIvf(spark, dir,
-        queryText = queries(i % queries.size) + s" pass $i",
+        queryText = queries(math.floorMod(i, queries.size)) + s" pass $i",
         nlist = nlist, nprobe = nprobe).count()
       try run() catch {
         case e: Throwable if TableStore.isStaleListing(e) =>
