@@ -575,6 +575,55 @@ object Reindex {
       parentRetired = !parentLive, (System.nanoTime() - t0) / 1e9)
     }
 
+  /** Geometry-drift advice: the generation at `nlist` has outgrown the
+    * nlist law for its CURRENT corpus size and is due a blue/green
+    * rebuild ([[rebuildChunkIndex]]). `recommendedNlist` is the law's
+    * answer today; `driftFactor` = recommended / current. */
+  case class Advice(store: String, nlist: Int, corpusRows: Long,
+                    recommendedNlist: Int, driftFactor: Double)
+
+  /** Detect when the frozen-centroid chunk generation is due a rebuild.
+    *
+    * The nlist law (SCALE.md round-7, three decades of sweep evidence):
+    * `nlist_law(n) = max(√n, n / cellCapRows)` — √n is the compute
+    * optimum; the n/cellCapRows lower bound keeps one cell's rows inside
+    * a task's memory, the hard constraint at 100 TB. A store built at
+    * yesterday's n and grown under the ingest loop drifts off the law:
+    * cells fatten linearly with corpus growth and probe cost follows cell
+    * size instead of nprobe/nlist. [[splitHotCells]] repairs the skewed
+    * TAIL at cell cost; this detects the UNIFORM drift only a new
+    * centroid set fixes, firing once `recommendedNlist ≥ triggerFactor ×
+    * nlist` (the default 2.0 ≈ 4× corpus growth under the √n regime —
+    * early enough that the rebuild runs while probes still serve, late
+    * enough that rebuilds stay decade-rare events, and any skew spike in
+    * between remains the split pass's job).
+    *
+    * Cost: one COUNT over the store — with no data columns referenced the
+    * scan reads parquet footer row counts, not pages; cheap enough for
+    * the maintenance cadence it rides (the loops' `compactEvery` blocks
+    * call this and hand any advice to `onAdvice`). Returns None when the
+    * generation doesn't exist or the law is still satisfied within
+    * `triggerFactor`. Acting on it stays a deployment decision: the
+    * rebuild takes a lease-held cutover, so the loops' own cadence never
+    * triggers it implicitly. */
+  def reindexAdvice(spark: SparkSession, dir: String, nlist: Int,
+                    trained: Boolean = false,
+                    cellCapRows: Long = 1L << 20,
+                    triggerFactor: Double = 2.0): Option[Advice] = {
+    require(triggerFactor >= 1.0, s"triggerFactor must be ≥ 1, got $triggerFactor")
+    require(cellCapRows > 0, s"cellCapRows must be positive, got $cellCapRows")
+    val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+    if (!spark.catalog.tableExists(store)) return None
+    val n = TableStore.retryingStale(spark, store) {
+      spark.table(store).count()
+    }
+    val law = math.max(math.sqrt(n.toDouble), n.toDouble / cellCapRows)
+    val recommended = math.max(16, math.ceil(law).toInt)
+    val drift = recommended.toDouble / nlist
+    if (drift >= triggerFactor) Some(Advice(store, nlist, n, recommended, drift))
+    else None
+  }
+
   /** Reclaim a retired chunk-index generation — store, centroids,
     * doc→cells, and (when `pqM > 0`) the code table for (dir, nlist,
     * trained). Call once nothing probes or writes the generation; the

@@ -331,7 +331,8 @@ object StreamingIngest {
                     pqM: Int = 0, pqKsub: Int = 32,
                     compactEvery: Int = 0,
                     splitCellsOver: Long = 0L,
-                    onBatch: EditReport => Unit = _ => ()): StreamingQuery = {
+                    onBatch: EditReport => Unit = _ => (),
+                    onAdvice: graft.Reindex.Advice => Unit = _ => ()): StreamingQuery = {
     var sinceCompact = 0
     edits.writeStream
       .option("checkpointLocation", checkpoint)
@@ -358,6 +359,10 @@ object StreamingIngest {
               graft.Reindex.splitHotCells(spark, dir, nlist, trained,
                 pqM, pqKsub, maxCellBytes = splitCellsOver)
             graft.TableStore.sweepOrphans(spark) // crash leftovers, age-gated
+            // uniform geometry drift (splitCellsOver covers the skewed
+            // tail): surface, never act — the rebuild needs a leased
+            // cutover the cadence must not trigger implicitly
+            graft.Reindex.reindexAdvice(spark, dir, nlist, trained).foreach(onAdvice)
             sinceCompact = 0
           }
           onBatch(EditReport(batchId, arrived, up, del, removed, added,
@@ -384,7 +389,8 @@ object StreamingIngest {
                 flagNprobe: Int = 2,
                 pqM: Int = 0, pqKsub: Int = 32,
                 splitCellsOver: Long = 0L,
-                onBatch: BatchReport => Unit = _ => ()): StreamingQuery = {
+                onBatch: BatchReport => Unit = _ => (),
+                onAdvice: graft.Reindex.Advice => Unit = _ => ()): StreamingQuery = {
     var sinceCompact = 0
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -414,6 +420,11 @@ object StreamingIngest {
               graft.Reindex.splitHotCells(batch.sparkSession, dir, nlist, trained,
                 pqM, pqKsub, maxCellBytes = splitCellsOver)
             graft.TableStore.sweepOrphans(batch.sparkSession) // crash leftovers
+            // uniform geometry drift (splitCellsOver covers the skewed
+            // tail): surface, never act — the rebuild needs a leased
+            // cutover the cadence must not trigger implicitly
+            graft.Reindex.reindexAdvice(batch.sparkSession, dir, nlist, trained)
+              .foreach(onAdvice)
             sinceCompact = 0
           }
           onBatch(BatchReport(batchId, arrived, dropped, appended,

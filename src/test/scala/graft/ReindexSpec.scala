@@ -338,4 +338,45 @@ class ReindexSpec extends AnyFunSuite {
     assert(Pipelines.flagshipIvf(spark, dir, nlist = a, nprobe = 4).count() === 10L)
     dropGen(a)
   }
+
+  test("reindexAdvice fires on the nlist law, in both regimes, and quiets at the law") {
+    val nlist = 7 // deliberately decade-stale for this corpus
+    dropGen(nlist)
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    val n = spark.table(IvfCatalog.chunkStoreName(dir, nlist)).count()
+    val sqrtN = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+    // compute regime: default cellCapRows ≫ n, so the law is √n
+    val adv = Reindex.reindexAdvice(spark, dir, nlist).get
+    assert(adv.corpusRows === n)
+    assert(adv.recommendedNlist === sqrtN)
+    assert(adv.driftFactor === sqrtN.toDouble / nlist)
+    assert(adv.store === IvfCatalog.chunkStoreName(dir, nlist))
+
+    // quiet when the trigger sits above the measured drift
+    assert(Reindex.reindexAdvice(spark, dir, nlist,
+      triggerFactor = adv.driftFactor + 0.1).isEmpty)
+
+    // memory regime: a cell cap small enough that n/cap dominates √n
+    val cap = math.max(1L, n / (sqrtN * 4L))
+    val byCap = Reindex.reindexAdvice(spark, dir, nlist, cellCapRows = cap).get
+    assert(byCap.recommendedNlist === math.ceil(n.toDouble / cap).toInt)
+    assert(byCap.recommendedNlist > adv.recommendedNlist,
+      "the memory bound must override the √n optimum when cells would overflow")
+
+    // absent generation → no advice; nonsense knobs → loud
+    assert(Reindex.reindexAdvice(spark, dir, 9999).isEmpty)
+    intercept[IllegalArgumentException](
+      Reindex.reindexAdvice(spark, dir, nlist, triggerFactor = 0.5))
+    intercept[IllegalArgumentException](
+      Reindex.reindexAdvice(spark, dir, nlist, cellCapRows = 0L))
+
+    // self-quieting: a generation AT the recommended nlist satisfies the
+    // law (drift 1.0 < the 2.0 default trigger)
+    dropGen(sqrtN)
+    IvfCatalog.assignedChunks(spark, dir, sqrtN).count()
+    assert(Reindex.reindexAdvice(spark, dir, sqrtN).isEmpty,
+      "a freshly law-sized generation must not re-advise")
+    dropGen(sqrtN); dropGen(nlist)
+  }
 }
