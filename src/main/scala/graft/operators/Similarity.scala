@@ -301,6 +301,94 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF probe over a MATERIALIZED partitioned index
+    * ([[graft.IvfCatalog]]) — Q queries amortize ONE pruned scan, the
+    * serving-THROUGHPUT form of [[ivfSearchPruned]]. A serving tier
+    * answering queries one at a time pays per query: a centroid job, a
+    * partition listing, a pruned scan, a top-k. This form resolves every
+    * query's probe set in one centroid-table job (same expression and
+    * tie-break as the single-query path — cosine desc, centroid_id asc —
+    * so the probed cells are exactly what Q serial probes would pick),
+    * scans the UNION of all probed cells once (a static `IN` over the
+    * partition key, so `PartitionFilters` prunes whole directories exactly
+    * like the single-query probe), and scores each scanned row only
+    * against the queries that probed its cell via a broadcast
+    * (cell → query) join of ≤ Q·nprobe rows. Total cosine arithmetic is
+    * identical to Q serial probes; what collapses is the per-query job,
+    * listing, and scan-setup overhead. Per-query top-k runs through the
+    * bounded-heap TopKAggregator under `groupBy`, so the one shuffle
+    * carries O(k × Q × partitions) candidate rows — never the
+    * scan × queries product. Output: (qidCol, idCol, rank, score) with
+    * score = (cos+1)/2 — row-for-row equal to a serial loop of
+    * [[ivfSearchPruned]] over the same queries (IvfCatalogSpec pins it).
+    * The query table is broadcast-scale by contract (collected once, like
+    * [[pqSearchBatch]] / [[graft.operators.VectorSearch.knnBatch]]). */
+  def ivfSearchPrunedBatch(assigned: DataFrame, centroids: DataFrame,
+                           queries: DataFrame, k: Int, nprobe: Int,
+                           idCol: String = "vec_id", embCol: String = "embedding",
+                           qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qSelected = queries.select(col(qidCol), col(qvecCol))
+    val qRows = qSelected.collect()
+    require(qRows.nonEmpty, "ivfSearchPrunedBatch needs a non-empty query table")
+    qRows.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(1),
+        s"ivfSearchPrunedBatch: query '${r.get(0)}' (row $i) has a null $qvecCol — " +
+          "filter null query embeddings before searching") }
+    val qIndexed = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        qRows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.get(0), r.get(1))
+        }.toSeq, 1),
+      StructType(StructField("__qi", IntegerType, nullable = false) +:
+        qSelected.schema.fields))
+    // every query's probe set in ONE job over the centroid table (index
+    // metadata, tiny by construction) — the same cosine expression and
+    // tie-break as probedCentroidIds, so probe sets match the serial path
+    val cellType = assigned.schema("centroid_id").dataType
+    val pairs = centroids.crossJoin(broadcast(qIndexed))
+      .withColumn("__qcos", cosineSimilarity(col("centroid_vec"), col(qvecCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__qi"))
+          .orderBy(col("__qcos").desc, col("centroid_id").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col("centroid_id").cast(cellType).as("centroid_id"),
+        col("__qi"), col(qvecCol))
+    // the union of probed cells as LITERALS: static partition pruning, not
+    // a join the planner may or may not turn into dynamic pruning
+    val cells = pairs.select(col("centroid_id")).distinct().collect().map(_.get(0))
+    val scored = assigned
+      .filter(col("centroid_id").isin(cells: _*))
+      .join(broadcast(pairs), "centroid_id")
+      .select(col("__qi"), col(idCol).as("__id"),
+        ((cosineSimilarity(col(embCol), col(qvecCol)) + 1.0) / 2.0).as("__score"))
+    val idType = assigned.schema(idCol).dataType
+    val aggregated = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val topk = udaf(new graft.functions.TopKAggregator[Long](
+          k, implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]))
+        scored.groupBy(col("__qi"))
+          .agg(topk(col("__id").cast("long"), col("__score")).as("__topk"))
+      case StringType =>
+        val topk = udaf(new graft.functions.TopKAggregator[String](
+          k, implicitly[org.apache.spark.sql.Encoder[Seq[(String, Double)]]])(
+          graft.functions.TopKAggregator.utf8Ordering, implicitly))
+        scored.groupBy(col("__qi"))
+          .agg(topk(col("__id"), col("__score")).as("__topk"))
+      case other => throw new IllegalArgumentException(
+        s"ivfSearchPrunedBatch id column '$idCol' must be integral or string, got " +
+          s"${other.catalogString}")
+    }
+    aggregated
+      .select(col("__qi"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
+      .join(broadcast(qIndexed.select(col("__qi"), col(qidCol))), "__qi")
+      .select(col(qidCol), col("__hit._1").cast(idType).as(idCol),
+        (col("__pos") + 1).cast("int").as("rank"), col("__hit._2").as("score"))
+  }
+
   /** IVF search: probe the `nprobe` centroids nearest to the query, then
     * exact top-k over the vectors assigned to those cells. */
   def ivfSearch(corpus: DataFrame, centroids: DataFrame, queryVec: Array[Float],

@@ -182,6 +182,21 @@ object AnalysisQueries {
           round($"score", 6).as("score"))
     }),
 
+    // Batch IVF probe over the materialized index: 4 query vectors share
+    // ONE partition-pruned scan of the union of their probed cells — the
+    // serving-throughput form (per-row scoring restricted to the queries
+    // that probed that row's cell; per-query top-k via the bounded heap).
+    "ann_ivf_batch" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.seededCentroids(emb, IvfCentroids, IvfStep)
+      val store = graft.IvfCatalog.assignedEmbeddings(s, dir, IvfCentroids, IvfStep)
+      val queries = emb.filter($"vec_id".isin(3L, 7L, 11L, 19L))
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Similarity.ivfSearchPrunedBatch(store, cents, queries, k = 10, nprobe = 4)
+        .select($"qid", $"vec_id", $"rank", round($"score", 6).as("score"))
+    }),
+
     // Int8-quantized KNN: integer-dot candidate scan over 4x-smaller codes,
     // exact re-rank of k*4 candidates — emitted scores are bit-identical to
     // brute force (oracle = exact top-10), quantization only moves the
@@ -653,6 +668,29 @@ object AnalysisQueries {
           CROSS JOIN q
           ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, a.vec_id ASC
           LIMIT 10""",
+    "ann_ivf_batch" ->
+      s"""WITH $duckIvf,
+          q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+                WHERE vec_id IN (3, 7, 11, 19)),
+          probed AS (
+            SELECT qid, centroid_id FROM (
+              SELECT q.qid, c.centroid_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY ${duckCos("c.cvec", "q.qvec")} DESC, c.centroid_id ASC) AS rn
+              FROM cents c, q)
+            WHERE rn <= 4),
+          hits AS (
+            SELECT p.qid, a.vec_id,
+                   (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 AS s
+            FROM assign a
+            JOIN probed p USING (centroid_id)
+            JOIN embeddings e ON a.vec_id = e.vec_id
+            JOIN q ON q.qid = p.qid)
+          SELECT qid, vec_id, CAST(rrn AS INT) AS rank, round(s, 6) AS score FROM (
+            SELECT qid, vec_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rrn
+            FROM hits)
+          WHERE rrn <= 10""",
     "ann_lsh_pairs" ->
       """SELECT a.vec_id AS left_id, b.vec_id AS right_id,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine

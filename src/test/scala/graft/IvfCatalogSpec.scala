@@ -220,4 +220,55 @@ class IvfCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfchunks$nlist", dir)}")
     spark.sql(s"DROP TABLE IF EXISTS ${TableStore.tableName(s"ivfchunkcent$nlist", dir)}")
   }
+
+  test("batch probe ≡ a serial loop of single-query probes, integral and string ids") {
+    import spark.implicits._
+    // integral ids: the embeddings vector store
+    val store = IvfCatalog.assignedEmbeddings(spark, dir, 16, 31L)
+    val cents = IvfCatalog.centroidsFor(spark, dir, 16, 31L)
+    val emb = Tables.embeddings(spark, dir)
+    val qids = Seq(3L, 7L, 11L, 19L, 42L)
+    val queries = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Similarity
+      .ivfSearchPrunedBatch(store, cents, queries, k = 10, nprobe = 4)
+      .select($"qid", $"vec_id", $"rank", round($"score", 9).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val want = qids.flatMap { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select("embedding").head.getSeq[Float](0).toArray
+      Similarity.ivfSearchPruned(store, cents, qv, k = 10, nprobe = 4)
+        .select($"vec_id", round($"score", 9).as("score"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), i + 1, r.getDouble(1)) }
+    }.toSet
+    assert(got === want, "batch must be row-for-row the serial probes")
+
+    // string ids: the chunk store probes the same way
+    val cstore = IvfCatalog.assignedChunks(spark, dir, 16)
+    val ccents = IvfCatalog.chunkCentroidsStored(spark, dir, 16)
+    val cq = cstore.orderBy($"chunk_id".asc).limit(3)
+      .select($"chunk_id".as("qid"), $"embedding".as("qvec"))
+    val gotS = Similarity.ivfSearchPrunedBatch(cstore, ccents, cq, k = 5,
+        nprobe = 4, idCol = "chunk_id")
+      .select($"qid", $"chunk_id", $"rank", round($"score", 9).as("score"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val wantS = cq.collect().flatMap { qr =>
+      val qv = qr.getSeq[Float](1).toArray
+      Similarity.ivfSearchPruned(cstore, ccents, qv, k = 5, nprobe = 4, idCol = "chunk_id")
+        .select($"chunk_id", round($"score", 9).as("score"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (qr.getString(0), r.getString(0), i + 1, r.getDouble(1)) }
+    }.toSet
+    assert(gotS === wantS)
+
+    // a null query embedding fails loudly, never silently drops the query
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfSearchPrunedBatch(store, cents,
+        Seq((99L, null: Seq[Float])).toDF("qid", "qvec"), k = 5, nprobe = 4)
+    }
+    assert(err.getMessage.contains("null"))
+  }
 }
