@@ -326,7 +326,8 @@ object Similarity {
   def ivfSearchPrunedBatch(assigned: DataFrame, centroids: DataFrame,
                            queries: DataFrame, k: Int, nprobe: Int,
                            idCol: String = "vec_id", embCol: String = "embedding",
-                           qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+                           qidCol: String = "qid", qvecCol: String = "qvec",
+                           payloadCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = assigned.sparkSession
@@ -382,11 +383,21 @@ object Similarity {
         s"ivfSearchPrunedBatch id column '$idCol' must be integral or string, got " +
           s"${other.catalogString}")
     }
-    aggregated
+    val out = aggregated
       .select(col("__qi"), posexplode(col("__topk")).as(Seq("__pos", "__hit")))
       .join(broadcast(qIndexed.select(col("__qi"), col(qidCol))), "__qi")
       .select(col(qidCol), col("__hit._1").cast(idType).as(idCol),
         (col("__pos") + 1).cast("int").as("rank"), col("__hit._2").as("score"))
+    if (payloadCols.isEmpty) out
+    else {
+      // attach store payload (e.g. document_id) by re-reading the SAME
+      // pruned cell union with the Q·k winners broadcast — candidate-
+      // bounded, never a full-store lookup join
+      val payload = assigned.filter(col("centroid_id").isin(cells: _*))
+        .select((idCol +: payloadCols).map(col): _*)
+      payload.join(broadcast(out), idCol)
+        .select((Seq(qidCol, idCol, "rank", "score") ++ payloadCols).map(col): _*)
+    }
   }
 
   /** IVF search: probe the `nprobe` centroids nearest to the query, then

@@ -211,6 +211,38 @@ object Pipelines {
       .orderBy(col("score").desc, col("chunk_id").asc)
   }
 
+  /** [[flagshipIvf]] for a QUEUE of queries — the serving-throughput form.
+    * One centroid job resolves every query's probe set and one scan of the
+    * union of probed cells answers all of them
+    * ([[graft.operators.Similarity.ivfSearchPrunedBatch]] — per-query
+    * results are row-for-row what serial [[flagshipIvf]] calls return,
+    * pinned by PipelineSpec; what collapses is the Q× per-query
+    * job/listing/scan-setup overhead, measured at ×1000 in SCALE.md
+    * round-13). Output adds `query_text` in front of the flagship schema;
+    * per-query ordering is (score desc, chunk_id asc), the flagship's. */
+  def flagshipIvfBatch(spark: SparkSession, dir: String,
+                       queryTexts: Seq[String],
+                       k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+                       trained: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(queryTexts.nonEmpty, "flagshipIvfBatch needs at least one query text")
+    require(queryTexts.distinct.size == queryTexts.size,
+      "query texts are the result key — duplicates would be indistinguishable")
+    val docs = graft.Tables.documents(spark, dir)
+    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained)
+    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained)
+    val queries = queryTexts.map(t => (t, Embedder.embedText(t).toSeq))
+      .toDF("qid", "qvec")
+    val hits = graft.operators.Similarity.ivfSearchPrunedBatch(store, cents,
+      queries, k = k, nprobe = nprobe, idCol = "chunk_id",
+      payloadCols = Seq("document_id", "word_count"))
+    Attribution.attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"))
+      .select(col("qid").as("query_text"), col("chunk_id"), col("document_id"),
+        round(col("score"), 6).as("score"), col("lang"), col("source"),
+        col("word_count"))
+      .orderBy(col("query_text").asc, col("score").desc, col("chunk_id").asc)
+  }
+
   /** [[flagshipIvf]] with the probe's BYTES compressed too — IVFADC over
     * the stored chunk index (graft.IvfPqCatalog): the same nprobe/nlist
     * partition pruning, but the surviving cells are scanned as m-byte PQ

@@ -197,4 +197,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.exists(_.getAs[String]("strategies").contains("hybrid")))
   }
+
+  test("flagshipIvfBatch answers a query queue row-for-row like serial flagshipIvf") {
+    val texts = Seq("spark join vector query", "document quality score",
+      "token budget packing")
+    def key(r: org.apache.spark.sql.Row, from: Int) =
+      (r.getString(from), r.getLong(from + 1), r.getDouble(from + 2),
+        r.getString(from + 3), r.getString(from + 4), r.getInt(from + 5))
+    val batch = Pipelines.flagshipIvfBatch(spark, dir, texts)
+      .collect().groupBy(_.getString(0))
+    assert(batch.keySet === texts.toSet)
+    texts.foreach { t =>
+      val serial = Pipelines.flagshipIvf(spark, dir, queryText = t)
+        .collect().map(key(_, 0)).toSeq
+      val got = batch(t).map(key(_, 1)).toSeq
+      assert(got === serial, s"batch rows for '$t' must equal the serial flagship")
+    }
+    // duplicate texts would collapse result keys — rejected up front
+    intercept[IllegalArgumentException](
+      Pipelines.flagshipIvfBatch(spark, dir, Seq("a", "a")))
+  }
 }

@@ -85,6 +85,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "pruned IVF must not re-assign the corpus per query")
   }
 
+  test("ann_ivf_batch prunes ONE union-of-cells scan for all queries") {
+    val p = plan("ann_ivf_batch")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val pruned = partFilters.filter(f => f.contains("centroid_id") && f.nonEmpty)
+    assert(pruned.size === 1,
+      s"exactly one pruned store scan shared by every query, got: $partFilters")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ≤ Q·nprobe (cell → query) map must broadcast into the scan")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "per-query top-k must aggregate through the bounded heap, not sort the scan")
+  }
+
   test("pipe_flagship_ivf probes the stored chunk index with partition pruning") {
     val p = plan("pipe_flagship_ivf")
     val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
