@@ -91,6 +91,21 @@ object BatchProbeBench {
     }
     println(f"[batch] per-query: serial ${serialWall / nQueries}%.2f s, " +
       f"batch ${batchWall / nQueries}%.3f s — ${serialWall / batchWall}%.1fx throughput")
+
+    // the SERVING-TIER comparison: full flagship per query (table
+    // re-resolution, attribution join, ordering — what a deployed probe
+    // pays, the ServeUnderMaintBench shape) vs the batched flagship
+    val qTexts = (0 until nQueries).map(i => texts(i % texts.size) + s" pass $i")
+    val (_, serialFlag) = timed(s"SERIAL FLAGSHIP: $nQueries × flagshipIvf") {
+      qTexts.foreach(t => pipelines.Pipelines.flagshipIvf(spark, dir,
+        queryText = t, nlist = nlist, nprobe = nprobe).count())
+    }
+    val (_, batchFlag) = timed(s"BATCH FLAGSHIP: 1 × flagshipIvfBatch($nQueries)") {
+      pipelines.Pipelines.flagshipIvfBatch(spark, dir, qTexts,
+        nlist = nlist, nprobe = nprobe).count()
+    }
+    println(f"[batch] flagship per-query: serial ${serialFlag / nQueries}%.2f s, " +
+      f"batch ${batchFlag / nQueries}%.3f s — ${serialFlag / batchFlag}%.1fx throughput")
     spark.stop()
   }
 }

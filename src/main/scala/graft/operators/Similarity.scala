@@ -822,6 +822,107 @@ object Similarity {
       queryVec, k, idCol, embCol)
   }
 
+  /** [[ivfPqSearchPruned]] for a QUEUE of queries — the full compressed
+    * serving stack batched: Q queries share ONE centroid job, ONE
+    * partition-pruned scan of the union of their probed cells read as
+    * m-byte PQ codes (each code row ADC-scored only against the queries
+    * that probed its cell, per-query LUTs riding in the kernel's closure
+    * exactly as [[pqSearchBatch]]'s do), per-query candidate top-k·rerank
+    * through the bounded heap, and ONE candidate-bounded raw read for the
+    * exact re-rank. Per-query output is row-for-row what serial
+    * [[ivfPqSearchPruned]] calls return (same probe tie-break, same ADC
+    * arithmetic, same rerank ordering — IvfCatalogSpec pins it); emitted
+    * scores are exact-cosine, bit-identical to the uncompressed paths for
+    * any id they share. Output: (qidCol, idCol, rank, score)
+    * [+ payloadCols re-joined from the same pruned raw cells]. The query
+    * table is broadcast-scale by contract. */
+  def ivfPqSearchPrunedBatch(codesAssigned: DataFrame, corpusAssigned: DataFrame,
+                             centroids: DataFrame, cb: PqCodebook,
+                             queries: DataFrame, k: Int, nprobe: Int,
+                             rerankFactor: Int = 16,
+                             idCol: String = "vec_id", embCol: String = "embedding",
+                             qidCol: String = "qid", qvecCol: String = "qvec",
+                             payloadCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = codesAssigned.sparkSession
+    import spark.implicits._
+    val qSelected = queries.select(col(qidCol), col(qvecCol))
+    val qRows = qSelected.collect()
+    require(qRows.nonEmpty, "ivfPqSearchPrunedBatch needs a non-empty query table")
+    qRows.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(1),
+        s"ivfPqSearchPrunedBatch: query '${r.get(0)}' (row $i) has a null $qvecCol — " +
+          "filter null query embeddings before searching") }
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray)
+    val qIndexed = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        qRows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.get(0), r.get(1))
+        }.toSeq, 1),
+      StructType(StructField("__qi", IntegerType, nullable = false) +:
+        qSelected.schema.fields))
+    val luts = qVecs.map(buildAdcLut(cb, _))
+    val qnorms = qVecs.map(vecNorm)
+    // per-query probe sets: one centroid job, serial-path tie-break
+    val cellType = codesAssigned.schema("centroid_id").dataType
+    val pairs = centroids.crossJoin(broadcast(qIndexed.select(col("__qi"), col(qvecCol))))
+      .withColumn("__qcos", cosineSimilarity(col("centroid_vec"), col(qvecCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__qi"))
+          .orderBy(col("__qcos").desc, col("centroid_id").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col("centroid_id").cast(cellType).as("centroid_id"), col("__qi"))
+    val cells = pairs.select(col("centroid_id")).distinct().collect().map(_.get(0))
+    val adcUdf = udf { (code: Array[Byte], norm: Double, qi: Int) =>
+      val qn = qnorms(qi)
+      if (norm == 0.0 || qn == 0.0) -2.0
+      else adcDot(luts(qi), code) / (norm * qn)
+    }
+    val scored = codesAssigned
+      .filter(col("centroid_id").isin(cells: _*))
+      .filter(col("code").isNotNull && col("norm").isNotNull)
+      .join(broadcast(pairs), "centroid_id")
+      .select(col("__qi"), col(idCol).as("__id"),
+        adcUdf(col("code"), col("norm"), col("__qi")).as("__acos"))
+    val limit = k * rerankFactor
+    val idType = codesAssigned.schema(idCol).dataType
+    val aggregated = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val topk = udaf(new graft.functions.TopKAggregator[Long](
+          limit, implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]))
+        scored.groupBy(col("__qi"))
+          .agg(topk(col("__id").cast("long"), col("__acos")).as("__topk"))
+      case StringType =>
+        val topk = udaf(new graft.functions.TopKAggregator[String](
+          limit, implicitly[org.apache.spark.sql.Encoder[Seq[(String, Double)]]])(
+          graft.functions.TopKAggregator.utf8Ordering, implicitly))
+        scored.groupBy(col("__qi"))
+          .agg(topk(col("__id"), col("__acos")).as("__topk"))
+      case other => throw new IllegalArgumentException(
+        s"ivfPqSearchPrunedBatch id column '$idCol' must be integral or string, got " +
+          s"${other.catalogString}")
+    }
+    val candidates = aggregated
+      .select(col("__qi"), explode(col("__topk")).as("__hit"))
+      .select(col("__qi"), col("__hit._1").cast(idType).as(idCol))
+    val prunedRaw = corpusAssigned.filter(col("centroid_id").isin(cells: _*))
+    val rerankW = Window.partitionBy(col("__qi"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    val out = prunedRaw.join(broadcast(candidates), idCol)
+      .join(broadcast(qIndexed), "__qi")
+      .withColumn("score", (cosineSimilarity(col(embCol), col(qvecCol)) + 1.0) / 2.0)
+      .withColumn("rank", row_number().over(rerankW))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"), col("score"))
+    if (payloadCols.isEmpty) out
+    else {
+      val payload = prunedRaw.select((idCol +: payloadCols).map(col): _*)
+      payload.join(broadcast(out), idCol)
+        .select((Seq(qidCol, idCol, "rank", "score") ++ payloadCols).map(col): _*)
+    }
+  }
+
   /** Deterministic seeded codebook for corpora whose ids are NOT dense
     * longs (md5 chunk ids) — [[pqTrainSeeded]]'s hash-ordered twin, same
     * sampling contract as [[hashSeededCentroids]]: order by a seeded hash

@@ -271,4 +271,31 @@ class IvfCatalogSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("null"))
   }
+
+  test("batch IVFADC probe ≡ a serial loop of ivfPqSearchPruned, payload attached") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val store = IvfCatalog.assignedEmbeddings(spark, dir, 16, 31L)
+    val cents = IvfCatalog.centroidsFor(spark, dir, 16, 31L)
+    val cb = Similarity.pqTrainSeeded(emb, m = 8, ksub = 16, step = 31L)
+    val codes = IvfPqCatalog.encodedEmbeddings(spark, dir, cb, 16, 31L)
+    val qids = Seq(3L, 7L, 19L)
+    val queries = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = Similarity.ivfPqSearchPrunedBatch(codes, store, cents, cb, queries,
+        k = 10, nprobe = 4, payloadCols = Seq("label"))
+      .select($"qid", $"vec_id", $"rank", round($"score", 9).as("score"), $"label")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.get(4)))
+      .toSet
+    val want = qids.flatMap { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select("embedding").head.getSeq[Float](0).toArray
+      Similarity.ivfPqSearchPruned(codes, store, cents, cb, qv, k = 10, nprobe = 4)
+        .select($"vec_id", round($"score", 9).as("score"), $"label")
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), i + 1, r.getDouble(1), r.get(2)) }
+    }.toSet
+    assert(got === want, "batch IVFADC must be row-for-row the serial probes")
+  }
 }
