@@ -433,4 +433,47 @@ object StreamingIngest {
       }
       .start()
   }
+
+  /** Start the query-SERVING loop — the read side of the pipeline as a
+    * stream, closing the loop the ingest/edit channels opened: queries
+    * arrive as a streaming DataFrame of (idCol, textCol) rows and every
+    * micro-batch is answered in ONE batched flagship probe
+    * ([[Pipelines.flagshipIvfBatch]] — one centroid job + one
+    * union-of-probed-cells scan + the broadcast attribution join, per-query
+    * rows identical to serial `flagshipIvf` calls). Duplicate texts within
+    * a batch share one probe and fan back out to their query ids. Answers
+    * go to `onAnswers(batchId, df)` with `idCol` prepended to the flagship
+    * schema; the callback owns persistence (sink choice is deployment
+    * policy — serving results are derived data, not pipeline state, so
+    * unlike the ingest loops nothing here writes the store). Reads race
+    * maintenance under the documented reader contract: fail-loud on a
+    * stale listing, recover via [[graft.TableStore.retryingStale]] — one
+    * refresh + re-run, priced in SCALE.md round-13. */
+  def startQueries(queries: DataFrame, dir: String, checkpoint: String,
+                   nlist: Int, k: Int = 10, nprobe: Int = 4,
+                   trained: Boolean = false,
+                   idCol: String = "query_id", textCol: String = "query_text",
+                   onAnswers: (Long, DataFrame) => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val rows = batch.select(col(idCol), col(textCol)).collect() // micro-batch scale
+        if (rows.nonEmpty) {
+          val texts = rows.map(_.getString(1)).distinct.toSeq
+          val answers = graft.TableStore.retryingStale(spark,
+              IvfCatalog.chunkStoreName(dir, nlist, trained)) {
+            Pipelines.flagshipIvfBatch(spark, dir, texts,
+              k = k, nlist = nlist, nprobe = nprobe, trained = trained)
+          }
+          val ids = spark.createDataFrame(
+              spark.sparkContext.parallelize(rows.toSeq, 1),
+              batch.select(col(idCol), col(textCol)).schema)
+            .withColumnRenamed(textCol, "__graft_qtext") // answers carry query_text
+          onAnswers(batchId, ids.join(answers, col("__graft_qtext") === col("query_text"))
+            .drop("__graft_qtext")
+            .orderBy(col(idCol).asc, col("score").desc, col("chunk_id").asc))
+        }
+      }
+      .start()
 }

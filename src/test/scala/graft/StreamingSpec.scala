@@ -1275,4 +1275,41 @@ class StreamingSpec extends AnyFunSuite {
       s"code table not compacted in-loop: ${frag.filter(_.files > 2)}")
     Seq(storeName, centName, codesName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("query-serving loop: micro-batches answered by one batched probe each, ≡ serial flagship") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    IvfCatalog.assignedChunks(spark, dir, 16).count() // serving index must exist
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Array[org.apache.spark.sql.Row]]()
+    val ck = s"/tmp/graft_qserve_ckpt${System.nanoTime()}"
+    val q = graft.streaming.StreamingIngest.startQueries(
+      source.toDF().toDF("query_id", "query_text"), dir, ck, nlist = 16,
+      onAnswers = (bid, df) => got.synchronized { got(bid) = df.collect() })
+    try {
+      // batch 0: two texts, one duplicated — the dup must share the probe
+      // yet answer under its own query id
+      source.addData((1L, "spark join vector query"), (2L, "document quality score"),
+        (3L, "spark join vector query"))
+      q.processAllAvailable()
+      // batch 1: the loop keeps serving
+      source.addData((4L, "token budget packing"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val answers = got.values.flatten.toSeq
+    val texts = Map(1L -> "spark join vector query", 2L -> "document quality score",
+      3L -> "spark join vector query", 4L -> "token budget packing")
+    assert(answers.map(_.getLong(0)).toSet === texts.keySet)
+    texts.foreach { case (qid, t) =>
+      val serial = graft.pipelines.Pipelines.flagshipIvf(spark, dir, queryText = t)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+      val mine = answers.filter(_.getLong(0) == qid)
+        .map(r => (r.getString(2), r.getDouble(4))).toSeq
+      assert(mine === serial, s"query $qid ('$t') must answer like the serial flagship")
+      assert(answers.filter(_.getLong(0) == qid)
+        .forall(_.getString(1) === t), "answers must carry the query text")
+    }
+  }
 }
