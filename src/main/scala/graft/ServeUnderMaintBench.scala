@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   * while a background writer loops ingest batches, document edits, store
   * compaction, and the doc→cells rebuild — the full cadence. Prints
   * p50/p95/p99/max per pass and the stale-listing retry count (each retry
-  * is one refresh + one re-run, the documented recovery).
+  * is one refresh + one re-run, the documented recovery). After each
+  * serial pass the BATCHED serving tier answers the same queue
+  * ([[graft.pipelines.Pipelines.flagshipIvfBatch]] in batches of 8) under
+  * the same conditions — amortized per-query cost and whole-batch retry
+  * behavior under churn.
   *
   * Usage: `tools/run_main.sh graft.ServeUnderMaintBench [dir [nlist [nProbes]]]`
   * — defaults to the ×1000 ScaleGen corpus at the √n nlist, 40 probes per
@@ -75,8 +79,34 @@ object ServeUnderMaintBench {
         f"p99=${pct(0.99)}%.2f s  max=${s.last}%.2f s  (n=${s.size}, retries=$retries)")
     }
 
+    // the BATCHED tier answering the same queue: nProbes queries in
+    // batches of `batchSize` flagshipIvfBatch calls — the serving shape
+    // whose amortized per-query cost SCALE.md's BatchProbeBench measures
+    // quiet; here it runs under the same maintenance churn as the serial
+    // passes (same retry contract, whole batch re-runs on a stale listing)
+    val batchSize = 8
+    def batchedPass(tag: String): Unit = {
+      val t0 = System.nanoTime()
+      var batchRetries = 0
+      (0 until nProbes).grouped(batchSize).foreach { g =>
+        val texts = g.map(i => queries(math.floorMod(i, queries.size)) + s" pass $i")
+        def run() = pipelines.Pipelines.flagshipIvfBatch(spark, dir, texts,
+          nlist = nlist, nprobe = nprobe).count()
+        try run() catch {
+          case e: Throwable if TableStore.isStaleListing(e) =>
+            batchRetries += 1
+            spark.catalog.refreshTable(storeName)
+            run()
+        }
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[serve] $tag (batch=$batchSize): ${wall}%.1f s total, " +
+        f"${wall / nProbes}%.3f s/query amortized (batch retries=$batchRetries)")
+    }
+
     probe(-1) // warm the session (plans, code gen), not measured
     stats("QUIET baseline", (0 until nProbes).map(probe))
+    batchedPass("QUIET BATCHED")
 
     // the full maintenance cadence in the background: ingest arrivals,
     // edit (upsert) waves, store compaction, doc→cells rebuild
@@ -109,8 +139,10 @@ object ServeUnderMaintBench {
     }, "maint-writer")
     retries = 0
     writer.start()
-    try stats("UNDER MAINTENANCE", (0 until nProbes).map(probe))
-    finally { stop = true; writer.join() }
+    try {
+      stats("UNDER MAINTENANCE", (0 until nProbes).map(probe))
+      batchedPass("UNDER-MAINT BATCHED")
+    } finally { stop = true; writer.join() }
     println(s"[serve] maintenance cadences completed during the pass: $cadences")
     spark.stop()
   }
