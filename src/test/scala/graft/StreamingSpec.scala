@@ -1276,6 +1276,38 @@ class StreamingSpec extends AnyFunSuite {
     Seq(storeName, centName, codesName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("loop cadence surfaces reindex advice once the generation is law-stale") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val nlist = 7 // decade-stale: law nlist ≈ √(corpus chunks) ≥ 2×7
+    val storeName = IvfCatalog.chunkStoreName(dir, nlist)
+    val centName = IvfCatalog.chunkCentroidsName(dir, nlist)
+    val idxName = DocLifecycle.docCellsName(dir, nlist)
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    DocLifecycle.docCells(spark, dir, nlist).count()
+
+    val advice = scala.collection.mutable.ListBuffer.empty[Reindex.Advice]
+    val source = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_advice_ckpt").toString
+    val q = graft.streaming.StreamingIngest.startDocs(
+      source.toDF().toDF("doc_id", "text"), dir, ckpt, nlist, compactEvery = 1,
+      onAdvice = a => advice.synchronized { advice += a })
+    source.addData(960001L -> (1 to 8).map(i => s"Advice wiring fixture sentence $i " +
+      "with enough prose that the chunker produces genuine chunks.").mkString(" "))
+    q.processAllAvailable(); q.stop()
+
+    assert(advice.nonEmpty, "a law-stale generation must surface advice on the cadence")
+    val a = advice.head
+    spark.catalog.refreshTable(storeName) // the cadence rewrote the store under us
+    val n = spark.table(storeName).count()
+    assert(a.store === storeName && a.corpusRows === n)
+    assert(a.recommendedNlist === math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    assert(a.driftFactor >= 2.0, s"advice must only fire past the trigger, got $a")
+    Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("query-serving loop: micro-batches answered by one batched probe each, ≡ serial flagship") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
