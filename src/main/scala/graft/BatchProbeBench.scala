@@ -106,6 +106,46 @@ object BatchProbeBench {
     }
     println(f"[batch] flagship per-query: serial ${serialFlag / nQueries}%.2f s, " +
       f"batch ${batchFlag / nQueries}%.3f s — ${serialFlag / batchFlag}%.1fx throughput")
+
+    // SPARK_GRAFT_PQ=1: the compressed twin — serial ivfPqSearchPruned loop
+    // vs one ivfPqSearchPrunedBatch over the same queries (codes scanned in
+    // the probed cells, exact rerank; equality verified before timing)
+    if (sys.env.get("SPARK_GRAFT_PQ").contains("1")) {
+      val (m, ksub) = (48, 32)
+      val cb = timed("PQ codebook (ONCE)")(
+        IvfPqCatalog.chunkCodebookStored(spark, dir, m, ksub))._1
+      timed("code table build (ONCE)") {
+        IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub).count()
+      }
+      val codes = IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub)
+      val adcBatch = operators.Similarity
+        .ivfPqSearchPrunedBatch(codes, store, cents, cb, queries,
+          k = k, nprobe = nprobe, idCol = "chunk_id")
+        .select($"qid", $"chunk_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val adcSerialRows = qvecs.map { case (qid, qv) =>
+        (qid, operators.Similarity
+          .ivfPqSearchPruned(codes, store, cents, cb, qv.toArray,
+            k = k, nprobe = nprobe, idCol = "chunk_id")
+          .select($"chunk_id").as[String].collect())
+      }
+      val adcSerialSet = adcSerialRows.flatMap { case (qid, ids) =>
+        ids.zipWithIndex.map { case (id, i) => (qid, id, i + 1) } }.toSet
+      println(s"[batch] ADC batch ≡ serial: ${adcBatch == adcSerialSet} " +
+        s"(${adcBatch.size} vs ${adcSerialSet.size} rows)")
+      val (_, adcSerial) = timed(s"SERIAL ADC: $nQueries × ivfPqSearchPruned") {
+        qvecs.foreach { case (_, qv) =>
+          operators.Similarity.ivfPqSearchPruned(codes, store, cents, cb,
+            qv.toArray, k = k, nprobe = nprobe, idCol = "chunk_id").count()
+        }
+      }
+      val (_, adcBatchW) = timed(s"BATCH ADC: 1 × ivfPqSearchPrunedBatch($nQueries)") {
+        operators.Similarity.ivfPqSearchPrunedBatch(codes, store, cents, cb,
+          queries, k = k, nprobe = nprobe, idCol = "chunk_id").count()
+      }
+      println(f"[batch] ADC per-query: serial ${adcSerial / nQueries}%.2f s, " +
+        f"batch ${adcBatchW / nQueries}%.3f s — ${adcSerial / adcBatchW}%.1fx throughput")
+    }
     spark.stop()
   }
 }
