@@ -1344,4 +1344,46 @@ class StreamingSpec extends AnyFunSuite {
         .forall(_.getString(1) === t), "answers must carry the query text")
     }
   }
+
+  test("query-serving loop answers correctly across a store rewrite between batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val nlist = 31 // isolated generation for this test
+    val storeName = IvfCatalog.chunkStoreName(dir, nlist)
+    val centName = IvfCatalog.chunkCentroidsName(dir, nlist)
+    Seq(storeName, centName, DocLifecycle.docCellsName(dir, nlist))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    // fragment the store so the compaction between batches rewrites files
+    graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq((970001L, (1 to 8).map(i => s"Serving race fixture sentence $i with " +
+        "enough prose that the chunker produces genuine chunks.").mkString(" ")))
+        .toDF("doc_id", "text"), dir, nlist)
+
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    val ck = s"/tmp/graft_qserve_race_ckpt${System.nanoTime()}"
+    val q = graft.streaming.StreamingIngest.startQueries(
+      source.toDF().toDF("query_id", "query_text"), dir, ck, nlist = nlist,
+      onAnswers = (_, df) => got.synchronized { got ++= df.collect() })
+    try {
+      source.addData(1L -> "spark join vector query")
+      q.processAllAvailable()
+      // a maintenance pass rewrites every store file under the running loop
+      Compaction.compactTable(spark, storeName, idCol = "chunk_id", minFiles = 1)
+      source.addData(2L -> "spark join vector query")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // both sides of the rewrite answered, and identically: the store's
+    // CONTENT did not change, so answers before and after must agree
+    val byId = got.groupBy(_.getLong(0))
+    assert(byId.keySet === Set(1L, 2L))
+    val pre = byId(1L).map(r => (r.getString(2), r.getDouble(4))).toSeq
+    val post = byId(2L).map(r => (r.getString(2), r.getDouble(4))).toSeq
+    assert(pre === post, "a rewrite must never change what the loop answers")
+    Seq(storeName, centName, DocLifecycle.docCellsName(dir, nlist))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
