@@ -461,18 +461,27 @@ object StreamingIngest {
         val rows = batch.select(col(idCol), col(textCol)).collect() // micro-batch scale
         if (rows.nonEmpty) {
           val texts = rows.map(_.getString(1)).distinct.toSeq
-          val answers = graft.TableStore.retryingStale(spark,
+          // the retry wrap must cover the ACTION, not just the lazy plan —
+          // a rename pass landing mid-scan surfaces at materialization, so
+          // the answers are collected (micro-batch × k rows, bounded)
+          // INSIDE retryingStale and re-probed whole on a stale listing;
+          // onAnswers then runs exactly once per batch on a local frame
+          val (ansRows, ansSchema) = graft.TableStore.retryingStale(spark,
               IvfCatalog.chunkStoreName(dir, nlist, trained)) {
-            Pipelines.flagshipIvfBatch(spark, dir, texts,
+            val answers = Pipelines.flagshipIvfBatch(spark, dir, texts,
               k = k, nlist = nlist, nprobe = nprobe, trained = trained)
+            val ids = spark.createDataFrame(
+                spark.sparkContext.parallelize(rows.toSeq, 1),
+                batch.select(col(idCol), col(textCol)).schema)
+              .withColumnRenamed(textCol, "__graft_qtext") // answers carry query_text
+            val joined = ids
+              .join(answers, col("__graft_qtext") === col("query_text"))
+              .drop("__graft_qtext")
+              .orderBy(col(idCol).asc, col("score").desc, col("chunk_id").asc)
+            (joined.collect(), joined.schema)
           }
-          val ids = spark.createDataFrame(
-              spark.sparkContext.parallelize(rows.toSeq, 1),
-              batch.select(col(idCol), col(textCol)).schema)
-            .withColumnRenamed(textCol, "__graft_qtext") // answers carry query_text
-          onAnswers(batchId, ids.join(answers, col("__graft_qtext") === col("query_text"))
-            .drop("__graft_qtext")
-            .orderBy(col(idCol).asc, col("score").desc, col("chunk_id").asc))
+          onAnswers(batchId, spark.createDataFrame(
+            spark.sparkContext.parallelize(ansRows.toSeq, 1), ansSchema))
         }
       }
       .start()
