@@ -282,6 +282,23 @@ object Similarity {
       .collect().map(_.getLong(0))
   }
 
+  /** Cell-union filter for the BATCH probes, plan-size-safe at any batch
+    * width: a literal `IN` over the partition key (static partition
+    * pruning) while the probed-cell union is small, a broadcast semi-join
+    * on `centroid_id` beyond 1000 cells — the same gate
+    * [[graft.DocLifecycle.compactDocCells]] applies to its delta reads. A
+    * large micro-batch at a large nlist can probe thousands of distinct
+    * cells (up to nlist — 2233 at the benched ×1000 geometry), and an
+    * unbounded literal list is the plan-size hazard class the compaction
+    * when-chain overflow taught; the semi-join trades static for dynamic
+    * pruning only in the regime where the batch already probes a large
+    * slice of the index, where pruning buys the least. `cellsDf` must be
+    * deterministic — the semi-join path may re-evaluate it. */
+  private def filterToCells(df: DataFrame, cells: Array[Any],
+                            cellsDf: => DataFrame): DataFrame =
+    if (cells.length <= 1000) df.filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+    else df.join(broadcast(cellsDf), Seq("centroid_id"), "left_semi")
+
   /** IVF search over a MATERIALIZED assignment (graft.IvfCatalog): the
     * corpus was written `partitionBy(centroid_id)` at index-build time, so
     * probing resolves the nprobe nearest centroid ids driver-side (the
@@ -358,11 +375,12 @@ object Similarity {
       .filter(col("__rn") <= nprobe)
       .select(col("centroid_id").cast(cellType).as("centroid_id"),
         col("__qi"), col(qvecCol))
-    // the union of probed cells as LITERALS: static partition pruning, not
-    // a join the planner may or may not turn into dynamic pruning
+    // the union of probed cells as LITERALS while plan-size-safe (static
+    // partition pruning, not a join the planner may or may not turn into
+    // dynamic pruning); broadcast semi-join past the literal gate
     val cells = pairs.select(col("centroid_id")).distinct().collect().map(_.get(0))
-    val scored = assigned
-      .filter(col("centroid_id").isin(cells: _*))
+    val scored = filterToCells(assigned, cells,
+        pairs.select(col("centroid_id")).distinct())
       .join(broadcast(pairs), "centroid_id")
       .select(col("__qi"), col(idCol).as("__id"),
         ((cosineSimilarity(col(embCol), col(qvecCol)) + 1.0) / 2.0).as("__score"))
@@ -393,7 +411,8 @@ object Similarity {
       // attach store payload (e.g. document_id) by re-reading the SAME
       // pruned cell union with the Q·k winners broadcast — candidate-
       // bounded, never a full-store lookup join
-      val payload = assigned.filter(col("centroid_id").isin(cells: _*))
+      val payload = filterToCells(assigned, cells,
+          pairs.select(col("centroid_id")).distinct())
         .select((idCol +: payloadCols).map(col): _*)
       payload.join(broadcast(out), idCol)
         .select((Seq(qidCol, idCol, "rank", "score") ++ payloadCols).map(col): _*)
@@ -879,8 +898,8 @@ object Similarity {
       if (norm == 0.0 || qn == 0.0) -2.0
       else adcDot(luts(qi), code) / (norm * qn)
     }
-    val scored = codesAssigned
-      .filter(col("centroid_id").isin(cells: _*))
+    val scored = filterToCells(codesAssigned, cells,
+        pairs.select(col("centroid_id")).distinct())
       .filter(col("code").isNotNull && col("norm").isNotNull)
       .join(broadcast(pairs), "centroid_id")
       .select(col("__qi"), col(idCol).as("__id"),
@@ -906,7 +925,8 @@ object Similarity {
     val candidates = aggregated
       .select(col("__qi"), explode(col("__topk")).as("__hit"))
       .select(col("__qi"), col("__hit._1").cast(idType).as(idCol))
-    val prunedRaw = corpusAssigned.filter(col("centroid_id").isin(cells: _*))
+    val prunedRaw = filterToCells(corpusAssigned, cells,
+      pairs.select(col("centroid_id")).distinct())
     val rerankW = Window.partitionBy(col("__qi"))
       .orderBy(col("score").desc, col(idCol).asc)
     val out = prunedRaw.join(broadcast(candidates), idCol)

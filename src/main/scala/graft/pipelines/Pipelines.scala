@@ -243,6 +243,44 @@ object Pipelines {
       .orderBy(col("query_text").asc, col("score").desc, col("chunk_id").asc)
   }
 
+  /** [[flagshipIvfPq]] for a QUEUE of queries — the measured-cheapest
+    * serving configuration at ×1000 (SCALE.md round-13 batch matrix:
+    * batched ADC 0.056 s/query vs raw-batch 0.064) made reachable from the
+    * deployment shape. One centroid job resolves every query's probe set,
+    * one partition-pruned scan of the union of probed cells reads m-byte PQ
+    * codes (each code row ADC-scored only against the queries that probed
+    * its cell), per-query candidate top-k·rerank through the bounded heap,
+    * ONE candidate-bounded raw read exact-rescoring the survivors
+    * ([[graft.operators.Similarity.ivfPqSearchPrunedBatch]]), and one
+    * broadcast attribution join. Per-query rows are row-for-row what serial
+    * [[flagshipIvfPq]] calls return (PipelineSpec pins it); output schema
+    * and ordering are [[flagshipIvfBatch]]'s. */
+  def flagshipIvfPqBatch(spark: SparkSession, dir: String,
+                         queryTexts: Seq[String],
+                         k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+                         m: Int = 48, ksub: Int = 32, rerankFactor: Int = 16,
+                         trained: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(queryTexts.nonEmpty, "flagshipIvfPqBatch needs at least one query text")
+    require(queryTexts.distinct.size == queryTexts.size,
+      "query texts are the result key — duplicates would be indistinguishable")
+    val docs = graft.Tables.documents(spark, dir)
+    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained)
+    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained)
+    val cb = graft.IvfPqCatalog.chunkCodebookStored(spark, dir, m, ksub, trained)
+    val codes = graft.IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub, trained)
+    val queries = queryTexts.map(t => (t, Embedder.embedText(t).toSeq))
+      .toDF("qid", "qvec")
+    val hits = graft.operators.Similarity.ivfPqSearchPrunedBatch(codes, store,
+      cents, cb, queries, k = k, nprobe = nprobe, rerankFactor = rerankFactor,
+      idCol = "chunk_id", payloadCols = Seq("document_id", "word_count"))
+    Attribution.attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"))
+      .select(col("qid").as("query_text"), col("chunk_id"), col("document_id"),
+        round(col("score"), 6).as("score"), col("lang"), col("source"),
+        col("word_count"))
+      .orderBy(col("query_text").asc, col("score").desc, col("chunk_id").asc)
+  }
+
   /** [[flagshipIvf]] with the probe's BYTES compressed too — IVFADC over
     * the stored chunk index (graft.IvfPqCatalog): the same nprobe/nlist
     * partition pruning, but the surviving cells are scanned as m-byte PQ

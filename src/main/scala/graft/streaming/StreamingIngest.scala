@@ -448,10 +448,24 @@ object StreamingIngest {
     * unlike the ingest loops nothing here writes the store). Reads race
     * maintenance under the documented reader contract: fail-loud on a
     * stale listing, recover via [[graft.TableStore.retryingStale]] — one
-    * refresh + re-run, priced in SCALE.md round-13. */
+    * refresh + re-run, priced in SCALE.md round-13.
+    *
+    * `pqM > 0` serves through the COMPRESSED batch probe instead
+    * ([[Pipelines.flagshipIvfPqBatch]] — the measured-cheapest ×1000
+    * serving configuration, SCALE.md round-13 batch matrix): same answer
+    * schema, probe bytes m-byte PQ codes + a candidate-bounded raw rerank;
+    * the stored IVFADC index for (nlist, pqM, pqKsub, trained) must exist.
+    *
+    * Every query id is answered EXACTLY once per batch: a query whose
+    * probe returns no hits — or whose text is null and cannot embed —
+    * still emits one marker row (answer columns null, its own text
+    * preserved) through the LEFT join below, so the sink can distinguish
+    * "no results" from "never processed", and one bad row never fails the
+    * micro-batch. */
   def startQueries(queries: DataFrame, dir: String, checkpoint: String,
                    nlist: Int, k: Int = 10, nprobe: Int = 4,
                    trained: Boolean = false,
+                   pqM: Int = 0, pqKsub: Int = 32, rerankFactor: Int = 16,
                    idCol: String = "query_id", textCol: String = "query_text",
                    onAnswers: (Long, DataFrame) => Unit): StreamingQuery =
     queries.writeStream
@@ -460,7 +474,10 @@ object StreamingIngest {
         val spark = batch.sparkSession
         val rows = batch.select(col(idCol), col(textCol)).collect() // micro-batch scale
         if (rows.nonEmpty) {
-          val texts = rows.map(_.getString(1)).distinct.toSeq
+          // null texts cannot embed: they stay out of the probe but their
+          // ids remain in `ids`, falling out of the LEFT join as marker rows
+          val texts = rows.collect { case r if !r.isNullAt(1) => r.getString(1) }
+            .distinct.toSeq
           // the retry wrap must cover the ACTION, not just the lazy plan —
           // a rename pass landing mid-scan surfaces at materialization, so
           // the answers are collected (micro-batch × k rows, bounded)
@@ -468,16 +485,28 @@ object StreamingIngest {
           // onAnswers then runs exactly once per batch on a local frame
           val (ansRows, ansSchema) = graft.TableStore.retryingStale(spark,
               IvfCatalog.chunkStoreName(dir, nlist, trained)) {
-            val answers = Pipelines.flagshipIvfBatch(spark, dir, texts,
-              k = k, nlist = nlist, nprobe = nprobe, trained = trained)
+            // a batch whose every text is null still needs the REAL answer
+            // schema for its marker rows: probe a placeholder and keep no
+            // rows (one wasted bounded probe on a shape that should never
+            // occur in practice)
+            val probeTexts = if (texts.nonEmpty) texts else Seq("")
+            val probed =
+              if (pqM > 0) Pipelines.flagshipIvfPqBatch(spark, dir, probeTexts,
+                k = k, nlist = nlist, nprobe = nprobe, m = pqM, ksub = pqKsub,
+                rerankFactor = rerankFactor, trained = trained)
+              else Pipelines.flagshipIvfBatch(spark, dir, probeTexts,
+                k = k, nlist = nlist, nprobe = nprobe, trained = trained)
+            val answers = if (texts.nonEmpty) probed else probed.filter(lit(false))
             val ids = spark.createDataFrame(
                 spark.sparkContext.parallelize(rows.toSeq, 1),
                 batch.select(col(idCol), col(textCol)).schema)
               .withColumnRenamed(textCol, "__graft_qtext") // answers carry query_text
             val joined = ids
-              .join(answers, col("__graft_qtext") === col("query_text"))
+              .join(answers, col("__graft_qtext") === col("query_text"), "left")
+              .withColumn("query_text", col("__graft_qtext")) // marker rows keep their text
               .drop("__graft_qtext")
-              .orderBy(col(idCol).asc, col("score").desc, col("chunk_id").asc)
+              .orderBy(col(idCol).asc, col("score").desc_nulls_last,
+                col("chunk_id").asc_nulls_last)
             (joined.collect(), joined.schema)
           }
           onAnswers(batchId, spark.createDataFrame(

@@ -217,4 +217,23 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Pipelines.flagshipIvfBatch(spark, dir, Seq("a", "a")))
   }
+
+  test("flagshipIvfPqBatch answers a query queue row-for-row like serial flagshipIvfPq") {
+    val texts = Seq("spark join vector query", "document quality score",
+      "token budget packing")
+    def key(r: org.apache.spark.sql.Row, from: Int) =
+      (r.getString(from), r.getLong(from + 1), r.getDouble(from + 2),
+        r.getString(from + 3), r.getString(from + 4), r.getInt(from + 5))
+    val batch = Pipelines.flagshipIvfPqBatch(spark, dir, texts)
+      .collect().groupBy(_.getString(0))
+    assert(batch.keySet === texts.toSet)
+    texts.foreach { t =>
+      val serial = Pipelines.flagshipIvfPq(spark, dir, queryText = t)
+        .collect().map(key(_, 0)).toSeq
+      val got = batch(t).map(key(_, 1)).toSeq
+      assert(got === serial, s"ADC batch rows for '$t' must equal the serial flagshipIvfPq")
+    }
+    intercept[IllegalArgumentException](
+      Pipelines.flagshipIvfPqBatch(spark, dir, Seq("a", "a")))
+  }
 }

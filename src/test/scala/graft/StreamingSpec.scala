@@ -1345,6 +1345,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("query-serving loop at pqM>0 serves the compressed batch probe ≡ serial flagshipIvfPq") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    IvfCatalog.assignedChunks(spark, dir, 16).count() // serving index must exist
+    graft.IvfPqCatalog.encodedChunks(spark, dir, 16, 48, 32).count() // + its ADC code table
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    val ck = s"/tmp/graft_qserve_pq_ckpt${System.nanoTime()}"
+    val q = graft.streaming.StreamingIngest.startQueries(
+      source.toDF().toDF("query_id", "query_text"), dir, ck, nlist = 16, pqM = 48,
+      onAnswers = (_, df) => got.synchronized { got ++= df.collect() })
+    try {
+      source.addData((1L, "spark join vector query"), (2L, "document quality score"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val texts = Map(1L -> "spark join vector query", 2L -> "document quality score")
+    assert(got.map(_.getLong(0)).toSet === texts.keySet)
+    texts.foreach { case (qid, t) =>
+      val serial = graft.pipelines.Pipelines.flagshipIvfPq(spark, dir, queryText = t)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+      val mine = got.filter(_.getLong(0) == qid)
+        .map(r => (r.getString(2), r.getDouble(4))).toSeq
+      assert(mine === serial, s"query $qid ('$t') must answer like serial flagshipIvfPq")
+    }
+  }
+
+  test("query-serving loop: unanswerable queries emit marker rows, never a failed batch") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    IvfCatalog.assignedChunks(spark, dir, 16).count()
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    val ck = s"/tmp/graft_qserve_null_ckpt${System.nanoTime()}"
+    val q = graft.streaming.StreamingIngest.startQueries(
+      source.toDF().toDF("query_id", "query_text"), dir, ck, nlist = 16,
+      onAnswers = (_, df) => got.synchronized { got ++= df.collect() })
+    try {
+      // a null text rides in a batch next to a healthy query
+      source.addData((1L, "spark join vector query"), (2L, null))
+      q.processAllAvailable()
+      // a WHOLE batch of null texts (the placeholder-probe shape)
+      source.addData((3L, null))
+      q.processAllAvailable()
+      // the loop must still be alive and serving
+      source.addData((4L, "token budget packing"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byId = got.groupBy(_.getLong(0))
+    assert(byId.keySet === Set(1L, 2L, 3L, 4L),
+      "every query id must be answered exactly once per batch — marker or hits")
+    assert(byId(1L).forall(!_.isNullAt(2)) && byId(1L).nonEmpty)
+    Seq(2L, 3L).foreach { qid =>
+      val rows = byId(qid).toSeq
+      assert(rows.size === 1, s"query $qid must emit exactly ONE marker row")
+      assert(rows.head.isNullAt(1) && rows.head.isNullAt(2) && rows.head.isNullAt(4),
+        "a marker row carries its (null) text and null answer columns")
+    }
+    assert(byId(4L).nonEmpty && byId(4L).forall(!_.isNullAt(2)))
+  }
+
   test("query-serving loop answers correctly across a store rewrite between batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
