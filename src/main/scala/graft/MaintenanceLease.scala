@@ -13,10 +13,20 @@ import org.apache.spark.sql.SparkSession
   * fingerprint defense cannot see — it detects appends, not a twin
   * overwriter that passed its own re-list).
   *
-  * The lease is a create-if-absent marker file in the warehouse directory
-  * (atomic create on HDFS and the local FS; an object store without atomic
-  * create — S3 — needs a real lock service instead, same as every
-  * file-lease scheme). Scope is the index being maintained — callers pass
+  * The lease is a create-if-absent marker file in the warehouse directory.
+  * Create-if-absent is atomic on HDFS but exists-then-create on the local
+  * FS (and an object store without atomic create — S3 — needs a real lock
+  * service, same as every file-lease scheme), so the file is never trusted
+  * alone: same-JVM writers — the deployment shape puts all of one
+  * pipeline's loops on one driver — serialize on a per-scope JVM lock
+  * FIRST, and a cross-JVM create is only believed after re-reading the
+  * file and finding this writer's own token in it. A stale lease is broken
+  * by RENAME to a waiter-private name (atomic — exactly one waiter wins;
+  * delete-in-place could destroy a lease another waiter already broke and
+  * a new writer re-created), verified to still be the observed stale
+  * holder before being discarded, and restored (or failed loudly) if a
+  * live writer's re-created lease was captured instead.
+  * Scope is the index being maintained — callers pass
   * the primary store's table name, so everything that rewrites one index's
   * table group (raw store, code table, doc→cells) excludes everything else
   * that does. A short bounded wait (default 10 s) absorbs a cadence pass
@@ -51,6 +61,31 @@ object MaintenanceLease {
       finally in.close()
     } catch { case _: Throwable => "<unreadable>" }
 
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Break a dead writer's lease without ever deleting a LIVE one: RENAME
+    * the stale file to a waiter-private name — atomic, so exactly one
+    * waiter wins the break, where delete-in-place could remove a lease a
+    * faster waiter already broke and a new writer re-created — then verify
+    * the captured file still carries the stale holder observed at stat
+    * time before discarding it. A capture that turns out to be a fresh
+    * writer's lease (re-created between the stat and the rename) is
+    * renamed back; if even that fails, fail LOUDLY — never proceed into a
+    * possibly double-held scope. */
+  private def breakStale(fs: org.apache.hadoop.fs.FileSystem,
+                         path: org.apache.hadoop.fs.Path,
+                         staleHolder: String): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + s".break${System.nanoTime()}")
+    if (!fs.rename(path, aside)) return // another waiter won the break — re-examine
+    val captured = readHolder(fs, aside)
+    if (captured == staleHolder) { fs.delete(aside, false); return }
+    if (!fs.rename(aside, path)) throw new IllegalStateException(
+      s"lease break at $path captured a LIVE lease ($captured) and could not restore " +
+        "it — resolve the contention manually rather than risking a double-held scope")
+  }
+
   /** Run `body` holding the maintenance lease for `scope`. Waits up to
     * `waitMs` for a contended lease, breaks one older than `ttlMs` (dead
     * writer), then fails loudly naming the holder. */
@@ -60,45 +95,62 @@ object MaintenanceLease {
     if (held.get.contains(scope)) return body // reentrant within a thread
     val path = leasePath(spark, scope)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val holder = java.net.InetAddress.getLocalHost.getHostName +
-      s":pid${ProcessHandle.current().pid()}:${Thread.currentThread().getName}" +
-      s":${System.nanoTime()}"
-    val deadline = System.currentTimeMillis() + waitMs
-    var acquired = false
-    while (!acquired) {
-      val created =
-        try {
-          val out = fs.create(path, false) // atomic create-if-absent
-          try out.write(holder.getBytes("UTF-8")) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      if (created) acquired = true
-      else {
-        val st = try Some(fs.getFileStatus(path))
-                 catch { case _: java.io.FileNotFoundException => None }
-        st match {
-          case Some(s)
-              if System.currentTimeMillis() - s.getModificationTime > ttlMs =>
-            fs.delete(path, false) // dead writer's lease — break and retry
-          case Some(_) if System.currentTimeMillis() >= deadline =>
-            throw new IllegalStateException(
-              s"maintenance lease for '$scope' is held by ${readHolder(fs, path)} — " +
-                "one maintenance writer per index is the deployment contract " +
-                s"(waited $waitMs ms); quiesce the other writer or raise waitMs")
-          case Some(_) => Thread.sleep(100)
-          case None    => () // released between create and stat — retry create
+    // same-JVM exclusion must not ride on FS create atomicity (the local
+    // FS's create-if-absent is exists-then-create): two loops of one driver
+    // — the deployment shape's docs + edits cadences — serialize on a
+    // per-scope JVM lock first, same bounded-wait fail-loud contract
+    val jl = jvmLocks.computeIfAbsent(scope,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    if (!jl.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new IllegalStateException(
+        s"maintenance lease for '$scope' is held by ${readHolder(fs, path)} " +
+          "(another thread of this JVM) — one maintenance writer per index is the " +
+          s"deployment contract (waited $waitMs ms); quiesce the other writer or raise waitMs")
+    try {
+      val holder = java.net.InetAddress.getLocalHost.getHostName +
+        s":pid${ProcessHandle.current().pid()}:${Thread.currentThread().getName}" +
+        s":${System.nanoTime()}"
+      val deadline = System.currentTimeMillis() + waitMs
+      var acquired = false
+      while (!acquired) {
+        val created =
+          try {
+            val out = fs.create(path, false) // create-if-absent (atomic only on HDFS)
+            try out.write(holder.getBytes("UTF-8")) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        // believe a win only when the file holds OUR token: on a local FS
+        // two same-instant cross-JVM creators can both "succeed", and the
+        // later write silently overwrites the earlier — re-reading makes
+        // exactly one of them proceed
+        if (created && readHolder(fs, path) == holder) acquired = true
+        else {
+          val st = try Some(fs.getFileStatus(path))
+                   catch { case _: java.io.FileNotFoundException => None }
+          st match {
+            case Some(s)
+                if System.currentTimeMillis() - s.getModificationTime > ttlMs =>
+              breakStale(fs, path, readHolder(fs, path)) // dead writer — break and retry
+            case Some(_) if System.currentTimeMillis() >= deadline =>
+              throw new IllegalStateException(
+                s"maintenance lease for '$scope' is held by ${readHolder(fs, path)} — " +
+                  "one maintenance writer per index is the deployment contract " +
+                  s"(waited $waitMs ms); quiesce the other writer or raise waitMs")
+            case Some(_) => Thread.sleep(100)
+            case None    => () // released between create and stat — retry create
+          }
         }
       }
-    }
-    held.get += scope
-    try body
-    finally {
-      held.get -= scope
-      // delete only OUR lease: a broken-then-reacquired lease (we stalled
-      // past ttl and another writer took over) must not be stolen back
-      try if (readHolder(fs, path) == holder) fs.delete(path, false)
-      catch { case _: Throwable => () }
-    }
+      held.get += scope
+      try body
+      finally {
+        held.get -= scope
+        // delete only OUR lease: a broken-then-reacquired lease (we stalled
+        // past ttl and another writer took over) must not be stolen back
+        try if (readHolder(fs, path) == holder) fs.delete(path, false)
+        catch { case _: Throwable => () }
+      }
+    } finally jl.unlock()
   }
 }
 

@@ -58,6 +58,29 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     MaintenanceLease.withLease(spark, "spec_scope_b", waitMs = 0) { () }
   }
 
+  test("same-JVM thread storm: never two writers inside one scope at once") {
+    // the deployment shape runs every loop on one driver JVM, where the
+    // local FS's exists-then-create is NOT atomic — exclusion must come
+    // from the per-scope JVM lock, and a storm of simultaneous acquirers
+    // must serialize without ever double-entering
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        MaintenanceLease.withLease(spark, "spec_scope_storm", waitMs = 30000) {
+          val now = inside.incrementAndGet()
+          maxInside.getAndUpdate(m => math.max(m, now))
+          entries.incrementAndGet()
+          Thread.sleep(30)
+          inside.decrementAndGet()
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(entries.get === 8, "every contender must eventually acquire")
+    assert(maxInside.get === 1, "two writers were inside the scope simultaneously")
+  }
+
   test("a dead writer's lease (older than ttl) is broken, not waited on") {
     val path = MaintenanceLease.leasePath(spark, "spec_scope_c")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
