@@ -60,12 +60,18 @@ import graft.operators.Similarity
   *     edits and compaction are excluded by mechanism): run final
   *     reconcile rounds — now also patching the staged code table and
   *     appending doc→cells pairs — until a diff comes back empty, then
-  *     swap each staged table to its natural new-generation name
-  *     (`DROP IF EXISTS` + `RENAME` — metadata ops). A diff that will not
-  *     quiesce fails loudly: ingest APPENDS do not take the lease (ingest
-  *     never blocks on maintenance), so the operator pauses the append
-  *     loop for the seconds the cutover needs, exactly the quiesce the
-  *     compaction commit window asks for.
+  *     swap each staged table to its natural new-generation name. The
+  *     swap is rename-ASIDE then rename-IN (all metadata ops): a live
+  *     natural table is first renamed to a `__retired`-suffixed sibling,
+  *     the staged table renamed into the natural name, and the retired
+  *     copies dropped only after EVERY member of the generation landed —
+  *     so at no instant is the staged table the only copy of anything,
+  *     and a kill between any two renames leaves both the old data
+  *     (under `__retired`) and the new (under `__rstage`/natural). A diff
+  *     that will not quiesce fails loudly: ingest APPENDS do not take the
+  *     lease (ingest never blocks on maintenance), so the operator pauses
+  *     the append loop for the seconds the cutover needs, exactly the
+  *     quiesce the compaction commit window asks for.
   *
   * '''Removal soundness.''' Step 3's removal must find which STAGED cells
   * can hold rows that came from a changed old cell, without scanning the
@@ -95,9 +101,17 @@ import graft.operators.Similarity
   * '''Crash recovery.''' All staged tables carry `__rstage` in their
   * names: a JVM kill mid-rebuild leaves them for
   * [[TableStore.sweepOrphans]]' age-gated sweep, and the old generation
-  * is untouched (nothing mutates it at any phase). A kill mid-cutover
-  * (between renames) can leave a partial NEW generation — re-running the
-  * rebuild re-stages and re-renames; the old generation still serves.
+  * is untouched (nothing mutates it before the cutover's renames). A LIVE
+  * rebuild's staging is protected from the cadence sweep by a per-nonce
+  * heartbeat ([[TableStore.touchHeartbeat]], touched every phase and
+  * reconcile round) — a base pass outliving the sweep horizon must not
+  * lose its write-once staged centroid table. A kill mid-CUTOVER leaves
+  * natural names absent with the old copy under `__retired` (and the new
+  * under `__rstage` or already landed): the sweep refuses any marked
+  * table whose natural sibling is missing, whatever its age, and
+  * re-running the rebuild heals first ([[healInterruptedSwap]] — restores
+  * the complete retired generation, dropping any partial new-generation
+  * pieces, which are re-stageable by construction) before staging afresh.
   */
 object Reindex {
 
@@ -176,6 +190,49 @@ object Reindex {
       .bucketBy(32, "document_id").sortBy("document_id")
       .format("parquet").saveAsTable(table)
 
+  /** Restore generations whose cutover crashed between renames. A
+    * `<natural>__retired<nonce>` table with its natural name ABSENT is the
+    * signature: the swap renamed the live table aside and died before the
+    * staged one landed. Healing restores the COMPLETE retired generation
+    * of that nonce — including members whose natural slot a partial swap
+    * already filled with new-generation data (a mixed generation would
+    * pair new centroids with an old store and prune wrong cells), which
+    * are dropped; they are re-stageable by construction. A nonce whose
+    * every natural survived (crash after the last rename, before
+    * reclaim) has redundant copies — those are dropped. Nonces heal in
+    * order, newest last, so the most recent serving generation wins.
+    * No-op when nothing is broken. */
+  private[graft] def healInterruptedSwap(spark: SparkSession,
+                                         naturals: Seq[String],
+                                         partitioned: Set[String]): Unit = {
+    val lcNaturals = naturals.map(_.toLowerCase(java.util.Locale.ROOT))
+    val lcPartitioned = partitioned.map(_.toLowerCase(java.util.Locale.ROOT))
+    val retired = spark.sessionState.catalog.listTables("default")
+      .map(_.table).flatMap { t =>
+        val i = t.indexOf("__retired")
+        if (i <= 0) None
+        else {
+          val natural = t.substring(0, i)
+          if (lcNaturals.contains(natural)) Some((t.substring(i + 9), natural, t))
+          else None
+        }
+      }
+    retired.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, group) =>
+      val broken = group.exists { case (_, natural, _) =>
+        !spark.catalog.tableExists(natural) }
+      group.foreach { case (_, natural, aside) =>
+        if (broken) {
+          if (spark.catalog.tableExists(natural))
+            spark.sql(s"DROP TABLE IF EXISTS $natural") // partial new-gen piece
+          spark.sql(s"ALTER TABLE $aside RENAME TO $natural")
+          if (lcPartitioned.contains(natural))
+            spark.sql(s"ALTER TABLE $natural RECOVER PARTITIONS")
+          spark.catalog.refreshTable(natural)
+        } else spark.sql(s"DROP TABLE IF EXISTS $aside") // swap completed — redundant
+      }
+    }
+  }
+
   /** Rebuild the chunk serving index for `dir` from `oldNlist` (and its
     * frozen centroids) to `newNlist` with freshly derived centroids, blue/
     * green. `pqM > 0` carries the IVFADC code table into the new
@@ -188,7 +245,10 @@ object Reindex {
     * round), after codes+pairs staging (before the lease), and INSIDE the
     * lease after the final diff converges (before the renames — note it
     * runs on the rebuild's own thread, where the lease is reentrant; a
-    * concurrent writer belongs on another thread). */
+    * concurrent writer belongs on another thread). `duringSwap(natural)`
+    * is the crash spec's seam: invoked per table AFTER its live copy is
+    * renamed aside and BEFORE the staged one renames in — a throw there
+    * is the mid-cutover kill. */
   def rebuildChunkIndex(spark: SparkSession, dir: String,
                         oldNlist: Int, newNlist: Int,
                         trained: Boolean = false,
@@ -197,10 +257,11 @@ object Reindex {
                         maxBatchBytes: Long = 4L << 30,
                         beforeRounds: () => Unit = () => (),
                         beforeCutover: () => Unit = () => (),
-                        beforeSwap: () => Unit = () => ()): Report = {
+                        beforeSwap: () => Unit = () => (),
+                        duringSwap: String => Unit = _ => ()): Report = {
     val oldStore = IvfCatalog.chunkStoreName(dir, oldNlist, trained)
-    require(spark.catalog.tableExists(oldStore),
-      s"stored chunk IVF index for '$dir' at nlist=$oldNlist not built — nothing to rebuild")
+    val oldCents = IvfCatalog.chunkCentroidsName(dir, oldNlist, trained)
+    val oldDc = DocLifecycle.docCellsName(dir, oldNlist, trained)
     val newStore = IvfCatalog.chunkStoreName(dir, newNlist, trained)
     val newCents = IvfCatalog.chunkCentroidsName(dir, newNlist, trained)
     val newDc = DocLifecycle.docCellsName(dir, newNlist, trained)
@@ -208,12 +269,22 @@ object Reindex {
     val stStore = s"${newStore}__rstage$nonce"
     val stCents = s"${newCents}__rstage$nonce"
     val stDc = s"${newDc}__rstage$nonce"
-    val stOldPairs = s"${DocLifecycle.docCellsName(dir, oldNlist, trained)}__rstage${nonce}_oldpairs"
+    val stOldPairs = s"${oldDc}__rstage${nonce}_oldpairs"
     val cb = if (pqM > 0) Some(IvfPqCatalog.chunkCodebookStored(spark, dir, pqM, pqKsub, trained))
              else None
     val oldCodes = cb.map(IvfPqCatalog.chunkCodesName(dir, oldNlist, pqM, pqKsub, trained, _))
     val newCodes = cb.map(IvfPqCatalog.chunkCodesName(dir, newNlist, pqM, pqKsub, trained, _))
     val stCodes = newCodes.map(n => s"${n}__rstage$nonce")
+    // a previously interrupted cutover (kill between renames) left natural
+    // names absent with the generation's copies under __retired: restore
+    // the old generation FIRST, so the require below sees a serving index
+    // and the fresh staging starts from consistent state
+    healInterruptedSwap(spark,
+      (Seq(oldStore, oldCents, oldDc, newStore, newCents, newDc) ++
+        oldCodes.toSeq ++ newCodes.toSeq).distinct,
+      Set(oldStore, newStore) ++ oldCodes.toSeq ++ newCodes.toSeq)
+    require(spark.catalog.tableExists(oldStore),
+      s"stored chunk IVF index for '$dir' at nlist=$oldNlist not built — nothing to rebuild")
     oldCodes.foreach(n => require(spark.catalog.tableExists(n),
       s"pqM=$pqM but the old generation has no code table $n — build encodedChunks first"))
 
@@ -221,6 +292,25 @@ object Reindex {
     val storeCols = schema.fieldNames.toIndexedSeq
     var deltaRows = 0L
     var renamed = false
+
+    // liveness heartbeat for the sweep: the staged centroid table is
+    // written ONCE in phase 1 and never touched again, so a base pass
+    // outliving the sweep horizon would age it past deletion while still
+    // referenced — the per-nonce heartbeat stays young for the rebuild's
+    // whole life, whatever any single phase costs (a daemon toucher, not
+    // per-round touches, so a multi-hour assignment pass is covered too)
+    TableStore.touchHeartbeat(spark, nonce)
+    val hbThread = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(60 * 1000L)
+          TableStore.touchHeartbeat(spark, nonce)
+        }
+      } catch { case _: InterruptedException => () }
+    })
+    hbThread.setDaemon(true)
+    hbThread.setName(s"graft-reindex-hb-$nonce")
+    hbThread.start()
 
     // reconcile the staged store (and, once staged, the code table) to the
     // current state of `cells` in the old generation: remove staged rows
@@ -243,11 +333,12 @@ object Reindex {
       appendPairs(spark, stDc, incoming.select(col("document_id"), col("centroid_id")))
       // candidate staged cells: every new cell any doc that EVER had rows in
       // a changed old cell maps to (private pair log join — superset, see
-      // object scaladoc) ∪ the incoming rows' own new cells
-      val cellSet = cells.toSet
-      val inCells = udf((c: Long) => cellSet.contains(c))
+      // object scaladoc) ∪ the incoming rows' own new cells. isInCollection
+      // (InSet past the conversion threshold) keeps the filters codegen'd
+      // and pushable — a closure UDF would block both
+      val inCells = col("centroid_id").isInCollection(cells)
       val mappedCells = spark.table(stOldPairs)
-        .filter(inCells(col("centroid_id"))).select("document_id").distinct()
+        .filter(inCells).select("document_id").distinct()
         .join(spark.table(stDc), "document_id")
         .select("centroid_id").distinct()
         .collect().map(_.getLong(0))
@@ -263,7 +354,7 @@ object Reindex {
           val kept = Similarity.ivfAssign(
               base.withColumnRenamed("centroid_id", "__new_cid"),
               oldCentTbl, idCol = "chunk_id")
-            .filter(!inCells(col("centroid_id"))) // came from an unchanged old cell
+            .filter(!col("centroid_id").isInCollection(cells)) // from an unchanged old cell
             .drop("centroid_id").withColumnRenamed("__new_cid", "centroid_id")
           kept.select(storeCols.map(col): _*)
             .unionByName(newRows.filter(col("centroid_id").isInCollection(cbatch)))
@@ -275,7 +366,7 @@ object Reindex {
           // pruned read finds them; a code-less chunk stays code-less, the
           // same crash-orphan state the old generation serves)
           val incomingCodes = spark.table(oldCodes.get)
-            .filter(inCells(col("centroid_id")))
+            .filter(inCells)
             .drop("centroid_id")
             .join(newRows.filter(col("centroid_id").isInCollection(cbatch))
                 .select(col("chunk_id"), col("centroid_id")), "chunk_id")
@@ -381,23 +472,42 @@ object Reindex {
             "pause the ingest append loop for the cutover (edits are excluded by the lease; " +
             "appends never block on maintenance by design)")
         beforeSwap()
-        // the swap: metadata renames, one table at a time. Same-nlist swaps
-        // replace the live generation — readers quiesce for these four ops.
+        // the swap: metadata renames, one table at a time, rename-ASIDE
+        // then rename-IN — at no instant is the staged table the only copy
+        // of anything (a kill between renames leaves the old data under
+        // __retired and the new under __rstage/natural; healInterruptedSwap
+        // restores). Same-nlist swaps replace the live generation — readers
+        // quiesce for these renames.
         MaintenanceLock(newDc) {
           val swaps = Seq(stCents -> newCents, stStore -> newStore) ++
             stCodes.zip(newCodes).map { case (s, n) => s -> n } ++ Seq(stDc -> newDc)
+          // any natural-name mutation makes the staging non-disposable:
+          // from here the catch block must never drop staged tables
+          renamed = true
+          val retired = Seq.newBuilder[String]
           swaps.foreach { case (stage, natural) =>
-            spark.sql(s"DROP TABLE IF EXISTS $natural")
-            // a previous JVM's table files can survive the in-memory
-            // catalog (TableStore.getOrBuild clears the same leftovers):
-            // the managed-table RENAME moves the staged dir to the natural
-            // location and refuses if a stale one is squatting there
-            val loc = new org.apache.hadoop.fs.Path(
-              spark.conf.get("spark.sql.warehouse.dir"),
-              natural.toLowerCase(java.util.Locale.ROOT))
-            val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (lfs.exists(loc)) lfs.delete(loc, true)
-            renamed = true
+            if (spark.catalog.tableExists(natural)) {
+              val aside = s"${natural}__retired$nonce"
+              spark.sql(s"ALTER TABLE $natural RENAME TO $aside")
+              // re-point the aside table's per-partition locations at its
+              // moved directory (a partitioned rename does not rewrite
+              // them): a reclaim DROP — or a heal's rename-back — must
+              // only ever touch its OWN files
+              if (natural == newStore || newCodes.contains(natural))
+                spark.sql(s"ALTER TABLE $aside RECOVER PARTITIONS")
+              retired += aside
+            } else {
+              // a previous JVM's table files can survive the in-memory
+              // catalog (TableStore.getOrBuild clears the same leftovers):
+              // the managed-table RENAME moves the staged dir to the
+              // natural location and refuses if a stale one squats there
+              val loc = new org.apache.hadoop.fs.Path(
+                spark.conf.get("spark.sql.warehouse.dir"),
+                natural.toLowerCase(java.util.Locale.ROOT))
+              val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (lfs.exists(loc)) lfs.delete(loc, true)
+            }
+            duringSwap(natural) // crash seam: between aside and rename-in
             spark.sql(s"ALTER TABLE $stage RENAME TO $natural")
             // a partitioned table's catalog entries keep PER-PARTITION
             // locations, which the rename does not rewrite — re-discover
@@ -406,6 +516,8 @@ object Reindex {
               spark.sql(s"ALTER TABLE $natural RECOVER PARTITIONS")
             spark.catalog.refreshTable(natural)
           }
+          // every member landed: the retired generation is redundant — reclaim
+          retired.result().foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
         }
       }
       val tCut = (System.nanoTime() - t4) / 1e9
@@ -422,6 +534,11 @@ object Reindex {
             spark.sql(s"DROP TABLE IF EXISTS $t") }
         throw e
     } finally {
+      hbThread.interrupt()
+      try {
+        val hb = TableStore.heartbeatPath(spark, nonce)
+        hb.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hb, false)
+      } catch { case _: Throwable => () }
       if (renamed) spark.sql(s"DROP TABLE IF EXISTS $stOldPairs")
     }
   }

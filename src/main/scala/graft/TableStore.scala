@@ -47,11 +47,36 @@ object TableStore {
     false
   }
 
+  /** Heartbeat marker for a LIVE rebuild's staging (nonce = the rebuild's
+    * staged-name suffix): [[Reindex.rebuildChunkIndex]] touches it at every
+    * phase boundary and reconcile round, and [[sweepOrphans]] skips
+    * `__rstage` entries whose nonce heartbeat is younger than the horizon —
+    * a base assignment pass outliving the sweep horizon (plausible at the
+    * 100 TB corpus scale the rebuild targets) must not lose its write-once
+    * staged centroid table to a cadence sweep. The marker itself is
+    * orphan-shaped and ages out with its rebuild. */
+  private[graft] def heartbeatPath(spark: SparkSession, nonce: Long) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"__graft_hb_$nonce")
+
+  private[graft] def touchHeartbeat(spark: SparkSession, nonce: Long): Unit = {
+    val p = heartbeatPath(spark, nonce)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private val StageNonce = "__rstage(\\d+)".r
+  private val Marked = "__(rstage|retired|cstage)(\\d+)".r
+
   /** Sweep crash orphans out of the warehouse directory: a hard JVM kill
     * mid-maintenance leaks the nonce-suffixed spill dirs
     * ([[DocLifecycle]]'s `__upsert_tmp_*`, [[Compaction]]'s
-    * `__compact_tmp_*`), staged swap tables (`*__cstage*`,
-    * `*__rstage*`), and the dead writer's lease file (`__graft_lease_*`)
+    * `__compact_tmp_*`), staged swap tables (`*__cstage*`, `*__rstage*`),
+    * retired-generation tables (`*__retired*` — [[Reindex]]'s
+    * rename-aside cutover copies), heartbeat markers (`__graft_hb_*`) and
+    * the dead writer's lease file (`__graft_lease_*`)
     * — a live process deletes all of these in its own `finally`/catch
     * paths, so anything old enough to be past `olderThanMs` belongs to a
     * writer that is gone. Age is the NEWEST of the entry's own mtime and
@@ -63,32 +88,69 @@ object TableStore {
     * a catch-all). A `__compact_tmp`/`__upsert_tmp` orphan younger than a
     * crash-then-restart gap can be a mid-commit rewrite's staged content
     * (the rename-commit's recovery copy) — the horizon is what makes the
-    * sweep safe to run on a cadence. Returns the removed entry names.
-    * Run at startup and/or on the maintenance cadence (the streaming
-    * loops fold it into `compactEvery`). */
+    * sweep safe to run on a cadence.
+    *
+    * Two classes are refused REGARDLESS of age — deleting them could
+    * destroy the only surviving copy of an index:
+    *  - every staged/retired table (`__rstage`/`__retired`/`__cstage`) of
+    *    a nonce GROUP in which ANY member's natural sibling is absent:
+    *    that is the signature of a crash between a cutover's renames,
+    *    where the marked tables ARE the recovery copies. The protection is
+    *    group-wide, not per-entry, because a partial swap leaves some
+    *    members' naturals present (already holding new-generation data)
+    *    while [[Reindex.healInterruptedSwap]] still needs THEIR retired
+    *    copies to restore a consistent old generation. Healing (or
+    *    completing the rename) makes every natural reappear, after which
+    *    the leftovers age out normally.
+    *  - an `__rstage` entry whose rebuild nonce has a YOUNG heartbeat
+    *    ([[touchHeartbeat]]): the rebuild is alive, however long its base
+    *    pass has been running.
+    * Returns the removed entry names. Run at startup and/or on the
+    * maintenance cadence (the streaming loops fold it into
+    * `compactEvery`). */
   def sweepOrphans(spark: SparkSession,
                    olderThanMs: Long = 6 * 3600 * 1000L): Seq[String] = {
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(wh)) return Nil
     val horizon = System.currentTimeMillis() - olderThanMs
+    val entries = fs.listStatus(wh).toSeq
+    // first pass: nonce groups with any member whose natural name is
+    // absent are a crashed swap's recovery copies — refuse the WHOLE group
+    def naturalAbsent(n: String): Boolean =
+      Seq("__rstage", "__retired", "__cstage").find(n.contains).exists { m =>
+        val natural = n.substring(0, n.indexOf(m))
+        natural.nonEmpty &&
+          !fs.exists(new org.apache.hadoop.fs.Path(wh, natural)) &&
+          !spark.catalog.tableExists(natural)
+      }
+    val brokenNonces = entries.map(_.getPath.getName).flatMap { n =>
+      Marked.findFirstMatchIn(n).filter(_ => naturalAbsent(n)).map(_.group(2))
+    }.toSet
     val removed = Seq.newBuilder[String]
-    fs.listStatus(wh).foreach { st =>
+    entries.foreach { st =>
       val n = st.getPath.getName
       val orphanShaped =
         n.startsWith("__upsert_tmp_") || n.startsWith("__compact_tmp_") ||
           n.contains("__cstage") || n.contains("__rstage") ||
-          n.startsWith("__graft_lease_")
+          n.contains("__retired") ||
+          n.startsWith("__graft_lease_") || n.startsWith("__graft_hb_")
       if (orphanShaped) {
         val age =
           if (!st.isDirectory) st.getModificationTime
           else (st.getModificationTime +:
             fs.listStatus(st.getPath).toSeq.map(_.getModificationTime)).max
-        if (age < horizon) {
+        val recoveryCopy = Marked.findFirstMatchIn(n)
+          .exists(mt => brokenNonces.contains(mt.group(2)))
+        val hbYoung = StageNonce.findFirstMatchIn(n).exists { mt =>
+          val hb = heartbeatPath(spark, mt.group(1).toLong)
+          fs.exists(hb) && fs.getFileStatus(hb).getModificationTime >= horizon
+        }
+        if (age < horizon && !recoveryCopy && !hbYoung) {
           // a staging table may still be registered under a persistent
           // metastore — drop the catalog entry with its files
-          if ((n.contains("__cstage") || n.contains("__rstage")) &&
-              spark.catalog.tableExists(n))
+          if ((n.contains("__cstage") || n.contains("__rstage") ||
+               n.contains("__retired")) && spark.catalog.tableExists(n))
             spark.sql(s"DROP TABLE IF EXISTS `$n`")
           if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
           removed += n

@@ -460,6 +460,10 @@ class CompactionSpec extends AnyFunSuite {
     val lo = fs.create(leaseP, true); lo.write("dead:pid0:t:0".getBytes("UTF-8")); lo.close()
     fs.setTimes(leaseP, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
     // an aged REGISTERED staging table (a persistent-metastore crash shape)
+    // whose natural table still lives — the REDUNDANT leftover, sweepable
+    val naturalLive = "graft_sweep_live"
+    spark.sql(s"DROP TABLE IF EXISTS $naturalLive")
+    Seq((1L, "n")).toDF("id", "v").write.format("parquet").saveAsTable(naturalLive)
     val stage = "graft_sweep_live__cstage777"
     spark.sql(s"DROP TABLE IF EXISTS $stage")
     Seq((1L, "a")).toDF("id", "v").write.format("parquet").saveAsTable(stage)
@@ -467,6 +471,10 @@ class CompactionSpec extends AnyFunSuite {
     val t = System.currentTimeMillis() - 60 * 60 * 1000L
     fs.listStatus(stageDir).foreach(st => fs.setTimes(st.getPath, t, -1))
     fs.setTimes(stageDir, t, -1)
+    // an aged staging whose natural name is ABSENT — a crashed swap's only
+    // copy: refused whatever its age (the horizon must never be a
+    // destruction timer on a recovery copy)
+    val orphanStage = plantDir("graft_sweep_gone__cstage888", old = true)
     // a YOUNG spill (an in-flight job's) and a live table must survive
     val young = plantDir("__compact_tmp_graft_sweep_young_789", old = false)
     val live = "graft_sweep_live_table"
@@ -479,9 +487,11 @@ class CompactionSpec extends AnyFunSuite {
     assert(!fs.exists(oldUpsert) && !fs.exists(oldCompact) && !fs.exists(leaseP))
     assert(!fs.exists(stageDir) && !spark.catalog.tableExists(stage),
       "the aged staging table must be dropped from catalog AND disk")
+    assert(fs.exists(orphanStage),
+      "a staging whose natural sibling is absent is a recovery copy — refused")
     assert(fs.exists(young), "a young in-flight spill must be kept")
     assert(spark.catalog.tableExists(live) && spark.table(live).count() === 1L)
-    fs.delete(young, true)
-    spark.sql(s"DROP TABLE IF EXISTS $live")
+    fs.delete(young, true); fs.delete(orphanStage, true)
+    Seq(live, naturalLive).foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
   }
 }

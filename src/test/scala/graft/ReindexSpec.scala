@@ -339,6 +339,69 @@ class ReindexSpec extends AnyFunSuite {
     dropGen(a)
   }
 
+  test("mid-cutover crash: both copies survive, the sweep refuses the group, a re-run heals") {
+    val a = 29
+    dropGen(a)
+    IvfCatalog.assignedChunks(spark, dir, a).count()
+    DocLifecycle.docCells(spark, dir, a).count()
+    val storeName = IvfCatalog.chunkStoreName(dir, a)
+    val centName = IvfCatalog.chunkCentroidsName(dir, a)
+    spark.catalog.refreshTable(storeName)
+    val beforeRows = spark.table(storeName).select("chunk_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // kill the swap between the store's rename-aside and its rename-in —
+    // the exact instant where DROP+RENAME used to leave the staged table
+    // as the only copy (the centroid table has already fully swapped, so
+    // the crash state is a MIXED partial generation)
+    val boom = intercept[RuntimeException] {
+      Reindex.rebuildChunkIndex(spark, dir, a, a,
+        duringSwap = n => if (n == storeName) throw new RuntimeException("kill -9"))
+    }
+    assert(boom.getMessage === "kill -9")
+    def tables() = spark.sessionState.catalog.listTables("default").map(_.table)
+    assert(!spark.catalog.tableExists(storeName))
+    assert(tables().exists(_.startsWith(storeName + "__retired")),
+      "the live store must have been renamed aside, not dropped")
+    assert(tables().exists(_.startsWith(storeName + "__rstage")),
+      "the staged store must still exist after the crash")
+
+    // the sweep must refuse EVERY member of the crashed nonce group — even
+    // at horizon zero, and even members whose natural name survived (the
+    // already-swapped centroid table's retired copy is what healing needs)
+    val swept = TableStore.sweepOrphans(spark, olderThanMs = 0L)
+    assert(!swept.exists(n => n.contains("__retired") ||
+      n.startsWith(storeName + "__rstage")),
+      s"sweep deleted a recovery copy: $swept")
+    assert(tables().exists(_.startsWith(centName + "__retired")),
+      "the swapped-ahead centroid table's retired copy must survive the sweep")
+
+    // re-running the rebuild heals the old generation first, then completes
+    val rep = Reindex.rebuildChunkIndex(spark, dir, a, a)
+    assert(rep.oldNlist === a && rep.newNlist === a)
+    spark.catalog.refreshTable(storeName)
+    val after = spark.table(storeName).select("chunk_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after === beforeRows, "recovery must lose no rows")
+    val want = Similarity.ivfAssign(
+        spark.table(storeName).drop("centroid_id"),
+        spark.table(centName), idCol = "chunk_id")
+      .select("chunk_id", "centroid_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotCells = spark.table(storeName).select("chunk_id", "centroid_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotCells === want, "healed store must match its centroid table")
+    assert(Pipelines.flagshipIvf(spark, dir, nlist = a, nprobe = 4).count() === 10L)
+    // on success the aside copies are reclaimed, and with every natural
+    // name back the crashed run's leftovers become ordinary aged orphans
+    assert(!tables().exists(_.contains("__retired")),
+      "the retired generation must be reclaimed after a successful swap")
+    val cleaned = TableStore.sweepOrphans(spark, olderThanMs = 0L)
+    assert(cleaned.exists(_.startsWith(storeName + "__rstage")),
+      "the crashed staging must sweep once its natural sibling is back")
+    dropGen(a)
+  }
+
   test("reindexAdvice fires on the nlist law, in both regimes, and quiets at the law") {
     val nlist = 7 // deliberately decade-stale for this corpus
     dropGen(nlist)
