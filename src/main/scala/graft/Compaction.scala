@@ -159,26 +159,158 @@ object Compaction {
     * is why [[TableStore.sweepOrphans]] is age-gated. Returns the staged
     * specs (partitions present in `tmp`); `touched` partitions absent from
     * the staging are left EMPTIED of data files (the caller drops them). */
+  private[graft] val ManifestFile = "_graft_commit_manifest"
+
+  /** Write the commit's replay manifest INTO the staging dir — the full
+    * (stale-to-delete, staged-to-move) plan per partition, plus the table,
+    * its lease scope and its root. From the instant this file exists, a
+    * crash at ANY point of the commit is recoverable by [[resumeCommit]]'s
+    * idempotent replay: deletes and moves are file-presence-driven, so a
+    * half-executed spec (some stale gone, some staged already in place)
+    * replays to exactly the committed state — the manifest is what lets a
+    * resume distinguish an already-moved staged file from a stale one. */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            tmp: org.apache.hadoop.fs.Path,
+                            table: String, leaseScope: String,
+                            root: org.apache.hadoop.fs.Path,
+                            plan: Seq[(String, Seq[String], Seq[String])]): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"T\t$table\n").append(s"L\t$leaseScope\n").append(s"R\t$root\n")
+    plan.foreach { case (spec, stale, moves) =>
+      sb.append(s"P\t$spec\n")
+      stale.foreach(f => sb.append(s"D\t$f\n"))
+      moves.foreach(f => sb.append(s"M\t$f\n"))
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, ManifestFile), true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           mf: org.apache.hadoop.fs.Path)
+      : (String, String, String, Seq[(String, Seq[String], Seq[String])]) = {
+    val in = fs.open(mf)
+    val text = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    var (table, lease, root) = ("", "", "")
+    val entries = Seq.newBuilder[(String, Seq[String], Seq[String])]
+    var spec: String = null
+    var stale = List.empty[String]
+    var moves = List.empty[String]
+    def flush(): Unit = if (spec != null) {
+      entries += ((spec, stale.reverse, moves.reverse)); stale = Nil; moves = Nil
+    }
+    text.split("\n").filter(_.nonEmpty).foreach { line =>
+      val Array(tag, v) = line.split("\t", 2)
+      tag match {
+        case "T" => table = v
+        case "L" => lease = v
+        case "R" => root = v
+        case "P" => flush(); spec = v
+        case "D" => stale ::= v
+        case "M" => moves ::= v
+      }
+    }
+    flush()
+    (table, lease, root, entries.result())
+  }
+
+  private[graft] def manifestLeaseScope(fs: org.apache.hadoop.fs.FileSystem,
+                                        mf: org.apache.hadoop.fs.Path): String =
+    readManifest(fs, mf)._2
+
+  /** Replay an interrupted rename-commit from its kept staging — the
+    * automated form of what used to be manual recovery. Idempotent: every
+    * delete/move is file-presence-guarded, so any number of crashes and
+    * replays converge on the committed state; a staging whose table root
+    * vanished (the generation was reclaimed) is simply discarded. The
+    * caller must hold the table's maintenance lease (the manifest records
+    * the scope) so no live pass commits concurrently. Returns true when
+    * the staging carried a manifest and was completed+removed. */
+  private[graft] def resumeCommit(spark: SparkSession,
+                                  tmp: org.apache.hadoop.fs.Path): Boolean = {
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(tmp, ManifestFile)
+    if (!fs.exists(mf)) return false
+    val (table, _, rootStr, entries) = readManifest(fs, mf)
+    val root = new org.apache.hadoop.fs.Path(rootStr)
+    if (fs.exists(root)) entries.foreach { case (spec, stale, moves) =>
+      val dir = new org.apache.hadoop.fs.Path(root, spec)
+      stale.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(dir, f)
+        if (fs.exists(p) && !fs.delete(p, false)) throw new IllegalStateException(
+          s"commit resume could not delete stale $p — staging kept at $tmp")
+      }
+      moves.foreach { f =>
+        val from = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(tmp, spec), f)
+        if (fs.exists(from)) {
+          if (!fs.exists(dir)) fs.mkdirs(dir)
+          if (!fs.rename(from, new org.apache.hadoop.fs.Path(dir, f)))
+            throw new IllegalStateException(
+              s"commit resume could not move $from into $dir — staging kept at $tmp")
+        }
+      }
+    }
+    fs.delete(tmp, true)
+    if (table.nonEmpty && spark.catalog.tableExists(table))
+      spark.catalog.refreshTable(table)
+    true
+  }
+
+  /** Complete any interrupted rename-commit staging left for `name` by a
+    * crashed previous pass — run at [[compactTable]] entry (under the
+    * lease), so the very next maintenance pass heals a crash without a
+    * human in the path. Returns how many stagings were completed. */
+  private[graft] def resumeInterruptedCommits(spark: SparkSession,
+                                              name: String): Int = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return 0
+    fs.listStatus(wh).count { st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"__compact_tmp_${name}_") &&
+        resumeCommit(spark, st.getPath)
+    }
+  }
+
   private[graft] def renameCommit(spark: SparkSession, name: String,
                                   root: org.apache.hadoop.fs.Path,
                                   tmp: org.apache.hadoop.fs.Path,
-                                  depth: Int, touched: Seq[String]): Set[String] = {
+                                  depth: Int, touched: Seq[String],
+                                  leaseScope: String = "",
+                                  duringCommit: String => Unit = _ => ()): Set[String] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = leafDirs(fs, tmp, depth)
     val stagedMap = staged.toMap
-    (touched ++ staged.map(_._1)).distinct.foreach { spec =>
+    // the full plan, listed up front and persisted as the staging's replay
+    // manifest BEFORE the first mutation: a crash between any two file ops
+    // below is completed automatically by the next pass's
+    // [[resumeInterruptedCommits]] (or the cadence sweep), not by a human
+    val plan = (touched ++ staged.map(_._1)).distinct.map { spec =>
       val dir = new org.apache.hadoop.fs.Path(root, spec)
-      if (fs.exists(dir)) dataFiles(fs, dir).foreach { st =>
-        if (!fs.delete(st.getPath, false)) throw new IllegalStateException(
-          s"rename-commit could not delete stale ${st.getPath} — staging kept at $tmp")
+      val stale = if (fs.exists(dir)) dataFiles(fs, dir).map(_.getPath.getName)
+                  else Seq.empty[String]
+      val moves = stagedMap.get(spec)
+        .map(from => dataFiles(fs, from).map(_.getPath.getName))
+        .getOrElse(Seq.empty[String])
+      (spec, stale, moves)
+    }
+    writeManifest(fs, tmp, name,
+      if (leaseScope.isEmpty) name else leaseScope, root, plan)
+    plan.foreach { case (spec, stale, moves) =>
+      val dir = new org.apache.hadoop.fs.Path(root, spec)
+      stale.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(dir, f)
+        if (fs.exists(p) && !fs.delete(p, false)) throw new IllegalStateException(
+          s"rename-commit could not delete stale $p — staging kept at $tmp")
       }
-      stagedMap.get(spec).foreach { from =>
-        if (!fs.exists(dir)) fs.mkdirs(dir)
-        dataFiles(fs, from).foreach { st =>
-          if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, st.getPath.getName)))
-            throw new IllegalStateException(
-              s"rename-commit could not move ${st.getPath} into $dir — staging kept at $tmp")
-        }
+      duringCommit(spec) // crash seam: stale gone, staged not yet moved
+      if (moves.nonEmpty && !fs.exists(dir)) fs.mkdirs(dir)
+      moves.foreach { f =>
+        if (!fs.rename(new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(tmp, spec), f),
+            new org.apache.hadoop.fs.Path(dir, f)))
+          throw new IllegalStateException(
+            s"rename-commit could not move staged $f into $dir — staging kept at $tmp")
       }
     }
     staged.map(_._1).toSet
@@ -231,10 +363,15 @@ object Compaction {
                    maxBatchBytes: Long = 4L << 30,
                    idCol: String = "vec_id",
                    beforeOverwrite: () => Unit = () => (),
-                   leaseScope: String = ""): Report =
+                   leaseScope: String = "",
+                   duringCommit: String => Unit = _ => ()): Report =
     MaintenanceLease.withLease(spark,
         if (leaseScope.isEmpty) name else leaseScope) {
     val t0 = System.nanoTime()
+    // a previous pass that crashed mid-commit left a manifest-bearing
+    // staging: complete it now (idempotent replay), so the table this pass
+    // reads is whole and crash recovery needs no human
+    resumeInterruptedCommits(spark, name)
     val all = partitionStats(spark, name)
     val need = all.filter(p => p.files >= minFiles && p.files > p.packedFiles(targetBytes))
     if (need.isEmpty)
@@ -353,7 +490,9 @@ object Compaction {
           } else {
             val tRelist = System.nanoTime() // residual window opens here
             keepTmp = true // an exception mid-commit must keep the staging
-            renameCommit(spark, name, root, tmp, partCols.size, specs)
+            renameCommit(spark, name, root, tmp, partCols.size, specs,
+              leaseScope = if (leaseScope.isEmpty) name else leaseScope,
+              duringCommit = duringCommit)
             keepTmp = false
             commitWindow = math.max(commitWindow, (System.nanoTime() - tRelist) / 1e9)
             compacted ++= batch

@@ -88,12 +88,13 @@ object DocLifecycle {
     * [[IvfCatalog.appendChunks]] appends each batch's pairs. Superset
     * semantics: see object scaladoc. */
   def docCells(spark: SparkSession, dir: String, nlist: Int,
-               trained: Boolean = false): DataFrame = {
-    val name = docCellsName(dir, nlist, trained)
-    val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+               trained: Boolean = false, gen: Long = -1L): DataFrame = {
+    val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, gen)
+    val store = TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist, trained), g)
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
-    TableStore.getOrBuild(spark, name) {
+    TableStore.getOrBuildGen(spark, IvfCatalog.chunkGroup(dir, nlist, trained),
+        docCellsName(dir, nlist, trained), g) { name =>
       rebuildDocCells(spark, store, name)
     }
   }
@@ -111,9 +112,15 @@ object DocLifecycle {
     * already a contract violation the lease fails loudly on); a table
     * still missing after the tolerance fails loudly. */
   private[graft] def appendDocCells(spark: SparkSession, dir: String, nlist: Int,
-                                    trained: Boolean, assigned: DataFrame): Unit = {
-    val name = docCellsName(dir, nlist, trained)
-    MaintenanceLock(name) {
+                                    trained: Boolean, assigned: DataFrame,
+                                    gen: Long = -1L): Unit = {
+    val logical = docCellsName(dir, nlist, trained)
+    val name = TableStore.physGen(logical,
+      IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, gen))
+    // the lock key is the LOGICAL name — stable across generation flips,
+    // so the swap-vs-append exclusion never depends on which generation
+    // either side resolved
+    MaintenanceLock(logical) {
       var waited = 0
       while (!spark.catalog.tableExists(name)) {
         if (waited >= 30) throw new IllegalStateException(
@@ -163,16 +170,22 @@ object DocLifecycle {
   def compactDocCells(spark: SparkSession, dir: String, nlist: Int,
                       trained: Boolean = false,
                       beforeSwap: () => Unit = () => ()): Unit = {
-    val name = docCellsName(dir, nlist, trained)
+    val logical = docCellsName(dir, nlist, trained)
+    // lease scope and lock key stay LOGICAL (stable across generation
+    // flips); table operations use the generation-resolved physical names.
+    // Resolution inside the lease is flip-atomic: a cutover needs the same
+    // lease scope, so the generation cannot move under this pass.
+    MaintenanceLease.withLease(spark, IvfCatalog.chunkStoreName(dir, nlist, trained)) {
+    val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, -1L)
+    val name = TableStore.physGen(logical, g)
     if (spark.catalog.tableExists(name)) {
-      val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
-      MaintenanceLease.withLease(spark, store) {
+      val store = TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist, trained), g)
       val stage = s"${name}__cstage${System.nanoTime()}"
       try {
         spark.catalog.refreshTable(store)
         rebuildDocCells(spark, store, stage)
         beforeSwap()
-        MaintenanceLock(name) {
+        MaintenanceLock(logical) {
           // late-pair merge: anything appended to the index since the
           // rebuild's store snapshot is in the live index but not the
           // staging. Keep exactly those with live store rows (a completed
@@ -262,8 +275,8 @@ object DocLifecycle {
   /** The cells the index lists for the edit batch — a bucket-pruned read;
     * ≤ nlist values by construction. */
   private def cellsOf(spark: SparkSession, dir: String, nlist: Int,
-                      trained: Boolean, eids: EditIds): Seq[Long] =
-    eids.keep(docCells(spark, dir, nlist, trained))
+                      trained: Boolean, eids: EditIds, gen: Long): Seq[Long] =
+    eids.keep(docCells(spark, dir, nlist, trained, gen))
       .select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
 
@@ -424,10 +437,13 @@ object DocLifecycle {
                       beforeOverwrite: () => Unit = () => (),
                       bulkThreshold: Int = BulkThreshold,
                       maxBatchBytes: Long = 4L << 30): (Long, Long) = {
-    val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+    MaintenanceLease.withLease(spark, IvfCatalog.chunkStoreName(dir, nlist, trained)) {
+    // generation resolved ONCE inside the lease (which excludes cutover
+    // flips): every table this edit touches belongs to one generation
+    val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, -1L)
+    val store = TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist, trained), g)
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
-    MaintenanceLease.withLease(spark, store) {
     val d = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
       .dropDuplicates(idCol, textCol) // a doc redelivered verbatim in one batch
     val multiRev = d.groupBy(col(idCol)).count()
@@ -440,13 +456,13 @@ object DocLifecycle {
     val chunks = Pipelines.featurePipeline(d, qualityThreshold, idCol, textCol)
       .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
     val assigned = Similarity.ivfAssign(chunks,
-        IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained), idCol = "chunk_id")
+        IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g), idCol = "chunk_id")
       .dropDuplicates("chunk_id") // belt: content-derived ids can't collide across docs
       .cache()
     val eids = new EditIds(spark, ids, bulkThreshold)
     val newCells = assigned.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val oldCells = cellsOf(spark, dir, nlist, trained, eids)
+    val oldCells = cellsOf(spark, dir, nlist, trained, eids, g)
     val touched = (newCells ++ oldCells).distinct
     spark.catalog.refreshTable(store)
     // counted eagerly, BEFORE the rewrite removes exactly these rows
@@ -463,7 +479,7 @@ object DocLifecycle {
         val pairs = graft.operators.Dedup.embeddingPairsCelledIncrementalById(
           assigned.select(col("chunk_id"), col("embedding")),
           eids.drop(spark.table(store)),
-          IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained),
+          IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
           flagMinCosine, flagNprobe)
         val bIds = assigned.select(col("chunk_id"))
         val flags = pairs.select(col("left_id").as("chunk_id"), col("right_id").as("__other"))
@@ -480,16 +496,18 @@ object DocLifecycle {
     // mutation order is the crash-convergence contract (object scaladoc):
     // (1) index pairs FIRST — a crash after leaves superset false positives,
     //     pairs-after would leave live rows in unlisted cells forever;
-    appendDocCells(spark, dir, nlist, trained, assigned)
+    appendDocCells(spark, dir, nlist, trained, assigned, gen = g)
     val codesTable =
       if (pqM == 0) None
-      else Some(IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained))
+      else Some(TableStore.physGen(
+          IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained), g))
         .filter(spark.catalog.tableExists)
     // (2) replacement codes SECOND (idempotent by id) — visible-raw-but-
     //     uncoded is the one state with no converging replay;
     codesTable.foreach { _ =>
       IvfPqCatalog.appendChunkCodes(spark, dir,
-        assigned.select(col("chunk_id"), col("embedding")), nlist, pqM, pqKsub, trained)
+        assigned.select(col("chunk_id"), col("embedding")), nlist, pqM, pqKsub, trained,
+        gen = g)
     }
     // (3) the raw-store rewrite — fingerprint-defended, retried on a race,
     //     and byte-batched: each batch rewrites ≤ maxBatchBytes of store
@@ -536,12 +554,13 @@ object DocLifecycle {
                       beforeOverwrite: () => Unit = () => (),
                       bulkThreshold: Int = BulkThreshold,
                       maxBatchBytes: Long = 4L << 30): Long = {
-    val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+    MaintenanceLease.withLease(spark, IvfCatalog.chunkStoreName(dir, nlist, trained)) {
+    val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, -1L)
+    val store = TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist, trained), g)
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
-    MaintenanceLease.withLease(spark, store) {
     val eids = new EditIds(spark, ids, bulkThreshold)
-    val touched = cellsOf(spark, dir, nlist, trained, eids)
+    val touched = cellsOf(spark, dir, nlist, trained, eids, g)
     if (touched.isEmpty) 0L
     else {
     spark.catalog.refreshTable(store)
@@ -553,7 +572,8 @@ object DocLifecycle {
       overwriteCellsRetrying(spark, store, cb, base => eids.drop(base), beforeOverwrite)
     }
     if (pqM > 0) {
-      val codes = IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained)
+      val codes = TableStore.physGen(
+        IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained), g)
       if (spark.catalog.tableExists(codes)) {
         batches.foreach { cb =>
           val liveIds = spark.table(store)

@@ -42,6 +42,23 @@ object IvfCatalog {
   def chunkStoreName(dir: String, centroids: Int, trained: Boolean = false): String =
     TableStore.tableName(if (trained) s"ivfchunksk$centroids" else s"ivfchunks$centroids", dir)
 
+  /** Generation-pointer group key for the chunk index family of
+    * (dir, centroids, mode) — store, centroids, doc→cells and code tables
+    * flip TOGETHER under one pointer ([[TableStore.currentGen]]), so a
+    * probe that resolves the pointer once can never pair one generation's
+    * centroids with another's store. */
+  def chunkGroup(dir: String, centroids: Int, trained: Boolean = false): String =
+    chunkStoreName(dir, centroids, trained)
+
+  /** Resolve the chunk-index generation: `gen >= 0` is a caller's already-
+    * resolved nonce (one resolution spans every accessor the caller
+    * bundles); `-1` reads the pointer now. */
+  private[graft] def resolveChunkGen(spark: SparkSession, dir: String,
+                                     centroids: Int, trained: Boolean,
+                                     gen: Long): Long =
+    if (gen >= 0L) gen
+    else TableStore.currentGen(spark, chunkGroup(dir, centroids, trained))
+
   private def storeName(centroids: Int, step: Long, trained: Boolean, dir: String) =
     vectorStoreName(dir, centroids, step, trained)
 
@@ -125,9 +142,10 @@ object IvfCatalog {
   }
 
   def chunkCentroidsStored(spark: SparkSession, dir: String, centroids: Int,
-                           trained: Boolean = false): DataFrame = {
-    val name = chunkCentroidsName(dir, centroids, trained)
-    TableStore.getOrBuild(spark, name) {
+                           trained: Boolean = false, gen: Long = -1L): DataFrame = {
+    val g = resolveChunkGen(spark, dir, centroids, trained, gen)
+    TableStore.getOrBuildGen(spark, chunkGroup(dir, centroids, trained),
+        chunkCentroidsName(dir, centroids, trained), g) { name =>
       (if (trained)
          Similarity.kmeansCentroids(ChunkCatalog.flatChunks(spark, dir), centroids)
        else chunkCentroids(spark, dir, centroids))
@@ -143,9 +161,10 @@ object IvfCatalog {
     * (chunk_id, document_id, word_count, embedding); everything else joins
     * back from the bucketed chunk table by chunk_id when needed. */
   def assignedChunks(spark: SparkSession, dir: String, centroids: Int,
-                     trained: Boolean = false): DataFrame = {
-    val name = chunkStoreName(dir, centroids, trained)
-    TableStore.getOrBuild(spark, name) {
+                     trained: Boolean = false, gen: Long = -1L): DataFrame = {
+    val g = resolveChunkGen(spark, dir, centroids, trained, gen)
+    TableStore.getOrBuildGen(spark, chunkGroup(dir, centroids, trained),
+        chunkStoreName(dir, centroids, trained), g) { name =>
       // near_dup_of: materialized curation signal — null for the base
       // corpus; the doc-ingest loop stamps it on appended chunks that
       // near-dup a stored (or batch-mate) chunk, so admission policy
@@ -153,7 +172,7 @@ object IvfCatalog {
       val chunks = ChunkCatalog.flatChunks(spark, dir)
         .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
         .withColumn("near_dup_of", org.apache.spark.sql.functions.lit(null).cast("string"))
-      Similarity.ivfAssign(chunks, chunkCentroidsStored(spark, dir, centroids, trained),
+      Similarity.ivfAssign(chunks, chunkCentroidsStored(spark, dir, centroids, trained, gen = g),
           idCol = "chunk_id")
         .repartition(col("centroid_id")) // see clusterWrite note below
         .write.mode("overwrite")
@@ -173,19 +192,27 @@ object IvfCatalog {
     * refresh). `newChunks` carries (chunk_id, document_id, word_count,
     * embedding) — the store's lean retrieval payload. */
   def appendChunks(spark: SparkSession, dir: String, newChunks: DataFrame,
-                   centroids: Int, trained: Boolean = false): Unit = {
-    val name = chunkStoreName(dir, centroids, trained)
+                   centroids: Int, trained: Boolean = false): Unit =
+    // the gate spans resolution + both appends: a generation cutover can
+    // never flip between this append's centroid assignment and its rows
+    // landing (a flip mid-append would strand the rows in a generation
+    // about to be dropped); parked appends resume post-flip, re-resolve,
+    // and land in the new generation
+    CutoverGate.entered(chunkGroup(dir, centroids, trained)) {
+    val g = resolveChunkGen(spark, dir, centroids, trained, -1L)
+    val name = TableStore.physGen(chunkStoreName(dir, centroids, trained), g)
     require(spark.catalog.tableExists(name),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
     val assigned = Similarity.ivfAssign(newChunks,
-      chunkCentroidsStored(spark, dir, centroids, trained), idCol = "chunk_id")
+      chunkCentroidsStored(spark, dir, centroids, trained, gen = g), idCol = "chunk_id")
     // materialize the (doc, cell) pairs BEFORE the append: ingest-loop
     // batches derive from an anti-join against THIS store, and the append's
     // refreshTable invalidates that lineage — a post-append re-evaluation
     // would see its own rows in the store and produce ZERO pairs, silently
     // violating the index's never-miss-a-cell contract
     val docPairs =
-      if (spark.catalog.tableExists(DocLifecycle.docCellsName(dir, centroids, trained)))
+      if (spark.catalog.tableExists(TableStore.physGen(
+            DocLifecycle.docCellsName(dir, centroids, trained), g)))
         Some(assigned.select(col("document_id"), col("centroid_id"))
           .distinct().localCheckpoint(true))
       else None
@@ -202,7 +229,8 @@ object IvfCatalog {
     // append hasn't happened either) or entirely committed (merge sees live
     // rows for the late pairs and preserves them).
     def doAppend(): Unit = {
-      docPairs.foreach(p => DocLifecycle.appendDocCells(spark, dir, centroids, trained, p))
+      docPairs.foreach(p =>
+        DocLifecycle.appendDocCells(spark, dir, centroids, trained, p, gen = g))
       val aligned = spark.table(name).schema.fields.map { f =>
         if (assigned.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
@@ -215,7 +243,7 @@ object IvfCatalog {
     if (docPairs.isDefined)
       MaintenanceLock(DocLifecycle.docCellsName(dir, centroids, trained))(doAppend())
     else doAppend()
-  }
+    }
 
   /** Append one ingest batch to the stored index — the write half of the
     * incremental celled loop, completing the story

@@ -149,11 +149,13 @@ object IvfPqCatalog {
     * chunk_id). Keyed on the codebook fingerprint: a retrained codebook
     * can never silently reuse stale codes. */
   def encodedChunks(spark: SparkSession, dir: String, nlist: Int,
-                    m: Int, ksub: Int, trained: Boolean = false): DataFrame = {
+                    m: Int, ksub: Int, trained: Boolean = false,
+                    gen: Long = -1L): DataFrame = {
     val cb = chunkCodebookStored(spark, dir, m, ksub, trained)
-    val name = chunkCodesName(dir, nlist, m, ksub, trained, cb)
-    TableStore.getOrBuild(spark, name) {
-      val store = IvfCatalog.assignedChunks(spark, dir, nlist, trained)
+    val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, gen)
+    TableStore.getOrBuildGen(spark, IvfCatalog.chunkGroup(dir, nlist, trained),
+        chunkCodesName(dir, nlist, m, ksub, trained, cb), g) { name =>
+      val store = IvfCatalog.assignedChunks(spark, dir, nlist, trained, gen = g)
       Similarity.pqEncode(store, cb, idCol = "chunk_id", embCol = "embedding")
         .join(store.select("chunk_id", "centroid_id"), "chunk_id")
         .repartition(col("centroid_id")) // one file per cell (clusterWrite)
@@ -184,14 +186,20 @@ object IvfPqCatalog {
     * `newChunks` carries (chunk_id, embedding). */
   def appendChunkCodes(spark: SparkSession, dir: String, newChunks: DataFrame,
                        nlist: Int, m: Int, ksub: Int,
-                       trained: Boolean = false): Unit = {
+                       trained: Boolean = false, gen: Long = -1L): Unit =
+    // same gate as IvfCatalog.appendChunks (reentrant when the docs loop
+    // already holds it): codes must land in the generation whose centroids
+    // assigned them, and never mid-flip
+    CutoverGate.entered(IvfCatalog.chunkGroup(dir, nlist, trained)) {
     val cb = chunkCodebookStored(spark, dir, m, ksub, trained)
-    val name = chunkCodesName(dir, nlist, m, ksub, trained, cb)
+    val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, gen)
+    val name = TableStore.physGen(chunkCodesName(dir, nlist, m, ksub, trained, cb), g)
     require(spark.catalog.tableExists(name),
       s"stored IVFADC code table for '$dir' not built — encodedChunks first")
     val assigned = Similarity.ivfAssign(
         newChunks.select(col("chunk_id"), col("embedding")),
-        IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained), idCol = "chunk_id")
+        IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
+        idCol = "chunk_id")
       .cache()
     val cells = assigned.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ nlist by construction
@@ -210,5 +218,5 @@ object IvfPqCatalog {
       .write.mode("append").insertInto(name)
     assigned.unpersist()
     spark.catalog.refreshTable(name)
-  }
+    }
 }

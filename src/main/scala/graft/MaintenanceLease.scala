@@ -170,3 +170,58 @@ object MaintenanceLock {
   def apply[A](key: String)(body: => A): A =
     locks.computeIfAbsent(key, _ => new Object).synchronized(body)
 }
+
+/** The append-vs-cutover handshake that mechanizes the reindex cutover's
+  * quiesce: ingest APPENDS never take the [[MaintenanceLease]] (ingest
+  * must not block on maintenance), but a generation cutover
+  * ([[Reindex.rebuildChunkIndex]]) needs a few seconds with no append in
+  * flight — its final reconcile diff must converge, and an append landing
+  * between the last empty diff and the pointer flip would be stranded in
+  * the old generation. Previously that quiesce was operator-manual (the
+  * cutover failed loudly and a human paused the loop); this gate closes it
+  * by mechanism.
+  *
+  * A fair per-group read-write lock: appends run under [[entered]] (shared
+  * — appends never wait on each other), the cutover's
+  * final-converge-and-flip critical section under [[closed]] (exclusive).
+  * Fairness makes the close request PARK later appends instead of being
+  * starved by a continuous append stream; parked appends resume after the
+  * flip, re-resolve the generation pointer, and land in the NEW
+  * generation. The park lasts exactly the cutover's critical section —
+  * one delta-sized reconcile plus a metadata flip, seconds.
+  *
+  * Same-JVM, like [[MaintenanceLock]] — the deployment shape runs all of
+  * one pipeline's loops on one driver. A cross-JVM appender is outside the
+  * gate's reach; the cutover's bounded reconcile rounds still fail loudly
+  * on its non-converging diff (the pre-gate contract), so the failure mode
+  * is unchanged there: loud, never silent loss. Lock ordering: the gate is
+  * acquired BEFORE any [[MaintenanceLock]] and never while holding one;
+  * lease-holding writers (edits, compaction, splits) do not take the gate
+  * at all — the lease itself excludes them from the cutover window. */
+object CutoverGate {
+  private val gates = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def gate(key: String) =
+    gates.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock(true))
+
+  /** Run an append for `group` — shared; parks only while a cutover's
+    * critical section is closing/closed on the same group. */
+  def entered[A](group: String)(body: => A): A = {
+    val l = gate(group).readLock()
+    l.lock()
+    try body finally l.unlock()
+  }
+
+  /** Run a cutover critical section for `group` — exclusive. Bounded
+    * wait: an append wedged past `maxWaitMs` fails the cutover loudly
+    * (the old generation keeps serving) rather than deadlocking it. */
+  def closed[A](group: String, maxWaitMs: Long = 60 * 1000L)(body: => A): A = {
+    val l = gate(group).writeLock()
+    if (!l.tryLock(maxWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new IllegalStateException(
+        s"cutover gate for '$group' could not close within $maxWaitMs ms — " +
+          "an append has been in flight that long; investigate the append loop")
+    try body finally l.unlock()
+  }
+}

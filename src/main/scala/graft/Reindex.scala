@@ -27,8 +27,10 @@ import graft.operators.Similarity
   *
   *  1. '''Stage centroids''': derive the new-generation centroid table
   *     from the CURRENT old store's embeddings (k-means in trained mode,
-  *     the hash-seeded sample otherwise) into a `__rstage`-suffixed
-  *     sibling. Sampling drift from writes landing mid-derivation is
+  *     the hash-seeded sample otherwise) — directly under its final
+  *     `__gen<nonce>` physical name, like every staged table here:
+  *     invisible until the pointer flip, so there is nothing to rename at
+  *     cutover. Sampling drift from writes landing mid-derivation is
   *     harmless — assignment uses the frozen result, same contract as any
   *     build.
   *  2. '''Stage the store''': fingerprint-snapshot the old store's
@@ -57,21 +59,23 @@ import graft.operators.Similarity
   *     doc→cells index derives from the staged store
   *     ([[DocLifecycle.rebuildDocCells]]'s one shape).
   *  5. '''Cutover''' (holding the OLD store's [[MaintenanceLease]], so
-  *     edits and compaction are excluded by mechanism): run final
+  *     edits and compaction are excluded by mechanism): run leased
   *     reconcile rounds — now also patching the staged code table and
-  *     appending doc→cells pairs — until a diff comes back empty, then
-  *     swap each staged table to its natural new-generation name. The
-  *     swap is rename-ASIDE then rename-IN (all metadata ops): a live
-  *     natural table is first renamed to a `__retired`-suffixed sibling,
-  *     the staged table renamed into the natural name, and the retired
-  *     copies dropped only after EVERY member of the generation landed —
-  *     so at no instant is the staged table the only copy of anything,
-  *     and a kill between any two renames leaves both the old data
-  *     (under `__retired`) and the new (under `__rstage`/natural). A diff
-  *     that will not quiesce fails loudly: ingest APPENDS do not take the
-  *     lease (ingest never blocks on maintenance), so the operator pauses
-  *     the append loop for the seconds the cutover needs, exactly the
-  *     quiesce the compaction commit window asks for.
+  *     appending doc→cells pairs — then close the [[CutoverGate]] (ingest
+  *     appends, which never take the lease, PARK for the seconds this
+  *     takes — the mechanized form of the quiesce that used to be
+  *     operator-manual), reconcile the final delta until a diff comes
+  *     back empty (guaranteed to converge: nothing can write the old
+  *     generation inside the gate), and FLIP the group's generation
+  *     pointer ([[TableStore.flipGen]] — one atomic rename) to the staged
+  *     nonce. There are no table renames at all: the staging was built
+  *     under its final `__gen<nonce>` physical names, invisible until the
+  *     pointer references them. Parked appends resume, re-resolve the
+  *     pointer, and land in the new generation; racing probes that
+  *     resolved the old generation either finish against its still-intact
+  *     tables or fail with the retriable stale class once the old tables
+  *     drop, re-resolve, and serve the new generation — zero wrong
+  *     answers, no reader quiesce, for SAME-nlist swaps too.
   *
   * '''Removal soundness.''' Step 3's removal must find which STAGED cells
   * can hold rows that came from a changed old cell, without scanning the
@@ -86,32 +90,40 @@ import graft.operators.Similarity
   * document_id maps changed old cells → candidate staged cells; false
   * positives cost a pruned read, a miss is impossible by construction.
   *
-  * '''Generations and retargeting.''' With `newNlist != oldNlist` the new
-  * generation lives under its own natural names: the old generation keeps
-  * serving until the cutover completes, probes/loops retarget by passing
-  * `newNlist` (the serving configuration is (dir, nlist, trained) — that
-  * pair IS the blue/green switch), and [[dropChunkGeneration]] reclaims
-  * the old tables once nothing reads them. With `newNlist == oldNlist`
-  * (a same-shape re-centroid, e.g. seeded→retrained drift repair) the
-  * swap REPLACES the live generation in place: readers must be quiet for
-  * the four renames — metadata-width, but a probe interleaving them could
-  * pair new centroids with the old store and prune wrong cells, which no
-  * fail-loud contract catches.
+  * '''Generations and retargeting.''' Every (dir, nlist, trained) family
+  * is one pointer GROUP ([[IvfCatalog.chunkGroup]]): probes resolve the
+  * group's current generation nonce ONCE per operation and read the
+  * `__gen<nonce>`-suffixed physical tables (nonce 0 = the natural names
+  * every first build creates), so a probe can never pair one generation's
+  * centroids with another's store — the race the old in-place
+  * DROP+RENAME swap left open for same-nlist re-centroids is closed by
+  * indirection, not by quiescing readers. With `newNlist != oldNlist`
+  * the flip targets the NEW family's pointer and the old family keeps
+  * serving untouched — probes/loops retarget by passing `newNlist`, and
+  * [[dropChunkGeneration]] reclaims the old family once nothing reads
+  * it. With `newNlist == oldNlist` the flip retires the group's own old
+  * generation, whose physical tables are dropped after the flip (a
+  * mid-scan reader fails loudly and recovers via
+  * [[TableStore.retryingStale]]'s re-resolve — the serve-under-
+  * maintenance contract, now covering re-centroids too).
   *
-  * '''Crash recovery.''' All staged tables carry `__rstage` in their
-  * names: a JVM kill mid-rebuild leaves them for
-  * [[TableStore.sweepOrphans]]' age-gated sweep, and the old generation
-  * is untouched (nothing mutates it before the cutover's renames). A LIVE
-  * rebuild's staging is protected from the cadence sweep by a per-nonce
-  * heartbeat ([[TableStore.touchHeartbeat]], touched every phase and
-  * reconcile round) — a base pass outliving the sweep horizon must not
-  * lose its write-once staged centroid table. A kill mid-CUTOVER leaves
-  * natural names absent with the old copy under `__retired` (and the new
-  * under `__rstage` or already landed): the sweep refuses any marked
-  * table whose natural sibling is missing, whatever its age, and
-  * re-running the rebuild heals first ([[healInterruptedSwap]] — restores
-  * the complete retired generation, dropping any partial new-generation
-  * pieces, which are re-stageable by construction) before staging afresh.
+  * '''Crash recovery is structural.''' The pointer never references an
+  * incomplete generation (the flip is the last mutating step and is one
+  * atomic rename), so a JVM kill at ANY instant leaves a fully-serving
+  * index: pre-flip, the old generation is still referenced and the
+  * `__gen<nonce>` staging is unreferenced debris; post-flip, the new
+  * generation serves and the replaced generation's tables are debris.
+  * Debris is reclaimed three ways, all safe by construction: the failed
+  * run's own catch (pre-flip only — post-flip staging IS the serving
+  * index), the next rebuild's entry reclaim ([[reclaimNonCurrent]] — any
+  * family table not referenced by its group's pointer), and
+  * [[TableStore.sweepOrphans]]' age-gated cadence sweep, which refuses
+  * gen-tagged tables whose nonce a live pointer references and — via the
+  * per-nonce heartbeat a daemon thread touches for the rebuild's whole
+  * life ([[TableStore.touchHeartbeat]]) — the staging of any LIVE
+  * rebuild, however long its base pass runs. Concurrent rebuilds of one
+  * corpus directory are serialized by a dir-scoped [[MaintenanceLease]]
+  * held (and heartbeat-refreshed) for the whole rebuild.
   */
 object Reindex {
 
@@ -190,46 +202,29 @@ object Reindex {
       .bucketBy(32, "document_id").sortBy("document_id")
       .format("parquet").saveAsTable(table)
 
-  /** Restore generations whose cutover crashed between renames. A
-    * `<natural>__retired<nonce>` table with its natural name ABSENT is the
-    * signature: the swap renamed the live table aside and died before the
-    * staged one landed. Healing restores the COMPLETE retired generation
-    * of that nonce — including members whose natural slot a partial swap
-    * already filled with new-generation data (a mixed generation would
-    * pair new centroids with an old store and prune wrong cells), which
-    * are dropped; they are re-stageable by construction. A nonce whose
-    * every natural survived (crash after the last rename, before
-    * reclaim) has redundant copies — those are dropped. Nonces heal in
-    * order, newest last, so the most recent serving generation wins.
-    * No-op when nothing is broken. */
-  private[graft] def healInterruptedSwap(spark: SparkSession,
-                                         naturals: Seq[String],
-                                         partitioned: Set[String]): Unit = {
-    val lcNaturals = naturals.map(_.toLowerCase(java.util.Locale.ROOT))
-    val lcPartitioned = partitioned.map(_.toLowerCase(java.util.Locale.ROOT))
-    val retired = spark.sessionState.catalog.listTables("default")
-      .map(_.table).flatMap { t =>
-        val i = t.indexOf("__retired")
-        if (i <= 0) None
-        else {
-          val natural = t.substring(0, i)
-          if (lcNaturals.contains(natural)) Some((t.substring(i + 9), natural, t))
-          else None
-        }
-      }
-    retired.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, group) =>
-      val broken = group.exists { case (_, natural, _) =>
-        !spark.catalog.tableExists(natural) }
-      group.foreach { case (_, natural, aside) =>
-        if (broken) {
-          if (spark.catalog.tableExists(natural))
-            spark.sql(s"DROP TABLE IF EXISTS $natural") // partial new-gen piece
-          spark.sql(s"ALTER TABLE $aside RENAME TO $natural")
-          if (lcPartitioned.contains(natural))
-            spark.sql(s"ALTER TABLE $natural RECOVER PARTITIONS")
-          spark.catalog.refreshTable(natural)
-        } else spark.sql(s"DROP TABLE IF EXISTS $aside") // swap completed — redundant
-      }
+  /** Drop every physical variant of `logicals` that its group's pointer
+    * does not currently reference — the entry/exit reclaim of the
+    * pointer-flip cutover. Covers: a crashed pre-flip run's `__gen` staging
+    * (pointer never moved), a crashed post-flip run's replaced generation
+    * (pointer moved, drops didn't finish), a rebuild-private
+    * `__gen<nonce>_oldpairs` log, and — after a flip onto a family that
+    * had an independent natural-name build — those bare naturals. Caller
+    * holds the dir's reindex lease, so no live rebuild's staging can be
+    * caught here (and the cadence sweep's heartbeat/pointer refusals guard
+    * the cross-JVM case). `group(logical)` maps each logical name to its
+    * pointer group. */
+  private[graft] def reclaimNonCurrent(spark: SparkSession,
+                                       logicals: Seq[String],
+                                       group: String => String): Unit = {
+    val tables = spark.sessionState.catalog.listTables("default").map(_.table)
+    logicals.distinct.foreach { logical =>
+      val lc = logical.toLowerCase(java.util.Locale.ROOT)
+      val current = TableStore.physGen(lc,
+        TableStore.currentGen(spark, group(logical)))
+      val variant = s"^${java.util.regex.Pattern.quote(lc)}(__gen\\d+(_oldpairs)?)?$$".r
+      tables.filter(t => variant.findFirstIn(t).isDefined)
+        .filterNot(_ == current)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
 
@@ -237,18 +232,21 @@ object Reindex {
     * frozen centroids) to `newNlist` with freshly derived centroids, blue/
     * green. `pqM > 0` carries the IVFADC code table into the new
     * generation (the codebook is nlist-independent and reused). Returns a
-    * [[Report]]; the new generation is live under its natural
-    * (dir, newNlist, trained) names when this returns.
+    * [[Report]]; the new generation is live — referenced by the
+    * (dir, newNlist, trained) group's generation pointer — when this
+    * returns.
     *
-    * `beforeRounds` / `beforeCutover` / `beforeSwap` are the race spec's
-    * injection seams: after the staged build (before the first reconcile
-    * round), after codes+pairs staging (before the lease), and INSIDE the
-    * lease after the final diff converges (before the renames — note it
-    * runs on the rebuild's own thread, where the lease is reentrant; a
-    * concurrent writer belongs on another thread). `duringSwap(natural)`
-    * is the crash spec's seam: invoked per table AFTER its live copy is
-    * renamed aside and BEFORE the staged one renames in — a throw there
-    * is the mid-cutover kill. */
+    * `beforeRounds` / `beforeCutover` / `beforeSwap` / `afterFlip` are the
+    * race/crash specs' injection seams: after the staged build (before the
+    * first reconcile round), after codes+pairs staging (before the lease),
+    * INSIDE the closed cutover gate after the final diff converges (just
+    * before the pointer flip — a throw here is the crash that must leave
+    * the old generation serving untouched), and directly after the flip
+    * (before the replaced generation's tables drop — a throw here is the
+    * crash that must leave the NEW generation serving, its debris owned by
+    * the next run / the sweep). Note the seams run on the rebuild's own
+    * thread, where its leases are reentrant; a concurrent writer belongs
+    * on another thread. */
   def rebuildChunkIndex(spark: SparkSession, dir: String,
                         oldNlist: Int, newNlist: Int,
                         trained: Boolean = false,
@@ -258,53 +256,73 @@ object Reindex {
                         beforeRounds: () => Unit = () => (),
                         beforeCutover: () => Unit = () => (),
                         beforeSwap: () => Unit = () => (),
-                        duringSwap: String => Unit = _ => ()): Report = {
-    val oldStore = IvfCatalog.chunkStoreName(dir, oldNlist, trained)
-    val oldCents = IvfCatalog.chunkCentroidsName(dir, oldNlist, trained)
-    val oldDc = DocLifecycle.docCellsName(dir, oldNlist, trained)
-    val newStore = IvfCatalog.chunkStoreName(dir, newNlist, trained)
-    val newCents = IvfCatalog.chunkCentroidsName(dir, newNlist, trained)
-    val newDc = DocLifecycle.docCellsName(dir, newNlist, trained)
-    val nonce = System.nanoTime()
-    val stStore = s"${newStore}__rstage$nonce"
-    val stCents = s"${newCents}__rstage$nonce"
-    val stDc = s"${newDc}__rstage$nonce"
-    val stOldPairs = s"${oldDc}__rstage${nonce}_oldpairs"
+                        afterFlip: () => Unit = () => ()): Report = {
+    // one rebuild per corpus dir at a time: staging names, the private pair
+    // log, and the entry reclaim below all assume no sibling rebuild is
+    // mid-flight. Held (and keepalive-touched) for the whole run.
+    val reindexScope = TableStore.tableName("reindex", dir)
+    MaintenanceLease.withLease(spark, reindexScope) {
+    val oldGroup = IvfCatalog.chunkGroup(dir, oldNlist, trained)
+    val newGroup = IvfCatalog.chunkGroup(dir, newNlist, trained)
     val cb = if (pqM > 0) Some(IvfPqCatalog.chunkCodebookStored(spark, dir, pqM, pqKsub, trained))
              else None
-    val oldCodes = cb.map(IvfPqCatalog.chunkCodesName(dir, oldNlist, pqM, pqKsub, trained, _))
-    val newCodes = cb.map(IvfPqCatalog.chunkCodesName(dir, newNlist, pqM, pqKsub, trained, _))
-    val stCodes = newCodes.map(n => s"${n}__rstage$nonce")
-    // a previously interrupted cutover (kill between renames) left natural
-    // names absent with the generation's copies under __retired: restore
-    // the old generation FIRST, so the require below sees a serving index
-    // and the fresh staging starts from consistent state
-    healInterruptedSwap(spark,
-      (Seq(oldStore, oldCents, oldDc, newStore, newCents, newDc) ++
-        oldCodes.toSeq ++ newCodes.toSeq).distinct,
-      Set(oldStore, newStore) ++ oldCodes.toSeq ++ newCodes.toSeq)
+    // logical family names — lease scopes, pointer groups, reclaim keys
+    val oldStoreL = IvfCatalog.chunkStoreName(dir, oldNlist, trained)
+    val oldCentsL = IvfCatalog.chunkCentroidsName(dir, oldNlist, trained)
+    val oldDcL = DocLifecycle.docCellsName(dir, oldNlist, trained)
+    val newStoreL = IvfCatalog.chunkStoreName(dir, newNlist, trained)
+    val newCentsL = IvfCatalog.chunkCentroidsName(dir, newNlist, trained)
+    val newDcL = DocLifecycle.docCellsName(dir, newNlist, trained)
+    val oldCodesL = cb.map(IvfPqCatalog.chunkCodesName(dir, oldNlist, pqM, pqKsub, trained, _))
+    val newCodesL = cb.map(IvfPqCatalog.chunkCodesName(dir, newNlist, pqM, pqKsub, trained, _))
+    val oldFamily = Seq(oldStoreL, oldCentsL, oldDcL) ++ oldCodesL.toSeq
+    def groupOf(logical: String): String =
+      if (oldFamily.contains(logical)) oldGroup else newGroup
+    // debris of a crashed prior run — unreferenced gen-tagged tables of
+    // either family — is reclaimed up front (safe under the reindex lease)
+    reclaimNonCurrent(spark,
+      oldFamily ++ Seq(newStoreL, newCentsL, newDcL) ++ newCodesL.toSeq, groupOf)
+    // the OLD generation, resolved ONCE: nothing can flip it mid-rebuild
+    // (only a rebuild flips, and this lease serializes rebuilds)
+    val oldG = TableStore.currentGen(spark, oldGroup)
+    val oldStore = TableStore.physGen(oldStoreL, oldG)
+    val oldCodes = oldCodesL.map(TableStore.physGen(_, oldG))
     require(spark.catalog.tableExists(oldStore),
       s"stored chunk IVF index for '$dir' at nlist=$oldNlist not built — nothing to rebuild")
     oldCodes.foreach(n => require(spark.catalog.tableExists(n),
       s"pqM=$pqM but the old generation has no code table $n — build encodedChunks first"))
+    // the NEW generation's physical names, final from the first write:
+    // invisible to every reader until the pointer flip references the nonce
+    val nonce = System.nanoTime()
+    val stStore = TableStore.physGen(newStoreL, nonce)
+    val stCents = TableStore.physGen(newCentsL, nonce)
+    val stDc = TableStore.physGen(newDcL, nonce)
+    val stCodes = newCodesL.map(TableStore.physGen(_, nonce))
+    val stOldPairs = s"${oldDcL}__gen${nonce}_oldpairs"
 
     val schema = spark.table(oldStore).schema
     val storeCols = schema.fieldNames.toIndexedSeq
     var deltaRows = 0L
-    var renamed = false
+    var flipped = false
 
-    // liveness heartbeat for the sweep: the staged centroid table is
-    // written ONCE in phase 1 and never touched again, so a base pass
-    // outliving the sweep horizon would age it past deletion while still
-    // referenced — the per-nonce heartbeat stays young for the rebuild's
-    // whole life, whatever any single phase costs (a daemon toucher, not
-    // per-round touches, so a multi-hour assignment pass is covered too)
+    // liveness keepalive: the staged centroid table is written ONCE in
+    // phase 1 and never touched again, so a base pass outliving the sweep
+    // horizon would age it past deletion while still referenced — the
+    // per-nonce heartbeat stays young for the rebuild's whole life
+    // (a daemon toucher, not per-round touches, so a multi-hour assignment
+    // pass is covered too). The same thread refreshes the reindex lease's
+    // mtime so a waiter never TTL-breaks a live rebuild's lease.
     TableStore.touchHeartbeat(spark, nonce)
+    val leaseFile = MaintenanceLease.leasePath(spark, reindexScope)
     val hbThread = new Thread(() => {
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(60 * 1000L)
           TableStore.touchHeartbeat(spark, nonce)
+          try {
+            val lfs = leaseFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            lfs.setTimes(leaseFile, System.currentTimeMillis(), -1)
+          } catch { case _: Throwable => () }
         }
       } catch { case _: InterruptedException => () }
     })
@@ -319,7 +337,7 @@ object Reindex {
     // current rows under the new assignment, log both pair sides
     def reconcile(fp: Fp, cells: Seq[Long], withCodes: Boolean): Unit = {
       if (cells.isEmpty) return
-      val oldCentTbl = IvfCatalog.chunkCentroidsStored(spark, dir, oldNlist, trained)
+      val oldCentTbl = IvfCatalog.chunkCentroidsStored(spark, dir, oldNlist, trained, gen = oldG)
       val newCentTbl = spark.table(stCents)
       // current rows of the changed old cells, re-assigned to new centroids
       val incoming = Similarity.ivfAssign(
@@ -408,7 +426,7 @@ object Reindex {
         .format("parquet").saveAsTable(stStore)
       val baseRows = spark.table(stStore).count()
       // private pair logs: frozen old-index copy + staged-side index
-      DocLifecycle.docCells(spark, dir, oldNlist, trained)
+      DocLifecycle.docCells(spark, dir, oldNlist, trained, gen = oldG)
         .select("document_id", "centroid_id").distinct()
         .repartition(32, col("document_id"))
         .write.mode("overwrite")
@@ -452,13 +470,14 @@ object Reindex {
       }
       val tCodes = (System.nanoTime() - t3) / 1e9
 
-      // ---- 5. cutover under the old generation's lease: edits/compaction
-      // excluded by mechanism; ingest appends must quiesce or the diff
-      // below fails loudly rather than cutting over a moving target
+      // ---- 5. cutover under the old generation's lease (edits/compaction
+      // excluded by mechanism) — leased reconcile rounds with the gate
+      // still open, then the gate closes: ingest appends PARK for the
+      // seconds the final converge + pointer flip take
       beforeCutover()
       val t4 = System.nanoTime()
       var cutRounds = 0
-      MaintenanceLease.withLease(spark, oldStore) {
+      MaintenanceLease.withLease(spark, oldStoreL) {
         var cur = fingerprintAll(spark, oldStore)
         var changed = changedCells(fp, cur)
         while (changed.nonEmpty && cutRounds < 3) {
@@ -467,71 +486,50 @@ object Reindex {
           cur = fingerprintAll(spark, oldStore)
           changed = changedCells(fp, cur)
         }
-        if (changed.nonEmpty) throw new IllegalStateException(
-          s"old store $oldStore still changing after $cutRounds leased reconcile rounds — " +
-            "pause the ingest append loop for the cutover (edits are excluded by the lease; " +
-            "appends never block on maintenance by design)")
-        beforeSwap()
-        // the swap: metadata renames, one table at a time, rename-ASIDE
-        // then rename-IN — at no instant is the staged table the only copy
-        // of anything (a kill between renames leaves the old data under
-        // __retired and the new under __rstage/natural; healInterruptedSwap
-        // restores). Same-nlist swaps replace the live generation — readers
-        // quiesce for these renames.
-        MaintenanceLock(newDc) {
-          val swaps = Seq(stCents -> newCents, stStore -> newStore) ++
-            stCodes.zip(newCodes).map { case (s, n) => s -> n } ++ Seq(stDc -> newDc)
-          // any natural-name mutation makes the staging non-disposable:
-          // from here the catch block must never drop staged tables
-          renamed = true
-          val retired = Seq.newBuilder[String]
-          swaps.foreach { case (stage, natural) =>
-            if (spark.catalog.tableExists(natural)) {
-              val aside = s"${natural}__retired$nonce"
-              spark.sql(s"ALTER TABLE $natural RENAME TO $aside")
-              // re-point the aside table's per-partition locations at its
-              // moved directory (a partitioned rename does not rewrite
-              // them): a reclaim DROP — or a heal's rename-back — must
-              // only ever touch its OWN files
-              if (natural == newStore || newCodes.contains(natural))
-                spark.sql(s"ALTER TABLE $aside RECOVER PARTITIONS")
-              retired += aside
-            } else {
-              // a previous JVM's table files can survive the in-memory
-              // catalog (TableStore.getOrBuild clears the same leftovers):
-              // the managed-table RENAME moves the staged dir to the
-              // natural location and refuses if a stale one squats there
-              val loc = new org.apache.hadoop.fs.Path(
-                spark.conf.get("spark.sql.warehouse.dir"),
-                natural.toLowerCase(java.util.Locale.ROOT))
-              val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              if (lfs.exists(loc)) lfs.delete(loc, true)
-            }
-            duringSwap(natural) // crash seam: between aside and rename-in
-            spark.sql(s"ALTER TABLE $stage RENAME TO $natural")
-            // a partitioned table's catalog entries keep PER-PARTITION
-            // locations, which the rename does not rewrite — re-discover
-            // them from the moved directory (metadata listing, nlist-scale)
-            if (natural == newStore || newCodes.contains(natural))
-              spark.sql(s"ALTER TABLE $natural RECOVER PARTITIONS")
-            spark.catalog.refreshTable(natural)
+        CutoverGate.closed(oldGroup) {
+          // nothing same-JVM can write the old generation now: the final
+          // delta is one parked-append-free reconcile and MUST converge —
+          // a diff still moving means a cross-JVM writer outside the
+          // deployment contract, which stays a loud failure
+          var gateRounds = 0
+          var gCur = fingerprintAll(spark, oldStore)
+          var gChanged = changedCells(fp, gCur)
+          while (gChanged.nonEmpty && gateRounds < 2) {
+            reconcile(gCur, gChanged, withCodes = pqM > 0)
+            fp = gCur; cutRounds += 1; gateRounds += 1
+            gCur = fingerprintAll(spark, oldStore)
+            gChanged = changedCells(fp, gCur)
           }
-          // every member landed: the retired generation is redundant — reclaim
-          retired.result().foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          if (gChanged.nonEmpty) throw new IllegalStateException(
+            s"old store $oldStore still changing inside the CLOSED cutover gate — " +
+              "a cross-JVM writer is appending outside the deployment contract; " +
+              "quiesce it for the cutover")
+          beforeSwap()
+          // THE cutover: one atomic pointer rename. No table moves; the
+          // staged tables were built under their final physical names.
+          TableStore.flipGen(spark, newGroup, nonce)
+          flipped = true
         }
+        afterFlip()
+        // the replaced generation — same-nlist: this group's pre-flip
+        // tables; diff-nlist: a stale independent build of the new family,
+        // if one existed — is now unreferenced. Reclaim it (the OLD family
+        // of a diff-nlist rebuild keeps serving: its pointer is unmoved).
+        reclaimNonCurrent(spark,
+          Seq(newStoreL, newCentsL, newDcL) ++ newCodesL.toSeq, groupOf)
       }
       val tCut = (System.nanoTime() - t4) / 1e9
       Report(oldNlist, newNlist, baseRows, deltaRows, rounds, cutRounds,
         tCent, tBuild, tRounds, tCodes, tCut)
     } catch {
       case e: Throwable =>
-        // no rename happened: the old generation is intact and the staging
-        // is disposable. After the first rename, KEEP everything — dropping
-        // staged tables would destroy not-yet-renamed generation pieces;
-        // re-running the rebuild (or sweepOrphans, age-gated) recovers.
-        if (!renamed)
+        // pre-flip, the staging is unreferenced and disposable — the old
+        // generation never stopped serving. Post-flip the staging IS the
+        // serving generation: keep everything (the replaced generation's
+        // leftovers are owned by the next run's reclaim / the sweep).
+        if (!flipped)
           (Seq(stStore, stCents, stDc, stOldPairs) ++ stCodes.toSeq).foreach { t =>
-            spark.sql(s"DROP TABLE IF EXISTS $t") }
+            spark.sql(s"DROP TABLE IF EXISTS `$t`") }
         throw e
     } finally {
       hbThread.interrupt()
@@ -539,7 +537,8 @@ object Reindex {
         val hb = TableStore.heartbeatPath(spark, nonce)
         hb.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hb, false)
       } catch { case _: Throwable => () }
-      if (renamed) spark.sql(s"DROP TABLE IF EXISTS $stOldPairs")
+      if (flipped) spark.sql(s"DROP TABLE IF EXISTS `$stOldPairs`")
+    }
     }
   }
 
@@ -600,7 +599,8 @@ object Reindex {
                     maxCellBytes: Long = 4L << 30,
                     maxSplits: Int = 4,
                     beforeRewrite: () => Unit = () => ()): Seq[SplitReport] = {
-    val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+    val store = TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist, trained),
+      TableStore.currentGen(spark, IvfCatalog.chunkGroup(dir, nlist, trained)))
     if (!spark.catalog.tableExists(store)) return Nil
     val hot = Compaction.partitionStats(spark, store)
       .filter(_.bytes > maxCellBytes).sortBy(-_.bytes).take(maxSplits)
@@ -616,8 +616,11 @@ object Reindex {
                         beforeRewrite: () => Unit): SplitReport =
     MaintenanceLease.withLease(spark, IvfCatalog.chunkStoreName(dir, nlist, trained)) {
     val t0 = System.nanoTime()
-    val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
-    val centsName = IvfCatalog.chunkCentroidsName(dir, nlist, trained)
+    // generation resolved inside the lease (a cutover needs the same
+    // scope, so it cannot flip under this split)
+    val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, -1L)
+    val store = TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist, trained), g)
+    val centsName = TableStore.physGen(IvfCatalog.chunkCentroidsName(dir, nlist, trained), g)
     spark.catalog.refreshTable(store)
     val rows = spark.table(store)
       .filter(col("centroid_id") === cell && col("embedding").isNotNull)
@@ -651,9 +654,10 @@ object Reindex {
     val targets = moved.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     // 3. pairs BEFORE rows (the index must never miss a cell)
-    if (spark.catalog.tableExists(DocLifecycle.docCellsName(dir, nlist, trained)))
+    if (spark.catalog.tableExists(TableStore.physGen(
+          DocLifecycle.docCellsName(dir, nlist, trained), g)))
       DocLifecycle.appendDocCells(spark, dir, nlist, trained,
-        moved.select(col("document_id"), col("centroid_id")))
+        moved.select(col("document_id"), col("centroid_id")), gen = g)
     // 4. the store rewrite: moved ids land at their targets; anything ELSE
     //    in the parent (a raced-in append, retried through the fingerprint
     //    defense) stays put, keeping the parent alive. `beforeRewrite` is
@@ -668,7 +672,8 @@ object Reindex {
     })
     // 5. the code table relabels through the same map
     if (pqM > 0) {
-      val codes = IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained)
+      val codes = TableStore.physGen(
+        IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained), g)
       if (spark.catalog.tableExists(codes)) {
         val codeCols = spark.table(codes).schema.fieldNames.toIndexedSeq
         val map = moved.select(col("chunk_id"), col("centroid_id").as("__target"))
@@ -729,7 +734,8 @@ object Reindex {
                     triggerFactor: Double = 2.0): Option[Advice] = {
     require(triggerFactor >= 1.0, s"triggerFactor must be ≥ 1, got $triggerFactor")
     require(cellCapRows > 0, s"cellCapRows must be positive, got $cellCapRows")
-    val store = IvfCatalog.chunkStoreName(dir, nlist, trained)
+    val store = TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist, trained),
+      TableStore.currentGen(spark, IvfCatalog.chunkGroup(dir, nlist, trained)))
     if (!spark.catalog.tableExists(store)) return None
     val n = TableStore.retryingStale(spark, store) {
       spark.table(store).count()
@@ -748,12 +754,19 @@ object Reindex {
   def dropChunkGeneration(spark: SparkSession, dir: String, nlist: Int,
                           trained: Boolean = false,
                           pqM: Int = 0, pqKsub: Int = 32): Unit = {
+    val group = IvfCatalog.chunkGroup(dir, nlist, trained)
+    val g = TableStore.currentGen(spark, group)
     val codes =
       if (pqM > 0) Some(IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained))
       else None
     (Seq(IvfCatalog.chunkStoreName(dir, nlist, trained),
       IvfCatalog.chunkCentroidsName(dir, nlist, trained),
       DocLifecycle.docCellsName(dir, nlist, trained)) ++ codes.toSeq)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${TableStore.physGen(t, g)}"))
+    // the family is gone — retire its pointer so a future first build
+    // starts back at the natural names
+    val ptr = TableStore.genPointerPath(spark, group)
+    try ptr.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ptr, false)
+    catch { case _: Throwable => () }
   }
 }

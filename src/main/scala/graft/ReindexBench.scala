@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * — defaults: the ×1000 ScaleGen corpus, old = √n/3 (stale by a decade
   * under the √n law), new = √n, 200 delta docs per injected wave.
   * `SPARK_GRAFT_PQ=1` carries the IVFADC code table (m=48) through the
-  * rebuild — the compressed-serving deployment shape. */
+  * rebuild — the compressed-serving deployment shape. `SPARK_GRAFT_TRAINED=1`
+  * builds and rebuilds the TRAINED (k-means) generation — with PQ on, that
+  * is the full production serving shape end-to-end: trained centroids +
+  * codes re-celled by the staged assignment (one payload join, no
+  * re-encoding — the codes wall is printed separately). */
 object ReindexBench {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/tmp/graft_sf100")
@@ -51,18 +55,21 @@ object ReindexBench {
     val newNlist = args.lift(2).map(_.toInt).filter(_ > 0).getOrElse(sqrtN)
     val nDelta = args.lift(3).map(_.toInt).getOrElse(200)
     val pq = sys.env.get("SPARK_GRAFT_PQ").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val trained = sys.env.get("SPARK_GRAFT_TRAINED").exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val (pqM, pqKsub) = (if (pq) 48 else 0, 32)
     println(s"[reindex] corpus $dir: $nChunks chunks — rebuilding nlist $oldNlist → $newNlist" +
-      (if (pq) s", IVFADC m=$pqM along" else "") + s", $nDelta docs per injected wave")
+      (if (pq) s", IVFADC m=$pqM along" else "") +
+      (if (trained) ", TRAINED (k-means) mode" else "") +
+      s", $nDelta docs per injected wave")
 
     timed(s"OLD generation build at stale nlist=$oldNlist (ONCE)") {
-      IvfCatalog.assignedChunks(spark, dir, oldNlist).count()
+      IvfCatalog.assignedChunks(spark, dir, oldNlist, trained).count()
     }
     timed("docCells derivation (ONCE)") {
-      DocLifecycle.docCells(spark, dir, oldNlist).count()
+      DocLifecycle.docCells(spark, dir, oldNlist, trained).count()
     }
     if (pq) timed(s"OLD IVFADC code table build m=$pqM (ONCE)") {
-      IvfPqCatalog.encodedChunks(spark, dir, oldNlist, pqM, pqKsub).count()
+      IvfPqCatalog.encodedChunks(spark, dir, oldNlist, pqM, pqKsub, trained).count()
     }
 
     def mkDocs(tag: String, from: Long): Seq[(Long, String)] =
@@ -73,19 +80,19 @@ object ReindexBench {
       }
 
     val rep = Reindex.rebuildChunkIndex(spark, dir, oldNlist, newNlist,
-      pqM = pqM, pqKsub = pqKsub,
+      trained = trained, pqM = pqM, pqKsub = pqKsub,
       beforeRounds = () => timed(s"injected wave 1: $nDelta-doc ingest batch (old gen keeps serving)") {
         graft.streaming.StreamingIngest.ingestDocBatch(
           mkDocs("w1", 90000001L).toDF("doc_id", "text"), dir, oldNlist,
-          flagNearDups = false, pqM = pqM, pqKsub = pqKsub)
+          trained = trained, flagNearDups = false, pqM = pqM, pqKsub = pqKsub)
       },
       beforeCutover = () => timed(s"injected wave 2: $nDelta-doc ingest + 3-doc edit (pre-lease)") {
         graft.streaming.StreamingIngest.ingestDocBatch(
           mkDocs("w2", 90100001L).toDF("doc_id", "text"), dir, oldNlist,
-          flagNearDups = false, pqM = pqM, pqKsub = pqKsub)
+          trained = trained, flagNearDups = false, pqM = pqM, pqKsub = pqKsub)
         DocLifecycle.upsertDocChunks(spark, dir,
           mkDocs("w2edit", 90000001L).take(3).toDF("doc_id", "text"), oldNlist,
-          flagNearDups = false, pqM = pqM, pqKsub = pqKsub)
+          trained = trained, flagNearDups = false, pqM = pqM, pqKsub = pqKsub)
       })
     println(f"[reindex] REPORT nlist ${rep.oldNlist}→${rep.newNlist}: " +
       f"base=${rep.baseRows} rows, delta=${rep.deltaRows} rows replayed, " +
@@ -100,7 +107,7 @@ object ReindexBench {
     val probeText = mkDocs("w2", 90100001L).head._2
     val t0 = System.nanoTime()
     val top = pipelines.Pipelines.flagshipIvf(spark, dir,
-        queryText = probeText, nlist = newNlist,
+        queryText = probeText, nlist = newNlist, trained = trained,
         nprobe = math.max(4, newNlist / 64))
       .select($"document_id").as[Long].collect()
     println(f"[reindex] probe on NEW generation: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +

@@ -30,31 +30,56 @@ object TableStore {
     * run the action once more. Use around long-running reads that may
     * overlap a maintenance pass; reads that resolve through [[getOrBuild]]
     * immediately before scanning only need it if a pass can commit
-    * mid-scan. */
+    * mid-scan.
+    *
+    * The retried action must RE-RESOLVE what it reads (the probe paths
+    * do — generation resolution happens inside every accessor), because
+    * the stale state may be a generation flip, after which the old
+    * physical tables are gone entirely: the per-name refresh is
+    * best-effort (a vanished name is exactly the flip case — the re-run
+    * resolves the new generation and never touches the old name). */
   def retryingStale[A](spark: SparkSession, names: String*)(action: => A): A =
     try action catch {
       case e: Throwable if isStaleListing(e) =>
-        names.foreach(spark.catalog.refreshTable)
+        names.foreach { n =>
+          try spark.catalog.refreshTable(n) catch { case _: Throwable => () }
+        }
         action
     }
+
+  /** Thrown when a read resolved a generation whose tables a concurrent
+    * cutover already replaced — the retriable twin of the stale-listing
+    * `FileNotFoundException` (the re-run's fresh resolution sees the new
+    * generation). */
+  final class StaleGenerationException(msg: String) extends RuntimeException(msg)
 
   private[graft] def isStaleListing(e: Throwable): Boolean = {
     var t: Throwable = e
     while (t != null) {
       if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      if (t.isInstanceOf[StaleGenerationException]) return true
+      // a reader that resolved the OLD generation just before a pointer
+      // flip can find the table itself dropped (not just its files):
+      // same stale-read class, same recovery — re-run with fresh resolution
+      t match {
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getCondition == "TABLE_OR_VIEW_NOT_FOUND" => return true
+        case _ => ()
+      }
       t = if (t.getCause eq t) null else t.getCause
     }
     false
   }
 
-  /** Heartbeat marker for a LIVE rebuild's staging (nonce = the rebuild's
-    * staged-name suffix): [[Reindex.rebuildChunkIndex]] touches it at every
-    * phase boundary and reconcile round, and [[sweepOrphans]] skips
-    * `__rstage` entries whose nonce heartbeat is younger than the horizon —
-    * a base assignment pass outliving the sweep horizon (plausible at the
-    * 100 TB corpus scale the rebuild targets) must not lose its write-once
-    * staged centroid table to a cadence sweep. The marker itself is
-    * orphan-shaped and ages out with its rebuild. */
+  /** Heartbeat marker for a LIVE rebuild's staging (nonce = the staged
+    * generation's `__gen<nonce>` suffix): [[Reindex.rebuildChunkIndex]]'s
+    * keepalive thread touches it for the rebuild's whole life, and
+    * [[sweepOrphans]] skips staged entries whose nonce heartbeat is
+    * younger than the horizon — a base assignment pass outliving the
+    * sweep horizon (plausible at the 100 TB corpus scale the rebuild
+    * targets) must not lose its write-once staged centroid table to a
+    * cadence sweep. The marker itself is orphan-shaped and ages out with
+    * its rebuild. */
   private[graft] def heartbeatPath(spark: SparkSession, nonce: Long) =
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"__graft_hb_$nonce")
@@ -67,8 +92,102 @@ object TableStore {
     finally out.close()
   }
 
+  // ------------------------------------------------------------------
+  // Generation pointer — the indirection that makes EVERY chunk-index
+  // swap blue/green, including same-shape re-centroids.
+  //
+  // A `__graft_gen_<group>` file in the warehouse holds the group's
+  // current generation nonce; physical table names carry a `__gen<nonce>`
+  // suffix (nonce 0 = the unversioned natural names every first build
+  // creates, so a group that was never rebuilt has no pointer file and
+  // nothing changes). [[Reindex.rebuildChunkIndex]] stages a whole new
+  // generation under a fresh nonce — invisible: no pointer references
+  // it — then CUTS OVER with one atomic pointer rename. Readers resolve
+  // the pointer once per operation (one read covers every member of the
+  // group, so a probe can never pair new centroids with an old store),
+  // and a reader that loses the race — resolved old, scanned after the
+  // old generation dropped — fails with the retriable stale-read class
+  // above, re-resolves, and serves the new generation. Crash-safety is
+  // structural: the pointer never references an incomplete generation
+  // (the flip is the last step and is atomic), so a kill at ANY point
+  // leaves a fully-serving index.
+  // ------------------------------------------------------------------
+
+  private[graft] def genPointerPath(spark: SparkSession, group: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      "__graft_gen_" + group.replaceAll("[^a-zA-Z0-9_]", "_"))
+
+  /** The group's current generation nonce — 0 (natural names) when no
+    * pointer exists. A pointer that exists but cannot be read is an error,
+    * never silently treated as generation 0: misrouting to dropped natural
+    * names could trigger a from-source rebuild with fresh centroids. */
+  def currentGen(spark: SparkSession, group: String): Long = {
+    val p = genPointerPath(spark, group)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        val s = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        return s.toLong
+      } catch {
+        case _: java.io.FileNotFoundException => return 0L // deleted (dropGeneration)
+        case e: Throwable =>
+          attempt += 1
+          if (attempt >= 3) throw new IllegalStateException(
+            s"generation pointer $p exists but is unreadable — refusing to " +
+              "fall back to natural names (could resurrect a dropped generation)", e)
+          Thread.sleep(50)
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Physical table name of `logical` at generation `gen`. */
+  def physGen(logical: String, gen: Long): String =
+    if (gen == 0L) logical else s"${logical}__gen$gen"
+
+  /** Atomically re-point `group` at generation `gen`: write-temp + rename
+    * with OVERWRITE (atomic on HDFS and the local FS) — a reader sees the
+    * old nonce or the new, never an absent or partial pointer. */
+  private[graft] def flipGen(spark: SparkSession, group: String, gen: Long): Unit = {
+    val p = genPointerPath(spark, group)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val qp = fs.makeQualified(p)
+    val tmp = new org.apache.hadoop.fs.Path(
+      qp.getParent, qp.getName + s".tmp$gen")
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, conf)
+    fc.rename(fs.makeQualified(tmp), qp,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Every generation nonce referenced by any group's pointer — the
+    * liveness set [[sweepOrphans]] must never delete members of. */
+  private[graft] def referencedGens(spark: SparkSession): Set[Long] = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return Set.empty
+    fs.listStatus(wh).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("__graft_gen_") && !n.contains(".tmp"))
+      .map(n => currentGen(spark, n.stripPrefix("__graft_gen_")))
+      .toSet
+  }
+
   private val StageNonce = "__rstage(\\d+)".r
   private val Marked = "__(rstage|retired|cstage)(\\d+)".r
+  // a generation MEMBER: the gen tag is the name's tail (the rebuild's
+  // private pair log counts too). A staging derived FROM a gen-suffixed
+  // table (e.g. `foo__gen7__cstage9`) does not match — it is judged by
+  // its own cstage rules, not protected by the live pointer
+  private val GenTail = "__gen(\\d+)(_oldpairs)?$".r
 
   /** Sweep crash orphans out of the warehouse directory: a hard JVM kill
     * mid-maintenance leaks the nonce-suffixed spill dirs
@@ -88,10 +207,20 @@ object TableStore {
     * a catch-all). A `__compact_tmp`/`__upsert_tmp` orphan younger than a
     * crash-then-restart gap can be a mid-commit rewrite's staged content
     * (the rename-commit's recovery copy) — the horizon is what makes the
-    * sweep safe to run on a cadence.
+    * sweep safe to run on a cadence. An aged `__compact_tmp` that carries
+    * a commit MANIFEST is not discarded at all: it is an interrupted
+    * rename-commit whose staging holds the only copy of the rewritten
+    * partitions, and the sweep COMPLETES it ([[Compaction.resumeCommit]]'s
+    * idempotent replay, under the table's recorded lease scope) instead.
     *
-    * Two classes are refused REGARDLESS of age — deleting them could
-    * destroy the only surviving copy of an index:
+    * Generation-pointer tables: a `__gen<nonce>` table whose nonce any
+    * group's pointer references is a SERVING generation member — never an
+    * orphan, refused whatever its age; one no pointer references is an
+    * abandoned staging or a replaced generation, swept once aged (and, for
+    * a LIVE rebuild's staging, once its heartbeat goes quiet).
+    *
+    * Two further classes are refused REGARDLESS of age — deleting them
+    * could destroy the only surviving copy of an index:
     *  - every staged/retired table (`__rstage`/`__retired`/`__cstage`) of
     *    a nonce GROUP in which ANY member's natural sibling is absent:
     *    that is the signature of a crash between a cutover's renames,
@@ -115,6 +244,11 @@ object TableStore {
     if (!fs.exists(wh)) return Nil
     val horizon = System.currentTimeMillis() - olderThanMs
     val entries = fs.listStatus(wh).toSeq
+    // generation members referenced by a live pointer are SERVING tables,
+    // not orphans — protected whatever their age; everything gen-tagged
+    // whose nonce no pointer references is an abandoned staging or a
+    // replaced generation, reclaimable once aged (and heartbeat-quiet)
+    val liveGens = referencedGens(spark)
     // first pass: nonce groups with any member whose natural name is
     // absent are a crashed swap's recovery copies — refuse the WHOLE group
     def naturalAbsent(n: String): Boolean =
@@ -130,10 +264,12 @@ object TableStore {
     val removed = Seq.newBuilder[String]
     entries.foreach { st =>
       val n = st.getPath.getName
+      val genNonce = GenTail.findFirstMatchIn(n).map(_.group(1).toLong)
       val orphanShaped =
         n.startsWith("__upsert_tmp_") || n.startsWith("__compact_tmp_") ||
           n.contains("__cstage") || n.contains("__rstage") ||
           n.contains("__retired") ||
+          genNonce.exists(g => !liveGens.contains(g)) ||
           n.startsWith("__graft_lease_") || n.startsWith("__graft_hb_")
       if (orphanShaped) {
         val age =
@@ -142,22 +278,77 @@ object TableStore {
             fs.listStatus(st.getPath).toSeq.map(_.getModificationTime)).max
         val recoveryCopy = Marked.findFirstMatchIn(n)
           .exists(mt => brokenNonces.contains(mt.group(2)))
-        val hbYoung = StageNonce.findFirstMatchIn(n).exists { mt =>
-          val hb = heartbeatPath(spark, mt.group(1).toLong)
+        val nonce = StageNonce.findFirstMatchIn(n).map(_.group(1).toLong)
+          .orElse(genNonce)
+        val hbYoung = nonce.exists { nc =>
+          val hb = heartbeatPath(spark, nc)
           fs.exists(hb) && fs.getFileStatus(hb).getModificationTime >= horizon
         }
         if (age < horizon && !recoveryCopy && !hbYoung) {
-          // a staging table may still be registered under a persistent
-          // metastore — drop the catalog entry with its files
-          if ((n.contains("__cstage") || n.contains("__rstage") ||
-               n.contains("__retired")) && spark.catalog.tableExists(n))
-            spark.sql(s"DROP TABLE IF EXISTS `$n`")
-          if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
-          removed += n
+          val mf = new org.apache.hadoop.fs.Path(st.getPath, Compaction.ManifestFile)
+          if (n.startsWith("__compact_tmp_") && fs.exists(mf)) {
+            // an interrupted rename-commit's staging holds the ONLY copy of
+            // its rewritten partitions' content — COMPLETE the commit
+            // (idempotent manifest replay) rather than discard it. The
+            // manifest records the table's lease scope; a contended lease
+            // means a live writer owns the table — leave it for that
+            // writer's own entry resume / the next cadence.
+            try {
+              val scope = Compaction.manifestLeaseScope(fs, mf)
+              MaintenanceLease.withLease(spark, scope) {
+                Compaction.resumeCommit(spark, st.getPath)
+              }
+              removed += n
+            } catch { case _: Throwable => () }
+          } else {
+            // a staging table may still be registered under a persistent
+            // metastore — drop the catalog entry with its files
+            if ((n.contains("__cstage") || n.contains("__rstage") ||
+                 n.contains("__retired") || genNonce.isDefined) &&
+                spark.catalog.tableExists(n))
+              spark.sql(s"DROP TABLE IF EXISTS `$n`")
+            if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
+            removed += n
+          }
         }
       }
     }
     removed.result()
+  }
+
+  /** [[getOrBuild]] through the generation pointer: read the physical
+    * table for `logical` at `gen` (a nonce the caller resolved via
+    * [[currentGen]] — once per operation, so every member of a group
+    * resolves consistently), building via `write` ONLY at the unversioned
+    * generation 0. A versioned generation is written exclusively by
+    * [[Reindex.rebuildChunkIndex]]'s staging — regenerating one from
+    * source here would derive fresh centroids that no longer match the
+    * stored assignments, so a missing versioned table fails loudly (or,
+    * when the miss is a lost race against a concurrent flip, with the
+    * retriable [[StaleGenerationException]] so the probe re-resolves). */
+  def getOrBuildGen(spark: SparkSession, group: String, logical: String,
+                    gen: Long)(write: String => Unit): DataFrame = {
+    val name = physGen(logical, gen)
+    if (gen != 0L) {
+      if (!spark.catalog.tableExists(name)) {
+        if (currentGen(spark, group) != gen) throw new StaleGenerationException(
+          s"$logical resolved generation $gen but the pointer moved before the read")
+        throw new IllegalStateException(
+          s"generation pointer for '$group' names $name but the table is missing — " +
+            "restore the generation or drop the pointer; refusing to rebuild from " +
+            "source (fresh centroids would not match the stored assignments)")
+      }
+      spark.catalog.refreshTable(name)
+      spark.table(name)
+    } else getOrBuild(spark, name) {
+      // the build path re-checks the pointer: a reader that resolved
+      // generation 0 just before a flip must not resurrect the dropped
+      // natural tables from source — it re-resolves and reads the new
+      // generation instead
+      if (currentGen(spark, group) != 0L) throw new StaleGenerationException(
+        s"$logical resolved generation 0 but the pointer moved before the build")
+      write(name)
+    }
   }
 
   /** Get `name` from the session catalog, running `write` (which must

@@ -201,8 +201,13 @@ object Pipelines {
                   k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
                   trained: Boolean = false): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained)
-    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained)
+    // ONE generation resolution spans the store + centroid reads: a probe
+    // can never pair one generation's centroids with another's store, and
+    // a lost race against a cutover fails with the retriable stale class
+    // (callers under TableStore.retryingStale re-resolve and re-probe)
+    val g = graft.TableStore.currentGen(spark, graft.IvfCatalog.chunkGroup(dir, nlist, trained))
+    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained, gen = g)
+    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g)
     val hits = graft.operators.Similarity.ivfSearchPruned(store, cents, Embedder.embedText(queryText),
       k = k, nprobe = nprobe, idCol = "chunk_id")
     Attribution.attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"))
@@ -229,8 +234,9 @@ object Pipelines {
     require(queryTexts.distinct.size == queryTexts.size,
       "query texts are the result key — duplicates would be indistinguishable")
     val docs = graft.Tables.documents(spark, dir)
-    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained)
-    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained)
+    val g = graft.TableStore.currentGen(spark, graft.IvfCatalog.chunkGroup(dir, nlist, trained))
+    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained, gen = g)
+    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g)
     val queries = queryTexts.map(t => (t, Embedder.embedText(t).toSeq))
       .toDF("qid", "qvec")
     val hits = graft.operators.Similarity.ivfSearchPrunedBatch(store, cents,
@@ -265,10 +271,11 @@ object Pipelines {
     require(queryTexts.distinct.size == queryTexts.size,
       "query texts are the result key — duplicates would be indistinguishable")
     val docs = graft.Tables.documents(spark, dir)
-    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained)
-    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained)
+    val g = graft.TableStore.currentGen(spark, graft.IvfCatalog.chunkGroup(dir, nlist, trained))
+    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained, gen = g)
+    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g)
     val cb = graft.IvfPqCatalog.chunkCodebookStored(spark, dir, m, ksub, trained)
-    val codes = graft.IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub, trained)
+    val codes = graft.IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub, trained, gen = g)
     val queries = queryTexts.map(t => (t, Embedder.embedText(t).toSeq))
       .toDF("qid", "qvec")
     val hits = graft.operators.Similarity.ivfPqSearchPrunedBatch(codes, store,
@@ -304,10 +311,11 @@ object Pipelines {
                     m: Int = 48, ksub: Int = 32, rerankFactor: Int = 16,
                     trained: Boolean = false): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
-    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained)
-    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained)
+    val g = graft.TableStore.currentGen(spark, graft.IvfCatalog.chunkGroup(dir, nlist, trained))
+    val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained, gen = g)
+    val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g)
     val cb = graft.IvfPqCatalog.chunkCodebookStored(spark, dir, m, ksub, trained)
-    val codes = graft.IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub, trained)
+    val codes = graft.IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub, trained, gen = g)
     val hits = graft.operators.Similarity.ivfPqSearchPruned(codes, store, cents, cb,
       Embedder.embedText(queryText), k = k, nprobe = nprobe,
       rerankFactor = rerankFactor, idCol = "chunk_id")

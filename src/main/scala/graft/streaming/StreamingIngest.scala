@@ -190,13 +190,21 @@ object StreamingIngest {
                      flagNprobe: Int = 2,
                      pqM: Int = 0, pqKsub: Int = 32): (Long, Long) = {
     val spark = docs.sparkSession
-    val storeName = IvfCatalog.chunkStoreName(dir, nlist, trained)
+    // the whole batch — dedup anti-join, near-dup flag, codes, rows — runs
+    // inside the cutover gate with ONE generation resolution: a reindex
+    // flip parks the batch for its seconds-wide critical section instead
+    // of stranding this batch's rows in a dropped generation
+    graft.CutoverGate.entered(IvfCatalog.chunkGroup(dir, nlist, trained)) {
+    val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, -1L)
+    val storeName = graft.TableStore.physGen(
+      IvfCatalog.chunkStoreName(dir, nlist, trained), g)
     require(spark.catalog.tableExists(storeName),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
     val chunks = Pipelines.featurePipeline(docs, qualityThreshold, idCol, textCol)
       .select(col("chunk_id"), col("document_id"), col("word_count"), col("embedding"))
     val assigned = graft.operators.Similarity.ivfAssign(chunks,
-      IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained), idCol = "chunk_id").cache()
+      IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
+      idCol = "chunk_id").cache()
     val cells = assigned.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ nlist by construction
     spark.catalog.refreshTable(storeName) // see the latest appends (clone session)
@@ -216,7 +224,7 @@ object StreamingIngest {
           val pairs = Dedup.embeddingPairsCelledIncrementalById(
             survivors.select(col("chunk_id"), col("embedding")),
             spark.table(storeName),
-            IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained),
+            IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
             flagMinCosine, flagNprobe)
           // per surviving chunk: the smallest counterpart as representative
           // (counterparts can be stored chunks or batch-mates; batch-side
@@ -235,11 +243,13 @@ object StreamingIngest {
       // converges on replay (see appendChunkCodes scaladoc).
       if (pqM > 0)
         graft.IvfPqCatalog.appendChunkCodes(spark, dir,
-          survivors.select(col("chunk_id"), col("embedding")), nlist, pqM, pqKsub, trained)
+          survivors.select(col("chunk_id"), col("embedding")), nlist, pqM, pqKsub, trained,
+          gen = g)
       IvfCatalog.appendChunks(spark, dir, flagged.drop("centroid_id"), nlist, trained)
     }
     assigned.unpersist(); survivors.unpersist()
     (nDropped, nAppended)
+    }
   }
 
   /** One edit micro-batch's outcome, surfaced through `onBatch`. */
@@ -347,12 +357,18 @@ object StreamingIngest {
               flagNprobe, pqM, pqKsub)
           sinceCompact += 1
           if (compactEvery > 0 && sinceCompact >= compactEvery) {
+            graft.MaintenanceLease.withLease(spark,
+                IvfCatalog.chunkStoreName(dir, nlist, trained)) {
+            val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, -1L)
             Compaction.compactTable(spark,
-              IvfCatalog.chunkStoreName(dir, nlist, trained), idCol = "chunk_id")
+              graft.TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist, trained), g),
+              idCol = "chunk_id",
+              leaseScope = IvfCatalog.chunkStoreName(dir, nlist, trained))
             if (pqM > 0)
               Compaction.compactTable(spark,
-                graft.IvfPqCatalog.chunkCodesTableName(spark, dir, nlist,
-                  pqM, pqKsub, trained), idCol = "chunk_id",
+                graft.TableStore.physGen(
+                  graft.IvfPqCatalog.chunkCodesTableName(spark, dir, nlist,
+                    pqM, pqKsub, trained), g), idCol = "chunk_id",
                 leaseScope = IvfCatalog.chunkStoreName(dir, nlist, trained))
             graft.DocLifecycle.compactDocCells(spark, dir, nlist, trained)
             if (splitCellsOver > 0) // skew repair: bisect cells past the cap
@@ -363,6 +379,7 @@ object StreamingIngest {
             // tail): surface, never act — the rebuild needs a leased
             // cutover the cadence must not trigger implicitly
             graft.Reindex.reindexAdvice(spark, dir, nlist, trained).foreach(onAdvice)
+            }
             sinceCompact = 0
           }
           onBatch(EditReport(batchId, arrived, up, del, removed, added,
@@ -403,12 +420,22 @@ object StreamingIngest {
               trained, flagNearDups, flagMinCosine, flagNprobe, pqM, pqKsub)
           sinceCompact += 1
           if (compactEvery > 0 && sinceCompact >= compactEvery) {
+            // one leased block per cadence: the generation resolved inside
+            // the lease cannot flip under the pass (a cutover needs the
+            // same lease scope); lease scope stays LOGICAL, table names
+            // physical
+            graft.MaintenanceLease.withLease(batch.sparkSession,
+                IvfCatalog.chunkStoreName(dir, nlist, trained)) {
+            val g = IvfCatalog.resolveChunkGen(batch.sparkSession, dir, nlist, trained, -1L)
             Compaction.compactTable(batch.sparkSession,
-              IvfCatalog.chunkStoreName(dir, nlist, trained), idCol = "chunk_id")
+              graft.TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist, trained), g),
+              idCol = "chunk_id",
+              leaseScope = IvfCatalog.chunkStoreName(dir, nlist, trained))
             if (pqM > 0) // the code table fragments at the same cadence
               Compaction.compactTable(batch.sparkSession,
-                graft.IvfPqCatalog.chunkCodesTableName(batch.sparkSession, dir, nlist,
-                  pqM, pqKsub, trained), idCol = "chunk_id",
+                graft.TableStore.physGen(
+                  graft.IvfPqCatalog.chunkCodesTableName(batch.sparkSession, dir, nlist,
+                    pqM, pqKsub, trained), g), idCol = "chunk_id",
                 leaseScope = IvfCatalog.chunkStoreName(dir, nlist, trained))
             // the doc→cells secondary index fragments at the same cadence
             // too (one file per bucket per appended batch) and accumulates
@@ -425,6 +452,7 @@ object StreamingIngest {
             // cutover the cadence must not trigger implicitly
             graft.Reindex.reindexAdvice(batch.sparkSession, dir, nlist, trained)
               .foreach(onAdvice)
+            }
             sinceCompact = 0
           }
           onBatch(BatchReport(batchId, arrived, dropped, appended,

@@ -440,6 +440,64 @@ class CompactionSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("a crash mid rename-commit auto-resumes from the manifest — no human in the recovery path") {
+    import spark.implicits._
+    val tdir = "/tmp/graft_commit_resume_fixture"
+    val name = TableStore.tableName("ivf8_31", tdir)
+    Tables.embeddings(spark, dir).filter($"vec_id" < 100)
+      .write.mode("overwrite").parquet(tdir + "/embeddings.parquet")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    IvfCatalog.assignedEmbeddings(spark, tdir, 8, 31L).count()
+    def fragment(tag: Int): Unit = (1 to 3).foreach { i =>
+      IvfCatalog.appendBatch(spark, tdir,
+        Tables.embeddings(spark, tdir).filter($"vec_id" < 20)
+          .select(($"vec_id" + (tag * 10 + i) * 1000L).as("vec_id"), $"embedding"),
+        8, 31L)
+    }
+    fragment(1)
+    val wantDigest = digest(name)
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stagings(): Seq[String] = fs.listStatus(wh).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(s"__compact_tmp_${name}_"))
+
+    // crash at the WORST instant: the first partition's stale files are
+    // deleted, its staged replacements not yet moved — that partition's
+    // content exists only in the staging
+    val boom = intercept[RuntimeException] {
+      Compaction.compactTable(spark, name, targetBytes = 1L << 30,
+        duringCommit = _ => throw new RuntimeException("kill -9 mid-commit"))
+    }
+    assert(boom.getMessage === "kill -9 mid-commit")
+    assert(stagings().size === 1, "the staging must be kept as the recovery copy")
+    assert(Compaction.partitionStats(spark, name).exists(_.files === 0),
+      "the crash must have left a partition with its data only in staging")
+
+    // the NEXT maintenance pass heals automatically before compacting
+    Compaction.compactTable(spark, name, targetBytes = 1L << 30)
+    assert(digest(name) === wantDigest, "auto-resume must restore every row")
+    assert(stagings().isEmpty, "the completed staging is removed")
+    assert(!Compaction.partitionStats(spark, name).exists(_.files === 0))
+
+    // the cadence sweep is the other healer: crash again (fresh fragments),
+    // then sweep — an aged manifest-bearing staging is COMPLETED, never
+    // discarded
+    fragment(2)
+    val wantDigest2 = digest(name)
+    intercept[RuntimeException] {
+      Compaction.compactTable(spark, name, targetBytes = 1L << 30,
+        duringCommit = _ => throw new RuntimeException("kill -9 again"))
+    }
+    assert(stagings().size === 1)
+    val swept = TableStore.sweepOrphans(spark, olderThanMs = 0L)
+    assert(swept.exists(_.startsWith(s"__compact_tmp_${name}_")),
+      s"the sweep must complete-and-remove the interrupted commit, got $swept")
+    assert(stagings().isEmpty)
+    assert(digest(name) === wantDigest2,
+      "the sweep's resume must land the committed content, not discard it")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("sweepOrphans removes aged crash leftovers, keeps young staging and live tables") {
     import spark.implicits._
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))

@@ -29,14 +29,33 @@ class ReindexSpec extends AnyFunSuite {
     df.select("chunk_id", "centroid_id", "document_id")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
 
+  // generation-resolved physical names (the pointer moves on every flip)
+  private def genOf(nlist: Int): Long =
+    TableStore.currentGen(spark, IvfCatalog.chunkGroup(dir, nlist))
+  private def physStore(nlist: Int): String =
+    TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist), genOf(nlist))
+  private def physCents(nlist: Int): String =
+    TableStore.physGen(IvfCatalog.chunkCentroidsName(dir, nlist), genOf(nlist))
+  private def physDc(nlist: Int): String =
+    TableStore.physGen(DocLifecycle.docCellsName(dir, nlist), genOf(nlist))
+  private def physCodes(nlist: Int, m: Int, ksub: Int): String =
+    TableStore.physGen(IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, m, ksub), genOf(nlist))
+
   private def dropGen(nlist: Int, pqM: Int = 0, pqKsub: Int = 16): Unit = {
+    val g = genOf(nlist)
     if (pqM > 0 && spark.catalog.tableExists(
         TableStore.tableName(s"ivfpqcb_m${pqM}k$pqKsub", dir)))
-      spark.sql(s"DROP TABLE IF EXISTS ${IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${TableStore.physGen(
+        IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub), g)}")
     Seq(IvfCatalog.chunkStoreName(dir, nlist),
       IvfCatalog.chunkCentroidsName(dir, nlist),
-      DocLifecycle.docCellsName(dir, nlist)).foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t"))
+      DocLifecycle.docCellsName(dir, nlist)).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${TableStore.physGen(t, g)}")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    val ptr = TableStore.genPointerPath(spark, IvfCatalog.chunkGroup(dir, nlist))
+    try ptr.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ptr, false)
+    catch { case _: Throwable => () }
   }
 
   test("quiet rebuild to a new nlist equals the from-scratch build") {
@@ -60,23 +79,27 @@ class ReindexSpec extends AnyFunSuite {
     val oracleRows = Similarity.ivfAssign(chunks, oracleCents, idCol = "chunk_id")
       .select("chunk_id", "centroid_id", "document_id")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val rebuilt = snapshot(spark.table(IvfCatalog.chunkStoreName(dir, b)))
+    val rebuilt = snapshot(spark.table(physStore(b)))
     assert(rebuilt === oracleRows, "rebuilt store must equal the from-scratch assignment")
     assert(rebuilt.map(t => (t._1, t._3)) === before.map(t => (t._1, t._3)),
       "same rows, new cells")
     // the new generation's centroid table equals the from-scratch derivation
-    val gotCents = spark.table(IvfCatalog.chunkCentroidsName(dir, b))
+    val gotCents = spark.table(physCents(b))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
     val wantCents = oracleCents.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
     assert(gotCents === wantCents)
     // doc→cells covers every live pair; probe serves end to end at b
     val live = rebuilt.map(t => (t._3, t._2))
-    val idx = spark.table(DocLifecycle.docCellsName(dir, b))
+    val idx = spark.table(physDc(b))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(live.subsetOf(idx))
     assert(Pipelines.flagshipIvf(spark, dir, nlist = b, nprobe = 4).count() === 10L)
-    // no staging leaks
-    assert(!spark.catalog.listTables().collect().exists(_.name.contains("__rstage")))
+    // no staging leaks: the rebuild-private pair log is gone, and the only
+    // gen-tagged tables are the new generation's own (pointer-referenced)
+    assert(!spark.catalog.listTables().collect().exists(_.name.contains("_oldpairs")))
+    val liveGen = genOf(b)
+    assert(spark.catalog.listTables().collect().map(_.name)
+      .filter(_.contains("__gen")).forall(_.endsWith(s"__gen$liveGen")))
     // blue/green completion: retire the old generation
     Reindex.dropChunkGeneration(spark, dir, a)
     assert(!spark.catalog.tableExists(IvfCatalog.chunkStoreName(dir, a)))
@@ -125,10 +148,10 @@ class ReindexSpec extends AnyFunSuite {
     spark.catalog.refreshTable(storeA)
     val finalOld = spark.table(storeA)
     val want = Similarity.ivfAssign(finalOld.drop("centroid_id"),
-        spark.table(IvfCatalog.chunkCentroidsName(dir, b)), idCol = "chunk_id")
+        spark.table(physCents(b)), idCol = "chunk_id")
       .select("chunk_id", "centroid_id", "document_id")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val got = snapshot(spark.table(IvfCatalog.chunkStoreName(dir, b)))
+    val got = snapshot(spark.table(physStore(b)))
     assert(got === want, "new generation must equal the re-assigned final old store")
     assert(got.exists(_._3 == 940001L) && got.exists(_._3 == 940002L))
     assert(!got.exists(_._3 == deletedId))
@@ -136,8 +159,8 @@ class ReindexSpec extends AnyFunSuite {
       snapshot(finalOld).filter(_._3 == editedId).map(_._1))
 
     // the code table mirrors the new store exactly (no dead, no missing)
-    val codesB = spark.table(IvfPqCatalog.chunkCodesTableName(spark, dir, b, m, ksub))
-    val storeB = spark.table(IvfCatalog.chunkStoreName(dir, b))
+    val codesB = spark.table(physCodes(b, m, ksub))
+    val storeB = spark.table(physStore(b))
     assert(codesB.count() === storeB.count())
     assert(codesB.join(storeB, Seq("chunk_id"), "left_anti").count() === 0L)
     assert(storeB.join(codesB, Seq("chunk_id"), "left_anti").count() === 0L)
@@ -145,7 +168,7 @@ class ReindexSpec extends AnyFunSuite {
       storeB.select("chunk_id", "centroid_id")).count() === 0L,
       "codes must sit in the same cells as their rows")
     // doc→cells superset over the new generation
-    val idx = spark.table(DocLifecycle.docCellsName(dir, b))
+    val idx = spark.table(physDc(b))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.map(t => (t._3, t._2)).subsetOf(idx))
     // the mid-rebuild arrival is PROBE-visible through the compressed path
@@ -320,18 +343,21 @@ class ReindexSpec extends AnyFunSuite {
     assert(leaseError.exists(_.getMessage.contains("maintenance lease")),
       s"the in-cutover edit must fail on the lease, got: $leaseError")
     assert(rep.oldNlist === a && rep.newNlist === a)
-    // in-place: same names now hold the re-derived generation, same rows
-    spark.catalog.refreshTable(IvfCatalog.chunkStoreName(dir, a))
-    val after = spark.table(IvfCatalog.chunkStoreName(dir, a))
+    // the pointer now names the re-derived generation — same rows, and the
+    // pre-flip natural tables are reclaimed
+    assert(genOf(a) !== 0L, "a same-nlist rebuild must flip the generation pointer")
+    assert(!spark.catalog.tableExists(IvfCatalog.chunkStoreName(dir, a)),
+      "the replaced generation's tables must be reclaimed after the flip")
+    val after = spark.table(physStore(a))
       .select("chunk_id", "document_id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(after === beforeRows, "same-nlist swap keeps every row")
     val want = Similarity.ivfAssign(
-        spark.table(IvfCatalog.chunkStoreName(dir, a)).drop("centroid_id"),
-        spark.table(IvfCatalog.chunkCentroidsName(dir, a)), idCol = "chunk_id")
+        spark.table(physStore(a)).drop("centroid_id"),
+        spark.table(physCents(a)), idCol = "chunk_id")
       .select("chunk_id", "centroid_id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val gotCells = spark.table(IvfCatalog.chunkStoreName(dir, a))
+    val gotCells = spark.table(physStore(a))
       .select("chunk_id", "centroid_id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(gotCells === want, "stored assignment must match the new centroid table")
@@ -339,66 +365,199 @@ class ReindexSpec extends AnyFunSuite {
     dropGen(a)
   }
 
-  test("mid-cutover crash: both copies survive, the sweep refuses the group, a re-run heals") {
+  test("a crash at any cutover instant leaves a serving index; the sweep refuses live generations") {
     val a = 29
     dropGen(a)
     IvfCatalog.assignedChunks(spark, dir, a).count()
     DocLifecycle.docCells(spark, dir, a).count()
-    val storeName = IvfCatalog.chunkStoreName(dir, a)
-    val centName = IvfCatalog.chunkCentroidsName(dir, a)
-    spark.catalog.refreshTable(storeName)
-    val beforeRows = spark.table(storeName).select("chunk_id", "document_id")
+    val storeL = IvfCatalog.chunkStoreName(dir, a)
+    val group = IvfCatalog.chunkGroup(dir, a)
+    val beforeRows = spark.table(physStore(a)).select("chunk_id", "document_id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
 
-    // kill the swap between the store's rename-aside and its rename-in —
-    // the exact instant where DROP+RENAME used to leave the staged table
-    // as the only copy (the centroid table has already fully swapped, so
-    // the crash state is a MIXED partial generation)
-    val boom = intercept[RuntimeException] {
+    // crash 1: INSIDE the closed gate, just before the pointer flip. The
+    // pointer never moved — the old generation never stopped serving; the
+    // run's own catch disposes the unreferenced staging
+    val boom1 = intercept[RuntimeException] {
       Reindex.rebuildChunkIndex(spark, dir, a, a,
-        duringSwap = n => if (n == storeName) throw new RuntimeException("kill -9"))
+        beforeSwap = () => throw new RuntimeException("kill -9 pre-flip"))
     }
-    assert(boom.getMessage === "kill -9")
-    def tables() = spark.sessionState.catalog.listTables("default").map(_.table)
-    assert(!spark.catalog.tableExists(storeName))
-    assert(tables().exists(_.startsWith(storeName + "__retired")),
-      "the live store must have been renamed aside, not dropped")
-    assert(tables().exists(_.startsWith(storeName + "__rstage")),
-      "the staged store must still exist after the crash")
+    assert(boom1.getMessage === "kill -9 pre-flip")
+    assert(genOf(a) === 0L, "a pre-flip crash must not move the pointer")
+    assert(spark.catalog.tableExists(storeL))
+    assert(Pipelines.flagshipIvf(spark, dir, nlist = a, nprobe = 4).count() === 10L)
 
-    // the sweep must refuse EVERY member of the crashed nonce group — even
-    // at horizon zero, and even members whose natural name survived (the
-    // already-swapped centroid table's retired copy is what healing needs)
+    // crash 2: right AFTER the flip, before the replaced generation drops —
+    // the HARD-kill shape that used to strand the index. The new generation
+    // serves immediately; the old tables are debris with an owner
+    val boom2 = intercept[RuntimeException] {
+      Reindex.rebuildChunkIndex(spark, dir, a, a,
+        afterFlip = () => throw new RuntimeException("kill -9 post-flip"))
+    }
+    assert(boom2.getMessage === "kill -9 post-flip")
+    val gFlipped = genOf(a)
+    assert(gFlipped !== 0L, "the flip landed before the crash")
+    assert(spark.catalog.tableExists(storeL),
+      "the replaced generation's tables survive a post-flip crash (debris, not loss)")
+    spark.catalog.refreshTable(physStore(a))
+    val served = spark.table(physStore(a)).select("chunk_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(served === beforeRows, "the new generation serves every row")
+    assert(Pipelines.flagshipIvf(spark, dir, nlist = a, nprobe = 4).count() === 10L)
+
+    // the cadence sweep must refuse the SERVING generation whatever its
+    // age (its nonce is pointer-referenced) — and may reclaim the debris
     val swept = TableStore.sweepOrphans(spark, olderThanMs = 0L)
-    assert(!swept.exists(n => n.contains("__retired") ||
-      n.startsWith(storeName + "__rstage")),
-      s"sweep deleted a recovery copy: $swept")
-    assert(tables().exists(_.startsWith(centName + "__retired")),
-      "the swapped-ahead centroid table's retired copy must survive the sweep")
+    assert(!swept.exists(_.contains(s"__gen$gFlipped")),
+      s"sweep deleted a pointer-referenced generation member: $swept")
+    assert(spark.catalog.tableExists(physStore(a)))
 
-    // re-running the rebuild heals the old generation first, then completes
+    // a re-run completes the interrupted story: entry reclaim owns the
+    // debris, the rebuild lands a fresh generation, nothing is lost
     val rep = Reindex.rebuildChunkIndex(spark, dir, a, a)
     assert(rep.oldNlist === a && rep.newNlist === a)
-    spark.catalog.refreshTable(storeName)
-    val after = spark.table(storeName).select("chunk_id", "document_id")
+    assert(!spark.catalog.tableExists(storeL),
+      "the re-run's reclaim must drop the crashed run's natural-name debris")
+    val after = spark.table(physStore(a)).select("chunk_id", "document_id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(after === beforeRows, "recovery must lose no rows")
-    val want = Similarity.ivfAssign(
-        spark.table(storeName).drop("centroid_id"),
-        spark.table(centName), idCol = "chunk_id")
+    val wantCells = Similarity.ivfAssign(
+        spark.table(physStore(a)).drop("centroid_id"),
+        spark.table(physCents(a)), idCol = "chunk_id")
       .select("chunk_id", "centroid_id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val gotCells = spark.table(storeName).select("chunk_id", "centroid_id")
+    val gotCells = spark.table(physStore(a)).select("chunk_id", "centroid_id")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(gotCells === want, "healed store must match its centroid table")
+    assert(gotCells === wantCells, "the served store must match its centroid table")
     assert(Pipelines.flagshipIvf(spark, dir, nlist = a, nprobe = 4).count() === 10L)
-    // on success the aside copies are reclaimed, and with every natural
-    // name back the crashed run's leftovers become ordinary aged orphans
-    assert(!tables().exists(_.contains("__retired")),
-      "the retired generation must be reclaimed after a successful swap")
-    val cleaned = TableStore.sweepOrphans(spark, olderThanMs = 0L)
-    assert(cleaned.exists(_.startsWith(storeName + "__rstage")),
-      "the crashed staging must sweep once its natural sibling is back")
+
+    // sweep liveness rules on planted debris: an unreferenced aged __gen
+    // table sweeps; a young heartbeat protects a live rebuild's staging
+    import spark.implicits._
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aged = s"${storeL}__gen111"
+    val alive = s"${storeL}__gen222"
+    Seq(aged, alive).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      Seq((1L, "x")).toDF("id", "v").write.format("parquet").saveAsTable(t)
+      val d = new org.apache.hadoop.fs.Path(wh, t)
+      val old = System.currentTimeMillis() - 24 * 3600 * 1000L
+      fs.listStatus(d).foreach(st => fs.setTimes(st.getPath, old, -1))
+      fs.setTimes(d, old, -1)
+    }
+    TableStore.touchHeartbeat(spark, 222L)
+    val swept2 = TableStore.sweepOrphans(spark)
+    assert(swept2.contains(aged), "aged unreferenced staging must sweep")
+    assert(!swept2.contains(alive) && spark.catalog.tableExists(alive),
+      "a young heartbeat must protect a live rebuild's staging, whatever its table age")
+    spark.sql(s"DROP TABLE IF EXISTS `$alive`")
+    val hb = TableStore.heartbeatPath(spark, 222L)
+    hb.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hb, false)
+    dropGen(a)
+  }
+
+  test("same-nlist rebuild is a pointer flip: a racing probe loop sees zero wrong answers, no quiesce") {
+    import spark.implicits._
+    val a = 37
+    dropGen(a)
+    IvfCatalog.assignedChunks(spark, dir, a).count()
+    DocLifecycle.docCells(spark, dir, a).count()
+    def mk(word: String): String =
+      (1 to 3).map(i => s"The $word ledger records page $i and appends the " +
+        "surviving chunks into the partitioned serving store.").mkString(" ")
+    // grow the corpus so the re-derived centroids differ from the build's
+    graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq((960001L, mk("garnet"))).toDF("doc_id", "text"), dir, a)
+    def probeOnce(): Seq[(String, Double)] =
+      TableStore.retryingStale(spark, IvfCatalog.chunkStoreName(dir, a)) {
+        Pipelines.flagshipIvf(spark, dir, nlist = a, nprobe = 2)
+          .select("chunk_id", "score")
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      }
+    val oldAnswer = probeOnce()
+
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(String, Double)]]()
+    @volatile var probeError: Option[Throwable] = None
+    @volatile var stop = false
+    val prober = new Thread(() => {
+      try while (!stop) results.add(probeOnce())
+      catch { case e: Throwable => probeError = Some(e) }
+    })
+    prober.start()
+    try Reindex.rebuildChunkIndex(spark, dir, a, a)
+    finally { stop = true; prober.join(60000) }
+    val newAnswer = probeOnce()
+
+    assert(probeError.isEmpty,
+      s"the probe loop must never fail across the flip: $probeError")
+    assert(results.size() > 0, "the loop must have probed during the rebuild")
+    val legal = Set(oldAnswer, newAnswer)
+    results.forEach { r =>
+      assert(legal.contains(r),
+        s"a probe served a MIXED generation: got ${r.take(3)}..., " +
+          s"legal old=${oldAnswer.take(3)}... new=${newAnswer.take(3)}...")
+    }
+    dropGen(a)
+  }
+
+  test("cutover completes under a LIVE append loop; post-cutover appends land in the new generation") {
+    import spark.implicits._
+    val a = 41
+    dropGen(a)
+    IvfCatalog.assignedChunks(spark, dir, a).count()
+    DocLifecycle.docCells(spark, dir, a).count()
+    val baseRows = spark.table(physStore(a)).count()
+    def mk(i: Int): String =
+      (1 to 3).map(j => s"Continuous arrival $i page $j streams manifests and " +
+        "routes surviving chunks into the partitioned serving store.").mkString(" ")
+
+    @volatile var appendError: Option[Throwable] = None
+    @volatile var stop = false
+    @volatile var appended = 0
+    val appender = new Thread(() => {
+      try {
+        var i = 0
+        while (!stop) {
+          graft.streaming.StreamingIngest.ingestDocBatch(
+            Seq((980100L + i, mk(i))).toDF("doc_id", "text"), dir, a)
+          appended += 1; i += 1
+        }
+      } catch { case e: Throwable => appendError = Some(e) }
+    })
+    appender.start()
+    // the rebuild must complete WITHOUT a manual pause of the append loop:
+    // the closed gate parks in-flight appends for the flip's critical
+    // section and the leased+gated reconciles converge the rest
+    val rep = try Reindex.rebuildChunkIndex(spark, dir, a, a)
+      finally { /* keep appending a moment so post-flip arrivals exist */
+        Thread.sleep(500); stop = true; appender.join(60000) }
+    assert(appendError.isEmpty, s"no append may fail across the cutover: $appendError")
+    assert(appended > 0, "the loop must have appended during the rebuild")
+    assert(genOf(a) !== 0L, "the cutover flipped")
+
+    // zero loss: every appended doc's chunks are in the SERVING generation
+    // (pre-flip arrivals reconciled in, parked/post-flip arrivals landed in
+    // the new generation), and the assignment matches the new centroids
+    spark.catalog.refreshTable(physStore(a))
+    val store = spark.table(physStore(a))
+    val servedDocs = store.select("document_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    (0 until appended).foreach { i =>
+      assert(servedDocs.contains(980100L + i),
+        s"doc ${980100L + i} (append #$i of $appended, cutover round ${rep.cutoverRounds}) " +
+          "must be in the serving generation")
+    }
+    val wantCells = Similarity.ivfAssign(store.drop("centroid_id"),
+        spark.table(physCents(a)), idCol = "chunk_id")
+      .select("chunk_id", "centroid_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotCells = store.select("chunk_id", "centroid_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotCells === wantCells, "every row — including raced-in appends — " +
+      "sits where the new centroids put it")
+    assert(store.count() >= baseRows)
+    assert(Pipelines.flagshipIvf(spark, dir, nlist = a, nprobe = 4).count() === 10L)
     dropGen(a)
   }
 
