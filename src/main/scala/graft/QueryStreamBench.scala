@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * as ServeUnderMaintBench's cadence does.
   *
   * Usage: `tools/run_main.sh graft.QueryStreamBench [dir [nlist [nBatches [batchSize]]]]`
-  * — defaults: the ×1000 ScaleGen corpus, √n nlist, 5 micro-batches of 8. */
+  * — defaults: the ×1000 ScaleGen corpus, √n nlist, 5 micro-batches of 8.
+  * `SPARK_GRAFT_PQ=1` serves the COMPRESSED stack — `startQueries` routes
+  * every micro-batch through `flagshipIvfPqBatch` (the measured-cheapest
+  * ×1000 probe) and the maintenance cadence co-maintains the code table —
+  * the full ADC deployment shape end to end. */
 object QueryStreamBench {
   def main(args: Array[String]): Unit = {
     val dir: String = args.lift(0).getOrElse("/tmp/graft_sf100")
@@ -50,6 +54,11 @@ object QueryStreamBench {
     timed("docCells derivation (ONCE)") {
       DocLifecycle.docCells(spark, dir, nlist).count()
     }
+    val pq = sys.env.get("SPARK_GRAFT_PQ").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val (pqM, pqKsub) = (if (pq) 48 else 0, 32)
+    if (pq) timed(s"IVFADC code table build m=$pqM (ONCE)") {
+      IvfPqCatalog.encodedChunks(spark, dir, nlist, pqM, pqKsub).count()
+    }
     val storeName = IvfCatalog.chunkStoreName(dir, nlist)
 
     val texts = Seq("spark join vector query", "partitioned parquet scan",
@@ -62,7 +71,7 @@ object QueryStreamBench {
       val ckpt = s"/tmp/graft_qstream_ckpt_${System.nanoTime()}"
       val q = graft.streaming.StreamingIngest.startQueries(
         source.toDF().toDF("query_id", "query_text"), dir, ckpt,
-        nlist = nlist, nprobe = nprobe,
+        nlist = nlist, nprobe = nprobe, pqM = pqM, pqKsub = pqKsub,
         onAnswers = (_, df) => answered += df.count())
       val walls = (0 until nBatches).map { b =>
         val queries = (0 until batchSize).map { i =>
@@ -100,11 +109,14 @@ object QueryStreamBench {
         try {
           graft.streaming.StreamingIngest.ingestDocBatch(
             mkDocs("w", 96000001L + wave * 1000L, 100).toDF("doc_id", "text"),
-            dir, nlist, flagNearDups = false)
+            dir, nlist, flagNearDups = false, pqM = pqM, pqKsub = pqKsub)
           DocLifecycle.upsertDocChunks(spark, dir,
             mkDocs("e", 96000001L + wave * 1000L, 10).toDF("doc_id", "text"),
-            nlist, flagNearDups = false)
+            nlist, flagNearDups = false, pqM = pqM, pqKsub = pqKsub)
           Compaction.compactTable(spark, storeName, idCol = "chunk_id")
+          if (pq) Compaction.compactTable(spark,
+            IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub),
+            idCol = "chunk_id", leaseScope = storeName)
           DocLifecycle.compactDocCells(spark, dir, nlist)
           cadences += 1
         } catch { case e: Throwable =>
