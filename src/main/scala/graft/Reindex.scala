@@ -246,13 +246,23 @@ object Reindex {
     * crash that must leave the NEW generation serving, its debris owned by
     * the next run / the sweep). Note the seams run on the rebuild's own
     * thread, where its leases are reentrant; a concurrent writer belongs
-    * on another thread. */
+    * on another thread.
+    *
+    * `gateWaitMs` bounds how long the cutover waits for in-flight appends
+    * to drain before the gate closes. Sized for the corpus, not the test:
+    * an append micro-batch at the 100 TB target can legitimately run
+    * minutes, and failing the cutover at the last step discards nothing
+    * but wastes the staged build's lead time — while the fair gate means
+    * a longer bound never lengthens the actual park (queued appends wait
+    * exactly until in-flight ones drain plus the critical section,
+    * whatever the bound). */
   def rebuildChunkIndex(spark: SparkSession, dir: String,
                         oldNlist: Int, newNlist: Int,
                         trained: Boolean = false,
                         pqM: Int = 0, pqKsub: Int = 32,
                         maxRounds: Int = 8,
                         maxBatchBytes: Long = 4L << 30,
+                        gateWaitMs: Long = 10 * 60 * 1000L,
                         beforeRounds: () => Unit = () => (),
                         beforeCutover: () => Unit = () => (),
                         beforeSwap: () => Unit = () => (),
@@ -486,7 +496,7 @@ object Reindex {
           cur = fingerprintAll(spark, oldStore)
           changed = changedCells(fp, cur)
         }
-        CutoverGate.closed(oldGroup) {
+        CutoverGate.closed(oldGroup, maxWaitMs = gateWaitMs) {
           // nothing same-JVM can write the old generation now: the final
           // delta is one parked-append-free reconcile and MUST converge —
           // a diff still moving means a cross-JVM writer outside the

@@ -121,6 +121,28 @@ class PlanSpec extends AnyFunSuite {
       "ADC candidate cut must be a bounded heap, not a global sort")
   }
 
+  test("flagshipIvfPqBatch: the whole queue shares three pruned scans over one cell union") {
+    val df = graft.pipelines.Pipelines.flagshipIvfPqBatch(spark, dir,
+      Seq("spark join vector query", "partitioned parquet scan", "streaming watermark state"))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val pruned = partFilters.filter(f => f.contains(" IN ") && f.contains("centroid_id"))
+    // codes scan + candidate-bounded raw rerank + payload attach: three scans
+    // TOTAL for the whole queue, not per query (Q=3 here — a per-query plan
+    // would show 3Q), every one pruned to the same union-of-probed-cells set
+    assert(pruned.size === 3,
+      s"the queue must share exactly three pruned scans (codes, rerank, payload), got: $partFilters")
+    val cellSets = pruned.flatMap(f =>
+      "centroid_id#\\d+L? IN \\(([^)]*)\\)".r.findFirstMatchIn(f).map(_.group(1)))
+    assert(cellSets.distinct.size === 1,
+      s"all shared scans must prune to the SAME union-of-cells set, got: $cellSets")
+    assert(p.contains("partial_topkaggregator"),
+      "per-query ADC candidates must reduce map-side through the bounded heap")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (cell → query) map, rerank set and attribution must broadcast")
+  }
+
   // --- batch KNN: partial top-k BEFORE the exchange -------------------------
 
   test("vec_knn_batch reduces to k rows per query per partition before the shuffle") {
