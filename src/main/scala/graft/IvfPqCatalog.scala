@@ -154,7 +154,8 @@ object IvfPqCatalog {
     val cb = chunkCodebookStored(spark, dir, m, ksub, trained)
     val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, gen)
     TableStore.getOrBuildGen(spark, IvfCatalog.chunkGroup(dir, nlist, trained),
-        chunkCodesName(dir, nlist, m, ksub, trained, cb), g) { name =>
+        chunkCodesName(dir, nlist, m, ksub, trained, cb), g,
+        derivedFromGen = true) { name =>
       val store = IvfCatalog.assignedChunks(spark, dir, nlist, trained, gen = g)
       Similarity.pqEncode(store, cb, idCol = "chunk_id", embCol = "embedding")
         .join(store.select("chunk_id", "centroid_id"), "chunk_id")

@@ -23,9 +23,12 @@ import org.apache.spark.sql.SparkSession
   * file and finding this writer's own token in it. A stale lease is broken
   * by RENAME to a waiter-private name (atomic — exactly one waiter wins;
   * delete-in-place could destroy a lease another waiter already broke and
-  * a new writer re-created), verified to still be the observed stale
-  * holder before being discarded, and restored (or failed loudly) if a
-  * live writer's re-created lease was captured instead.
+  * a new writer re-created), verified STILL PAST THE TTL by the captured
+  * file's mtime before being discarded (rename preserves mtime — a young
+  * capture is a fresh writer's lease and is renamed back, or failed
+  * loudly). Staleness means a dead writer because live holders never age:
+  * every acquisition registers with a keepalive daemon that refreshes the
+  * lease mtime at a third of its TTL for as long as the job runs.
   * Scope is the index being maintained — callers pass
   * the primary store's table name, so everything that rewrites one index's
   * table group (raw store, code table, doc→cells) excludes everything else
@@ -64,26 +67,74 @@ object MaintenanceLease {
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
+  // ---- liveness keepalive --------------------------------------------------
+  // The TTL break exists to reap DEAD processes; a lease held by a LIVE
+  // JVM must therefore never age past its TTL, however long the leased job
+  // runs — a corpus-scale cell rewrite or a cutover's reconcile rounds can
+  // legitimately outlive any fixed TTL, and without refresh a waiter would
+  // TTL-break the LIVE lease and run concurrently (the exact double-writer
+  // the lease prevents). Every acquisition registers here; one daemon
+  // refreshes the mtime of every currently-held lease at a third of its
+  // TTL, verifying the file still carries OUR token first so a lease
+  // legitimately broken while this JVM stalled is never resurrected.
+  private case class HeldLease(fs: org.apache.hadoop.fs.FileSystem,
+                               path: org.apache.hadoop.fs.Path,
+                               holder: String, ttlMs: Long,
+                               var lastTouch: Long)
+  private val keepalive =
+    new java.util.concurrent.ConcurrentHashMap[String, HeldLease]()
+  private val toucherStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def ensureToucher(): Unit =
+    if (toucherStarted.compareAndSet(false, true)) {
+      val t = new Thread(() => {
+        while (true) {
+          Thread.sleep(100) // cheap tick; FS ops only when a touch is due
+          val now = System.currentTimeMillis()
+          keepalive.forEach { (_, h) =>
+            if (now - h.lastTouch >= h.ttlMs / 3) {
+              try if (readHolder(h.fs, h.path) == h.holder)
+                h.fs.setTimes(h.path, now, -1)
+              catch { case _: Throwable => () }
+              h.lastTouch = now // even on failure: retry next due tick, not every tick
+            }
+          }
+        }
+      })
+      t.setDaemon(true)
+      t.setName("graft-lease-keepalive")
+      t.start()
+    }
+
   /** Break a dead writer's lease without ever deleting a LIVE one: RENAME
     * the stale file to a waiter-private name — atomic, so exactly one
     * waiter wins the break, where delete-in-place could remove a lease a
     * faster waiter already broke and a new writer re-created — then verify
-    * the captured file still carries the stale holder observed at stat
-    * time before discarding it. A capture that turns out to be a fresh
-    * writer's lease (re-created between the stat and the rename) is
+    * the CAPTURED file's mtime is still past the TTL before discarding it.
+    * The verification is by mtime, not holder string: rename preserves
+    * mtime and freezes the file at a name nobody else writes, so a stale
+    * capture stays provably stale, while a holder-string comparison read
+    * at break time would be tautological — a waiter that lost the
+    * break race would read the WINNER's fresh lease, "verify" it against
+    * itself, and delete a live lease (the double-held scope this
+    * mechanism exists to prevent). A capture that turns out young (a
+    * fresh writer's lease, re-created between the stat and the rename) is
     * renamed back; if even that fails, fail LOUDLY — never proceed into a
     * possibly double-held scope. */
   private def breakStale(fs: org.apache.hadoop.fs.FileSystem,
                          path: org.apache.hadoop.fs.Path,
-                         staleHolder: String): Unit = {
+                         ttlMs: Long): Unit = {
     val aside = new org.apache.hadoop.fs.Path(
       path.getParent, path.getName + s".break${System.nanoTime()}")
     if (!fs.rename(path, aside)) return // another waiter won the break — re-examine
-    val captured = readHolder(fs, aside)
-    if (captured == staleHolder) { fs.delete(aside, false); return }
+    val stillStale =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(aside).getModificationTime > ttlMs
+      catch { case _: java.io.FileNotFoundException => false }
+    if (stillStale) { fs.delete(aside, false); return }
     if (!fs.rename(aside, path)) throw new IllegalStateException(
-      s"lease break at $path captured a LIVE lease ($captured) and could not restore " +
-        "it — resolve the contention manually rather than risking a double-held scope")
+      s"lease break at $path captured a LIVE lease (${readHolder(fs, aside)}) and " +
+        "could not restore it — resolve the contention manually rather than " +
+        "risking a double-held scope")
   }
 
   /** Run `body` holding the maintenance lease for `scope`. Waits up to
@@ -111,6 +162,31 @@ object MaintenanceLease {
         s":pid${ProcessHandle.current().pid()}:${Thread.currentThread().getName}" +
         s":${System.nanoTime()}"
       val deadline = System.currentTimeMillis() + waitMs
+      // believe a win only when the file holds OUR token — TWICE, a beat
+      // apart: on a local FS two same-instant cross-JVM creators can both
+      // "succeed" (exists-then-create), and the later truncating write can
+      // land after the earlier writer's first read; the delayed re-verify
+      // catches that interleave. A transiently unreadable read of a file
+      // we just wrote retries briefly, then fails LOUDLY — silently
+      // treating our own created lease as lost would strand it, blocking
+      // the scope for the full TTL with no holder alive
+      def verifyOurs(created: Boolean): Boolean = {
+        var attempt = 0
+        while (attempt < 2) {
+          var reads = 0
+          var r = readHolder(fs, path)
+          while (r == "<unreadable>" && reads < 3) {
+            Thread.sleep(50); r = readHolder(fs, path); reads += 1
+          }
+          if (r == "<unreadable>" && created) throw new IllegalStateException(
+            s"lease file $path was created by this writer but stays unreadable — " +
+              "refusing to guess ownership; remove the file once the FS recovers")
+          if (r != holder) return false
+          attempt += 1
+          if (attempt < 2) Thread.sleep(50)
+        }
+        true
+      }
       var acquired = false
       while (!acquired) {
         val created =
@@ -119,18 +195,14 @@ object MaintenanceLease {
             try out.write(holder.getBytes("UTF-8")) finally out.close()
             true
           } catch { case _: java.io.IOException => false }
-        // believe a win only when the file holds OUR token: on a local FS
-        // two same-instant cross-JVM creators can both "succeed", and the
-        // later write silently overwrites the earlier — re-reading makes
-        // exactly one of them proceed
-        if (created && readHolder(fs, path) == holder) acquired = true
+        if (created && verifyOurs(created)) acquired = true
         else {
           val st = try Some(fs.getFileStatus(path))
                    catch { case _: java.io.FileNotFoundException => None }
           st match {
             case Some(s)
                 if System.currentTimeMillis() - s.getModificationTime > ttlMs =>
-              breakStale(fs, path, readHolder(fs, path)) // dead writer — break and retry
+              breakStale(fs, path, ttlMs) // dead writer — break and retry
             case Some(_) if System.currentTimeMillis() >= deadline =>
               throw new IllegalStateException(
                 s"maintenance lease for '$scope' is held by ${readHolder(fs, path)} — " +
@@ -142,9 +214,13 @@ object MaintenanceLease {
         }
       }
       held.get += scope
+      val kaKey = path.toString + "#" + holder
+      keepalive.put(kaKey, HeldLease(fs, path, holder, ttlMs, System.currentTimeMillis()))
+      ensureToucher()
       try body
       finally {
         held.get -= scope
+        keepalive.remove(kaKey)
         // delete only OUR lease: a broken-then-reacquired lease (we stalled
         // past ttl and another writer took over) must not be stolen back
         try if (readHolder(fs, path) == holder) fs.delete(path, false)
@@ -196,8 +272,13 @@ object MaintenanceLock {
   * on its non-converging diff (the pre-gate contract), so the failure mode
   * is unchanged there: loud, never silent loss. Lock ordering: the gate is
   * acquired BEFORE any [[MaintenanceLock]] and never while holding one;
-  * lease-holding writers (edits, compaction, splits) do not take the gate
-  * at all — the lease itself excludes them from the cutover window. */
+  * against [[MaintenanceLease]] the order is LEASE FIRST, GATE SECOND for
+  * every writer — the cutover's exclusive close runs inside its store
+  * lease, and a leased edit can enter the gate's shared side through its
+  * code-table append ([[IvfPqCatalog.appendChunkCodes]]). No path may
+  * acquire a lease while holding the gate: that inversion against the
+  * cutover (lease held, waiting to close) is the one deadlock shape the
+  * ordering exists to exclude. */
 object CutoverGate {
   private val gates = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantReadWriteLock]()

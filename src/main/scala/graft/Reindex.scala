@@ -320,19 +320,16 @@ object Reindex {
     // horizon would age it past deletion while still referenced — the
     // per-nonce heartbeat stays young for the rebuild's whole life
     // (a daemon toucher, not per-round touches, so a multi-hour assignment
-    // pass is covered too). The same thread refreshes the reindex lease's
-    // mtime so a waiter never TTL-breaks a live rebuild's lease.
+    // pass is covered too). The rebuild's LEASES — the run-long reindex
+    // scope and the cutover's store lease — need no thread here: every
+    // held lease is refreshed by [[MaintenanceLease]]'s own keepalive
+    // daemon, so neither can be TTL-broken while this JVM lives.
     TableStore.touchHeartbeat(spark, nonce)
-    val leaseFile = MaintenanceLease.leasePath(spark, reindexScope)
     val hbThread = new Thread(() => {
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(60 * 1000L)
           TableStore.touchHeartbeat(spark, nonce)
-          try {
-            val lfs = leaseFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            lfs.setTimes(leaseFile, System.currentTimeMillis(), -1)
-          } catch { case _: Throwable => () }
         }
       } catch { case _: InterruptedException => () }
     })

@@ -221,16 +221,20 @@ object TableStore {
     *
     * Two further classes are refused REGARDLESS of age — deleting them
     * could destroy the only surviving copy of an index:
-    *  - every staged/retired table (`__rstage`/`__retired`/`__cstage`) of
-    *    a nonce GROUP in which ANY member's natural sibling is absent:
-    *    that is the signature of a crash between a cutover's renames,
-    *    where the marked tables ARE the recovery copies. The protection is
-    *    group-wide, not per-entry, because a partial swap leaves some
-    *    members' naturals present (already holding new-generation data)
-    *    while [[Reindex.healInterruptedSwap]] still needs THEIR retired
-    *    copies to restore a consistent old generation. Healing (or
-    *    completing the rename) makes every natural reappear, after which
-    *    the leftovers age out normally.
+    *  - every marked table (`__cstage` — today's DROP/RENAME swaps in
+    *    [[Compaction.compactBucketed]] and [[DocLifecycle.compactDocCells]]
+    *    — plus `__rstage`/`__retired`, the rename-based cutover classes of
+    *    pre-pointer builds, kept so an upgraded warehouse's old debris
+    *    still has an owner) of a nonce GROUP in which ANY member's natural
+    *    sibling is absent: the signature of a crash between a swap's DROP
+    *    and RENAME, where the marked tables ARE the recovery copies. The
+    *    protection is group-wide, not per-entry, so a partially-swapped
+    *    group keeps every copy until recovery (an operator rename, or the
+    *    doc→cells self-heal from the live store on next use) makes the
+    *    naturals reappear, after which the leftovers age out normally.
+    *    EXEMPT: a staging whose natural is itself a REPLACED generation —
+    *    there the flip, not a crash, explains the absence, and the staging
+    *    is plain aged debris (it would otherwise be refused forever).
     *  - an `__rstage` entry whose rebuild nonce has a YOUNG heartbeat
     *    ([[touchHeartbeat]]): the rebuild is alive, however long its base
     *    pass has been running.
@@ -254,7 +258,15 @@ object TableStore {
     def naturalAbsent(n: String): Boolean =
       Seq("__rstage", "__retired", "__cstage").find(n.contains).exists { m =>
         val natural = n.substring(0, n.indexOf(m))
-        natural.nonEmpty &&
+        // a staging whose natural is itself a REPLACED generation (a
+        // __gen tail no pointer references) lost its reason to exist at
+        // the flip: the natural's absence signals reclamation, not a
+        // crashed swap, and the staging is aged debris — without this a
+        // crashed compactDocCells staging of a later-retired generation
+        // would be refused as a "recovery copy" forever
+        val replacedGen = GenTail.findFirstMatchIn(natural)
+          .exists(mt => !liveGens.contains(mt.group(1).toLong))
+        natural.nonEmpty && !replacedGen &&
           !fs.exists(new org.apache.hadoop.fs.Path(wh, natural)) &&
           !spark.catalog.tableExists(natural)
       }
@@ -270,7 +282,10 @@ object TableStore {
           n.contains("__cstage") || n.contains("__rstage") ||
           n.contains("__retired") ||
           genNonce.exists(g => !liveGens.contains(g)) ||
-          n.startsWith("__graft_lease_") || n.startsWith("__graft_hb_")
+          n.startsWith("__graft_lease_") || n.startsWith("__graft_hb_") ||
+          // a flipGen .tmp pointer file orphaned by a crash between its
+          // create and the atomic rename (the live pointer never matches)
+          (n.startsWith("__graft_gen_") && n.contains(".tmp"))
       if (orphanShaped) {
         val age =
           if (!st.isDirectory) st.getModificationTime
@@ -282,7 +297,10 @@ object TableStore {
           .orElse(genNonce)
         val hbYoung = nonce.exists { nc =>
           val hb = heartbeatPath(spark, nc)
-          fs.exists(hb) && fs.getFileStatus(hb).getModificationTime >= horizon
+          // racing the rebuild's finally-block heartbeat delete: a vanished
+          // heartbeat means the rebuild ended — not young, not an error
+          try fs.exists(hb) && fs.getFileStatus(hb).getModificationTime >= horizon
+          catch { case _: java.io.FileNotFoundException => false }
         }
         if (age < horizon && !recoveryCopy && !hbYoung) {
           val mf = new org.apache.hadoop.fs.Path(st.getPath, Compaction.ManifestFile)
@@ -319,27 +337,46 @@ object TableStore {
   /** [[getOrBuild]] through the generation pointer: read the physical
     * table for `logical` at `gen` (a nonce the caller resolved via
     * [[currentGen]] — once per operation, so every member of a group
-    * resolves consistently), building via `write` ONLY at the unversioned
-    * generation 0. A versioned generation is written exclusively by
-    * [[Reindex.rebuildChunkIndex]]'s staging — regenerating one from
-    * source here would derive fresh centroids that no longer match the
-    * stored assignments, so a missing versioned table fails loudly (or,
-    * when the miss is a lost race against a concurrent flip, with the
-    * retriable [[StaleGenerationException]] so the probe re-resolves). */
+    * resolves consistently), building via `write` at the unversioned
+    * generation 0, or at ANY generation when `derivedFromGen` — the
+    * closure reads only the generation's own stored tables, so the build
+    * is the same self-heal everywhere. Without it a versioned generation
+    * is written exclusively by [[Reindex.rebuildChunkIndex]]'s staging —
+    * regenerating one from source here would derive fresh centroids that
+    * no longer match the stored assignments, so a missing versioned table
+    * fails loudly (or, when the miss is a lost race against a concurrent
+    * flip, with the retriable [[StaleGenerationException]] so the probe
+    * re-resolves). */
   def getOrBuildGen(spark: SparkSession, group: String, logical: String,
-                    gen: Long)(write: String => Unit): DataFrame = {
+                    gen: Long, derivedFromGen: Boolean = false)(
+                    write: String => Unit): DataFrame = {
     val name = physGen(logical, gen)
     if (gen != 0L) {
       if (!spark.catalog.tableExists(name)) {
         if (currentGen(spark, group) != gen) throw new StaleGenerationException(
           s"$logical resolved generation $gen but the pointer moved before the read")
-        throw new IllegalStateException(
+        // `derivedFromGen`: the caller's build closure reads ONLY the
+        // generation's own stored tables (doc→cells from the store, codes
+        // from the stored assignment + frozen codebook) — rebuilding it at
+        // gen N is the same self-heal the natural-name path has, and
+        // refusing would brick the feature on every rebuilt index (e.g.
+        // enabling PQ after a pqM=0 rebuild, or a doc→cells swap crash).
+        // The from-SOURCE tables (store, centroids) must keep refusing:
+        // fresh source-derived centroids would not match the stored
+        // assignments.
+        if (!derivedFromGen) throw new IllegalStateException(
           s"generation pointer for '$group' names $name but the table is missing — " +
             "restore the generation or drop the pointer; refusing to rebuild from " +
             "source (fresh centroids would not match the stored assignments)")
+        getOrBuild(spark, name) {
+          if (currentGen(spark, group) != gen) throw new StaleGenerationException(
+            s"$logical resolved generation $gen but the pointer moved before the build")
+          write(name)
+        }
+      } else {
+        spark.catalog.refreshTable(name)
+        spark.table(name)
       }
-      spark.catalog.refreshTable(name)
-      spark.table(name)
     } else getOrBuild(spark, name) {
       // the build path re-checks the pointer: a reader that resolved
       // generation 0 just before a flip must not resurrect the dropped

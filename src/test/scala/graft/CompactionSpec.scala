@@ -552,4 +552,46 @@ class CompactionSpec extends AnyFunSuite {
     fs.delete(young, true); fs.delete(orphanStage, true)
     Seq(live, naturalLive).foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
   }
+
+  test("sweepOrphans: replaced-generation staging and crashed pointer tmp are debris; live-generation recovery copies and the pointer itself are not") {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldT = System.currentTimeMillis() - 60 * 60 * 1000L
+    def plantDir(name: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(wh, name)
+      fs.mkdirs(p)
+      val f = new org.apache.hadoop.fs.Path(p, "part-0.parquet")
+      val out = fs.create(f, true); out.write(Array[Byte](1, 2, 3)); out.close()
+      fs.setTimes(f, oldT, -1); fs.setTimes(p, oldT, -1)
+      p
+    }
+    def plantFile(name: String, content: String,
+                  old: Boolean): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(wh, name)
+      val out = fs.create(p, true); out.write(content.getBytes("UTF-8")); out.close()
+      if (old) fs.setTimes(p, oldT, -1)
+      p
+    }
+    // a live pointer referencing generation 9100042 — never swept
+    val pointer = plantFile("__graft_gen_graft_swp_grp", "9100042", old = true)
+    // a crashed compactDocCells staging of a RETIRED generation (9100041,
+    // unreferenced): its natural is legitimately gone after the flip — aged
+    // debris, swept (pre-fix it was refused as a "recovery copy" forever)
+    val retiredStage = plantDir("graft_swp_cells__gen9100041__cstage31")
+    // the same crash shape at the LIVE generation: natural absent with the
+    // generation still referenced IS a crashed swap — refused whatever age
+    val liveStage = plantDir("graft_swp_cells__gen9100042__cstage32")
+    // a flipGen tmp file orphaned between create and rename — swept
+    val ptrTmp = plantFile("__graft_gen_graft_swp_grp.tmp9100041", "9100041", old = true)
+
+    val removed = TableStore.sweepOrphans(spark, olderThanMs = 30 * 60 * 1000L)
+    assert(removed.contains(retiredStage.getName),
+      "a staging whose natural is a replaced generation is aged debris")
+    assert(removed.contains(ptrTmp.getName), "crashed pointer tmp is debris")
+    assert(!removed.contains(liveStage.getName) && fs.exists(liveStage),
+      "a live-generation crashed swap's staging is a recovery copy — refused")
+    assert(fs.exists(pointer), "the live generation pointer must survive")
+    assert(!fs.exists(retiredStage) && !fs.exists(ptrTmp))
+    fs.delete(liveStage, true); fs.delete(pointer, false)
+  }
 }

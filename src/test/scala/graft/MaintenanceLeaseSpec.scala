@@ -93,6 +93,22 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     assert(!fs.exists(path), "the broken-and-reacquired lease must be released after the body")
   }
 
+  test("a LIVE holder's lease never ages past ttl — the keepalive refreshes it for the job's whole life") {
+    val path = MaintenanceLease.leasePath(spark, "spec_scope_ka")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MaintenanceLease.withLease(spark, "spec_scope_ka", ttlMs = 600, waitMs = 0) {
+      // hold for >4× the ttl — a corpus-scale rewrite outliving any fixed
+      // TTL is the deployment case; without refresh a waiter would break
+      // this LIVE lease and run concurrently
+      Thread.sleep(2500)
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(path).getModificationTime
+      assert(age < 600,
+        s"held lease aged $age ms past its last refresh — a waiter would TTL-break a live writer")
+    }
+    assert(!fs.exists(path), "released on exit despite the refreshes")
+  }
+
   test("doc-cells swap preserves pairs appended after its rebuild snapshot and reclaims false positives") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -501,6 +501,35 @@ class ReindexSpec extends AnyFunSuite {
     dropGen(a)
   }
 
+  test("derived tables of a rebuilt generation self-heal from the generation's own store") {
+    val (a, b, m, ksub) = (43, 61, 24, 16)
+    dropGen(a, m, ksub); dropGen(b, m, ksub)
+    IvfCatalog.assignedChunks(spark, dir, a).count()
+    IvfPqCatalog.encodedChunks(spark, dir, a, m, ksub).count()
+    DocLifecycle.docCells(spark, dir, a).count()
+    Reindex.rebuildChunkIndex(spark, dir, a, b, pqM = m, pqKsub = ksub)
+    assert(genOf(b) !== 0L, "the rebuild must land under a versioned generation")
+    // losing a derived table at a versioned generation — a doc→cells swap
+    // crash, or codes never built because the rebuild ran with pqM = 0 —
+    // must not brick the index: both derive from the generation's own
+    // stored assignment (never fresh source centroids), so next use
+    // rebuilds them, same self-heal the natural-name path has
+    val wantCells = spark.table(physDc(b)).count()
+    val wantCodes = spark.table(physCodes(b, m, ksub)).count()
+    spark.sql(s"DROP TABLE ${physDc(b)}")
+    spark.sql(s"DROP TABLE ${physCodes(b, m, ksub)}")
+    assert(DocLifecycle.docCells(spark, dir, b).count() === wantCells)
+    assert(IvfPqCatalog.encodedChunks(spark, dir, b, m, ksub).count() === wantCodes)
+    // but the from-SOURCE store must still refuse: fresh centroids would
+    // not match the stored assignments
+    spark.sql(s"DROP TABLE ${physStore(b)}")
+    val e = intercept[IllegalStateException] {
+      IvfCatalog.assignedChunks(spark, dir, b).count()
+    }
+    assert(e.getMessage.contains("refusing to rebuild from source"))
+    dropGen(a, m, ksub); dropGen(b, m, ksub)
+  }
+
   test("cutover completes under a LIVE append loop; post-cutover appends land in the new generation") {
     import spark.implicits._
     val a = 41
