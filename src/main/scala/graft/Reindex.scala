@@ -741,11 +741,15 @@ object Reindex {
                     triggerFactor: Double = 2.0): Option[Advice] = {
     require(triggerFactor >= 1.0, s"triggerFactor must be ≥ 1, got $triggerFactor")
     require(cellCapRows > 0, s"cellCapRows must be positive, got $cellCapRows")
-    val store = TableStore.physGen(IvfCatalog.chunkStoreName(dir, nlist, trained),
+    def resolveStore: String = TableStore.physGen(
+      IvfCatalog.chunkStoreName(dir, nlist, trained),
       TableStore.currentGen(spark, IvfCatalog.chunkGroup(dir, nlist, trained)))
+    val store = resolveStore
     if (!spark.catalog.tableExists(store)) return None
-    val n = TableStore.retryingStale(spark, store) {
-      spark.table(store).count()
+    // re-resolve inside the retried action: the stale state may be a flip,
+    // after which the pinned old physical name is gone entirely
+    val n = TableStore.retryingStaleBy(spark)(Seq(resolveStore)) {
+      spark.table(resolveStore).count()
     }
     val law = math.max(math.sqrt(n.toDouble), n.toDouble / cellCapRows)
     val recommended = math.max(16, math.ceil(law).toInt)

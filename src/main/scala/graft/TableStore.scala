@@ -37,15 +37,38 @@ object TableStore {
     * the stale state may be a generation flip, after which the old
     * physical tables are gone entirely: the per-name refresh is
     * best-effort (a vanished name is exactly the flip case — the re-run
-    * resolves the new generation and never touches the old name). */
+    * resolves the new generation and never touches the old name).
+    *
+    * `names` must be the PHYSICAL tables the action actually scans — every
+    * one of them: a probe that reads a code table and a raw store must
+    * name both, or the one refresh misses the table whose listing went
+    * stale and the retry re-fails identically. [[retryingStaleBy]] takes
+    * the list lazily, re-evaluated before each retry, for actions whose
+    * physical names can themselves change under a concurrent flip. Retries
+    * are bounded but > 1: under a full maintenance cadence a long probe's
+    * RE-RUN can race the NEXT pass (observed at ×1000 with 7 s batch
+    * probes against a ~20 s cadence); each retry refreshes and re-runs, so
+    * permanent failure still surfaces after `attempts`. */
   def retryingStale[A](spark: SparkSession, names: String*)(action: => A): A =
-    try action catch {
-      case e: Throwable if isStaleListing(e) =>
-        names.foreach { n =>
-          try spark.catalog.refreshTable(n) catch { case _: Throwable => () }
-        }
-        action
+    retryingStaleBy(spark)(names.toSeq)(action)
+
+  /** [[retryingStale]] with the refresh list evaluated fresh before each
+    * retry — generation flips can change which physical tables the re-run
+    * will scan. */
+  def retryingStaleBy[A](spark: SparkSession, attempts: Int = 3)(
+      names: => Seq[String])(action: => A): A = {
+    var tries = 0
+    while (true) {
+      try return action catch {
+        case e: Throwable if isStaleListing(e) && tries < attempts - 1 =>
+          tries += 1
+          names.foreach { n =>
+            try spark.catalog.refreshTable(n) catch { case _: Throwable => () }
+          }
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Thrown when a read resolved a generation whose tables a concurrent
     * cutover already replaced — the retriable twin of the stale-listing

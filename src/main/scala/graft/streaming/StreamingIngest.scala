@@ -509,10 +509,24 @@ object StreamingIngest {
           // the retry wrap must cover the ACTION, not just the lazy plan —
           // a rename pass landing mid-scan surfaces at materialization, so
           // the answers are collected (micro-batch × k rows, bounded)
-          // INSIDE retryingStale and re-probed whole on a stale listing;
+          // INSIDE the retry and re-probed whole on a stale listing. The
+          // refresh list is EVERY physical table the probe scans — for the
+          // compressed path the code table too, which the cadence compacts
+          // on the same schedule as the store (refreshing only the store
+          // left the codes listing stale and the retry re-failed
+          // identically — found at ×1000, batch-32) — re-resolved lazily
+          // so a retry after a generation flip refreshes the new names;
           // onAnswers then runs exactly once per batch on a local frame
-          val (ansRows, ansSchema) = graft.TableStore.retryingStale(spark,
-              IvfCatalog.chunkStoreName(dir, nlist, trained)) {
+          def probeTables: Seq[String] = {
+            val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, -1L)
+            val store = graft.TableStore.physGen(
+              IvfCatalog.chunkStoreName(dir, nlist, trained), g)
+            if (pqM > 0) Seq(store, graft.TableStore.physGen(
+              graft.IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained), g))
+            else Seq(store)
+          }
+          val (ansRows, ansSchema) = graft.TableStore.retryingStaleBy(spark)(
+              probeTables) {
             // a batch whose every text is null still needs the REAL answer
             // schema for its marker rows: probe a placeholder and keep no
             // rows (one wasted bounded probe on a shape that should never

@@ -553,6 +553,30 @@ class CompactionSpec extends AnyFunSuite {
     Seq(live, naturalLive).foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
   }
 
+  test("retryingStale retries more than once under repeated churn, re-evaluates its refresh list, and stays bounded") {
+    // the ×1000 lesson: a long probe's RE-RUN can race the NEXT
+    // maintenance pass — one retry is not a contract, bounded retries are
+    var calls = 0
+    var namesEvals = 0
+    val out = TableStore.retryingStaleBy(spark) { namesEvals += 1; Seq.empty[String] } {
+      calls += 1
+      if (calls < 3) throw new java.io.FileNotFoundException(s"stale listing $calls")
+      "served"
+    }
+    assert(out === "served")
+    assert(calls === 3, "two consecutive stale listings must both be retried")
+    assert(namesEvals === 2, "the refresh list re-evaluates before each retry " +
+      "(a flip can change which physical tables the re-run scans)")
+    // persistent failure still surfaces — never an unbounded loop
+    var always = 0
+    intercept[java.io.FileNotFoundException] {
+      TableStore.retryingStaleBy(spark)(Seq.empty[String]) {
+        always += 1; throw new java.io.FileNotFoundException("permanent")
+      }
+    }
+    assert(always === 3)
+  }
+
   test("sweepOrphans: replaced-generation staging and crashed pointer tmp are debris; live-generation recovery copies and the pointer itself are not") {
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1448,4 +1448,53 @@ class StreamingSpec extends AnyFunSuite {
     Seq(storeName, centName, DocLifecycle.docCellsName(dir, nlist))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("compressed query-serving loop answers correctly across store AND code-table rewrites") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val (nlist, m, ksub) = (33, 24, 16) // isolated generation for this test
+    val storeName = IvfCatalog.chunkStoreName(dir, nlist)
+    val centName = IvfCatalog.chunkCentroidsName(dir, nlist)
+    Seq(storeName, centName, DocLifecycle.docCellsName(dir, nlist))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    IvfPqCatalog.encodedChunks(spark, dir, nlist, m, ksub).count()
+    val codesName = IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, m, ksub)
+    // fragment both tables so the passes between batches rewrite files
+    graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq((980001L, (1 to 8).map(i => s"Compressed serving race fixture sentence $i " +
+        "with enough prose that the chunker produces genuine chunks.").mkString(" ")))
+        .toDF("doc_id", "text"), dir, nlist, pqM = m, pqKsub = ksub)
+
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    val ck = s"/tmp/graft_qserve_pqrace_ckpt${System.nanoTime()}"
+    val q = graft.streaming.StreamingIngest.startQueries(
+      source.toDF().toDF("query_id", "query_text"), dir, ck, nlist = nlist,
+      pqM = m, pqKsub = ksub,
+      onAnswers = (_, df) => got.synchronized { got ++= df.collect() })
+    try {
+      source.addData(1L -> "spark join vector query")
+      q.processAllAvailable()
+      // the ×1000 cadence shape: store AND code table rewritten under the
+      // running loop — the probe scans both, so the loop's refresh must
+      // cover both (refreshing only the store left the codes listing
+      // stale and killed the contended batch-32 stream at ×1000)
+      Compaction.compactTable(spark, storeName, idCol = "chunk_id", minFiles = 1)
+      Compaction.compactTable(spark, codesName, idCol = "chunk_id",
+        minFiles = 1, leaseScope = storeName)
+      source.addData(2L -> "spark join vector query")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byId = got.groupBy(_.getLong(0))
+    assert(byId.keySet === Set(1L, 2L))
+    val pre = byId(1L).map(r => (r.getString(2), r.getDouble(4))).toSeq
+    val post = byId(2L).map(r => (r.getString(2), r.getDouble(4))).toSeq
+    assert(pre === post, "a rewrite must never change what the compressed loop answers")
+    spark.sql(s"DROP TABLE IF EXISTS $codesName")
+    Seq(storeName, centName, DocLifecycle.docCellsName(dir, nlist))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
