@@ -475,8 +475,16 @@ object StreamingIngest {
     * policy — serving results are derived data, not pipeline state, so
     * unlike the ingest loops nothing here writes the store). Reads race
     * maintenance under the documented reader contract: fail-loud on a
-    * stale listing, recover via [[graft.TableStore.retryingStale]] — one
-    * refresh + re-run, priced in SCALE.md round-13.
+    * stale listing, recover via [[graft.TableStore.retryingStaleBy]] —
+    * refresh EVERY table the probe scans and re-run, bounded retries
+    * (priced in SCALE.md rounds 13–14).
+    *
+    * `trigger` is the latency/throughput knob the ×1000 serving matrix
+    * says matters most: per-query cost falls 3–4× from batch-8 to
+    * batch-32 (SCALE.md round-14) because the whole micro-batch shares
+    * one centroid job and one scan — a `Trigger.ProcessingTime` interval
+    * sized to the arrival rate buys batch depth at bounded added latency.
+    * Default: process as available (lowest latency, shallowest batches).
     *
     * `pqM > 0` serves through the COMPRESSED batch probe instead
     * ([[Pipelines.flagshipIvfPqBatch]] — the measured-cheapest ×1000
@@ -495,8 +503,9 @@ object StreamingIngest {
                    trained: Boolean = false,
                    pqM: Int = 0, pqKsub: Int = 32, rerankFactor: Int = 16,
                    idCol: String = "query_id", textCol: String = "query_text",
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                    onAnswers: (Long, DataFrame) => Unit): StreamingQuery =
-    queries.writeStream
+    trigger.foldLeft(queries.writeStream)(_.trigger(_))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession

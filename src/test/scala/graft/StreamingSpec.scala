@@ -1382,6 +1382,9 @@ class StreamingSpec extends AnyFunSuite {
     val ck = s"/tmp/graft_qserve_null_ckpt${System.nanoTime()}"
     val q = graft.streaming.StreamingIngest.startQueries(
       source.toDF().toDF("query_id", "query_text"), dir, ck, nlist = 16,
+      // the batching-depth knob rides along: a triggered loop must answer
+      // identically to the default-trigger one
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L)),
       onAnswers = (_, df) => got.synchronized { got ++= df.collect() })
     try {
       // a null text rides in a batch next to a healthy query
