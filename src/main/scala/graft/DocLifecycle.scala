@@ -94,7 +94,8 @@ object DocLifecycle {
     require(spark.catalog.tableExists(store),
       s"stored chunk IVF index for '$dir' not built — assignedChunks first")
     TableStore.getOrBuildGen(spark, IvfCatalog.chunkGroup(dir, nlist, trained),
-        docCellsName(dir, nlist, trained), g, derivedFromGen = true) { name =>
+        docCellsName(dir, nlist, trained), g, derivedFromGen = true,
+        inputs = Seq(store)) { name =>
       rebuildDocCells(spark, store, name)
     }
   }

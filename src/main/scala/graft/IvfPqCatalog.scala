@@ -155,7 +155,9 @@ object IvfPqCatalog {
     val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, gen)
     TableStore.getOrBuildGen(spark, IvfCatalog.chunkGroup(dir, nlist, trained),
         chunkCodesName(dir, nlist, m, ksub, trained, cb), g,
-        derivedFromGen = true) { name =>
+        derivedFromGen = true,
+        inputs = Seq(TableStore.physGen(
+          IvfCatalog.chunkStoreName(dir, nlist, trained), g))) { name =>
       val store = IvfCatalog.assignedChunks(spark, dir, nlist, trained, gen = g)
       Similarity.pqEncode(store, cb, idCol = "chunk_id", embCol = "embedding")
         .join(store.select("chunk_id", "centroid_id"), "chunk_id")

@@ -92,10 +92,16 @@ object MaintenanceLease {
           val now = System.currentTimeMillis()
           keepalive.forEach { (_, h) =>
             if (now - h.lastTouch >= h.ttlMs / 3) {
-              try if (readHolder(h.fs, h.path) == h.holder)
-                h.fs.setTimes(h.path, now, -1)
-              catch { case _: Throwable => () }
-              h.lastTouch = now // even on failure: retry next due tick, not every tick
+              val ok =
+                try {
+                  if (readHolder(h.fs, h.path) == h.holder)
+                    h.fs.setTimes(h.path, now, -1)
+                  true // a broken/taken-over lease is not ours to refresh
+                } catch { case _: Throwable => false }
+              // a transient FS error must not count as a touch — deferring
+              // a full ttl/3 after two such errors would age a LIVE lease
+              // past its TTL; retry in ~1 s instead
+              h.lastTouch = if (ok) now else now - h.ttlMs / 3 + 1000L
             }
           }
         }
@@ -170,9 +176,15 @@ object MaintenanceLease {
       // we just wrote retries briefly, then fails LOUDLY — silently
       // treating our own created lease as lost would strand it, blocking
       // the scope for the full TTL with no holder alive
+      // the delayed second verify only pays where it buys something: a
+      // non-atomic exists-then-create FS ("file"); on HDFS-like atomic
+      // create the single read already proves ownership, and maintenance
+      // cadences should not each pay +50 ms for nothing
+      val doubleVerify = fs.getScheme == "file"
       def verifyOurs(created: Boolean): Boolean = {
         var attempt = 0
-        while (attempt < 2) {
+        val passes = if (doubleVerify) 2 else 1
+        while (attempt < passes) {
           var reads = 0
           var r = readHolder(fs, path)
           while (r == "<unreadable>" && reads < 3) {
@@ -183,7 +195,7 @@ object MaintenanceLease {
               "refusing to guess ownership; remove the file once the FS recovers")
           if (r != holder) return false
           attempt += 1
-          if (attempt < 2) Thread.sleep(50)
+          if (attempt < passes) Thread.sleep(50)
         }
         true
       }
@@ -222,9 +234,18 @@ object MaintenanceLease {
         held.get -= scope
         keepalive.remove(kaKey)
         // delete only OUR lease: a broken-then-reacquired lease (we stalled
-        // past ttl and another writer took over) must not be stolen back
-        try if (readHolder(fs, path) == holder) fs.delete(path, false)
-        catch { case _: Throwable => () }
+        // past ttl and another writer took over) must not be stolen back.
+        // An unreadable read retries briefly — skipping the delete on a
+        // transient blip (or a waiter's momentary rename-aside) would leave
+        // an ownerless lease blocking the scope for the full TTL
+        try {
+          var r = readHolder(fs, path)
+          var reads = 0
+          while (r == "<unreadable>" && reads < 3) {
+            Thread.sleep(50); r = readHolder(fs, path); reads += 1
+          }
+          if (r == holder) fs.delete(path, false)
+        } catch { case _: Throwable => () }
       }
     } finally jl.unlock()
   }

@@ -221,9 +221,18 @@ object Reindex {
       val lc = logical.toLowerCase(java.util.Locale.ROOT)
       val current = TableStore.physGen(lc,
         TableStore.currentGen(spark, group(logical)))
-      val variant = s"^${java.util.regex.Pattern.quote(lc)}(__gen\\d+(_oldpairs)?)?$$".r
+      // marked-staging siblings (a crashed compactDocCells swap's __cstage)
+      // of a retired variant retire WITH it — otherwise the sweep's
+      // natural-absent refusal would guard that debris forever. The
+      // CURRENT table's own staging is kept: an independent leased swap of
+      // the live generation may own it right now.
+      val variant = (s"^${java.util.regex.Pattern.quote(lc)}(__gen\\d+(_oldpairs)?)?" +
+        "(__(cstage|rstage|retired)\\d+)?$").r
+      val currentOwn =
+        s"^${java.util.regex.Pattern.quote(current)}__(cstage|rstage|retired)\\d+$$".r
       tables.filter(t => variant.findFirstIn(t).isDefined)
         .filterNot(_ == current)
+        .filterNot(t => currentOwn.findFirstIn(t).isDefined)
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
@@ -770,10 +779,19 @@ object Reindex {
     val codes =
       if (pqM > 0) Some(IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained))
       else None
+    val registered = spark.sessionState.catalog.listTables("default").map(_.table)
     (Seq(IvfCatalog.chunkStoreName(dir, nlist, trained),
       IvfCatalog.chunkCentroidsName(dir, nlist, trained),
       DocLifecycle.docCellsName(dir, nlist, trained)) ++ codes.toSeq)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${TableStore.physGen(t, g)}"))
+      .foreach { t =>
+        val phys = TableStore.physGen(t, g).toLowerCase(java.util.Locale.ROOT)
+        spark.sql(s"DROP TABLE IF EXISTS `$phys`")
+        // crashed-swap staging of a dropped member retires with its family
+        val marked =
+          s"^${java.util.regex.Pattern.quote(phys)}__(cstage|rstage|retired)\\d+$$".r
+        registered.filter(tb => marked.findFirstIn(tb).isDefined)
+          .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS `$tb`"))
+      }
     // the family is gone — retire its pointer so a future first build
     // starts back at the natural names
     val ptr = TableStore.genPointerPath(spark, group)

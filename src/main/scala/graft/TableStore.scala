@@ -289,9 +289,21 @@ object TableStore {
         // would be refused as a "recovery copy" forever
         val replacedGen = GenTail.findFirstMatchIn(natural)
           .exists(mt => !liveGens.contains(mt.group(1).toLong))
+        // same for a GEN-0 staging orphaned by a 0→N flip: the family now
+        // lives under a versioned sibling of the natural name, so the
+        // natural's absence is the flip, not a crash (reclaimNonCurrent
+        // drops registered staging at the flip; this covers disk-only
+        // debris a fresh JVM's in-memory catalog no longer lists)
+        def replacedByFlip: Boolean = liveGens.exists { g =>
+          g != 0L && {
+            val versioned = physGen(natural, g)
+            fs.exists(new org.apache.hadoop.fs.Path(wh, versioned)) ||
+              spark.catalog.tableExists(versioned)
+          }
+        }
         natural.nonEmpty && !replacedGen &&
           !fs.exists(new org.apache.hadoop.fs.Path(wh, natural)) &&
-          !spark.catalog.tableExists(natural)
+          !spark.catalog.tableExists(natural) && !replacedByFlip
       }
     val brokenNonces = entries.map(_.getPath.getName).flatMap { n =>
       Marked.findFirstMatchIn(n).filter(_ => naturalAbsent(n)).map(_.group(2))
@@ -371,7 +383,8 @@ object TableStore {
     * flip, with the retriable [[StaleGenerationException]] so the probe
     * re-resolves). */
   def getOrBuildGen(spark: SparkSession, group: String, logical: String,
-                    gen: Long, derivedFromGen: Boolean = false)(
+                    gen: Long, derivedFromGen: Boolean = false,
+                    inputs: Seq[String] = Nil)(
                     write: String => Unit): DataFrame = {
     val name = physGen(logical, gen)
     if (gen != 0L) {
@@ -391,6 +404,16 @@ object TableStore {
           s"generation pointer for '$group' names $name but the table is missing — " +
             "restore the generation or drop the pointer; refusing to rebuild from " +
             "source (fresh centroids would not match the stored assignments)")
+        // gate on `inputs` BEFORE getOrBuild's stale-location delete: a
+        // restarted JVM's in-memory catalog lists nothing, so a "missing"
+        // derived table may have fully live files — deleting them and then
+        // failing the build (its input store is unregistered too) would
+        // turn a loud catalog miss into data loss
+        val missing = inputs.filterNot(spark.catalog.tableExists)
+        if (missing.nonEmpty) throw new IllegalStateException(
+          s"cannot self-heal $name: its inputs ${missing.mkString(", ")} are not " +
+            "available in this session — restore the generation (or drop the " +
+            "pointer) instead; refusing to touch any surviving files")
         getOrBuild(spark, name) {
           if (currentGen(spark, group) != gen) throw new StaleGenerationException(
             s"$logical resolved generation $gen but the pointer moved before the build")
