@@ -180,7 +180,8 @@ object MaintenanceLease {
       // non-atomic exists-then-create FS ("file"); on HDFS-like atomic
       // create the single read already proves ownership, and maintenance
       // cadences should not each pay +50 ms for nothing
-      val doubleVerify = fs.getScheme == "file"
+      val doubleVerify =
+        (try fs.getScheme catch { case _: Throwable => "file" }) == "file"
       def verifyOurs(created: Boolean): Boolean = {
         var attempt = 0
         val passes = if (doubleVerify) 2 else 1
