@@ -57,6 +57,17 @@ object PipelineQueries {
     // PipelineSpec pins overlap vs the brute flagship.
     "pipe_flagship_ivfpq" -> ((s, dir) => Pipelines.flagshipIvfPq(s, dir)),
 
+    // The deployed serving shape: the SAME compressed flagship for a QUEUE
+    // of queries — one shared pruned code scan, one candidate-bounded
+    // rerank read, one attribution join for all of them (what
+    // startQueries serves per micro-batch at pqM > 0). Rows-only in the
+    // driver gate; GoldenSpec pins the digest, PipelineSpec pins per-query
+    // rows ≡ serial flagshipIvfPq, PlanSpec pins the Q-invariant
+    // three-shared-scan plan.
+    "pipe_flagship_pqbatch" -> ((s, dir) => Pipelines.flagshipIvfPqBatch(s, dir,
+      Seq("spark join vector query", "partitioned parquet scan",
+        "document quality score"))),
+
     // §7.4 SQL surface end-to-end: the chunker as a Catalyst Generator via
     // LATERAL VIEW — a user who never leaves spark.sql chunks the corpus
     // with the SAME kernel as the typed path (rows-only in the driver

@@ -42,6 +42,7 @@ class GoldenSpec extends AnyFunSuite {
   // same digest as pipe_flagship_ivf: the exact rerank recovers the
   // identical top-10 — quantization cost nothing at this scale/params
   gold("pipe_flagship_ivfpq", 10L, "7a15f14edc92395847f7910a61d26181")
+  gold("pipe_flagship_pqbatch", 30L, "2b61992398dafdc016a90e37e20aa535")
   gold("pipe_orchestrator",   6L, "21b70c797f26321a1619c3b73e41e0de")
   gold("pipe_chunk_stats",  498L, "1e4a68e669db73b26441b34437fc5437")
   gold("pipe_doc_chunks",     1L, "2a033e027d28a99769bd7614d6cdc0e2")
