@@ -309,10 +309,20 @@ object Similarity {
     * [[ivfSearch]] does. */
   def ivfSearchPruned(assigned: DataFrame, centroids: DataFrame, queryVec: Array[Float],
                       k: Int, nprobe: Int,
-                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      preFilter: Option[Column] = None): DataFrame = {
     val qv = array(queryVec.map(x => lit(x)): _*)
     val probedIds = probedCentroidIds(centroids, queryVec, nprobe)
-    assigned.filter(col("centroid_id").isin(probedIds: _*))
+    // FILTERED ANN: the metadata predicate composes with the partition
+    // prune — Catalyst pushes it into the same scan (PushedFilters next to
+    // PartitionFilters, PlanSpec asserts it), so a selective filter reads
+    // fewer bytes, never more. Semantics are filter-WITHIN-probed-cells:
+    // the recall bound is the probe's, unchanged — a true filtered top-k
+    // living in an unprobed cell is missed exactly as in the unfiltered
+    // probe, and a highly selective filter should raise nprobe (the
+    // standard filtered-IVF trade; post-filtering a top-k instead would
+    // under-deliver k whenever the filter removes ranked hits).
+    preFilter.foldLeft(assigned.filter(col("centroid_id").isin(probedIds: _*)))(_.filter(_))
       .withColumn("score", (cosineSimilarity(col(embCol), qv) + 1.0) / 2.0)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
@@ -344,7 +354,8 @@ object Similarity {
                            queries: DataFrame, k: Int, nprobe: Int,
                            idCol: String = "vec_id", embCol: String = "embedding",
                            qidCol: String = "qid", qvecCol: String = "qvec",
-                           payloadCols: Seq[String] = Nil): DataFrame = {
+                           payloadCols: Seq[String] = Nil,
+                           preFilter: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = assigned.sparkSession
@@ -379,8 +390,13 @@ object Similarity {
     // partition pruning, not a join the planner may or may not turn into
     // dynamic pruning); broadcast semi-join past the literal gate
     val cells = pairs.select(col("centroid_id")).distinct().collect().map(_.get(0))
-    val scored = filterToCells(assigned, cells,
-        pairs.select(col("centroid_id")).distinct())
+    // a QUEUE-wide metadata predicate (tenant, language, label — the same
+    // for every query in the batch) composes into the one shared scan,
+    // PushedFilters next to PartitionFilters; per-query filters belong on
+    // the serial probe (ivfSearchPruned.preFilter), whose filtered-within-
+    // probed-cells semantics this shares
+    val scored = preFilter.foldLeft(filterToCells(assigned, cells,
+        pairs.select(col("centroid_id")).distinct()))(_.filter(_))
       .join(broadcast(pairs), "centroid_id")
       .select(col("__qi"), col(idCol).as("__id"),
         ((cosineSimilarity(col(embCol), col(qvecCol)) + 1.0) / 2.0).as("__score"))

@@ -182,6 +182,25 @@ object AnalysisQueries {
           round($"score", 6).as("score"))
     }),
 
+    // FILTERED ANN over the materialized index: a metadata predicate
+    // (label = 3) composes with the partition prune into the SAME scan —
+    // PushedFilters next to PartitionFilters (PlanSpec asserts both), so a
+    // selective filter reads fewer bytes, never more. Semantics are
+    // filter-within-probed-cells (the standard filtered-IVF trade: the
+    // recall bound is the probe's; a selective filter wants a higher
+    // nprobe) — post-filtering a top-k would instead under-deliver k.
+    "ann_ivf_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.seededCentroids(emb, IvfCentroids, IvfStep)
+      val store = graft.IvfCatalog.assignedEmbeddings(s, dir, IvfCentroids, IvfStep)
+      val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+      Similarity.ivfSearchPruned(store, cents, qv, k = 10, nprobe = 4,
+          preFilter = Some($"label" === 3))
+        .select($"vec_id", $"label", $"centroid_id".cast("long").as("centroid_id"),
+          round($"score", 6).as("score"))
+    }),
+
     // Batch IVF probe over the materialized index: 4 query vectors share
     // ONE partition-pruned scan of the union of their probed cells — the
     // serving-throughput form (per-row scoring restricted to the queries
@@ -666,6 +685,21 @@ object AnalysisQueries {
           JOIN probed USING (centroid_id)
           JOIN embeddings e ON a.vec_id = e.vec_id
           CROSS JOIN q
+          ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, a.vec_id ASC
+          LIMIT 10""",
+    "ann_ivf_filtered" ->
+      s"""WITH $duckIvf,
+          q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+          probed AS (
+            SELECT centroid_id FROM cents, q
+            ORDER BY ${duckCos("cvec", "qvec")} DESC, centroid_id ASC LIMIT 4)
+          SELECT a.vec_id, e.label, a.centroid_id,
+                 round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
+          FROM assign a
+          JOIN probed USING (centroid_id)
+          JOIN embeddings e ON a.vec_id = e.vec_id
+          CROSS JOIN q
+          WHERE e.label = 3
           ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, a.vec_id ASC
           LIMIT 10""",
     "ann_ivf_batch" ->

@@ -245,6 +245,25 @@ class IvfCatalogSpec extends AnyFunSuite {
     }.toSet
     assert(got === want, "batch must be row-for-row the serial probes")
 
+    // FILTERED leg: a queue-wide metadata predicate composes into the one
+    // shared scan, per-query rows ≡ serial filtered probes
+    val gotF = Similarity
+      .ivfSearchPrunedBatch(store, cents, queries, k = 10, nprobe = 4,
+        preFilter = Some($"label" === 3))
+      .select($"qid", $"vec_id", $"rank", round($"score", 9).as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val wantF = qids.flatMap { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select("embedding").head.getSeq[Float](0).toArray
+      Similarity.ivfSearchPruned(store, cents, qv, k = 10, nprobe = 4,
+          preFilter = Some($"label" === 3))
+        .select($"vec_id", round($"score", 9).as("score"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), i + 1, r.getDouble(1)) }
+    }.toSet
+    assert(gotF === wantF, "filtered batch must be row-for-row the serial filtered probes")
+
     // string ids: the chunk store probes the same way
     val cstore = IvfCatalog.assignedChunks(spark, dir, 16)
     val ccents = IvfCatalog.chunkCentroidsStored(spark, dir, 16)

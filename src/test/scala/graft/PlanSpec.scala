@@ -98,6 +98,17 @@ class PlanSpec extends AnyFunSuite {
       "per-query top-k must aggregate through the bounded heap, not sort the scan")
   }
 
+  test("ann_ivf_filtered: the metadata predicate is pushed into the SAME pruned scan") {
+    val p = plan("ann_ivf_filtered")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(partFilters.exists(f => f.contains("centroid_id") && f.nonEmpty),
+      s"the filtered probe must still prune partitions, got: $partFilters")
+    assert(pushedFilters(p).exists(_.contains("EqualTo(label")),
+      s"the label predicate must reach the pruned scan as a PushedFilter " +
+        s"(filtered ANN reads FEWER bytes, never more), got: ${pushedFilters(p)}")
+  }
+
   test("pipe_flagship_ivf probes the stored chunk index with partition pruning") {
     val p = plan("pipe_flagship_ivf")
     val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
