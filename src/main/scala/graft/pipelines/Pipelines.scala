@@ -199,7 +199,8 @@ object Pipelines {
   def flagshipIvf(spark: SparkSession, dir: String,
                   queryText: String = "spark join vector query",
                   k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-                  trained: Boolean = false): DataFrame = {
+                  trained: Boolean = false,
+                  preFilter: Option[Column] = None): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     // ONE generation resolution spans the store + centroid reads: a probe
     // can never pair one generation's centroids with another's store, and
@@ -208,8 +209,12 @@ object Pipelines {
     val g = graft.TableStore.currentGen(spark, graft.IvfCatalog.chunkGroup(dir, nlist, trained))
     val store = graft.IvfCatalog.assignedChunks(spark, dir, nlist, trained, gen = g)
     val cents = graft.IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g)
+    // `preFilter`: curation-aware serving — e.g. near_dup_of IS NULL keeps
+    // ingest-flagged near-duplicates out of answers by a pushed predicate
+    // on the same pruned scan, no store rewrite (filtered-ANN semantics,
+    // Similarity.ivfSearchPruned)
     val hits = graft.operators.Similarity.ivfSearchPruned(store, cents, Embedder.embedText(queryText),
-      k = k, nprobe = nprobe, idCol = "chunk_id")
+      k = k, nprobe = nprobe, idCol = "chunk_id", preFilter = preFilter)
     Attribution.attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"))
       .select(col("chunk_id"), col("document_id"), round(col("score"), 6).as("score"),
         col("lang"), col("source"), col("word_count"))
@@ -228,7 +233,8 @@ object Pipelines {
   def flagshipIvfBatch(spark: SparkSession, dir: String,
                        queryTexts: Seq[String],
                        k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-                       trained: Boolean = false): DataFrame = {
+                       trained: Boolean = false,
+                       preFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     require(queryTexts.nonEmpty, "flagshipIvfBatch needs at least one query text")
     require(queryTexts.distinct.size == queryTexts.size,
@@ -241,7 +247,7 @@ object Pipelines {
       .toDF("qid", "qvec")
     val hits = graft.operators.Similarity.ivfSearchPrunedBatch(store, cents,
       queries, k = k, nprobe = nprobe, idCol = "chunk_id",
-      payloadCols = Seq("document_id", "word_count"))
+      payloadCols = Seq("document_id", "word_count"), preFilter = preFilter)
     Attribution.attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"))
       .select(col("qid").as("query_text"), col("chunk_id"), col("document_id"),
         round(col("score"), 6).as("score"), col("lang"), col("source"),

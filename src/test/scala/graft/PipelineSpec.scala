@@ -236,4 +236,43 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Pipelines.flagshipIvfPqBatch(spark, dir, Seq("a", "a")))
   }
+
+  test("curation-aware serving: an ingest-flagged near-duplicate is excluded by preFilter, not a rewrite") {
+    import spark.implicits._
+    val nlist = 21 // isolated store/centroid tables
+    Seq(TableStore.tableName(s"ivfchunks$nlist", dir),
+        TableStore.tableName(s"ivfchunkcent$nlist", dir),
+        graft.DocLifecycle.docCellsName(dir, nlist))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    def mk(word: String): String =
+      (1 to 4).map(i => s"The $word curator loop serves micro batch $i through the " +
+        "pruned cells and reads survivors from the partitioned store.").mkString(" ")
+    // docY is a near-copy of docX: admitted (identity dedup only), its
+    // chunk stamped near_dup_of by the ingest loop
+    graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq((920001L, mk("aurora"))).toDF("doc_id", "text"), dir, nlist)
+    graft.streaming.StreamingIngest.ingestDocBatch(
+      Seq((920002L, mk("aurins"))).toDF("doc_id", "text"), dir, nlist)
+    val dupIds = IvfCatalog.assignedChunks(spark, dir, nlist)
+      .filter(col("near_dup_of").isNotNull)
+      .select("chunk_id").collect().map(_.getString(0)).toSet
+    assert(dupIds.nonEmpty, "the near-copy's chunk must carry near_dup_of")
+
+    val q = mk("aurins") // the flagged chunk is the nearest hit by construction
+    val unfiltered = Pipelines.flagshipIvf(spark, dir, q, nlist = nlist, nprobe = nlist)
+      .select("chunk_id").collect().map(_.getString(0)).toSet
+    assert(dupIds.exists(unfiltered.contains),
+      "without the filter the flagged chunk serves — the flag is advisory")
+    val filtered = Pipelines.flagshipIvf(spark, dir, q, nlist = nlist, nprobe = nlist,
+        preFilter = Some(col("near_dup_of").isNull))
+      .select("chunk_id").collect().map(_.getString(0)).toSet
+    assert(filtered.nonEmpty && dupIds.forall(!filtered.contains(_)),
+      "near_dup_of IS NULL keeps flagged chunks out of answers, no store rewrite")
+    // the queue form filters the same shared scan
+    val fb = Pipelines.flagshipIvfBatch(spark, dir, Seq(q), nlist = nlist, nprobe = nlist,
+        preFilter = Some(col("near_dup_of").isNull))
+      .select("chunk_id").collect().map(_.getString(0)).toSet
+    assert(fb === filtered, "batch filtered flagship ≡ serial filtered flagship")
+  }
 }
