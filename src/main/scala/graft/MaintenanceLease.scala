@@ -64,6 +64,22 @@ object MaintenanceLease {
       finally in.close()
     } catch { case _: Throwable => "<unreadable>" }
 
+  /** [[readHolder]] with brief retries on a transiently unreadable file —
+    * every ownership decision (acquire verify, keepalive refresh, release
+    * delete) must tolerate an FS blip: treating "<unreadable>" as
+    * "not ours" at any of them turns a transient error into a stranded or
+    * broken-while-live lease. */
+  private def readHolderRetrying(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: org.apache.hadoop.fs.Path,
+                                 attempts: Int = 4): String = {
+    var r = readHolder(fs, path)
+    var reads = 1
+    while (r == "<unreadable>" && reads < attempts) {
+      Thread.sleep(50); r = readHolder(fs, path); reads += 1
+    }
+    r
+  }
+
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
@@ -93,15 +109,18 @@ object MaintenanceLease {
           keepalive.forEach { (_, h) =>
             if (now - h.lastTouch >= h.ttlMs / 3) {
               val ok =
-                try {
-                  if (readHolder(h.fs, h.path) == h.holder)
-                    h.fs.setTimes(h.path, now, -1)
-                  true // a broken/taken-over lease is not ours to refresh
+                try readHolderRetrying(h.fs, h.path) match {
+                  case s if s == h.holder => h.fs.setTimes(h.path, now, -1); true
+                  case "<unreadable>" => false // FS blip ≠ taken over: retry soon
+                  case _ => true // a CONCRETE other holder: not ours to refresh
                 } catch { case _: Throwable => false }
-              // a transient FS error must not count as a touch — deferring
-              // a full ttl/3 after two such errors would age a LIVE lease
-              // past its TTL; retry in ~1 s instead
-              h.lastTouch = if (ok) now else now - h.ttlMs / 3 + 1000L
+              // a transient FS error must not count as a touch — two in a
+              // row at ttl/3 cadence would age a LIVE lease past its TTL;
+              // retry soon instead, clamped so the retry always lands well
+              // before the next staleness boundary even at test-small TTLs
+              h.lastTouch =
+                if (ok) now
+                else now - h.ttlMs / 3 + math.min(1000L, math.max(50L, h.ttlMs / 6))
             }
           }
         }
@@ -176,21 +195,20 @@ object MaintenanceLease {
       // we just wrote retries briefly, then fails LOUDLY — silently
       // treating our own created lease as lost would strand it, blocking
       // the scope for the full TTL with no holder alive
-      // the delayed second verify only pays where it buys something: a
-      // non-atomic exists-then-create FS ("file"); on HDFS-like atomic
-      // create the single read already proves ownership, and maintenance
-      // cadences should not each pay +50 ms for nothing
+      // the delayed second verify is skipped ONLY on schemes known to have
+      // atomic create-if-absent (an allow-list: HDFS and its viewfs
+      // overlay), where one read already proves ownership and maintenance
+      // cadences shouldn't pay +50 ms. Everything else — the local FS AND
+      // the object stores (s3a/gs/abfs create is exists-then-PUT) — keeps
+      // the double verify: the interleave it catches is a double-held scope
       val doubleVerify =
-        (try fs.getScheme catch { case _: Throwable => "file" }) == "file"
+        !Set("hdfs", "viewfs").contains(
+          try fs.getScheme catch { case _: Throwable => "file" })
       def verifyOurs(created: Boolean): Boolean = {
         var attempt = 0
         val passes = if (doubleVerify) 2 else 1
         while (attempt < passes) {
-          var reads = 0
-          var r = readHolder(fs, path)
-          while (r == "<unreadable>" && reads < 3) {
-            Thread.sleep(50); r = readHolder(fs, path); reads += 1
-          }
+          val r = readHolderRetrying(fs, path)
           if (r == "<unreadable>" && created) throw new IllegalStateException(
             s"lease file $path was created by this writer but stays unreadable — " +
               "refusing to guess ownership; remove the file once the FS recovers")
@@ -239,14 +257,8 @@ object MaintenanceLease {
         // An unreadable read retries briefly — skipping the delete on a
         // transient blip (or a waiter's momentary rename-aside) would leave
         // an ownerless lease blocking the scope for the full TTL
-        try {
-          var r = readHolder(fs, path)
-          var reads = 0
-          while (r == "<unreadable>" && reads < 3) {
-            Thread.sleep(50); r = readHolder(fs, path); reads += 1
-          }
-          if (r == holder) fs.delete(path, false)
-        } catch { case _: Throwable => () }
+        try if (readHolderRetrying(fs, path) == holder) fs.delete(path, false)
+        catch { case _: Throwable => () }
       }
     } finally jl.unlock()
   }

@@ -780,6 +780,15 @@ object Reindex {
       if (pqM > 0) Some(IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub, trained))
       else None
     val registered = spark.sessionState.catalog.listTables("default").map(_.table)
+    // the family's disk entries too: a crashed swap's staging may exist
+    // ONLY on disk (a restarted JVM's in-memory catalog lists nothing) —
+    // it retires with its family here, or the sweep's natural-absent
+    // refusal would guard the debris forever once the naturals are gone
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val whFs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk =
+      if (whFs.exists(wh)) whFs.listStatus(wh).map(_.getPath.getName).toSeq
+      else Seq.empty[String]
     (Seq(IvfCatalog.chunkStoreName(dir, nlist, trained),
       IvfCatalog.chunkCentroidsName(dir, nlist, trained),
       DocLifecycle.docCellsName(dir, nlist, trained)) ++ codes.toSeq)
@@ -789,8 +798,14 @@ object Reindex {
         // crashed-swap staging of a dropped member retires with its family
         val marked =
           s"^${java.util.regex.Pattern.quote(phys)}__(cstage|rstage|retired)\\d+$$".r
-        registered.filter(tb => marked.findFirstIn(tb).isDefined)
-          .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS `$tb`"))
+        (registered ++ onDisk).distinct
+          .filter(tb => marked.findFirstIn(tb).isDefined)
+          .foreach { tb =>
+            spark.sql(s"DROP TABLE IF EXISTS `$tb`")
+            val p = new org.apache.hadoop.fs.Path(wh, tb)
+            try if (whFs.exists(p)) whFs.delete(p, true)
+            catch { case _: Throwable => () }
+          }
       }
     // the family is gone — retire its pointer so a future first build
     // starts back at the natural names

@@ -426,9 +426,11 @@ object Similarity {
     else {
       // attach store payload (e.g. document_id) by re-reading the SAME
       // pruned cell union with the Q·k winners broadcast — candidate-
-      // bounded, never a full-store lookup join
-      val payload = filterToCells(assigned, cells,
-          pairs.select(col("centroid_id")).distinct())
+      // bounded, never a full-store lookup join. preFilter applies here
+      // too: every winner already satisfies it (result-identical), and a
+      // selective filter must make BOTH scans cheaper, not just the first
+      val payload = preFilter.foldLeft(filterToCells(assigned, cells,
+          pairs.select(col("centroid_id")).distinct()))(_.filter(_))
         .select((idCol +: payloadCols).map(col): _*)
       payload.join(broadcast(out), idCol)
         .select((Seq(qidCol, idCol, "rank", "score") ++ payloadCols).map(col): _*)
