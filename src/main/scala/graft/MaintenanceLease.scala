@@ -111,7 +111,12 @@ object MaintenanceLease {
               val ok =
                 try readHolderRetrying(h.fs, h.path) match {
                   case s if s == h.holder => h.fs.setTimes(h.path, now, -1); true
-                  case "<unreadable>" => false // FS blip ≠ taken over: retry soon
+                  case "<unreadable>" =>
+                    // definitive absence is not a blip: a lease broken and
+                    // released while we stalled stays gone — fall back to
+                    // the slow ttl/3 poll instead of hot-retrying the FS
+                    // for the rest of a possibly hours-long job
+                    try !h.fs.exists(h.path) catch { case _: Throwable => false }
                   case _ => true // a CONCRETE other holder: not ours to refresh
                 } catch { case _: Throwable => false }
               // a transient FS error must not count as a touch — two in a

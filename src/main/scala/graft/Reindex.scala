@@ -795,6 +795,13 @@ object Reindex {
       .foreach { t =>
         val phys = TableStore.physGen(t, g).toLowerCase(java.util.Locale.ROOT)
         spark.sql(s"DROP TABLE IF EXISTS `$phys`")
+        // the member's own disk directory too: in a restarted JVM the
+        // in-memory catalog lists nothing, the DROP is a no-op, and a
+        // gen-0 natural's directory is never orphan-shaped to the sweep —
+        // "the family is gone" must mean the bytes, not just the entries
+        val physP = new org.apache.hadoop.fs.Path(wh, phys)
+        try if (whFs.exists(physP)) whFs.delete(physP, true)
+        catch { case _: Throwable => () }
         // crashed-swap staging of a dropped member retires with its family
         val marked =
           s"^${java.util.regex.Pattern.quote(phys)}__(cstage|rstage|retired)\\d+$$".r

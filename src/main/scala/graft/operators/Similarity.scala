@@ -395,8 +395,12 @@ object Similarity {
     // PushedFilters next to PartitionFilters; per-query filters belong on
     // the serial probe (ivfSearchPruned.preFilter), whose filtered-within-
     // probed-cells semantics this shares
-    val scored = preFilter.foldLeft(filterToCells(assigned, cells,
-        pairs.select(col("centroid_id")).distinct()))(_.filter(_))
+    // ONE definition of the pruned+filtered base scan — the scored pass and
+    // the payload re-read must stay the same shape or the payload join's
+    // "every winner already satisfies the filter" identity silently breaks
+    val prunedBase = preFilter.foldLeft(filterToCells(assigned, cells,
+      pairs.select(col("centroid_id")).distinct()))(_.filter(_))
+    val scored = prunedBase
       .join(broadcast(pairs), "centroid_id")
       .select(col("__qi"), col(idCol).as("__id"),
         ((cosineSimilarity(col(embCol), col(qvecCol)) + 1.0) / 2.0).as("__score"))
@@ -425,12 +429,10 @@ object Similarity {
     if (payloadCols.isEmpty) out
     else {
       // attach store payload (e.g. document_id) by re-reading the SAME
-      // pruned cell union with the Q·k winners broadcast — candidate-
-      // bounded, never a full-store lookup join. preFilter applies here
-      // too: every winner already satisfies it (result-identical), and a
-      // selective filter must make BOTH scans cheaper, not just the first
-      val payload = preFilter.foldLeft(filterToCells(assigned, cells,
-          pairs.select(col("centroid_id")).distinct()))(_.filter(_))
+      // pruned+filtered base scan with the Q·k winners broadcast —
+      // candidate-bounded, never a full-store lookup join; a selective
+      // preFilter makes BOTH scans cheaper, not just the first
+      val payload = prunedBase
         .select((idCol +: payloadCols).map(col): _*)
       payload.join(broadcast(out), idCol)
         .select((Seq(qidCol, idCol, "rank", "score") ++ payloadCols).map(col): _*)
