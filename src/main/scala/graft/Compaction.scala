@@ -168,7 +168,12 @@ object Compaction {
     * idempotent replay: deletes and moves are file-presence-driven, so a
     * half-executed spec (some stale gone, some staged already in place)
     * replays to exactly the committed state — the manifest is what lets a
-    * resume distinguish an already-moved staged file from a stale one. */
+    * resume distinguish an already-moved staged file from a stale one.
+    * Published ATOMICALLY (temp write + rename): a crash mid-write must
+    * not leave a truncated manifest at the real name, which a resume
+    * would otherwise have to parse — with the rename, either the full
+    * manifest exists (replayable) or none does (and no-manifest provably
+    * means no mutation ran, so the staging is disposable debris). */
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             tmp: org.apache.hadoop.fs.Path,
                             table: String, leaseScope: String,
@@ -181,9 +186,32 @@ object Compaction {
       stale.foreach(f => sb.append(s"D\t$f\n"))
       moves.foreach(f => sb.append(s"M\t$f\n"))
     }
-    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, ManifestFile), true)
+    val mf = new org.apache.hadoop.fs.Path(tmp, ManifestFile)
+    val mfTmp = new org.apache.hadoop.fs.Path(
+      tmp, ManifestFile + s".w${System.nanoTime()}")
+    val out = fs.create(mfTmp, true)
     try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(mfTmp, mf)) {
+      fs.delete(mfTmp, false)
+      throw new IllegalStateException(
+        s"could not publish commit manifest at $mf — refusing to start an " +
+          "unrecoverable commit")
+    }
   }
+
+  /** [[readManifest]] that treats an unreadable or unparseable manifest as
+    * NO manifest. With the atomic publish above a malformed manifest
+    * should be impossible, but a pre-upgrade truncated file (or FS
+    * corruption) must degrade to "manifest-less staging → age-gated
+    * sweep", not wedge every later maintenance pass at entry with a
+    * MatchError. */
+  private[graft] def tryReadManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                     mf: org.apache.hadoop.fs.Path)
+      : Option[(String, String, String, Seq[(String, Seq[String], Seq[String])])] =
+    try {
+      val parsed @ (table, _, root, _) = readManifest(fs, mf)
+      if (table.isEmpty || root.isEmpty) None else Some(parsed)
+    } catch { case _: Throwable => None }
 
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            mf: org.apache.hadoop.fs.Path)
@@ -214,9 +242,12 @@ object Compaction {
     (table, lease, root, entries.result())
   }
 
+  /** The lease scope an interrupted commit's manifest records, or None
+    * when the manifest is absent/unparseable (→ the staging is
+    * manifest-less debris for the age-gated sweep, never a replay). */
   private[graft] def manifestLeaseScope(fs: org.apache.hadoop.fs.FileSystem,
-                                        mf: org.apache.hadoop.fs.Path): String =
-    readManifest(fs, mf)._2
+                                        mf: org.apache.hadoop.fs.Path): Option[String] =
+    tryReadManifest(fs, mf).map(_._2)
 
   /** Replay an interrupted rename-commit from its kept staging — the
     * automated form of what used to be manual recovery. Idempotent: every
@@ -231,7 +262,10 @@ object Compaction {
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mf = new org.apache.hadoop.fs.Path(tmp, ManifestFile)
     if (!fs.exists(mf)) return false
-    val (table, _, rootStr, entries) = readManifest(fs, mf)
+    // an unparseable manifest ⇒ the atomic publish never completed ⇒ no
+    // mutation ran; the staging duplicates live data and falls back to the
+    // age-gated sweep rather than wedging the caller with a parse error
+    val (table, _, rootStr, entries) = tryReadManifest(fs, mf).getOrElse(return false)
     val root = new org.apache.hadoop.fs.Path(rootStr)
     if (fs.exists(root)) entries.foreach { case (spec, stale, moves) =>
       val dir = new org.apache.hadoop.fs.Path(root, spec)
@@ -267,7 +301,16 @@ object Compaction {
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(wh)) return 0
     fs.listStatus(wh).count { st =>
+      // the name prefix is only a cheap pre-filter: `__compact_tmp_<name>_`
+      // also matches stagings of any table whose name EXTENDS `name`
+      // (`store` vs `store__gen<nonce>`), and replaying those under THIS
+      // table's lease would race the other table's live writer. The
+      // manifest's recorded table is authoritative — replay only an exact
+      // match; everything else belongs to its own table's entry resume or
+      // to sweepOrphans (which takes the manifest's recorded lease scope).
       st.isDirectory && st.getPath.getName.startsWith(s"__compact_tmp_${name}_") &&
+        tryReadManifest(fs, new org.apache.hadoop.fs.Path(st.getPath, ManifestFile))
+          .exists(_._1 == name) &&
         resumeCommit(spark, st.getPath)
     }
   }

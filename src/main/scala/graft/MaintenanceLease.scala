@@ -149,22 +149,26 @@ object MaintenanceLease {
     * mechanism exists to prevent). A capture that turns out young (a
     * fresh writer's lease, re-created between the stat and the rename) is
     * renamed back; if even that fails, fail LOUDLY — never proceed into a
-    * possibly double-held scope. */
-  private def breakStale(fs: org.apache.hadoop.fs.FileSystem,
-                         path: org.apache.hadoop.fs.Path,
-                         ttlMs: Long): Unit = {
+    * possibly double-held scope. Returns true when the stale lease was
+    * captured and discarded (false: lost the break race, or the capture
+    * was young and restored) — [[TableStore.sweepOrphans]] routes its
+    * aged-lease reclamation through here for the same TOCTOU safety. */
+  private[graft] def breakStale(fs: org.apache.hadoop.fs.FileSystem,
+                                path: org.apache.hadoop.fs.Path,
+                                ttlMs: Long): Boolean = {
     val aside = new org.apache.hadoop.fs.Path(
       path.getParent, path.getName + s".break${System.nanoTime()}")
-    if (!fs.rename(path, aside)) return // another waiter won the break — re-examine
+    if (!fs.rename(path, aside)) return false // another waiter won the break — re-examine
     val stillStale =
       try System.currentTimeMillis() -
         fs.getFileStatus(aside).getModificationTime > ttlMs
       catch { case _: java.io.FileNotFoundException => false }
-    if (stillStale) { fs.delete(aside, false); return }
+    if (stillStale) { fs.delete(aside, false); return true }
     if (!fs.rename(aside, path)) throw new IllegalStateException(
       s"lease break at $path captured a LIVE lease (${readHolder(fs, aside)}) and " +
         "could not restore it — resolve the contention manually rather than " +
         "risking a double-held scope")
+    false // young capture restored — the lease lives on
   }
 
   /** Run `body` holding the maintenance lease for `scope`. Waits up to
@@ -193,10 +197,12 @@ object MaintenanceLease {
         s":${System.nanoTime()}"
       val deadline = System.currentTimeMillis() + waitMs
       // believe a win only when the file holds OUR token — TWICE, a beat
-      // apart: on a local FS two same-instant cross-JVM creators can both
-      // "succeed" (exists-then-create), and the later truncating write can
-      // land after the earlier writer's first read; the delayed re-verify
-      // catches that interleave. A transiently unreadable read of a file
+      // apart: on an object store (s3a/gs/abfs — exists-then-PUT) or the
+      // rare no-hardlink local mount, two same-instant cross-JVM creators
+      // can both "succeed", and the later truncating write can land after
+      // the earlier writer's first read; the delayed re-verify catches that
+      // interleave (the local FS's own create is the atomic link(2) publish
+      // in createExclusive below). A transiently unreadable read of a file
       // we just wrote retries briefly, then fails LOUDLY — silently
       // treating our own created lease as lost would strand it, blocking
       // the scope for the full TTL with no holder alive
@@ -223,14 +229,44 @@ object MaintenanceLease {
         }
         true
       }
+      def hadoopCreate(): Boolean =
+        try {
+          val out = fs.create(path, false) // create-if-absent (atomic only on HDFS)
+          try out.write(holder.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      // local FS: publish the lease by hard-LINKING a fully-written private
+      // temp into place. link(2) fails atomically when the target name
+      // exists — a true test-and-set, where Hadoop's local create(false) is
+      // exists-then-create — and the holder bytes are complete at the
+      // publish instant, so the "later writer's truncating write lands
+      // after the earlier writer's verify" interleave cannot occur at all.
+      // The double verify below is kept as belt-and-braces (it also covers
+      // the rare no-hardlink mount that falls back to hadoopCreate).
+      def createExclusive(): Boolean =
+        if ((try fs.getScheme catch { case _: Throwable => "file" }) != "file")
+          hadoopCreate()
+        else try {
+          val nioDir = java.nio.file.Paths.get(path.getParent.toUri)
+          java.nio.file.Files.createDirectories(nioDir)
+          val nioTmp = nioDir.resolve(path.getName + s".mk${System.nanoTime()}")
+          try {
+            java.nio.file.Files.write(nioTmp, holder.getBytes("UTF-8"))
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(path.toUri), nioTmp)
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          } finally java.nio.file.Files.deleteIfExists(nioTmp)
+        } catch {
+          // hard links unsupported on this mount — non-atomic create path,
+          // still guarded by the delayed double verify
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            hadoopCreate()
+        }
       var acquired = false
       while (!acquired) {
-        val created =
-          try {
-            val out = fs.create(path, false) // create-if-absent (atomic only on HDFS)
-            try out.write(holder.getBytes("UTF-8")) finally out.close()
-            true
-          } catch { case _: java.io.IOException => false }
+        val created = createExclusive()
         if (created && verifyOurs(created)) acquired = true
         else {
           val st = try Some(fs.getFileStatus(path))
@@ -343,5 +379,30 @@ object CutoverGate {
         s"cutover gate for '$group' could not close within $maxWaitMs ms — " +
           "an append has been in flight that long; investigate the append loop")
     try body finally l.unlock()
+  }
+
+  /** Close SEVERAL groups' gates around one critical section — the
+    * diff-nlist cutover must park appends to BOTH families (the old group
+    * whose pointer keeps serving, and the new group whose pointer the flip
+    * targets: an unparked append to a pre-existing natural-name build of
+    * the new family could land rows mid-flip that the post-flip reclaim
+    * then drops). Gates are acquired in sorted order so two concurrent
+    * multi-gate cutovers can never deadlock, and every acquired gate is
+    * released on a bounded-wait failure. */
+  def closedAll[A](groups: Seq[String], maxWaitMs: Long = 60 * 1000L)(body: => A): A = {
+    val order = groups.distinct.sorted
+    if (order.sizeIs <= 1) return closed(order.headOption.getOrElse(""), maxWaitMs)(body)
+    var heldLocks = List.empty[java.util.concurrent.locks.Lock]
+    try {
+      order.foreach { g =>
+        val l = gate(g).writeLock()
+        if (!l.tryLock(maxWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+          throw new IllegalStateException(
+            s"cutover gate for '$g' could not close within $maxWaitMs ms — " +
+              "an append has been in flight that long; investigate the append loop")
+        heldLocks ::= l
+      }
+      body
+    } finally heldLocks.foreach(_.unlock())
   }
 }

@@ -502,7 +502,11 @@ object Reindex {
           cur = fingerprintAll(spark, oldStore)
           changed = changedCells(fp, cur)
         }
-        CutoverGate.closed(oldGroup, maxWaitMs = gateWaitMs) {
+        // same-nlist: one group, one gate. Diff-nlist: BOTH gates close —
+        // the flip targets newGroup, and an unparked same-JVM append to a
+        // pre-existing natural-name build of the new family could land
+        // rows mid-flip that reclaimNonCurrent then drops as stale
+        CutoverGate.closedAll(Seq(oldGroup, newGroup), maxWaitMs = gateWaitMs) {
           // nothing same-JVM can write the old generation now: the final
           // delta is one parked-append-free reconcile and MUST converge —
           // a diff still moving means a cross-JVM writer outside the

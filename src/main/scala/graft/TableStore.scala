@@ -339,7 +339,14 @@ object TableStore {
         }
         if (age < horizon && !recoveryCopy && !hbYoung) {
           val mf = new org.apache.hadoop.fs.Path(st.getPath, Compaction.ManifestFile)
-          if (n.startsWith("__compact_tmp_") && fs.exists(mf)) {
+          // an unparseable manifest means the atomic publish never landed ⇒
+          // no mutation ran ⇒ the staging duplicates live data: plain aged
+          // debris for the delete branch, NOT a replay
+          val commitScope =
+            if (n.startsWith("__compact_tmp_") && fs.exists(mf))
+              Compaction.manifestLeaseScope(fs, mf)
+            else None
+          if (commitScope.isDefined) {
             // an interrupted rename-commit's staging holds the ONLY copy of
             // its rewritten partitions' content — COMPLETE the commit
             // (idempotent manifest replay) rather than discard it. The
@@ -347,12 +354,19 @@ object TableStore {
             // means a live writer owns the table — leave it for that
             // writer's own entry resume / the next cadence.
             try {
-              val scope = Compaction.manifestLeaseScope(fs, mf)
-              MaintenanceLease.withLease(spark, scope) {
+              MaintenanceLease.withLease(spark, commitScope.get) {
                 Compaction.resumeCommit(spark, st.getPath)
               }
               removed += n
             } catch { case _: Throwable => () }
+          } else if (n.startsWith("__graft_lease_")) {
+            // an aged lease file is reclaimed through the SAME hardened
+            // break the waiter path uses (rename-aside + mtime re-verify),
+            // never a delete-in-place: between the age stat above and a raw
+            // delete, the lease could be released and re-acquired by a
+            // fresh writer, whose LIVE lease the delete would destroy
+            if (MaintenanceLease.breakStale(fs, st.getPath, olderThanMs))
+              removed += n
           } else {
             // a staging table may still be registered under a persistent
             // metastore — drop the catalog entry with its files

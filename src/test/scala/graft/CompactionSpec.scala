@@ -618,4 +618,79 @@ class CompactionSpec extends AnyFunSuite {
     assert(!fs.exists(retiredStage) && !fs.exists(ptrTmp))
     fs.delete(liveStage, true); fs.delete(pointer, false)
   }
+
+  /** Hand-plant a staging dir carrying a replay manifest in the on-disk
+    * format [[Compaction]] writes (T/L/R header, P/D/M plan lines). */
+  private def plantStaging(fs: org.apache.hadoop.fs.FileSystem,
+                           wh: org.apache.hadoop.fs.Path,
+                           stagingName: String, manifest: String,
+                           staged: Seq[(String, String)] = Nil)
+      : org.apache.hadoop.fs.Path = {
+    val tmp = new org.apache.hadoop.fs.Path(wh, stagingName)
+    fs.delete(tmp, true); fs.mkdirs(tmp)
+    staged.foreach { case (spec, f) =>
+      val d = new org.apache.hadoop.fs.Path(tmp, spec); fs.mkdirs(d)
+      val out = fs.create(new org.apache.hadoop.fs.Path(d, f), true)
+      try out.write("staged".getBytes("UTF-8")) finally out.close()
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, Compaction.ManifestFile), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    tmp
+  }
+
+  test("entry resume replays only stagings whose MANIFEST records the table — a name-extending sibling's staging is never replayed under the wrong lease") {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = "graft_scopecheck"
+    // the victim: a root whose prefix-colliding sibling's manifest orders a
+    // delete — if the scope check is missing, resuming under `name` would
+    // destroy this file while the sibling's own writer may be live
+    val otherRoot = new org.apache.hadoop.fs.Path(wh, s"${name}_gen7_root")
+    val victimDir = new org.apache.hadoop.fs.Path(otherRoot, "cell=1")
+    fs.mkdirs(victimDir)
+    val victim = new org.apache.hadoop.fs.Path(victimDir, "live.parquet")
+    val vo = fs.create(victim, true); vo.write("live".getBytes("UTF-8")); vo.close()
+    val evil = plantStaging(fs, wh, s"__compact_tmp_${name}_gen7_99",
+      s"T\t${name}_gen7\nL\t${name}_gen7\nR\t$otherRoot\nP\tcell=1\nD\tlive.parquet\n")
+    // a legitimate staging of THIS table: one stale delete + one staged move
+    val myRoot = new org.apache.hadoop.fs.Path(wh, s"${name}_root")
+    val myDir = new org.apache.hadoop.fs.Path(myRoot, "cell=2")
+    fs.mkdirs(myDir)
+    val stale = new org.apache.hadoop.fs.Path(myDir, "old.parquet")
+    val so = fs.create(stale, true); so.write("old".getBytes("UTF-8")); so.close()
+    val mine = plantStaging(fs, wh, s"__compact_tmp_${name}_55",
+      s"T\t$name\nL\t$name\nR\t$myRoot\nP\tcell=2\nD\told.parquet\nM\tnew.parquet\n",
+      staged = Seq(("cell=2", "new.parquet")))
+
+    val resumed = Compaction.resumeInterruptedCommits(spark, name)
+    assert(resumed === 1, "exactly the exact-match staging replays")
+    assert(!fs.exists(mine), "the matching staging completes and is removed")
+    assert(!fs.exists(stale) &&
+      fs.exists(new org.apache.hadoop.fs.Path(myDir, "new.parquet")),
+      "the matching staging's plan (delete stale, move staged) must land")
+    assert(fs.exists(evil) && fs.exists(victim),
+      "the name-extending sibling's staging and its table are untouched")
+    fs.delete(evil, true); fs.delete(otherRoot, true); fs.delete(myRoot, true)
+  }
+
+  test("a truncated manifest never wedges resume — unparseable means manifest-less, and the sweep clears the staging as plain debris") {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a tab-less partial line — the shape a crash mid-write used to leave
+    // before the atomic temp+rename publish; resume must treat it as NO
+    // manifest (provably pre-mutation) instead of throwing at entry
+    val trunc = plantStaging(fs, wh, "__compact_tmp_graft_truncmf_1",
+      "T\tgraft_truncmf\nLgraft_trunc")
+    assert(!Compaction.resumeCommit(spark, trunc),
+      "an unparseable manifest is not replayable")
+    assert(Compaction.resumeInterruptedCommits(spark, "graft_truncmf") === 0,
+      "entry resume skips it without throwing — the cadence stays alive")
+    assert(fs.exists(trunc), "resume never deletes what it cannot parse")
+    val t = System.currentTimeMillis() - 60 * 60 * 1000L
+    fs.listStatus(trunc).foreach(st => fs.setTimes(st.getPath, t, -1))
+    fs.setTimes(trunc, t, -1)
+    val removed = TableStore.sweepOrphans(spark, olderThanMs = 30 * 60 * 1000L)
+    assert(removed.contains(trunc.getName) && !fs.exists(trunc),
+      "aged manifest-less staging is debris for the sweep")
+  }
 }

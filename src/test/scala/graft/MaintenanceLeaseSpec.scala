@@ -198,4 +198,63 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     assert(indexed === livePairs, "serialized swap must land on the post-upsert store")
     toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("closedAll parks appends on EVERY named group and releases all gates — the diff-nlist cutover's dual-family quiesce") {
+    val inBody = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val cutover = new Thread(() =>
+      // deliberately unsorted input: closedAll orders internally
+      CutoverGate.closedAll(Seq("cg_spec_b", "cg_spec_a")) {
+        inBody.countDown(); release.await()
+      })
+    cutover.start(); inBody.await()
+    val aDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ta = new Thread(() => CutoverGate.entered("cg_spec_a") { aDone.set(true) })
+    val tb = new Thread(() => CutoverGate.entered("cg_spec_b") { bDone.set(true) })
+    ta.start(); tb.start(); Thread.sleep(300)
+    assert(!aDone.get && !bDone.get,
+      "appends to BOTH families must park while the dual gate is closed")
+    release.countDown()
+    ta.join(5000); tb.join(5000); cutover.join(5000)
+    assert(aDone.get && bDone.get, "both appends proceed once the gates reopen")
+  }
+
+  test("two concurrent dual-gate cutovers with reversed group orders never deadlock (sorted acquisition)") {
+    val rounds = 50
+    val done = new java.util.concurrent.CountDownLatch(2)
+    def looper(groups: Seq[String]) = new Thread(() => {
+      (1 to rounds).foreach { _ =>
+        CutoverGate.closedAll(groups, maxWaitMs = 10000L) { () }
+      }
+      done.countDown()
+    })
+    looper(Seq("cg_dl_x", "cg_dl_y")).start()
+    looper(Seq("cg_dl_y", "cg_dl_x")).start()
+    assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "reversed-order dual closes must both finish — lock order is sorted, not caller order")
+  }
+
+  test("breakStale: an aged capture is discarded, a FRESH lease is captured-then-restored intact — the sweep's reclamation primitive") {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(wh, "__graft_lease_spec_bs_stale")
+    val o1 = fs.create(stale, true); o1.write("dead:pid0".getBytes("UTF-8")); o1.close()
+    fs.setTimes(stale, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    assert(MaintenanceLease.breakStale(fs, stale, ttlMs = 30 * 60 * 1000L),
+      "a lease past the TTL is broken")
+    assert(!fs.exists(stale))
+    // the TOCTOU the sweep used to have: by break time the file is a fresh
+    // writer's LIVE lease — the mtime re-verify must put it back unharmed
+    val live = new org.apache.hadoop.fs.Path(wh, "__graft_lease_spec_bs_live")
+    val o2 = fs.create(live, true); o2.write("alive:pid1".getBytes("UTF-8")); o2.close()
+    assert(!MaintenanceLease.breakStale(fs, live, ttlMs = 30 * 60 * 1000L),
+      "a young capture is restored, never discarded")
+    assert(fs.exists(live), "the live lease survives the attempted break")
+    val in = fs.open(live)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    assert(txt === "alive:pid1", "restored byte-for-byte")
+    fs.delete(live, false)
+  }
 }
