@@ -212,6 +212,49 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => concat_ws(",", slice(sigCol, b * rows + 1, lit(rows))))
 
+  /** Default per-bucket cap for the banded self-joins ([[capBuckets]]). */
+  val HotBucketCap = 4096
+
+  /** The production guard for LSH banding's known pathology: D documents
+    * sharing one bucket (near-identical boilerplate — cookie banners,
+    * templated pages — exactly the web-scale near-dup workload) yield
+    * D²/2 candidates inside that bucket BEFORE verification; one 10M-doc
+    * bucket is 5·10¹³ pairs and the job never finishes. Within a bucket
+    * larger than `maxBucket`, keep only the `maxBucket` smallest ids:
+    * deterministic (low ids stay the bucket's representatives across runs
+    * and re-ingests) and exactly reproducible in a SQL oracle
+    * (ROW_NUMBER ... ORDER BY id — see `dedup_minhash_capped`). Pairs
+    * among the kept representatives are still emitted, so the boilerplate
+    * cluster is still detected and collapsible by connected components;
+    * pairs involving the overflow are consciously sacrificed — upstream
+    * exact dedup removes byte-identical copies first (the `pipe_curation`
+    * composition), so buckets past a production-sized cap are
+    * near-identical templates whose representatives carry the signal.
+    * `maxBucket <= 0` disables the guard. Cost: the row_number window
+    * partitions on the SAME keys as the candidate self-join that follows,
+    * so the cap rides an exchange the plan needs anyway. */
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
+                                idCol: String, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol).asc)
+      banded.withColumn("__bucket_rn", row_number().over(w))
+        .filter(col("__bucket_rn") <= maxBucket).drop("__bucket_rn")
+    }
+
+  /** Per-bucket population of a band table with the cap verdict — the
+    * observability half of [[capBuckets]]: a curation cadence runs this
+    * over the same banding to see WHICH buckets are pathological and how
+    * much the cap sacrificed, instead of the guard acting silently.
+    * Output: (band_idx, band_key, bucket_n, truncated), hot buckets first. */
+  def hotBucketStats(banded: DataFrame, keys: Seq[String],
+                     maxBucket: Int = HotBucketCap): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .withColumn("truncated", col("bucket_n") > maxBucket)
+      .orderBy(col("bucket_n").desc +: keys.map(col(_).asc): _*)
+
   /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
     * Candidates come only from shared LSH buckets; each candidate pair is
     * verified on its true shingle sets. Output: (id_a, id_b, jaccard).
@@ -219,28 +262,38 @@ object Dedup {
     * xxhash64 production variant (same pair set, ~10× cheaper signatures). */
   def minHashPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
                    bands: Int = 4, rows: Int = 4, threshold: Double = 0.8,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    minHashPairsImpl(docs, n, k, bands, rows, threshold, idCol, textCol, minHashSigUdf)
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBucket: Int = HotBucketCap): DataFrame =
+    minHashPairsImpl(docs, n, k, bands, rows, threshold, idCol, textCol,
+      minHashSigUdf, maxBucket)
 
   /** minHashPairs on the xxhash64 signature kernel — the scale default. The
     * verified output is hash-family-independent (true-Jaccard filtered), so
     * for any corpus where banding recall holds it emits the identical pair
-    * set, at a fraction of the signature cost. */
+    * set, at a fraction of the signature cost. (One caveat: bucket
+    * membership IS hash-family-dependent, so on a corpus with buckets past
+    * `maxBucket` the two kernels may truncate different overflow docs —
+    * parity holds wherever the hot-bucket guard does not engage.) */
   def minHashPairsFast(docs: DataFrame, n: Int = 3, k: Int = 16,
                        bands: Int = 4, rows: Int = 4, threshold: Double = 0.8,
-                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    minHashPairsImpl(docs, n, k, bands, rows, threshold, idCol, textCol, minHashSigFastUdf)
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxBucket: Int = HotBucketCap): DataFrame =
+    minHashPairsImpl(docs, n, k, bands, rows, threshold, idCol, textCol,
+      minHashSigFastUdf, maxBucket)
 
   private def minHashPairsImpl(docs: DataFrame, n: Int, k: Int,
                                bands: Int, rows: Int, threshold: Double,
                                idCol: String, textCol: String,
-                               sigUdf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+                               sigUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
+                               maxBucket: Int = HotBucketCap): DataFrame = {
     require(bands * rows == k, "bands*rows must equal signature length")
     // persist: the shingle/signature subtrees feed BOTH sides of the
     // candidate self-join plus verification — without it they recompute
     // (hash-per-shingle-per-seed) once per downstream stage
     val sh = graft.Caches.persistTracked(docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")))
-    val banded = graft.Caches.persistTracked(bandTable(sh, idCol, k, bands, rows, sigUdf))
+    val banded = graft.Caches.persistTracked(capBuckets(
+      bandTable(sh, idCol, k, bands, rows, sigUdf),
+      Seq("band_idx", "band_key"), idCol, maxBucket))
     val left  = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
     val right = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
     val candidates = left.join(right, Seq("band_idx", "band_key"))
@@ -292,14 +345,21 @@ object Dedup {
   def minHashPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
                               n: Int = 3, k: Int = 16, bands: Int = 4, rows: Int = 4,
                               threshold: Double = 0.8, idCol: String = "doc_id",
-                              textCol: String = "text"): DataFrame = {
+                              textCol: String = "text",
+                              maxBucket: Int = HotBucketCap): DataFrame = {
     require(bands * rows == k, "bands*rows must equal signature length")
     val shNew = graft.Caches.persistTracked(
       newDocs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")))
     val shOld = graft.Caches.persistTracked(
       corpus.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")))
-    val bandedNew = graft.Caches.persistTracked(
-      bandTable(shNew, idCol, k, bands, rows, minHashSigFastUdf))
+    // cap the BATCH side only: new×corpus candidate volume is then at most
+    // maxBucket × |corpus bucket| — linear in the corpus bucket (an
+    // ordinary skewed join AQE handles), never quadratic; a corpus-side
+    // window here would shuffle the whole corpus band table, the exact
+    // cost this incremental form exists to avoid
+    val bandedNew = graft.Caches.persistTracked(capBuckets(
+      bandTable(shNew, idCol, k, bands, rows, minHashSigFastUdf),
+      Seq("band_idx", "band_key"), idCol, maxBucket))
     val bandedAll = bandTable(shOld, idCol, k, bands, rows, minHashSigFastUdf)
       .unionByName(bandedNew)
     val candidates = bandedNew.select(col("band_idx"), col("band_key"), col(idCol).as("__new"))
@@ -333,9 +393,16 @@ object Dedup {
   def minHashPairsIncrementalStored(newDocs: DataFrame, corpusShingles: DataFrame,
                                     corpusBands: DataFrame,
                                     threshold: Double = 0.8, idCol: String = "doc_id",
-                                    textCol: String = "text"): DataFrame = {
+                                    textCol: String = "text",
+                                    maxBucket: Int = HotBucketCap): DataFrame = {
     val shNew = graft.Caches.persistTracked(minHashShingleTable(newDocs, 3, idCol, textCol))
-    val bandedNew = graft.Caches.persistTracked(minHashBandTable(shNew, 16, 4, 4, idCol))
+    // batch-side cap only (window over the batch is cheap); the stored
+    // corpus side stays bucketed and exchange-free — see
+    // minHashPairsIncremental for why that bounds candidates at
+    // maxBucket × |corpus bucket|, linear not quadratic
+    val bandedNew = graft.Caches.persistTracked(capBuckets(
+      minHashBandTable(shNew, 16, 4, 4, idCol),
+      Seq("band_idx", "band_key"), idCol, maxBucket))
     val newSide = bandedNew.select(col("band_idx"), col("band_key"), col(idCol).as("__new"))
     def otherSide(b: DataFrame) =
       b.select(col("band_idx"), col("band_key"), col(idCol).as("__other"))
@@ -432,7 +499,8 @@ object Dedup {
     * common (~800k candidates on the sf0.1 fixture), so the per-candidate
     * cost is what dominates. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3, blocks: Int = 4,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBucket: Int = HotBucketCap): DataFrame = {
     require(maxHamming < blocks, "pigeonhole recall needs maxHamming < blocks")
     require(SimHashBits % blocks == 0)
     val blockLen = SimHashBits / blocks
@@ -441,9 +509,10 @@ object Dedup {
     val blockKeys = array((0 until blocks).map { b =>
       shiftright(col("sig"), b * blockLen).bitwiseAND(lit((1L << blockLen) - 1))
     }: _*)
-    val banded = sigs
+    val banded = capBuckets(sigs
       .select(col(idCol), col("sig"),
-        posexplode(blockKeys).as(Seq("block_idx", "block_key")))
+        posexplode(blockKeys).as(Seq("block_idx", "block_key"))),
+      Seq("block_idx", "block_key"), idCol, maxBucket)
     val candidates = banded
       .select(col("block_idx"), col("block_key"), col(idCol).as("id_a"), col("sig").as("sig_a"))
       .join(banded.select(col("block_idx"), col("block_key"),

@@ -69,7 +69,8 @@ object Similarity {
   def lshCandidates(corpus: DataFrame, minCosine: Double,
                     bucketLength: Double = 0.0, numHashTables: Int = 8,
                     hashesPerTable: Int = 0,
-                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    maxBucket: Int = Dedup.HotBucketCap): DataFrame = {
     require(minCosine > 0.0, "zero-norm exclusion assumes a positive cosine threshold")
     val g = if (hashesPerTable > 0) hashesPerTable else defaultHashesPerTable(minCosine)
     val dimOpt = corpus.select(size(col(embCol)).as("d")).limit(1).collect().headOption
@@ -123,10 +124,14 @@ object Similarity {
     // the candidate join/distinct (as MLlib's approxSimilarityJoin does) is
     // the dominant shuffle cost; vectors are only needed afterwards, once
     // per surviving pair
-    val hashed = corpus
+    // hot-bucket guard (Dedup.capBuckets): a projection bucket holding D
+    // near-identical embeddings would emit D²/2 candidates — cap each
+    // bucket at its maxBucket smallest ids before the self-join
+    val hashed = Dedup.capBuckets(corpus
       .filter(normSq(col(embCol)) > 0.0)
       .select(col(idCol), bucketsUdf(col(embCol)).as("bk"))
-      .select(col(idCol), posexplode(col("bk")).as(Seq("tbl", "bucket")))
+      .select(col(idCol), posexplode(col("bk")).as(Seq("tbl", "bucket"))),
+      Seq("tbl", "bucket"), idCol, maxBucket)
     hashed.select(col("tbl"), col("bucket"), col(idCol).as("left_id"))
       .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("right_id")),
         Seq("tbl", "bucket"))
@@ -136,9 +141,10 @@ object Similarity {
 
   def lshJoin(corpus: DataFrame, minCosine: Double, bucketLength: Double = 0.0,
               numHashTables: Int = 8, hashesPerTable: Int = 0,
-              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", embCol: String = "embedding",
+              maxBucket: Int = Dedup.HotBucketCap): DataFrame = {
     val candidates = lshCandidates(corpus, minCosine, bucketLength, numHashTables,
-      hashesPerTable, idCol, embCol)
+      hashesPerTable, idCol, embCol, maxBucket)
     val a = corpus.select(col(idCol).as("left_id"), col(embCol).as("__emb_a"))
     val b = corpus.select(col(idCol).as("right_id"), col(embCol).as("__emb_b"))
     candidates.join(a, "left_id").join(b, "right_id")

@@ -23,6 +23,18 @@ object DedupQueries {
       docs.filter($"doc_id" < 50).select(($"doc_id" + 100000).as("doc_id"), $"text"))
   }
 
+  /** documents plus doc 0's text replicated under 12 fresh ids — one
+    * boilerplate cluster big enough to overflow a small bucket cap, the
+    * web-scale pathology the hot-bucket guard exists for. */
+  private def withBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    docs.unionByName(
+      docs.filter($"doc_id" === 0)
+        .crossJoin(s.range(12).select($"id".as("i")))
+        .select((lit(200000L) + $"i").as("doc_id"), $"text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: duplicate groups by content digest.
     "dedup_exact_groups" -> ((s, dir) =>
@@ -49,6 +61,33 @@ object DedupQueries {
       import s.implicits._
       Dedup.minHashPairsFast(Tables.documents(s, dir))
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    }),
+
+    // The hot-bucket guard exercised for real: a 13-doc boilerplate bucket
+    // against maxBucket=8 — the 8 smallest ids stay the bucket's
+    // representatives, pairs among them (and every under-cap bucket's
+    // pairs) are emitted, the overflow's are sacrificed. The oracle
+    // replays the cap itself (QUALIFY ROW_NUMBER ... ORDER BY doc_id), so
+    // the guard's exact semantics are hash-pinned, not just "some rows".
+    "dedup_minhash_capped" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minHashPairs(withBoilerplate(s, dir), maxBucket = 8)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    }),
+
+    // The guard's observability half: which buckets are pathological and
+    // whether the cap would truncate them — the curation cadence's loud
+    // report, oracle-checked on the same boilerplate fixture.
+    "dedup_hot_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Dedup.minHashShingleTable(withBoilerplate(s, dir))
+      val banded = sh.select($"doc_id",
+        posexplode(Dedup.bandKeys(Dedup.minHashSignature($"sh", 16), 4, 4))
+          .as(Seq("band_idx", "band_key")))
+      Dedup.hotBucketStats(banded, Seq("band_idx", "band_key"), maxBucket = 8)
+        .filter($"bucket_n" > 1)
+        .select($"band_idx".cast("long").as("band_idx"), $"band_key", $"bucket_n",
+          $"truncated".cast("int").as("truncated"))
     }),
 
     // Ground-truth n-gram Jaccard pairs (validates the LSH path's recall).
@@ -219,9 +258,26 @@ object DedupQueries {
     s"""list_transform(generate_series(0, 15),
           i -> list_min(list_transform(sh, s -> ${duckHash("i", "s")})))"""
 
-  private val duckShinglesCte =
+  private def duckShinglesCteOver(src: String) =
     s"""sh AS (SELECT doc_id, $duckShingles AS sh
-               FROM (SELECT doc_id, ${duckWords("text")} AS w FROM documents))"""
+               FROM (SELECT doc_id, ${duckWords("text")} AS w FROM ($src)))"""
+
+  private val duckShinglesCte =
+    duckShinglesCteOver("SELECT doc_id, text FROM documents")
+
+  /** The boilerplate fixture: documents + 12 copies of doc 0's text. */
+  private val boiler =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT 200000 + i AS doc_id, text
+       FROM documents, (SELECT unnest(generate_series(0, 11)) AS i)
+       WHERE doc_id = 0"""
+
+  private val duckBandedCte =
+    s"""banded AS (
+          SELECT doc_id, band_idx, array_to_string(sig[band_idx*4+1 : band_idx*4+4], ',') AS band_key
+          FROM (SELECT doc_id, sh, $duckSig16 AS sig FROM sh),
+               (SELECT unnest(generate_series(0, 3)) AS band_idx))"""
 
   private val duckVerify =
     """SELECT c.id_a, c.id_b,
@@ -296,6 +352,24 @@ object DedupQueries {
             FROM banded l JOIN banded r
               ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
           $duckVerify""",
+    "dedup_minhash_capped" ->
+      s"""WITH ${duckShinglesCteOver(boiler)},
+          $duckBandedCte,
+          capped AS (
+            SELECT doc_id, band_idx, band_key FROM banded
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY band_idx, band_key ORDER BY doc_id) <= 8),
+          candidates AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM capped l JOIN capped r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+          $duckVerify""",
+    "dedup_hot_buckets" ->
+      s"""WITH ${duckShinglesCteOver(boiler)},
+          $duckBandedCte
+          SELECT band_idx, band_key, COUNT(*) AS bucket_n,
+            CAST(COUNT(*) > 8 AS INT) AS truncated
+          FROM banded GROUP BY band_idx, band_key HAVING COUNT(*) > 1""",
     "dedup_ngram_pairs" ->
       s"""WITH $duckShinglesCte,
           prefixes AS (

@@ -497,20 +497,46 @@ object StreamingIngest {
     * still emits one marker row (answer columns null, its own text
     * preserved) through the LEFT join below, so the sink can distinguish
     * "no results" from "never processed", and one bad row never fails the
-    * micro-batch. */
+    * micro-batch.
+    *
+    * Driver exposure is bounded by `maxBatchQueries`: a micro-batch deeper
+    * than that (a flooded queue source, a replay after downtime) is served
+    * in independent slices — `onAnswers` then fires once per slice with
+    * each id still answered exactly once across them — instead of
+    * collecting the whole batch onto the driver. At ordinary depths
+    * (8–32 in the ×1000 serving matrix) exactly one slice fires. */
   def startQueries(queries: DataFrame, dir: String, checkpoint: String,
                    nlist: Int, k: Int = 10, nprobe: Int = 4,
                    trained: Boolean = false,
                    pqM: Int = 0, pqKsub: Int = 32, rerankFactor: Int = 16,
                    idCol: String = "query_id", textCol: String = "query_text",
                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                   maxBatchQueries: Int = 4096,
                    onAnswers: (Long, DataFrame) => Unit): StreamingQuery =
     trigger.foldLeft(queries.writeStream)(_.trigger(_))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val rows = batch.select(col(idCol), col(textCol)).collect() // micro-batch scale
-        if (rows.nonEmpty) {
+        // the serving loop is driver-mediated by design (query texts feed
+        // the batched probe as literals), so the driver's exposure must be
+        // bounded by THIS loop, not by trusting the source's trigger
+        // configuration: a flooded queue source otherwise hands foreachBatch
+        // an arbitrarily large micro-batch and a whole-batch collect() is a
+        // driver OOM. toLocalIterator streams the batch one partition at a
+        // time; each `maxBatchQueries` slice probes and answers
+        // independently, so driver residency is one slice of ids + its
+        // slice × k answers whatever the batch size. onAnswers fires once
+        // per slice (once per batch at ordinary depths — slicing only
+        // engages on overflow); every query id is still answered exactly
+        // once across the batch's slices.
+        val sliceSize = math.max(1, maxBatchQueries)
+        val batchIt = batch.select(col(idCol), col(textCol)).toLocalIterator()
+        val slice = new scala.collection.mutable.ArrayBuffer[Row](
+          math.min(sliceSize, 1024))
+        while (batchIt.hasNext) {
+          slice.clear()
+          while (batchIt.hasNext && slice.size < sliceSize) slice += batchIt.next()
+          val rows = slice.toArray
           // null texts cannot embed: they stay out of the probe but their
           // ids remain in `ids`, falling out of the LEFT join as marker rows
           val texts = rows.collect { case r if !r.isNullAt(1) => r.getString(1) }

@@ -69,4 +69,46 @@ class DedupPropertySpec extends AnyFunSuite {
       spark.sqlContext.clearCache()
     }
   }
+
+  test("hot-bucket cap bounds candidate volume quadratically and keeps the smallest-id representatives pairable") {
+    import spark.implicits._
+    // one boilerplate cluster: 40 identical docs — every band bucket holds
+    // all 40, the D²/2 pathology in miniature
+    val boiler = (0L until 40L).map(id => (id, "the same cookie banner text repeated across the whole crawl"))
+    val df = boiler.toDF("doc_id", "text")
+    val capped = Dedup.minHashPairs(df, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly the C(8,2) pairs among ids 0..7 — deterministic representatives
+    val want = (for { a <- 0L until 8L; b <- (a + 1) until 8L } yield (a, b)).toSet
+    assert(capped === want,
+      "cap keeps the 8 smallest ids per bucket; all and only their pairs survive")
+    // uncapped: the full quadratic set, confirming the guard is what bounded it
+    val uncapped = Dedup.minHashPairs(df, maxBucket = 0).count()
+    assert(uncapped === 40L * 39 / 2)
+    // connected components over the capped pairs still collapse the cluster
+    // representatives into ONE group — the dedup outcome survives the cap
+    val comps = graft.operators.Clusters.connectedComponents(
+      capped.toSeq.toDF("id_a", "id_b"))
+    assert(comps.select("cluster_id").distinct().count() === 1L)
+    spark.sqlContext.clearCache()
+  }
+
+  test("embedding LSH hot-bucket cap: identical vectors collapse to capped representatives, distinct vectors unaffected") {
+    import spark.implicits._
+    val hot = (0L until 30L).map(id => (id, Array.fill(8)(0.5f)))
+    val cold = Seq((100L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)),
+                   (101L, Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f)))
+    val df = (hot ++ cold).toDF("vec_id", "embedding")
+    val cands = graft.operators.Similarity.lshCandidates(
+      df, minCosine = 0.9, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands === (for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)).toSet,
+      "every bucket truncates to ids 0..4; the orthogonal vectors pair with nothing")
+    val uncapped = graft.operators.Similarity.lshCandidates(
+      df, minCosine = 0.9, maxBucket = 0).count()
+    // at least the hot cluster's full quadratic set (stray projection
+    // collisions with the cold vectors may add a few more)
+    assert(uncapped >= 30L * 29 / 2)
+    spark.sqlContext.clearCache()
+  }
 }

@@ -1345,6 +1345,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("query-serving loop: a micro-batch deeper than maxBatchQueries serves in bounded slices — every id answered exactly once, answers ≡ serial") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    IvfCatalog.assignedChunks(spark, dir, 16).count()
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val got = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.Row]
+    val ck = s"/tmp/graft_qserve_slice_ckpt${System.nanoTime()}"
+    val q = graft.streaming.StreamingIngest.startQueries(
+      source.toDF().toDF("query_id", "query_text"), dir, ck, nlist = 16,
+      maxBatchQueries = 2, // overflow at 5 queries → 3 slices
+      onAnswers = (_, df) => got.synchronized { calls.incrementAndGet(); got ++= df.collect() })
+    val texts = Map(
+      1L -> "spark join vector query", 2L -> "document quality score",
+      3L -> "token budget packing", 4L -> "spark join vector query",
+      5L -> "document quality score")
+    try {
+      source.addData(texts.toSeq.sortBy(_._1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(calls.get() === 3,
+      s"5 queries at maxBatchQueries=2 must serve as ceil(5/2)=3 slices, got ${calls.get()}")
+    val byId = got.groupBy(_.getLong(0))
+    assert(byId.keySet === texts.keySet, "every id answered across the slices")
+    texts.foreach { case (qid, t) =>
+      val serial = graft.pipelines.Pipelines.flagshipIvf(spark, dir, queryText = t)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+      val mine = byId(qid).map(r => (r.getString(2), r.getDouble(4))).toSeq
+      assert(mine === serial, s"sliced query $qid must answer like the serial flagship")
+    }
+  }
+
   test("query-serving loop at pqM>0 serves the compressed batch probe ≡ serial flagshipIvfPq") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
