@@ -35,12 +35,26 @@ object BandCatalog {
   def corpusBands(spark: SparkSession, dir: String): DataFrame = {
     val name = TableStore.tableName("dedup_bands", dir)
     TableStore.getOrBuild(spark, name) {
-      Dedup.minHashBandTable(corpusShingles(spark, dir))
-        .repartition(32, org.apache.spark.sql.functions.col("band_idx"),
-          org.apache.spark.sql.functions.col("band_key")) // clusterWrite
-        .write.mode("overwrite")
-        .bucketBy(32, "band_idx", "band_key").sortBy("band_idx", "band_key")
-        .format("parquet").saveAsTable(name)
+      // hot-bucket cap applied at BUILD time (one extra window on the
+      // build's own exchange, amortized over every later ingest): probes
+      // cap their batch side at join time, so with the stored side capped
+      // here both factors of the candidate product are bounded. Appends
+      // can regrow a bucket past the cap between rebuilds — the bound the
+      // probe actually relies on is its own batch-side cap (linear in the
+      // stored bucket); this build-time cap is the belt that keeps stored
+      // buckets from compounding across corpus generations.
+      Caches.releaseAfter {
+        // persisted: the cap's phases rescan their input, and the
+        // signature kernel must run once per build, not once per phase
+        Dedup.capBuckets(
+            Caches.persistTracked(Dedup.minHashBandTable(corpusShingles(spark, dir))),
+            Seq("band_idx", "band_key"), "doc_id", Dedup.HotBucketCap)
+          .repartition(32, org.apache.spark.sql.functions.col("band_idx"),
+            org.apache.spark.sql.functions.col("band_key")) // clusterWrite
+          .write.mode("overwrite")
+          .bucketBy(32, "band_idx", "band_key").sortBy("band_idx", "band_key")
+          .format("parquet").saveAsTable(name)
+      }
     }
   }
 

@@ -57,7 +57,11 @@ object HotBucketBench {
       (n, (System.nanoTime() - t0) / 1e9)
     }
 
-    val legs = (0 +: caps.filter(_ > 0)).map { cap =>
+    // SPARK_GRAFT_SKIP_UNCAPPED=1 drops the uncapped leg — at large `copies`
+    // it is quadratic by construction and exists only to be measured once
+    val withRaw = if (sys.env.get("SPARK_GRAFT_SKIP_UNCAPPED").contains("1"))
+      caps.filter(_ > 0) else 0 +: caps.filter(_ > 0)
+    val legs = withRaw.map { cap =>
       val (n, secs) = leg(cap)
       val nm = if (cap == 0) "uncapped" else s"cap$cap"
       println(f"[hotbucket] $nm%-9s candidates=$n%12d  time=$secs%8.2f s")

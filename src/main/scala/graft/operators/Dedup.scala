@@ -230,17 +230,32 @@ object Dedup {
     * exact dedup removes byte-identical copies first (the `pipe_curation`
     * composition), so buckets past a production-sized cap are
     * near-identical templates whose representatives carry the signal.
-    * `maxBucket <= 0` disables the guard. Cost: the row_number window
-    * partitions on the SAME keys as the candidate self-join that follows,
-    * so the cap rides an exchange the plan needs anyway. */
+    * `maxBucket <= 0` disables the guard.
+    *
+    * TWO-PHASE so the guard is ~free when idle: hot KEYS are found by a
+    * count aggregation (map-side combined — the hot pathology collapses to
+    * one row per partition per key; no doc ids travel, and nothing is
+    * sorted), then broadcast. Cold rows pass through a broadcast ANTI join
+    * untouched; only rows of provably-hot buckets pay the row_number
+    * window, whose exchange carries just those rows. A naive global
+    * row_number would instead exchange + SORT the whole band table on
+    * every run — measured +36–58% on the sf0.1 dedup family with zero hot
+    * buckets. Phases rescan `banded`, so callers pass a persisted (or
+    * trivially recomputed) frame — both in-repo callers do. */
   private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
                                 idCol: String, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) banded
     else {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol).asc)
-      banded.withColumn("__bucket_rn", row_number().over(w))
+      val kc = keys.map(col)
+      val hot = banded.groupBy(kc: _*).agg(count(lit(1)).as("__bucket_n"))
+        .filter(col("__bucket_n") > maxBucket).select(kc: _*)
+      val cold = banded.join(broadcast(hot), keys, "left_anti")
+      val w = Window.partitionBy(kc: _*).orderBy(col(idCol).asc)
+      val kept = banded.join(broadcast(hot), keys, "left_semi")
+        .withColumn("__bucket_rn", row_number().over(w))
         .filter(col("__bucket_rn") <= maxBucket).drop("__bucket_rn")
+      cold.unionByName(kept)
     }
 
   /** Per-bucket population of a band table with the cap verdict — the
@@ -291,9 +306,11 @@ object Dedup {
     // candidate self-join plus verification — without it they recompute
     // (hash-per-shingle-per-seed) once per downstream stage
     val sh = graft.Caches.persistTracked(docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")))
-    val banded = graft.Caches.persistTracked(capBuckets(
-      bandTable(sh, idCol, k, bands, rows, sigUdf),
-      Seq("band_idx", "band_key"), idCol, maxBucket))
+    // persist BEFORE the cap: the guard's phases rescan their input, and
+    // the signature kernel must run once, not once per phase
+    val banded = capBuckets(
+      graft.Caches.persistTracked(bandTable(sh, idCol, k, bands, rows, sigUdf)),
+      Seq("band_idx", "band_key"), idCol, maxBucket)
     val left  = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
     val right = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
     val candidates = left.join(right, Seq("band_idx", "band_key"))
@@ -357,9 +374,9 @@ object Dedup {
     // ordinary skewed join AQE handles), never quadratic; a corpus-side
     // window here would shuffle the whole corpus band table, the exact
     // cost this incremental form exists to avoid
-    val bandedNew = graft.Caches.persistTracked(capBuckets(
-      bandTable(shNew, idCol, k, bands, rows, minHashSigFastUdf),
-      Seq("band_idx", "band_key"), idCol, maxBucket))
+    val bandedNew = capBuckets(
+      graft.Caches.persistTracked(bandTable(shNew, idCol, k, bands, rows, minHashSigFastUdf)),
+      Seq("band_idx", "band_key"), idCol, maxBucket)
     val bandedAll = bandTable(shOld, idCol, k, bands, rows, minHashSigFastUdf)
       .unionByName(bandedNew)
     val candidates = bandedNew.select(col("band_idx"), col("band_key"), col(idCol).as("__new"))
@@ -400,9 +417,9 @@ object Dedup {
     // corpus side stays bucketed and exchange-free — see
     // minHashPairsIncremental for why that bounds candidates at
     // maxBucket × |corpus bucket|, linear not quadratic
-    val bandedNew = graft.Caches.persistTracked(capBuckets(
-      minHashBandTable(shNew, 16, 4, 4, idCol),
-      Seq("band_idx", "band_key"), idCol, maxBucket))
+    val bandedNew = capBuckets(
+      graft.Caches.persistTracked(minHashBandTable(shNew, 16, 4, 4, idCol)),
+      Seq("band_idx", "band_key"), idCol, maxBucket)
     val newSide = bandedNew.select(col("band_idx"), col("band_key"), col(idCol).as("__new"))
     def otherSide(b: DataFrame) =
       b.select(col("band_idx"), col("band_key"), col(idCol).as("__other"))

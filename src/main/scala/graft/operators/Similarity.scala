@@ -126,11 +126,13 @@ object Similarity {
     // per surviving pair
     // hot-bucket guard (Dedup.capBuckets): a projection bucket holding D
     // near-identical embeddings would emit D²/2 candidates — cap each
-    // bucket at its maxBucket smallest ids before the self-join
-    val hashed = Dedup.capBuckets(corpus
+    // bucket at its maxBucket smallest ids before the self-join. The
+    // hashed table is persisted: the guard's phases and the self-join's
+    // two sides would otherwise each re-run the projection UDF
+    val hashed = Dedup.capBuckets(graft.Caches.persistTracked(corpus
       .filter(normSq(col(embCol)) > 0.0)
       .select(col(idCol), bucketsUdf(col(embCol)).as("bk"))
-      .select(col(idCol), posexplode(col("bk")).as(Seq("tbl", "bucket"))),
+      .select(col(idCol), posexplode(col("bk")).as(Seq("tbl", "bucket")))),
       Seq("tbl", "bucket"), idCol, maxBucket)
     hashed.select(col("tbl"), col("bucket"), col(idCol).as("left_id"))
       .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("right_id")),
