@@ -199,26 +199,34 @@ object Compaction {
     }
   }
 
-  /** [[readManifest]] that treats an unreadable or unparseable manifest as
-    * NO manifest. With the atomic publish above a malformed manifest
-    * should be impossible, but a pre-upgrade truncated file (or FS
-    * corruption) must degrade to "manifest-less staging → age-gated
-    * sweep", not wedge every later maintenance pass at entry with a
-    * MatchError. */
+  /** Manifest read ([[parseManifest]]) that treats an UNPARSEABLE manifest as NO manifest.
+    * With the atomic publish above a malformed manifest should be
+    * impossible, but a pre-upgrade truncated file (or FS corruption) must
+    * degrade to "manifest-less staging → age-gated sweep", not wedge every
+    * later maintenance pass at entry with a MatchError.
+    *
+    * CRITICAL distinction: a parse failure proves the publish never
+    * completed (⇒ no mutation ran ⇒ the staging is disposable), but a READ
+    * failure (IOException — S3 throttle, HDFS failover) proves nothing:
+    * the staging may hold the only copy of rewritten partitions. IO errors
+    * therefore PROPAGATE — callers skip the staging for this pass and
+    * leave it for the next cadence, never delete on them. */
   private[graft] def tryReadManifest(fs: org.apache.hadoop.fs.FileSystem,
                                      mf: org.apache.hadoop.fs.Path)
-      : Option[(String, String, String, Seq[(String, Seq[String], Seq[String])])] =
+      : Option[(String, String, String, Seq[(String, Seq[String], Seq[String])])] = {
+    val text = { // any failure HERE is a transient read problem — rethrow
+      val in = fs.open(mf)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    }
     try {
-      val parsed @ (table, _, root, _) = readManifest(fs, mf)
+      val parsed @ (table, _, root, _) = parseManifest(text)
       if (table.isEmpty || root.isEmpty) None else Some(parsed)
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None } // unparseable
+  }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-                           mf: org.apache.hadoop.fs.Path)
+  private def parseManifest(text: String)
       : (String, String, String, Seq[(String, Seq[String], Seq[String])]) = {
-    val in = fs.open(mf)
-    val text = try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
     var (table, lease, root) = ("", "", "")
     val entries = Seq.newBuilder[(String, Seq[String], Seq[String])]
     var spec: String = null
@@ -258,14 +266,19 @@ object Compaction {
     * the scope) so no live pass commits concurrently. Returns true when
     * the staging carried a manifest and was completed+removed. */
   private[graft] def resumeCommit(spark: SparkSession,
-                                  tmp: org.apache.hadoop.fs.Path): Boolean = {
+                                  tmp: org.apache.hadoop.fs.Path,
+                                  preParsed: Option[(String, String, String,
+                                    Seq[(String, Seq[String], Seq[String])])] = None)
+      : Boolean = {
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mf = new org.apache.hadoop.fs.Path(tmp, ManifestFile)
     if (!fs.exists(mf)) return false
     // an unparseable manifest ⇒ the atomic publish never completed ⇒ no
     // mutation ran; the staging duplicates live data and falls back to the
-    // age-gated sweep rather than wedging the caller with a parse error
-    val (table, _, rootStr, entries) = tryReadManifest(fs, mf).getOrElse(return false)
+    // age-gated sweep rather than wedging the caller with a parse error.
+    // (A transient READ error propagates — the caller skips this pass.)
+    val (table, _, rootStr, entries) =
+      preParsed.orElse(tryReadManifest(fs, mf)).getOrElse(return false)
     val root = new org.apache.hadoop.fs.Path(rootStr)
     if (fs.exists(root)) entries.foreach { case (spec, stale, moves) =>
       val dir = new org.apache.hadoop.fs.Path(root, spec)
@@ -308,10 +321,15 @@ object Compaction {
       // manifest's recorded table is authoritative — replay only an exact
       // match; everything else belongs to its own table's entry resume or
       // to sweepOrphans (which takes the manifest's recorded lease scope).
-      st.isDirectory && st.getPath.getName.startsWith(s"__compact_tmp_${name}_") &&
-        tryReadManifest(fs, new org.apache.hadoop.fs.Path(st.getPath, ManifestFile))
-          .exists(_._1 == name) &&
-        resumeCommit(spark, st.getPath)
+      // A transiently UNREADABLE manifest skips the staging this pass
+      // (never a delete, never a wedge); parsed once, reused by the replay.
+      st.isDirectory && st.getPath.getName.startsWith(s"__compact_tmp_${name}_") && {
+        val mfp = new org.apache.hadoop.fs.Path(st.getPath, ManifestFile)
+        val parsed =
+          try { if (fs.exists(mfp)) tryReadManifest(fs, mfp) else None }
+          catch { case _: java.io.IOException => None }
+        parsed.exists(_._1 == name) && resumeCommit(spark, st.getPath, parsed)
+      }
     }
   }
 

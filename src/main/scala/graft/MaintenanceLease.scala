@@ -259,10 +259,12 @@ object MaintenanceLease {
             } catch { case _: java.nio.file.FileAlreadyExistsException => false }
           } finally java.nio.file.Files.deleteIfExists(nioTmp)
         } catch {
-          // hard links unsupported on this mount — non-atomic create path,
-          // still guarded by the delayed double verify
-          case _: UnsupportedOperationException | _: java.io.IOException =>
-            hadoopCreate()
+          // ANY non-fatal failure of the link protocol (no hard links on
+          // this mount, a schemeless/non-default URI that Paths.get
+          // rejects, ...) degrades to the non-atomic create path — still
+          // guarded by the delayed double verify — rather than wedging
+          // every acquisition for the scope
+          case scala.util.control.NonFatal(_) => hadoopCreate()
         }
       var acquired = false
       while (!acquired) {

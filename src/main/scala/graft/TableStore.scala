@@ -339,14 +339,21 @@ object TableStore {
         }
         if (age < horizon && !recoveryCopy && !hbYoung) {
           val mf = new org.apache.hadoop.fs.Path(st.getPath, Compaction.ManifestFile)
-          // an unparseable manifest means the atomic publish never landed ⇒
-          // no mutation ran ⇒ the staging duplicates live data: plain aged
-          // debris for the delete branch, NOT a replay
+          // Three manifest states, three fates. UNPARSEABLE (None) means
+          // the atomic publish never landed ⇒ no mutation ran ⇒ the staging
+          // duplicates live data: plain aged debris for the delete branch.
+          // UNREADABLE (IOException — throttle/failover) proves NOTHING:
+          // the staging may hold the only copy of rewritten partitions, so
+          // the entry is skipped whole this pass — deleting on a transient
+          // read error would destroy the recovery copy.
+          var skipUnreadable = false
           val commitScope =
             if (n.startsWith("__compact_tmp_") && fs.exists(mf))
-              Compaction.manifestLeaseScope(fs, mf)
+              try Compaction.manifestLeaseScope(fs, mf)
+              catch { case _: java.io.IOException => skipUnreadable = true; None }
             else None
-          if (commitScope.isDefined) {
+          if (skipUnreadable) { /* next cadence decides */ }
+          else if (commitScope.isDefined) {
             // an interrupted rename-commit's staging holds the ONLY copy of
             // its rewritten partitions' content — COMPLETE the commit
             // (idempotent manifest replay) rather than discard it. The
@@ -364,9 +371,14 @@ object TableStore {
             // break the waiter path uses (rename-aside + mtime re-verify),
             // never a delete-in-place: between the age stat above and a raw
             // delete, the lease could be released and re-acquired by a
-            // fresh writer, whose LIVE lease the delete would destroy
-            if (MaintenanceLease.breakStale(fs, st.getPath, olderThanMs))
-              removed += n
+            // fresh writer, whose LIVE lease the delete would destroy.
+            // breakStale's loud failure (live capture whose restore rename
+            // failed) is isolated per entry — it must not abort the rest of
+            // the sweep; the waiter path still fails loudly for that state.
+            try {
+              if (MaintenanceLease.breakStale(fs, st.getPath, olderThanMs))
+                removed += n
+            } catch { case _: Throwable => () }
           } else {
             // a staging table may still be registered under a persistent
             // metastore — drop the catalog entry with its files

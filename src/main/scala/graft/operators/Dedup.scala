@@ -357,8 +357,13 @@ object Dedup {
     * Recall is identical to running [[minHashPairs]] over corpus ∪ new and
     * keeping the new-involving pairs: both sides band with the same
     * signature scheme, so a pair shares a bucket in one formulation iff it
-    * does in the other. Output is canonical (id_a < id_b, true-Jaccard
-    * verified ≥ threshold). Ids must be unique across both inputs. */
+    * does in the other. (Qualified since the hot-bucket guard: the
+    * identity holds wherever no bucket exceeds `maxBucket` — on an
+    * over-cap bucket the two formulations may keep different
+    * representatives, because this form caps only the batch side while
+    * the combined form caps the union.) Output is canonical
+    * (id_a < id_b, true-Jaccard verified ≥ threshold). Ids must be unique
+    * across both inputs. */
   def minHashPairsIncremental(newDocs: DataFrame, corpus: DataFrame,
                               n: Int = 3, k: Int = 16, bands: Int = 4, rows: Int = 4,
                               threshold: Double = 0.8, idCol: String = "doc_id",
@@ -398,7 +403,11 @@ object Dedup {
     * candidates come from a separate self-join of the batch (unioning
     * band tables first would discard the stored side's bucketing), and
     * verification reads the stored shingles. Output is identical to the
-    * derive-everything form.
+    * derive-everything form wherever no bucket exceeds the hot-bucket cap;
+    * on an over-cap corpus bucket the stored side was additionally capped
+    * at BUILD time (BandCatalog.corpusBands), so pairs against that
+    * bucket's overflow docs are sacrificed here but not in the
+    * derive-everything form (whose corpus side is uncapped).
     *
     * The MinHash shape (n, k, bands, rows) is deliberately NOT a
     * parameter: it is baked into the stored tables at index-build time,
@@ -557,11 +566,21 @@ object Dedup {
     * candidates (shuffle on bucket keys only, never all-pairs, no driver
     * collect) exact-re-scored against the raw embeddings, so every emitted
     * pair carries the same cosine the exact path would compute; only recall
-    * is approximate (OR-amplified across hash tables). */
+    * is approximate (OR-amplified across hash tables). As the NEAR-DUP
+    * surface this form opts into the hot-bucket guard ([[capBuckets]],
+    * `maxBucket` smallest ids kept per projection bucket): a bucket
+    * overflowing a production-sized cap under a near-dup threshold is
+    * boilerplate-shaped embedding mass, the exact pathology the guard
+    * bounds — recall inside such a bucket degrades to its representatives
+    * rather than the job degrading to D²/2. Pass `maxBucket = 0` (or use
+    * `Similarity.lshJoin` directly, whose default is off) for the
+    * uncapped exact-candidate contract. */
   def embeddingPairsDistributed(docs: DataFrame, minCosine: Double,
                                 idCol: String = "vec_id",
-                                embCol: String = "embedding"): DataFrame =
-    Similarity.lshJoin(docs, minCosine, idCol = idCol, embCol = embCol)
+                                embCol: String = "embedding",
+                                maxBucket: Int = HotBucketCap): DataFrame =
+    Similarity.lshJoin(docs, minCosine, idCol = idCol, embCol = embCol,
+      maxBucket = maxBucket)
 
   /** Incremental celled near-dup against a STORED IVF index — the ingest
     * form of [[embeddingPairsCelled]], completing the same deployment story

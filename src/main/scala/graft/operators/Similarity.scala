@@ -70,7 +70,7 @@ object Similarity {
                     bucketLength: Double = 0.0, numHashTables: Int = 8,
                     hashesPerTable: Int = 0,
                     idCol: String = "vec_id", embCol: String = "embedding",
-                    maxBucket: Int = Dedup.HotBucketCap): DataFrame = {
+                    maxBucket: Int = 0): DataFrame = {
     require(minCosine > 0.0, "zero-norm exclusion assumes a positive cosine threshold")
     val g = if (hashesPerTable > 0) hashesPerTable else defaultHashesPerTable(minCosine)
     val dimOpt = corpus.select(size(col(embCol)).as("d")).limit(1).collect().headOption
@@ -124,11 +124,16 @@ object Similarity {
     // the candidate join/distinct (as MLlib's approxSimilarityJoin does) is
     // the dominant shuffle cost; vectors are only needed afterwards, once
     // per surviving pair
-    // hot-bucket guard (Dedup.capBuckets): a projection bucket holding D
-    // near-identical embeddings would emit D²/2 candidates — cap each
-    // bucket at its maxBucket smallest ids before the self-join. The
-    // hashed table is persisted: the guard's phases and the self-join's
-    // two sides would otherwise each re-run the projection UDF
+    // hot-bucket guard (Dedup.capBuckets), OPT-IN here (maxBucket = 0
+    // default): unlike a MinHash band key — where an equal key means equal
+    // signature slots, i.e. near-identical documents — an equal projection
+    // bucket routinely holds genuinely distinct vectors, so a silent
+    // default cap would silently drop true candidate pairs from an
+    // exact-verification API. Deployments with boilerplate-shaped
+    // embedding mass (the near-dup use, see Dedup.embeddingPairsDistributed)
+    // enable it deliberately. The hashed table is persisted: the guard's
+    // phases and the self-join's two sides would otherwise each re-run
+    // the projection UDF
     val hashed = Dedup.capBuckets(graft.Caches.persistTracked(corpus
       .filter(normSq(col(embCol)) > 0.0)
       .select(col(idCol), bucketsUdf(col(embCol)).as("bk"))
@@ -144,7 +149,7 @@ object Similarity {
   def lshJoin(corpus: DataFrame, minCosine: Double, bucketLength: Double = 0.0,
               numHashTables: Int = 8, hashesPerTable: Int = 0,
               idCol: String = "vec_id", embCol: String = "embedding",
-              maxBucket: Int = Dedup.HotBucketCap): DataFrame = {
+              maxBucket: Int = 0): DataFrame = {
     val candidates = lshCandidates(corpus, minCosine, bucketLength, numHashTables,
       hashesPerTable, idCol, embCol, maxBucket)
     val a = corpus.select(col(idCol).as("left_id"), col(embCol).as("__emb_a"))

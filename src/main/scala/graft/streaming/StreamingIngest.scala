@@ -551,7 +551,9 @@ object StreamingIngest {
           // left the codes listing stale and the retry re-failed
           // identically — found at ×1000, batch-32) — re-resolved lazily
           // so a retry after a generation flip refreshes the new names;
-          // onAnswers then runs exactly once per batch on a local frame
+          // onAnswers then runs once PER SLICE on a local frame (same
+          // batchId across a deep batch's slices — a sink must not dedup
+          // on batchId alone; each query id still appears exactly once)
           def probeTables: Seq[String] = {
             val g = IvfCatalog.resolveChunkGen(spark, dir, nlist, trained, -1L)
             val store = graft.TableStore.physGen(
