@@ -693,4 +693,27 @@ class CompactionSpec extends AnyFunSuite {
     assert(removed.contains(trunc.getName) && !fs.exists(trunc),
       "aged manifest-less staging is debris for the sweep")
   }
+
+  test("an UNREADABLE manifest is skipped, never deleted on — a transient read error proves nothing about the staging") {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a manifest that EXISTS but cannot be opened as a file (a directory at
+    // the manifest name — fs.open throws IOException, the same failure
+    // class as an S3 throttle or HDFS failover mid-read). The staging may
+    // hold the only copy of rewritten partitions, so every recovery path
+    // must leave it alone this pass.
+    val tmp = new org.apache.hadoop.fs.Path(wh, "__compact_tmp_graft_unreadmf_1")
+    fs.delete(tmp, true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, Compaction.ManifestFile))
+    assert(Compaction.resumeInterruptedCommits(spark, "graft_unreadmf") === 0,
+      "entry resume skips an unreadable manifest without throwing")
+    assert(fs.exists(tmp), "entry resume never deletes what it cannot read")
+    val t = System.currentTimeMillis() - 60 * 60 * 1000L
+    fs.listStatus(tmp).foreach(st => fs.setTimes(st.getPath, t, -1))
+    fs.setTimes(tmp, t, -1)
+    val removed = TableStore.sweepOrphans(spark, olderThanMs = 30 * 60 * 1000L)
+    assert(!removed.contains(tmp.getName) && fs.exists(tmp),
+      "the sweep must skip (not debris-delete) an aged staging whose manifest is unreadable")
+    fs.delete(tmp, true)
+  }
 }
