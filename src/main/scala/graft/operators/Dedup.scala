@@ -232,16 +232,22 @@ object Dedup {
     * near-identical templates whose representatives carry the signal.
     * `maxBucket <= 0` disables the guard.
     *
-    * TWO-PHASE so the guard is ~free when idle: hot KEYS are found by a
-    * count aggregation (map-side combined — the hot pathology collapses to
-    * one row per partition per key; no doc ids travel, and nothing is
-    * sorted), then broadcast. Cold rows pass through a broadcast ANTI join
-    * untouched; only rows of provably-hot buckets pay the row_number
-    * window, whose exchange carries just those rows. A naive global
-    * row_number would instead exchange + SORT the whole band table on
-    * every run — measured +36–58% on the sf0.1 dedup family with zero hot
-    * buckets. Phases rescan `banded`, so callers pass a persisted (or
-    * trivially recomputed) frame — both in-repo callers do. */
+    * TWO-PHASE with an EAGER idle probe, so the guard leaves zero trace on
+    * a healthy corpus: hot KEYS are found by a count aggregation
+    * (map-side combined — the hot pathology collapses to one row per
+    * partition per key; no doc ids travel, and nothing is sorted). The
+    * probe runs AT BUILD TIME (one bounded job over `banded`, which every
+    * caller persists — the probe doubles as the cache materializer): if no
+    * bucket exceeds the cap — the overwhelmingly common case — the input
+    * is returned UNCHANGED and the candidate join keeps its original plan
+    * shape. Only when hot buckets exist does the plan grow the guard:
+    * cold rows pass a broadcast ANTI join untouched, and only rows of
+    * provably-hot buckets pay the row_number window, whose exchange
+    * carries just those rows. (First cut was a global row_number —
+    * exchange + SORT of the whole band table on every run, +36–58% on the
+    * sf0.1 dedup family with zero hot buckets; the lazy two-phase form
+    * still paid several idle stages, +10% paired. The eager probe is one
+    * aggregation job.) */
   private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
                                 idCol: String, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) banded
@@ -250,12 +256,15 @@ object Dedup {
       val kc = keys.map(col)
       val hot = banded.groupBy(kc: _*).agg(count(lit(1)).as("__bucket_n"))
         .filter(col("__bucket_n") > maxBucket).select(kc: _*)
-      val cold = banded.join(broadcast(hot), keys, "left_anti")
-      val w = Window.partitionBy(kc: _*).orderBy(col(idCol).asc)
-      val kept = banded.join(broadcast(hot), keys, "left_semi")
-        .withColumn("__bucket_rn", row_number().over(w))
-        .filter(col("__bucket_rn") <= maxBucket).drop("__bucket_rn")
-      cold.unionByName(kept)
+      if (hot.isEmpty) banded
+      else {
+        val cold = banded.join(broadcast(hot), keys, "left_anti")
+        val w = Window.partitionBy(kc: _*).orderBy(col(idCol).asc)
+        val kept = banded.join(broadcast(hot), keys, "left_semi")
+          .withColumn("__bucket_rn", row_number().over(w))
+          .filter(col("__bucket_rn") <= maxBucket).drop("__bucket_rn")
+        cold.unionByName(kept)
+      }
     }
 
   /** Per-bucket population of a band table with the cap verdict — the
