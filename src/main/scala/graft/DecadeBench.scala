@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The ×10000 decade for the celled/stored serving path — the SCALE.md row
+  * that validates the nlist-law extrapolation one decade past the measured
+  * ×1000 evidence: build (feature pipeline + seeded centroids + assign +
+  * partitioned write), probe p50/p95 (raw IVF and IVFADC), one ingest
+  * batch through the production doc loop, and a compaction pass, all at
+  * 10× the ×1000 corpus.
+  *
+  * Corpus: documents ONLY, upsampled in-bench with [[ScaleGen]]'s exact
+  * mutation kernels (same planted-dup rates, same splitmix64 determinism) —
+  * the full ScaleGen triple at ×10000 would write 1B events nobody here
+  * reads, and the disk budget (~79 GB usable) is what the raw store + code
+  * table + bucketed chunks must fit inside.
+  *
+  * The build crosses `graft.ivf.coarseAssign.threshold` (nlist ≈ √50M ≈
+  * 7071 ≥ 4096), so the assignment runs the two-level coarse quantizer —
+  * the O(n^1.5·d) → O(n·√(nlist)·d) fix that makes the decade buildable;
+  * CoarseAssignSpec pins its accuracy.
+  *
+  * Usage: `SPARK_DRIVER_MEM=64g tools/run_main.sh graft.DecadeBench
+  * [srcDir [workDir [factor [nlist]]]]` — defaults sf0.1 → /tmp/graft_sf1000
+  * ×10000, nlist by the law. Phases print `[decade]` lines; rerunning
+  * reuses the generated corpus directory if present. */
+object DecadeBench {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dir = args.lift(1).getOrElse("/tmp/graft_sf1000")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.dataSizedShuffle(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+        .config("spark.ui.enabled", "false"), cpus.toInt, dir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def timed[A](what: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[decade] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    def diskGB(): Double = {
+      val f = new java.io.File("/tmp")
+      (f.getTotalSpace - f.getUsableSpace) / 1e9
+    }
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.length - 1, math.max(0, math.ceil(p * s.length).toInt - 1)))
+    }
+
+    // ---------------------------------------------------- corpus (docs only)
+    val docsPath = s"$dir/documents.parquet"
+    val fs = new org.apache.hadoop.fs.Path(docsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(docsPath))) {
+      timed(s"docs-only upsample ×$factor ($src → $docsPath)") {
+        val docs = Tables.documents(spark, src)
+        val docStride = docs.agg(max($"doc_id")).head.getLong(0) + 1
+        val vocab = docs
+          .select(explode(operators.TextSearch.tokens($"text")).as("w"))
+          .groupBy($"w").count()
+          .orderBy($"count".desc, $"w".asc).limit(20000)
+          .collect().map(_.getString(0))
+        val vocabB = spark.sparkContext.broadcast(vocab)
+        val mutateUdf = udf { (text: String, docId: Long, rep: Int) =>
+          if (rep == 0) text
+          else {
+            val rate = if (ScaleGen.plantedDoc(docId, rep)) 0.02 else 0.35
+            ScaleGen.mutateText(text, docId, rep, rate, vocabB.value)
+          }
+        }
+        val reps = spark.range(factor).select($"id".cast("int").as("rep"))
+        docs.crossJoin(reps)
+          .withColumn("text", mutateUdf($"text", $"doc_id", $"rep"))
+          .select(($"doc_id" + $"rep".cast("long") * docStride).as("doc_id"),
+            $"text", $"lang", $"source", length($"text").cast("long").as("n_chars"))
+          .repartition(cpus.toInt * 8) // bounded task size at 50M rows of text
+          .write.mode("overwrite").parquet(docsPath)
+      }
+    } else println(s"[decade] reusing existing corpus at $docsPath")
+    println(f"[decade] disk used after corpus: ${diskGB()}%.1f GB")
+
+    // --------------------------------------------------------------- build
+    val nChunks = timed("chunk table (bucketed feature-pipeline output, ONCE)") {
+      ChunkCatalog.flatChunks(spark, dir).count()
+    }
+    val nlist = args.lift(3).map(_.toInt).filter(_ > 0).getOrElse(
+      math.max(16, math.sqrt(nChunks.toDouble).toInt))
+    val nprobe = math.max(4, nlist / 64)
+    val coarseOn = nlist >= spark.conf.get("graft.ivf.coarseAssign.threshold", "4096").toInt
+    println(s"[decade] corpus $dir: $nChunks chunks, nlist=$nlist (law), " +
+      s"nprobe=$nprobe, coarseAssign=$coarseOn")
+    timed("chunk store build (seeded centroids + coarse assign + partitioned write, ONCE)") {
+      IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    }
+    val (pqM, pqKsub) = (48, 256)
+    timed(s"IVFADC code table build (m=$pqM ksub=$pqKsub, ONCE)") {
+      IvfPqCatalog.encodedChunks(spark, dir, nlist, pqM, pqKsub).count()
+    }
+    timed("doc→cells secondary index derivation (ONCE)") {
+      DocLifecycle.docCells(spark, dir, nlist).count()
+    }
+    println(f"[decade] disk used after builds: ${diskGB()}%.1f GB")
+    val store = IvfCatalog.chunkStoreName(dir, nlist)
+    val stats = Compaction.partitionStats(spark, store)
+    println(f"[decade] store cells=${stats.size} " +
+      f"bytes=${stats.map(_.bytes).sum / 1e9}%.1f GB " +
+      f"max-cell=${stats.map(_.bytes).max / 1e6}%.1f MB " +
+      f"mean-cell=${stats.map(_.bytes).sum / math.max(stats.size, 1) / 1e6}%.1f MB")
+    val cstats = Compaction.partitionStats(spark,
+      IvfPqCatalog.chunkCodesTableName(spark, dir, nlist, pqM, pqKsub))
+    println(f"[decade] code table bytes=${cstats.map(_.bytes).sum / 1e9}%.1f GB " +
+      f"(raw/codes ratio ${stats.map(_.bytes).sum.toDouble / math.max(cstats.map(_.bytes).sum, 1)}%.1f×)")
+
+    // ------------------------------------------------------ probe p50 / p95
+    // 20 deterministic query texts drawn from the corpus (distinct docs,
+    // truncated — the flagship embeds the query text itself)
+    val queryTexts = Tables.documents(spark, dir)
+      .filter($"doc_id" % 997 === 3).orderBy($"doc_id".asc).limit(20)
+      .select($"text").as[String].collect()
+      .map(t => t.substring(0, math.min(t.length, 240)))
+    def probeTimes(what: String)(mk: String => org.apache.spark.sql.DataFrame): Seq[Double] = {
+      val times = queryTexts.toIndexedSeq.map { qt =>
+        val t0 = System.nanoTime()
+        val n = mk(qt).count()
+        require(n > 0, s"$what returned no rows")
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[decade] $what over ${times.size} queries: " +
+        f"p50=${pct(times, 0.50)}%.2f s p95=${pct(times, 0.95)}%.2f s " +
+        f"min=${times.min}%.2f s max=${times.max}%.2f s")
+      times
+    }
+    probeTimes(s"IVF probe ($nprobe/$nlist cells)") { qt =>
+      pipelines.Pipelines.flagshipIvf(spark, dir, queryText = qt,
+        nlist = nlist, nprobe = nprobe)
+    }
+    probeTimes(s"IVFADC probe (m=$pqM ksub=$pqKsub, $nprobe/$nlist cells)") { qt =>
+      pipelines.Pipelines.flagshipIvfPq(spark, dir, queryText = qt,
+        nlist = nlist, nprobe = nprobe, m = pqM, ksub = pqKsub)
+    }
+    // brute-force crossover anchor + recall honesty at the decade: 3
+    // queries, full-store scan each, top-10 overlap vs both pruned paths
+    // (the coarse-assigned store's recall evidence at the shape that counts)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("chunk_id").collect().map(_.getString(0)).toSet
+    val bruteResults = queryTexts.take(3).toIndexedSeq.map { qt =>
+      val t0 = System.nanoTime()
+      val got = ids(pipelines.Pipelines.flagship(spark, dir, queryText = qt))
+      (qt, got, (System.nanoTime() - t0) / 1e9)
+    }
+    println(f"[decade] brute-force flagship (full chunk scan, 3 queries): " +
+      f"min=${bruteResults.map(_._3).min}%.2f s max=${bruteResults.map(_._3).max}%.2f s")
+    bruteResults.zipWithIndex.foreach { case ((qt, truth, _), i) =>
+      val ivfIds = ids(pipelines.Pipelines.flagshipIvf(spark, dir, queryText = qt,
+        nlist = nlist, nprobe = nprobe))
+      val adcIds = ids(pipelines.Pipelines.flagshipIvfPq(spark, dir, queryText = qt,
+        nlist = nlist, nprobe = nprobe, m = pqM, ksub = pqKsub))
+      println(s"[decade] q$i top-10 overlap vs brute: ivf=${ivfIds.intersect(truth).size}/10 " +
+        s"ivfadc=${adcIds.intersect(truth).size}/10")
+    }
+
+    // ------------------------------------------------- ingest batch (loop)
+    val docs = Tables.documents(spark, dir)
+    val batchDocs = 500
+    val slice = docs.filter(pmod($"doc_id", lit(99991L)) === 7L)
+      .orderBy($"doc_id".asc).limit(batchDocs)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val batch = slice ++ slice.map { case (id, text) =>
+      (id + 900000000000L, s"fresh $text")
+    }
+    val source = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_decade_ckpt").toString
+    val q = streaming.StreamingIngest.startDocs(
+      source.toDF().toDF("doc_id", "text"), dir, ckpt, nlist,
+      compactEvery = 0, pqM = pqM, pqKsub = pqKsub,
+      onBatch = r => println(f"[decade] ingest batch ${r.batchId}: docs=${r.arrived} " +
+        f"chunksDropped=${r.dropped} chunksAppended=${r.appended} latency=${r.seconds}%.2f s"))
+    source.addData(batch: _*); q.processAllAvailable()
+    q.stop()
+
+    // --------------------------------------------------- compaction + law
+    val rep = timed("compaction pass (dirtied cells only)") {
+      Compaction.compactTable(spark, store, idCol = "chunk_id")
+    }
+    println(f"[decade] compaction: ${rep.compacted.size} cells rewritten, " +
+      f"files ${rep.filesBefore} -> ${rep.filesAfter}, ${rep.seconds}%.1f s")
+    Reindex.reindexAdvice(spark, dir, nlist) match {
+      case Some(a) => println(f"[decade] reindexAdvice: corpus=${a.corpusRows} " +
+        f"recommended nlist=${a.recommendedNlist} drift=${a.driftFactor}%.2f (rebuild due)")
+      case None => println(s"[decade] reindexAdvice: nlist=$nlist satisfies the law " +
+        s"(no rebuild due) — the decade build sits ON the law by construction")
+    }
+    println(f"[decade] disk used at close: ${diskGB()}%.1f GB")
+    spark.stop()
+  }
+}

@@ -44,8 +44,24 @@ import org.apache.spark.sql.SparkSession
   * maintenance; append-vs-rewrite races remain covered by the fingerprint
   * detection, and append-vs-swap on the doc→cells index by
   * [[MaintenanceLock]] (same-JVM, the deployment shape: all of one
-  * pipeline's writer loops run on one Spark driver). */
-object MaintenanceLease {
+  * pipeline's writer loops run on one Spark driver).
+  *
+  * Implementation lives in [[LeaseArbiter]]; this object is the
+  * process-wide instance every production caller uses. The class exists so
+  * LeaseContentionSpec can instantiate TWO isolated arbiters — separate
+  * JVM locks, separate keepalive daemons, separate reentrancy state — over
+  * ONE lease directory: a faithful in-process model of the cross-JVM file
+  * protocol (the only thing two real JVMs share is the filesystem). */
+object MaintenanceLease extends LeaseArbiter
+
+private[graft] class LeaseArbiter {
+
+  /** Test seam: false forces [[createExclusive]]'s non-atomic
+    * exists-then-create fallback even on the local FS — the object-store
+    * shape (s3a/gs/abfs PUT) whose double-held-scope interleave the
+    * delayed double verify exists to catch. Production arbiters keep the
+    * atomic hard-link publish. */
+  protected def linkPublishEnabled: Boolean = true
 
   private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
     override def initialValue() = scala.collection.mutable.Set.empty[String]
@@ -244,7 +260,8 @@ object MaintenanceLease {
       // The double verify below is kept as belt-and-braces (it also covers
       // the rare no-hardlink mount that falls back to hadoopCreate).
       def createExclusive(): Boolean =
-        if ((try fs.getScheme catch { case _: Throwable => "file" }) != "file")
+        if (!linkPublishEnabled ||
+            (try fs.getScheme catch { case _: Throwable => "file" }) != "file")
           hadoopCreate()
         else try {
           val nioDir = java.nio.file.Paths.get(path.getParent.toUri)

@@ -249,6 +249,25 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(cents.nonEmpty, "ivfAssign needs at least one centroid")
     val minCid = cents.map(_._1).min
+    // Two-level coarse assignment past the conf threshold: brute-force
+    // assignment is O(n × nlist × dim), and with nlist on the √n law the
+    // BUILD cost grows O(n^1.5 · d) — at ×10000 (50M rows, nlist 7071)
+    // that is ~31× the ×1000 build's assign wall, the build bottleneck at
+    // 100 TB. The standard fix (FAISS IMI / two-level IVF coarse
+    // quantizer): group the centroids under √nlist coarse reps, per row
+    // scan the reps then only the members of the top `refine` groups —
+    // (√nlist + refine·√nlist) dots instead of nlist, ~17× fewer at 7071.
+    // Approximate by design: a row can land in a near-nearest cell (the
+    // probe compensates exactly as it does for any frozen-centroid drift —
+    // nprobe cells are scanned, not 1); CoarseAssignSpec measures the
+    // agreement and the bound on the cosine it gives up. Exact below the
+    // threshold — every fixture-scale build, spec digest, and oracle row
+    // keeps the exact argmax.
+    val coarseThreshold = spark.conf.get("graft.ivf.coarseAssign.threshold", "4096").toInt
+    if (cents.length >= coarseThreshold)
+      return ivfAssignCoarse(corpus, cents, minCid,
+        spark.conf.get("graft.ivf.coarseAssign.refine", "4").toInt,
+        spark.conf.get("graft.ivf.coarseAssign.dup", "2").toInt, embCol)
     val bc = spark.sparkContext.broadcast(cents)
     // per-row argmax over the broadcast centroid array — O(n) rows end to
     // end. The previous form (crossJoin × window row_number) materialized
@@ -274,6 +293,99 @@ object Similarity {
           }
         }
         bestCid
+      }
+    }
+    corpus.withColumn("centroid_id", nearestUdf(col(embCol)))
+  }
+
+  /** splitmix64 — deterministic rep sampling for the coarse quantizer. */
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** The two-level branch of [[ivfAssign]]. Driver-side prep (all over the
+    * tiny centroid table): √nlist REPS are a deterministic hash-ordered
+    * sample of the centroids themselves (same seeding philosophy as
+    * [[hashSeededCentroids]] — reps sit where centroids are dense), and
+    * every centroid is exact-assigned to its `dup` nearest reps —
+    * multi-assignment (the IMI trick): in high dimension a row's nearest
+    * centroid often neighbors a DIFFERENT rep than the row itself, and
+    * duplicating each centroid into its top-`dup` groups recovers most of
+    * that boundary loss for a `dup`× member-scan cost. Per corpus row:
+    * exact argmax over the reps, then exact argmax (same cos-DESC /
+    * cid-ASC tie-break as the flat path) over the MEMBERS of the top
+    * `refine` rep groups. Null embeddings keep the flat path's contract
+    * (smallest centroid id — the store stays a complete corpus manifest). */
+  private def ivfAssignCoarse(corpus: DataFrame,
+                              cents: Array[(Long, Array[Float])],
+                              minCid: Long, refine: Int, dup: Int,
+                              embCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineArrays
+    val spark = corpus.sparkSession
+    val g = math.max(2, math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+    val reps: Array[Array[Float]] = cents
+      .sortBy { case (cid, _) => (mix64(cid), cid) }
+      .take(g).map(_._2)
+    // top-`dup` rep membership for every centroid (nlist × √nlist dots,
+    // driver-side, microseconds at any real nlist)
+    val d = math.max(1, math.min(dup, g))
+    val members: Array[Array[(Long, Array[Float])]] = {
+      val buf = Array.fill(g)(scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])])
+      cents.foreach { case (cid, cv) =>
+        val scored = Array.tabulate(g)(r => (r, cosineArrays(cv, reps(r))))
+        scored.sortBy { case (r, c) => (-c, r) }.take(d)
+          .foreach { case (r, _) => buf(r) += ((cid, cv)) }
+      }
+      buf.map(_.sortBy(_._1).toArray)
+    }
+    val k = math.max(1, math.min(refine, g))
+    val bcReps = spark.sparkContext.broadcast(reps)
+    val bcMembers = spark.sparkContext.broadcast(members)
+    val nearestUdf = udf { (v: Seq[Float]) =>
+      if (v == null) minCid
+      else {
+        val a = v.toArray
+        val rs = bcReps.value
+        // top-k reps by cos DESC, rep index ASC (bounded insertion — k ≤ 8ish)
+        val topIdx = new Array[Int](k)
+        val topCos = new Array[Double](k)
+        var filled = 0
+        var r = 0
+        while (r < rs.length) {
+          val c = cosineArrays(a, rs(r))
+          var pos = filled
+          while (pos > 0 && java.lang.Double.compare(c, topCos(pos - 1)) > 0) pos -= 1
+          if (pos < k) {
+            val last = math.min(filled, k - 1)
+            var j = last
+            while (j > pos) { topIdx(j) = topIdx(j - 1); topCos(j) = topCos(j - 1); j -= 1 }
+            topIdx(pos) = r; topCos(pos) = c
+            if (filled < k) filled += 1
+          }
+          r += 1
+        }
+        var bestCid = 0L
+        var bestCos = 0.0
+        var first = true
+        var t = 0
+        while (t < filled) {
+          val mem = bcMembers.value(topIdx(t))
+          var i = 0
+          while (i < mem.length) {
+            val (cid, cv) = mem(i)
+            val c = cosineArrays(a, cv)
+            val cmp = java.lang.Double.compare(c, bestCos)
+            if (first || cmp > 0 || (cmp == 0 && cid < bestCid)) {
+              bestCos = c; bestCid = cid; first = false
+            }
+            i += 1
+          }
+          t += 1
+        }
+        if (first) minCid else bestCid // all scanned groups empty (can't happen: reps are centroids)
       }
     }
     corpus.withColumn("centroid_id", nearestUdf(col(embCol)))

@@ -311,6 +311,77 @@ class ReindexSpec extends AnyFunSuite {
     dropGen(nl)
   }
 
+  test("IVFADC: an in-flight ingest (store + code appends) racing the split keeps code↔store cell parity at every checkpoint") {
+    import spark.implicits._
+    val (nl, m, ksub) = (13, 24, 16)
+    dropGen(nl, m, ksub)
+    IvfCatalog.assignedChunks(spark, dir, nl).count()
+    IvfPqCatalog.encodedChunks(spark, dir, nl, m, ksub).count()
+    DocLifecycle.docCells(spark, dir, nl).count()
+    val storeName = physStore(nl)
+    val centsName = physCents(nl)
+    val codesName = physCodes(nl, m, ksub)
+    val cb = IvfPqCatalog.chunkCodebookStored(spark, dir, m, ksub)
+
+    def parity(when: String): Unit = {
+      spark.catalog.refreshTable(storeName); spark.catalog.refreshTable(codesName)
+      val s = spark.table(storeName).select("chunk_id", "centroid_id")
+      val c = spark.table(codesName).select("chunk_id", "centroid_id")
+      assert(c.except(s).count() === 0L && s.except(c).count() === 0L,
+        s"$when: code table and store must agree on every (chunk_id, centroid_id)")
+      assert(c.count() === s.count(), s"$when: same row count in both tables")
+    }
+    parity("before the split")
+
+    val hot = Compaction.partitionStats(spark, storeName).maxBy(_.bytes)
+    val hotCell = hot.spec.split("=", 2)(1).toLong
+    // identical to the parent's centroid: cosine 1.0 and the id tie-break
+    // land the raced ingest in the parent cell, in BOTH tables
+    val parentVec = spark.table(centsName)
+      .filter(col("centroid_id") === hotCell)
+      .select("centroid_vec").head.getSeq[Float](0)
+    val racedBatch = Seq(("zzadcrace", 980001L, 5, parentVec))
+      .toDF("chunk_id", "document_id", "word_count", "embedding")
+      .select(col("chunk_id"), col("document_id"), col("word_count"),
+        col("embedding").cast("array<float>").as("embedding"))
+
+    val reps = Reindex.splitHotCells(spark, dir, nl, pqM = m, pqKsub = ksub,
+      maxCellBytes = hot.bytes - 1, maxSplits = 1,
+      beforeRewrite = () => {
+        // the in-flight ingest, post-snapshot/pre-rewrite: the store row
+        // retries in through the fingerprint defense, the code row lands
+        // in the parent cell's partition before the code-table relabel
+        IvfCatalog.appendChunks(spark, dir, racedBatch, nl)
+        IvfPqCatalog.appendChunkCodes(spark, dir,
+          racedBatch.select("chunk_id", "embedding"), nl, m, ksub)
+      })
+    val rep = reps.head
+    assert(!rep.parentRetired, "a parent holding a raced-in row must not retire")
+    parity("after the split")
+    // the raced row sits in the parent cell in BOTH tables
+    val inStore = spark.table(storeName).filter(col("chunk_id") === "zzadcrace")
+      .select("centroid_id").collect().map(_.getLong(0)).toSeq
+    val inCodes = spark.table(codesName).filter(col("chunk_id") === "zzadcrace")
+      .select("centroid_id").collect().map(_.getLong(0)).toSeq
+    assert(inStore === Seq(hotCell) && inCodes === Seq(hotCell),
+      "the raced ingest stays in the parent cell in the store AND the code table")
+    // every MOVED row relabeled identically in the code table (parity above
+    // already implies it; assert the movement explicitly: no code row left
+    // in a child-claimed cell disagrees with the store)
+    val cents = spark.table(centsName).select("centroid_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(cents.contains(hotCell), "the parent centroid must survive the raced-in row")
+    assert(rep.children.forall(cents.contains), "children registered")
+    // and the COMPRESSED probe serves the raced row from exactly that cell
+    val top = Similarity.ivfPqSearchPruned(spark.table(codesName),
+        spark.table(storeName), spark.table(centsName), cb,
+        parentVec.toArray, k = 1, nprobe = 1, idCol = "chunk_id")
+      .select("chunk_id").head.getString(0)
+    assert(top === "zzadcrace",
+      "the ADC probe at nprobe=1 must find the raced ingest in the surviving parent cell")
+    dropGen(nl, m, ksub)
+  }
+
   test("cutover lease excludes a concurrent edit; same-nlist swap replaces the live generation") {
     import spark.implicits._
     val a = 31
