@@ -13,11 +13,17 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing is real and tested: schema, per-partition batched
   * processing (the shape a GPU/codec library needs — amortized init, batch
   * inference), frame-sampling as a generator, partition sizing by media
-  * bytes. The codec itself is a clearly-marked STUB — this container has no
-  * image/audio libraries — implemented as a deterministic byte-derived fake
-  * so every downstream operator is testable and reproducible. Swapping in a
-  * real decoder changes ONLY `decodeStub`.
-  */
+  * bytes.
+  *
+  * CODECS: image (PNG/JPEG/BMP/GIF via `javax.imageio`) and audio (WAV/PCM
+  * via `javax.sound.sampled`) are REAL — both ship inside the JDK, no
+  * external library — so [[decodeImage]]/[[decodeWav]]/[[resizeImage]] do
+  * genuine byte-level decode/re-encode, oracle-checked end to end by the
+  * `mm_image_roundtrip`/`mm_audio_roundtrip` queries (DuckDB recomputes the
+  * synthesized pixel/sample sums in closed form; PNG and PCM are lossless,
+  * so the sums match exactly). Only VIDEO remains a stub ([[decodeStub]] —
+  * no container/codec support in the JDK), kept for the batch plumbing
+  * and as the undecodable-payload fallback, always flagged. */
 object Multimodal {
 
   val MediaMetaSchema: StructType = StructType(Seq(
@@ -69,6 +75,141 @@ object Multimodal {
     v
   }
 
+  // ------------------------------------------------------------------ image
+  // Real image codec: the JDK's javax.imageio (PNG/JPEG/BMP/GIF readers and
+  // PNG/JPEG/BMP writers are part of java.desktop — zero external deps).
+
+  /** Encode a grayscale PNG from a pixel function — the deterministic
+    * fixture/test generator AND the write half of [[resizeImage]]. PNG is
+    * lossless: every pixel round-trips exactly through [[decodeImage]]. */
+  def encodeGrayPng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: (width, height, grayscale pixels 0..255, row-major).
+    * Grayscale payloads read their single raster band exactly (lossless for
+    * PNG/BMP); color payloads reduce via integer luminance (r+g+b)/3. None
+    * for bytes no ImageIO reader accepts — callers flag, never crash. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (bytes == null || bytes.isEmpty) return None
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = new Array[Int](w * h)
+      if (img.getRaster.getNumBands == 1) {
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            px(y * w + x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some((w, h, px))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL payload resize: decode → nearest-neighbor rescale (deterministic
+    * integer pixel selection, no resampling arithmetic to drift across
+    * JVMs) → re-encode as grayscale PNG. None when the payload doesn't
+    * decode. [[resizeMeta]] remains the metadata half. */
+  def resizeImage(bytes: Array[Byte], width: Int, height: Int): Option[Array[Byte]] =
+    decodeImage(bytes).map { case (w, h, px) =>
+      encodeGrayPng(width, height, (x, y) => {
+        val sx = math.min(w - 1, x.toLong * w / width).toInt
+        val sy = math.min(h - 1, y.toLong * h / height).toInt
+        px(sy * w + sx)
+      })
+    }
+
+  /** REAL image features: decode, area-average onto a √dim×√dim grid of
+    * mean intensities, normalize to [0,1] — the classic aHash-style
+    * fingerprint, and the honest swap-in for [[decodeStub]] wherever the
+    * payload is a real image. None when undecodable. */
+  def imageFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    decodeImage(bytes).map { case (w, h, px) =>
+      val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val out = new Array[Float](dim)
+      var gy = 0
+      while (gy < g) {
+        var gx = 0
+        while (gx < g) {
+          val (x0, x1) = (gx * w / g, math.max(gx * w / g + 1, (gx + 1) * w / g))
+          val (y0, y1) = (gy * h / g, math.max(gy * h / g + 1, (gy + 1) * h / g))
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += px(y * w + x); x += 1 }
+            y += 1
+          }
+          out(gy * g + gx) = (sum.toDouble / ((x1 - x0).toLong * (y1 - y0)) / 255.0).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+
+  // ------------------------------------------------------------------ audio
+  // Real audio codec: the JDK's javax.sound.sampled reads/writes WAV (PCM).
+
+  /** Encode 16-bit mono PCM samples as a WAV payload (lossless). */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(data.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data.array()), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: (sampleRate, 16-bit mono samples). None for bytes
+    * the JDK's WAV reader rejects or non-16-bit payloads. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      if (bytes == null || bytes.isEmpty) return None
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+      val raw = ais.readAllBytes()
+      val buf = java.nio.ByteBuffer.wrap(raw).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = buf.getShort(); i += 1 }
+      Some((fmt.getSampleRate.toInt, out))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Batched per-partition feature extraction over the binary column — the
     * mapPartitions shape that amortizes model/codec init per partition and
     * feeds fixed-size batches (mirrors the embed batch-size-32 pattern). */
@@ -85,6 +226,29 @@ object Multimodal {
         }
       }
     out.toDF(idCol, "features")
+  }
+
+  /** [[extractFeatures]] with the REAL image codec: same per-partition
+    * batch shape, features from [[imageFeatures]] when the payload decodes,
+    * [[decodeStub]] otherwise — with an honest `decoded` flag so an
+    * undecodable payload can never masquerade as a decoded one. */
+  def extractImageFeatures(df: DataFrame, idCol: String, dim: Int = 64,
+                           batchSize: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            imageFeatures(bytes, dim) match {
+              case Some(f) => (id, f, true)
+              case None    => (id, decodeStub(bytes, dim), false)
+            }
+          }
+        }
+      }
+    out.toDF(idCol, "features", "decoded")
   }
 
   /** Frame sampling: one row per sampled frame index (generator shape,

@@ -178,6 +178,50 @@ object PipelineQueries {
       Multimodal.sampleFrames(media, "doc_id", stride = 4)
     }),
 
+    // Multimodal: the REAL image codec round-trip, oracle-checked — per
+    // document a 16×16 grayscale PNG is ENCODED with pixel(x,y) =
+    // (doc_id + 3x + 7y) mod 256, then DECODED through javax.imageio, and
+    // the recovered (width, height, Σpixels) are emitted. PNG is lossless,
+    // so DuckDB recomputing the pixel sum in closed form must match
+    // exactly — a real byte-level codec under the hash gate, not a stub.
+    "mm_image_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val encodeDecode = udf { (docId: Long) =>
+        val png = Multimodal.encodeGrayPng(16, 16,
+          (x, y) => ((docId + 3L * x + 7L * y) % 256L).toInt)
+        Multimodal.decodeImage(png) match {
+          case Some((w, h, px)) => (w, h, px.map(_.toLong).sum)
+          case None             => (-1, -1, -1L)
+        }
+      }
+      Tables.documents(s, dir)
+        .select($"doc_id", encodeDecode($"doc_id").as("dec"))
+        .select($"doc_id", $"dec._1".as("width"), $"dec._2".as("height"),
+          $"dec._3".as("pixel_sum"))
+    }),
+
+    // Multimodal: the REAL audio codec round-trip, oracle-checked — per
+    // document 256 16-bit PCM samples s(i) = ((doc_id·31 + 7i) mod 4096) −
+    // 2048 are ENCODED as a WAV via javax.sound.sampled, DECODED back, and
+    // (sample_rate, n_samples, Σsamples) emitted; PCM is lossless, DuckDB
+    // recomputes Σ in closed form.
+    "mm_audio_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val encodeDecode = udf { (docId: Long) =>
+        val samples = Array.tabulate(256)(i =>
+          (((docId * 31L + 7L * i) % 4096L) - 2048L).toShort)
+        val wav = Multimodal.encodeWavPcm16(8000, samples)
+        Multimodal.decodeWav(wav) match {
+          case Some((rate, got)) => (rate, got.length, got.map(_.toLong).sum)
+          case None              => (-1, -1, -1L)
+        }
+      }
+      Tables.documents(s, dir)
+        .select($"doc_id", encodeDecode($"doc_id").as("dec"))
+        .select($"doc_id", $"dec._1".as("sample_rate"), $"dec._2".as("n_samples"),
+          $"dec._3".as("sample_sum"))
+    }),
+
     // The end-to-end training-data curation pass as ONE query: transitive
     // near-dup removal (keep each cluster's min-id representative) →
     // quality gate → deterministic train/valid/test split, counted per
@@ -209,6 +253,20 @@ object PipelineQueries {
     "mm_frame_samples" ->
       """SELECT doc_id, CAST(unnest(generate_series(0, 15, 4)) AS INT) AS frame_idx
          FROM documents""",
+    "mm_image_roundtrip" ->
+      """SELECT d.doc_id,
+                CAST(16 AS INT) AS width,
+                CAST(16 AS INT) AS height,
+                CAST((SELECT SUM((d.doc_id + 3*x.i + 7*y.i) % 256)
+                      FROM range(16) x(i), range(16) y(i)) AS BIGINT) AS pixel_sum
+         FROM documents d""",
+    "mm_audio_roundtrip" ->
+      """SELECT d.doc_id,
+                CAST(8000 AS INT) AS sample_rate,
+                CAST(256 AS INT) AS n_samples,
+                CAST((SELECT SUM(((d.doc_id*31 + 7*t.i) % 4096) - 2048)
+                      FROM range(256) t(i)) AS BIGINT) AS sample_sum
+         FROM documents d""",
     "pipe_upsert" ->
       """WITH updates AS (
            SELECT doc_id, 'recrawl' AS source FROM documents WHERE doc_id % 10 = 3

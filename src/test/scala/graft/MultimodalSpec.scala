@@ -72,4 +72,79 @@ class MultimodalSpec extends AnyFunSuite {
     val m = resized.select($"media_meta.width", $"media_meta.height", $"media_meta.n_frames").head
     assert((m.getInt(0), m.getInt(1), m.getInt(2)) === ((32, 24, 16)))
   }
+
+  // ---- REAL codecs (JDK javax.imageio / javax.sound.sampled) -------------
+
+  test("PNG round-trip is pixel-exact: encode → decode recovers every value") {
+    val px = (x: Int, y: Int) => (11 * x + 29 * y + 5) % 256
+    val bytes = Multimodal.encodeGrayPng(23, 17, px)
+    val Some((w, h, got)) = Multimodal.decodeImage(bytes)
+    assert((w, h) === ((23, 17)))
+    for (y <- 0 until 17; x <- 0 until 23)
+      assert(got(y * 23 + x) === px(x, y), s"pixel ($x,$y)")
+  }
+
+  test("JPEG decode: real lossy codec recovers dimensions and approximate content") {
+    // encode a flat-gray JPEG through the JDK's own writer, decode it back:
+    // dims exact, values within JPEG's loss on a flat field
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 32) img.getRaster.setSample(x, y, 0, 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val Some((w, h, got)) = Multimodal.decodeImage(bos.toByteArray)
+    assert((w, h) === ((32, 24)))
+    assert(got.forall(v => math.abs(v - 128) <= 4),
+      "a flat 128 field must decode within JPEG tolerance")
+  }
+
+  test("undecodable bytes yield None, never a crash or a fake decode") {
+    assert(Multimodal.decodeImage(Multimodal.syntheticBytes("junk", 512)).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.syntheticBytes("junk", 512)).isEmpty)
+    assert(Multimodal.decodeWav(Array.empty).isEmpty)
+  }
+
+  test("resizeImage: real payload rewrite — output is a decodable PNG at target dims, nearest-neighbor exact") {
+    val px = (x: Int, y: Int) => (x * 16 + y) % 256
+    val src = Multimodal.encodeGrayPng(16, 16, px)
+    val Some(out) = Multimodal.resizeImage(src, 8, 8)
+    val Some((w, h, got)) = Multimodal.decodeImage(out)
+    assert((w, h) === ((8, 8)))
+    // nearest-neighbor: output pixel (x,y) = source pixel (x*16/8, y*16/8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(got(y * 8 + x) === px(x * 2, y * 2), s"resized pixel ($x,$y)")
+    assert(Multimodal.resizeImage(Array[Byte](1, 2, 3), 8, 8).isEmpty)
+  }
+
+  test("WAV round-trip is sample-exact: encode 16-bit PCM → decode recovers rate and every sample") {
+    val samples = Array.tabulate(300)(i => ((i * 977) % 4096 - 2048).toShort)
+    val wav = Multimodal.encodeWavPcm16(16000, samples)
+    val Some((rate, got)) = Multimodal.decodeWav(wav)
+    assert(rate === 16000)
+    assert(got.toSeq === samples.toSeq)
+  }
+
+  test("real image feature extraction: decoded flag honest, features content-sensitive and deterministic") {
+    import spark.implicits._
+    val rows = (0L until 20L).map { id =>
+      val bytes =
+        if (id % 5 == 4) Multimodal.syntheticBytes(s"junk$id", 256) // undecodable
+        else Multimodal.encodeGrayPng(16, 16, (x, y) => ((id * 37 + x * 3 + y) % 256).toInt)
+      (id, bytes)
+    }
+    val df = rows.toDF("id", "media")
+    val byId = Multimodal.extractImageFeatures(df, "id", dim = 16, batchSize = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Float](1), r.getBoolean(2)))).toMap
+    assert((0L until 20L).forall(id => byId(id)._1.length === 16))
+    assert((0L until 20L).forall(id => byId(id)._2 === (id % 5 != 4)),
+      "decoded flag must track exactly which payloads are real images")
+    // content sensitivity: different images → different features
+    assert(byId(0L)._1 !== byId(1L)._1)
+    // determinism
+    val again = Multimodal.extractImageFeatures(df, "id", dim = 16, batchSize = 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert((0L until 20L).forall(id => again(id) === byId(id)._1))
+  }
 }
