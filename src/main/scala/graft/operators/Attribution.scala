@@ -16,14 +16,42 @@ import org.apache.spark.sql.functions._
   */
 object Attribution {
 
-  /** J1: broadcast-join document payload onto results. `docCols` are the
-    * projected attribution columns (title/url/source/type equivalents). */
+  /** J1: join document payload onto results. `docCols` are the projected
+    * attribution columns (title/url/source/type equivalents).
+    *
+    * SIZE-AWARE (the ×10000 decade's finding): broadcasting the documents
+    * dimension is right while it is dimension-SIZED — shipped once per
+    * executor, no shuffle — but `broadcast(dims)` does not survive a 100×
+    * corpus: at 50M documents the driver collects and re-ships ~n rows PER
+    * QUERY (measured: the broadcast dominated every ×10000 probe at
+    * 30–45 s of a 48 s wall; at 100 TB it is a driver OOM). Past
+    * `dimsBroadcastMaxBytes` (file-stat sizing from the optimized plan —
+    * free, no job) the join flips to the serving shape: the TOP-K result
+    * keys broadcast INTO one pruned scan of the dimension (left-semi), and
+    * the ≤ k surviving dim rows broadcast back onto the results — LEFT
+    * semantics preserved exactly (a hit whose document is gone — e.g. an
+    * ingested chunk whose doc never entered the fixture table — keeps its
+    * null attribution). `localCheckpoint(lazy)` pins the results subtree
+    * so the probe is not recomputed for the key side. */
   def attachSources(results: DataFrame, documents: DataFrame,
                     resultKey: String, docKey: String,
-                    docCols: Seq[String]): DataFrame = {
+                    docCols: Seq[String],
+                    dimsBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
     val dims = documents.select((docKey +: docCols).map(col): _*)
-    results.join(broadcast(dims), results(resultKey) === dims(docKey), "left")
-      .drop(dims(docKey))
+    val dimsBytes =
+      try documents.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    if (dimsBytes <= dimsBroadcastMaxBytes) {
+      results.join(broadcast(dims), results(resultKey) === dims(docKey), "left")
+        .drop(dims(docKey))
+    } else {
+      val hits = results.localCheckpoint(false)
+      val keys = hits.select(col(resultKey).as("__hit_key")).distinct()
+      val dimsNeeded = dims.join(broadcast(keys),
+        dims(docKey) === col("__hit_key"), "left_semi")
+      hits.join(broadcast(dimsNeeded), hits(resultKey) === dimsNeeded(docKey), "left")
+        .drop(dimsNeeded(docKey))
+    }
   }
 
   /** A5: unique sources, first-wins by score within a source key

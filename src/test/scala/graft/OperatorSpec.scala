@@ -602,6 +602,27 @@ class OperatorSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0))
     assert(hits.contains(3L), s"self not retrieved through the padded codebook: ${hits.toSeq}")
   }
+  test("attachSources: the big-dimension semi-shrink path is row-identical to the broadcast path, nulls included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    // hits include one id with NO document (the ingested-chunk case): LEFT
+    // semantics must keep it with null attribution in BOTH paths
+    val someDoc = docs.orderBy($"doc_id".asc).limit(3)
+      .select($"doc_id").as[Long].collect()
+    val hits = (someDoc.map(id => (s"c_$id", id, 0.9)) :+ (("c_missing", 999999999L, 0.5)))
+      .toSeq.toDF("chunk_id", "document_id", "score")
+    def run(maxBytes: Long) = graft.operators.Attribution
+      .attachSources(hits, docs, "document_id", "doc_id", Seq("lang", "source"),
+        dimsBroadcastMaxBytes = maxBytes)
+      .select("chunk_id", "document_id", "score", "lang", "source")
+      .collect().map(_.toSeq).toSet
+    val small = run(Long.MaxValue) // dimension broadcast (the fixture plan)
+    val big = run(0L)              // semi-shrink (the 100 TB plan)
+    assert(big === small, "both join strategies must produce identical rows")
+    assert(small.exists(r => r(0) == "c_missing" && r(3) == null && r(4) == null),
+      "a hit without a document keeps null attribution (LEFT preserved)")
+  }
 }
 
 /** Tiny exact-cosine helper for spec-side math. */
@@ -611,5 +632,4 @@ object VectorFunctionsTestKit {
     for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
     if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
-
 }
