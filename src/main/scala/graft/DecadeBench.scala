@@ -277,8 +277,12 @@ object DecadeBench {
     }
 
     // ------------------------------------------------- ingest batch (loop)
+    // `batchTag` (arg 4) re-keys the fresh half so a RESUMED run can price
+    // a genuinely fresh append (the replayed half isolates the dedup-drop
+    // path; same-tag reruns drop everything and cost ~8 s)
+    val batchTag = args.lift(4).map(_.toLong).getOrElse(0L)
     val batch = ingestSlice ++ ingestSlice.map { case (id, text) =>
-      (id + 900000000000L, s"fresh $text")
+      (id + 900000000000L * (batchTag + 1), s"fresh$batchTag $text")
     }
     val source = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft_decade_ckpt").toString
