@@ -194,7 +194,10 @@ object PipelineQueries {
           case None             => (-1, -1, -1L)
         }
       }
-      Tables.documents(s, dir)
+      // deterministic 10% subset: the codec is real CPU work (~4 ms per
+      // encode+decode) and the row should price the OPERATOR, not scale
+      // the bench with corpus size — the oracle replays the same filter
+      Tables.documents(s, dir).filter($"doc_id" % 10 === 3)
         .select($"doc_id", encodeDecode($"doc_id").as("dec"))
         .select($"doc_id", $"dec._1".as("width"), $"dec._2".as("height"),
           $"dec._3".as("pixel_sum"))
@@ -216,7 +219,7 @@ object PipelineQueries {
           case None              => (-1, -1, -1L)
         }
       }
-      Tables.documents(s, dir)
+      Tables.documents(s, dir).filter($"doc_id" % 10 === 3) // same 10% subset as the image row
         .select($"doc_id", encodeDecode($"doc_id").as("dec"))
         .select($"doc_id", $"dec._1".as("sample_rate"), $"dec._2".as("n_samples"),
           $"dec._3".as("sample_sum"))
@@ -259,14 +262,14 @@ object PipelineQueries {
                 CAST(16 AS INT) AS height,
                 CAST((SELECT SUM((d.doc_id + 3*x.i + 7*y.i) % 256)
                       FROM range(16) x(i), range(16) y(i)) AS BIGINT) AS pixel_sum
-         FROM documents d""",
+         FROM documents d WHERE d.doc_id % 10 = 3""",
     "mm_audio_roundtrip" ->
       """SELECT d.doc_id,
                 CAST(8000 AS INT) AS sample_rate,
                 CAST(256 AS INT) AS n_samples,
                 CAST((SELECT SUM(((d.doc_id*31 + 7*t.i) % 4096) - 2048)
                       FROM range(256) t(i)) AS BIGINT) AS sample_sum
-         FROM documents d""",
+         FROM documents d WHERE d.doc_id % 10 = 3""",
     "pipe_upsert" ->
       """WITH updates AS (
            SELECT doc_id, 'recrawl' AS source FROM documents WHERE doc_id % 10 = 3
