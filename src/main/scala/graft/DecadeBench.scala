@@ -284,11 +284,14 @@ object DecadeBench {
     val batch = ingestSlice ++ ingestSlice.map { case (id, text) =>
       (id + 900000000000L * (batchTag + 1), s"fresh$batchTag $text")
     }
+    // arg 5 `noflag` isolates the near-dup kernel's share of the batch
+    val flagNearDups = !args.lift(5).exists(_.equalsIgnoreCase("noflag"))
     val source = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft_decade_ckpt").toString
     val q = streaming.StreamingIngest.startDocs(
       source.toDF().toDF("doc_id", "text"), dir, ckpt, nlist,
       compactEvery = 0, pqM = pqM, pqKsub = pqKsub,
+      flagNearDups = flagNearDups,
       onBatch = r => println(f"[decade] ingest batch ${r.batchId}: docs=${r.arrived} " +
         f"chunksDropped=${r.dropped} chunksAppended=${r.appended} latency=${r.seconds}%.2f s"))
     source.addData(batch: _*); q.processAllAvailable()

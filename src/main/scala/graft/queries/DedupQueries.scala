@@ -80,11 +80,7 @@ object DedupQueries {
     // report, oracle-checked on the same boilerplate fixture.
     "dedup_hot_buckets" -> ((s, dir) => {
       import s.implicits._
-      val sh = Dedup.minHashShingleTable(withBoilerplate(s, dir))
-      val banded = sh.select($"doc_id",
-        posexplode(Dedup.bandKeys(Dedup.minHashSignature($"sh", 16), 4, 4))
-          .as(Seq("band_idx", "band_key")))
-      Dedup.hotBucketStats(banded, Seq("band_idx", "band_key"), maxBucket = 8)
+      Dedup.hotBucketReport(withBoilerplate(s, dir), maxBucket = 8)
         .filter($"bucket_n" > 1)
         .select($"band_idx".cast("long").as("band_idx"), $"band_key", $"bucket_n",
           $"truncated".cast("int").as("truncated"))
