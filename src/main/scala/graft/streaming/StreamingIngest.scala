@@ -221,11 +221,27 @@ object StreamingIngest {
       val flagged =
         if (!flagNearDups) survivors.withColumn("near_dup_of", lit(null).cast("string"))
         else {
-          val pairs = Dedup.embeddingPairsCelledIncrementalById(
-            survivors.select(col("chunk_id"), col("embedding")),
-            spark.table(storeName),
-            IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
-            flagMinCosine, flagNprobe)
+          // persist BEFORE the left/right union below: `pairs` appears
+          // twice in the flags derivation (same pattern as
+          // minHashPairsImpl's persisted band table), and the persist also
+          // guards the flags against the appends' refreshTable
+          // invalidation. NOTE the ×10000 decade measurement: the flag
+          // half of a 1000-doc batch costs ~190-220 s either way — the
+          // dominant term is ONE evaluation's repartition(__cell) shuffle
+          // of every probed cell's vector rows (≈ 2·nprobe·batch distinct
+          // cells ≈ 13% of the store at law nlist), not double evaluation.
+          // The named fix is a batched-probe-shaped flag kernel (store
+          // rows scanned in place, batch queries broadcast per cell — the
+          // pqSearchBatch dataflow), which removes the store-side shuffle
+          // entirely; it changes a correctness-pinned path (near_dup_of
+          // representative selection), so it lands with its own parity
+          // evidence rather than inside this batch.
+          val pairs = graft.Caches.persistTracked(
+            Dedup.embeddingPairsCelledIncrementalById(
+              survivors.select(col("chunk_id"), col("embedding")),
+              spark.table(storeName),
+              IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
+              flagMinCosine, flagNprobe))
           // per surviving chunk: the smallest counterpart as representative
           // (counterparts can be stored chunks or batch-mates; batch-side
           // rows selected by a broadcast semi-join on the batch's own ids)
