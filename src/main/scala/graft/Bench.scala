@@ -13,6 +13,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay session init + parquet reader + codegen/JIT once, untimed
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // machine-drift calibration (r15 bench-hygiene ask): a fixed synthetic
+    // CPU+shuffle workload, independent of this library and of the corpus,
+    // timed min-of-3 and reported as "calib". Round-over-round total
+    // comparisons on a co-tenant VM drifted ±19% on untouched queries while
+    // the interleaved paired A/B said +4.7% — dividing two rounds' totals
+    // by their calib values cancels the machine's share of the drift.
+    val calib = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 8)
+        .selectExpr("sum(hash(id, id + 1, id * 7)) AS h").collect()
+      spark.range(0L, 2000000L, 1L, 8)
+        .groupBy(org.apache.spark.sql.functions.expr("id % 1024"))
+        .count().agg(org.apache.spark.sql.functions.sum("count")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // N timed passes (default 5), min per query — the min of repeated runs is
     // the stable estimator on a co-tenant-noisy VM (noise only ever ADDS
     // time); one pass was not enough to tell a regression from a noisy
@@ -55,11 +70,11 @@ object Bench {
             .map(node => ",\"paired\":" + mapper.writeValueAsString(node))
             .getOrElse("")
         } catch { case _: Throwable => "" }
-      val line = renderLine(results, sfName, Int.MaxValue)
+      val line = renderLine(results, sfName, Int.MaxValue, Some(calib))
       java.nio.file.Files.write(path,
         (line.stripSuffix("}") + paired + "}\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(renderLine(results, sfName, StdoutBudget))
+    println(renderLine(results, sfName, StdoutBudget, Some(calib)))
     spark.stop()
   }
 
@@ -85,15 +100,17 @@ object Bench {
     * `"value"`. Failed queries render as -1, are excluded from the total, and
     * are listed by name in `"failed"` (never silently dropped: the failed
     * list is part of the fixed suffix, not the budgeted map). */
-  def renderLine(results: Map[String, Option[Double]], sf: String, maxLen: Int): String = {
+  def renderLine(results: Map[String, Option[Double]], sf: String, maxLen: Int,
+                 calib: Option[Double] = None): String = {
     val total = results.values.flatten.sum
     val failed = results.collect { case (k, None) => k }.toSeq.sorted
     val failedJson =
       if (failed.isEmpty) "" else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val calibJson = calib.map(c => s""","calib":${fmt(c)}""").getOrElse("")
     val entries = results.toSeq
       .sortBy { case (k, v) => (-v.getOrElse(Double.PositiveInfinity), k) }
       .map { case (k, v) => (s"\"" + k + "\":" + fmt(v.getOrElse(-1.0)), v.getOrElse(0.0)) }
-    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$calibJson,"queries":{"""
     val suffix = s"""},"sf":"$sf"$failedJson}"""
     // worst-case omitted clause length, reserved up front so the greedy fill
     // can never overflow once the clause is actually needed. The sum bound

@@ -187,8 +187,11 @@ object DecadeBench {
     // ~5 GB of text is budget the IVF build shuffle needs. Query texts and
     // the ingest slice were persisted above, before the rewrite. Skipped
     // when a resumed run finds the corpus already lean.
+    // gate on the AGGREGATE: head of an unordered scan could hit a
+    // genuinely-empty doc and falsely mark the whole corpus lean (and
+    // .head throws on an empty table); coalesce covers the empty case
     val alreadyLean = Tables.documents(spark, dir)
-      .select(length($"text").as("l")).head.getInt(0) == 0
+      .agg(coalesce(max(length($"text")), lit(0)).as("m")).head.getInt(0) == 0
     if (!alreadyLean) timed("documents lean rewrite (text dropped — disk-budget move)") {
       val leanPath = s"$dir/documents_lean.parquet"
       Tables.documents(spark, dir)

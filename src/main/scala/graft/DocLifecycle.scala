@@ -477,16 +477,12 @@ object DocLifecycle {
         // chunks or batch-mates, smallest id wins — but the store side
         // excludes the document's own OUTGOING rows, so a flag can never
         // point at an id this very call removes
-        val pairs = graft.operators.Dedup.embeddingPairsCelledIncrementalById(
+        val pairs = graft.operators.Dedup.embeddingPairsCelledIncrementalByIdBatched(
           assigned.select(col("chunk_id"), col("embedding")),
           eids.drop(spark.table(store)),
           IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
           flagMinCosine, flagNprobe)
-        val bIds = assigned.select(col("chunk_id"))
-        val flags = pairs.select(col("left_id").as("chunk_id"), col("right_id").as("__other"))
-          .unionByName(pairs.select(col("right_id").as("chunk_id"), col("left_id").as("__other")))
-          .join(broadcast(bIds), Seq("chunk_id"), "left_semi")
-          .groupBy("chunk_id").agg(min(col("__other")).as("near_dup_of"))
+        val flags = graft.operators.Dedup.nearDupFlags(pairs, assigned.select(col("chunk_id")))
         assigned.join(broadcast(flags), Seq("chunk_id"), "left")
       }
     val storeSchema = spark.table(store).schema

@@ -63,6 +63,35 @@ private[graft] class LeaseArbiter {
     * atomic hard-link publish. */
   protected def linkPublishEnabled: Boolean = true
 
+  /** Beat between the two verify reads. The guarantee BOUND on a
+    * non-atomic store (the delayed double verify's honest contract,
+    * pinned both directions by LeaseContentionSpec's injected-stall
+    * interleaves): a competing writer's late truncating write is caught
+    * iff it lands within this window of our first verify read. A creator
+    * stalled LONGER than the window between its exists-check and its
+    * write — a multi-second GC pause, a PUT retried by the store SDK —
+    * defeats the verify and double-holds the scope, which is why the
+    * non-atomic path is the documented FALLBACK: local FS keeps the
+    * atomic link(2) publish, HDFS create is atomic, and object-store
+    * deployments that cannot tolerate the residual window should raise
+    * this beat toward their worst-case stall or use a store with
+    * conditional PUT. */
+  protected def verifyBeatMs: Long = 50L
+
+  /** The NON-ATOMIC create — an object store's exists-then-PUT shape —
+    * isolated as a seam so contention tests can inject latency between
+    * the phases (a stalled PUT is exactly the interleave the delayed
+    * double verify guards). Default: Hadoop's create(false), whose
+    * local-FS implementation is itself exists-then-create. */
+  protected def nonAtomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+                                path: org.apache.hadoop.fs.Path,
+                                holderBytes: Array[Byte]): Boolean =
+    try {
+      val out = fs.create(path, false) // create-if-absent (atomic only on HDFS)
+      try out.write(holderBytes) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
   private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
     override def initialValue() = scala.collection.mutable.Set.empty[String]
   }
@@ -236,21 +265,29 @@ private[graft] class LeaseArbiter {
         val passes = if (doubleVerify) 2 else 1
         while (attempt < passes) {
           val r = readHolderRetrying(fs, path)
-          if (r == "<unreadable>" && created) throw new IllegalStateException(
-            s"lease file $path was created by this writer but stays unreadable — " +
-              "refusing to guess ownership; remove the file once the FS recovers")
+          if (r == "<unreadable>" && created) {
+            // definitive ABSENCE is not an FS blip: a competing writer
+            // broke-or-released our just-created lease (a TTL breaker, or
+            // a non-atomic truncator that came and went inside our verify
+            // window — the injected-stall interleave surfaced this wedge).
+            // Losing the file means losing the lease: retreat and
+            // re-contend. Only a file that EXISTS but stays unreadable is
+            // the fail-loud case — guessing ownership there could strand
+            // or double-hold the scope.
+            val absent = try !fs.exists(path) catch { case _: Throwable => false }
+            if (absent) return false
+            throw new IllegalStateException(
+              s"lease file $path was created by this writer but stays unreadable — " +
+                "refusing to guess ownership; remove the file once the FS recovers")
+          }
           if (r != holder) return false
           attempt += 1
-          if (attempt < passes) Thread.sleep(50)
+          if (attempt < passes) Thread.sleep(verifyBeatMs)
         }
         true
       }
       def hadoopCreate(): Boolean =
-        try {
-          val out = fs.create(path, false) // create-if-absent (atomic only on HDFS)
-          try out.write(holder.getBytes("UTF-8")) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+        nonAtomicCreate(fs, path, holder.getBytes("UTF-8"))
       // local FS: publish the lease by hard-LINKING a fully-written private
       // temp into place. link(2) fails atomically when the target name
       // exists — a true test-and-set, where Hadoop's local create(false) is

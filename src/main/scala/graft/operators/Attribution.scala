@@ -38,8 +38,11 @@ object Attribution {
                     docCols: Seq[String],
                     dimsBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
     val dims = documents.select((docKey +: docCols).map(col): _*)
+    // size the PROJECTED plan, not the full relation: column pruning is
+    // reflected in the optimizer's estimate, so a wide dimension with a
+    // narrow payload still takes the straight broadcast path
     val dimsBytes =
-      try documents.queryExecution.optimizedPlan.stats.sizeInBytes
+      try dims.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
     if (dimsBytes <= dimsBroadcastMaxBytes) {
       results.join(broadcast(dims), results(resultKey) === dims(docKey), "left")

@@ -752,6 +752,184 @@ object Dedup {
       .distinct()
   }
 
+  /** BATCHED-PROBE form of [[embeddingPairsCelledIncremental]] — identical
+    * output (same pairs, same canonical order, same recall contract), a
+    * fundamentally different dataflow sized for the ingest hot path at
+    * decade scale. The original kernel `repartition(__cell)`s the union of
+    * batch and every probed cell's STORE rows; at law nlist a 500-chunk
+    * batch probes ~2·nprobe·batch distinct cells ≈ 13% of a 50M-chunk
+    * store, so each micro-batch pays a corpus-scale shuffle that grows
+    * with the STORE, not the batch (measured ×10000: 232–266 s flag vs
+    * 41.8 s append floor — SCALE.md round 15).
+    *
+    * This form is the [[graft.operators.Similarity.pqSearchBatch]]
+    * dataflow: the batch (broadcast-scale BY CONTRACT, like every
+    * micro-batch and every batch-query table in this library) is collected
+    * once, its top-`nprobe` cells computed driver-side, and the per-cell
+    * query lists broadcast; the store scan then prunes to the probed
+    * partition directories (static IN over the partition key, same as the
+    * original) and each store row is scored IN PLACE against the ≤
+    * batch-sized query list of its own cell — zero store-side shuffle,
+    * zero store rows moved. new×new pairs are resolved driver-side over
+    * the collected batch (the per-cell double loop the executor kernel ran,
+    * restricted to new rows), deduped across shared cells exactly as the
+    * original's trailing `.distinct()` did.
+    *
+    * Parity argument, pinned row-equal by OperatorSpec on the planted
+    * fixture and oracle-checked end-to-end by `dedup_celled_incremental`:
+    * a (new, stored) pair survives iff the stored row's top-1 cell is
+    * among the new row's top-`nprobe` cells — here that is literally "the
+    * store row's own partition key appears in the broadcast probe map";
+    * a (new, new) pair survives iff the two share ≥1 probed cell — the
+    * driver loop iterates the same per-cell buffers. Cosines come from the
+    * same [[graft.functions.VectorFunctions.cosineArrays]] kernel on both
+    * sides, so values are bit-identical. */
+  def embeddingPairsCelledIncrementalBatched(newVecs: DataFrame, assignedStore: DataFrame,
+                                             centroids: DataFrame, minCosine: Double,
+                                             nprobe: Int = 2,
+                                             idCol: String = "vec_id",
+                                             embCol: String = "embedding"): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    celledIncrementalBatchedCore[Long](newVecs, assignedStore, centroids,
+      minCosine, nprobe, idCol, embCol, "long")(
+      Ordering.Long, implicitly, implicitly, implicitly)
+  }
+
+  /** String-id twin of [[embeddingPairsCelledIncrementalBatched]] (the
+    * flagship chunk store's md5 chunk ids) — the batched replacement for
+    * [[embeddingPairsCelledIncrementalById]], same output. Canonical pair
+    * order uses UTF-8 binary comparison ([[graft.functions.Orderings.utf8]])
+    * so left < right agrees byte-for-byte with the original kernel's
+    * Spark-side string sort. */
+  def embeddingPairsCelledIncrementalByIdBatched(newVecs: DataFrame, assignedStore: DataFrame,
+                                                 centroids: DataFrame, minCosine: Double,
+                                                 nprobe: Int = 2,
+                                                 idCol: String = "chunk_id",
+                                                 embCol: String = "embedding"): DataFrame = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    celledIncrementalBatchedCore[String](newVecs, assignedStore, centroids,
+      minCosine, nprobe, idCol, embCol, "string")(
+      graft.functions.Orderings.utf8, implicitly, implicitly, implicitly)
+  }
+
+  /** Shared core of the two batched incremental kernels. `idCast` is the
+    * Spark cast target for the id column ("long" | "string"); `ord` gives
+    * the canonicalization (numeric vs UTF-8 binary). The store-side pass
+    * emits each (new, stored) pair at most once (a store row lives in
+    * exactly ONE cell), so only the driver-resolved new×new set needs
+    * cross-cell dedup; the trailing distinct is kept anyway for exact
+    * behavioral parity with the original kernels on degenerate stores
+    * (duplicate ids). */
+  private def celledIncrementalBatchedCore[K](
+      newVecs: DataFrame, assignedStore: DataFrame, centroids: DataFrame,
+      minCosine: Double, nprobe: Int, idCol: String, embCol: String,
+      idCast: String)(
+      implicit ord: Ordering[K],
+      kct: scala.reflect.ClassTag[K],
+      storeEnc: org.apache.spark.sql.Encoder[(Long, K, Seq[Float])],
+      pairEnc: org.apache.spark.sql.Encoder[(K, K, Double)]): DataFrame = {
+    import graft.functions.VectorFunctions.cosineArrays
+    val spark = newVecs.sparkSession
+    val cents = centroids.select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, "celledIncrementalBatched needs centroids")
+    val probes = math.min(nprobe, cents.length)
+    // batch collected ONCE — broadcast-scale by contract (micro-batches);
+    // probing runs driver-side over the same collected array, so the
+    // executors never see a batch row except through the broadcast
+    val batchRows: Array[(K, Array[Float])] = newVecs
+      .filter(col(embCol).isNotNull)
+      .select(col(idCol).cast(idCast), col(embCol))
+      .collect()
+      .map(r => (r.get(0).asInstanceOf[K], r.getSeq[Float](1).toArray))
+    if (batchRows.isEmpty)
+      return spark.emptyDataset(pairEnc)
+        .toDF("left_id", "right_id", "cosine")
+    val topCells: Array[Array[Long]] = batchRows.map { case (_, v) =>
+      cents.map { case (cid, cv) => (cid, cosineArrays(v, cv)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(probes).map(_._1)
+    }
+    // cell → indices of the batch vectors probing it
+    val byCell: Map[Long, Array[Int]] = topCells.zipWithIndex
+      .flatMap { case (cells, i) => cells.map(c => (c, i)) }
+      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).sorted) }
+    val bar = minCosine
+    // driver-resolved new×new pairs: the per-cell double loop of the
+    // original kernel restricted to new rows, deduped across shared cells
+    val newNew = scala.collection.mutable.LinkedHashSet.empty[(K, K, Double)]
+    byCell.toSeq.sortBy(_._1).foreach { case (_, idxs) =>
+      var i = 0
+      while (i < idxs.length) {
+        var j = i + 1
+        while (j < idxs.length) {
+          val (ia, ib) = (idxs(i), idxs(j))
+          val cos = cosineArrays(batchRows(ia)._2, batchRows(ib)._2)
+          if (cos >= bar) {
+            val (a, b) = (batchRows(ia)._1, batchRows(ib)._1)
+            newNew += (if (ord.lt(a, b)) (a, b, cos) else (b, a, cos))
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val probed = byCell.keys.toArray.sorted
+    val bc = spark.sparkContext.broadcast((batchRows, byCell))
+    // store scan pruned to the probed partition directories (static IN,
+    // same pruning PlanSpec pins on the original kernel) and scored IN
+    // PLACE — no repartition, no store row ever leaves its input split
+    val storePairs = assignedStore
+      .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
+      .filter(col(embCol).isNotNull)
+      .select(col("centroid_id").cast("long"),
+        col(idCol).cast(idCast), col(embCol))
+      .as[(Long, K, Seq[Float])](storeEnc)
+      .mapPartitions { it =>
+        val (rows, cellMap) = bc.value
+        it.flatMap { case (cell, sid, semb) =>
+          cellMap.get(cell) match {
+            case None => Iterator.empty
+            case Some(idxs) =>
+              val sv = semb.toArray
+              idxs.iterator.flatMap { qi =>
+                val (nid, nv) = rows(qi)
+                val cos = cosineArrays(nv, sv)
+                if (cos >= bar)
+                  Iterator.single(
+                    if (ord.lt(nid, sid)) (nid, sid, cos) else (sid, nid, cos))
+                else Iterator.empty
+              }
+          }
+        }
+      }(pairEnc)
+    val newNewDs = spark.createDataset(newNew.toSeq)(pairEnc)
+    storePairs.union(newNewDs)
+      .toDF("left_id", "right_id", "cosine")
+      .distinct()
+  }
+
+  /** Per BATCH chunk id, the lexically-smallest near-dup counterpart out of
+    * an incremental `pairs` table — the flag-derivation shared by the
+    * ingest loop and the upsert path. One evaluation of `pairs`: both
+    * directions come out of a single explode over the pair row (the
+    * previous two-projection union evaluated the kernel twice, which is
+    * why those call sites had to persist), then batch rows are selected by
+    * a broadcast semi-join on the batch's own ids and the smallest
+    * counterpart wins (min over Spark's UTF-8 binary string order —
+    * identical representative to the original selection). */
+  private[graft] def nearDupFlags(pairs: DataFrame, batchIds: DataFrame): DataFrame = {
+    pairs
+      .select(explode(array(
+        struct(col("left_id").as("chunk_id"), col("right_id").as("__other")),
+        struct(col("right_id").as("chunk_id"), col("left_id").as("__other")))).as("e"))
+      .select(col("e.chunk_id").as("chunk_id"), col("e.__other").as("__other"))
+      .join(broadcast(batchIds), Seq("chunk_id"), "left_semi")
+      .groupBy("chunk_id").agg(min(col("__other")).as("near_dup_of"))
+  }
+
   /** Embedding near-dup for the DENSE regime — the celled path for corpora
     * whose bulk sits just under the cosine bar, where banded LSH stops
     * pruning and its re-score join explodes (the measured SCALE.md round-6

@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
   * genuine byte-level decode/re-encode, oracle-checked end to end by the
   * `mm_image_roundtrip`/`mm_audio_roundtrip` queries (DuckDB recomputes the
   * synthesized pixel/sample sums in closed form; PNG and PCM are lossless,
-  * so the sums match exactly). Only VIDEO remains a stub ([[decodeStub]] —
-  * no container/codec support in the JDK), kept for the batch plumbing
-  * and as the undecodable-payload fallback, always flagged. */
+  * so the sums match exactly). VIDEO frame decode is real too via the JDK's
+  * multi-frame GIF reader ([[encodeGrayGif]]/[[decodeGifFrames]], the
+  * `mm_video_frames` oracle row); true container formats (mp4/webm) have
+  * no JDK codec and keep the labeled [[decodeStub]], kept also for the
+  * batch plumbing and as the undecodable-payload fallback, always
+  * flagged. */
 object Multimodal {
 
   val MediaMetaSchema: StructType = StructType(Seq(
@@ -131,6 +134,96 @@ object Multimodal {
       Some((w, h, px))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ------------------------------------------------------------------ video
+  // Real multi-frame decode via the JDK's GIF reader/writer (javax.imageio
+  // reads every frame of an animated GIF) — the same zero-dep move that made
+  // image/audio real. True container formats (mp4/webm) still have no JDK
+  // codec and keep the labeled [[decodeStub]].
+
+  /** Encode an animated grayscale GIF from a per-frame pixel function —
+    * the fixture generator and write half of the video round-trip. Each
+    * frame is written as a FULL image (no inter-frame disposal deltas), and
+    * a 256-level gray palette is exact for 8-bit gray pixels, so every
+    * frame round-trips losslessly through [[decodeGifFrames]]. */
+  def encodeGrayGif(width: Int, height: Int, nFrames: Int,
+                    pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      // interlace OFF: the JDK writer interlaces by default and its
+      // interlace row accounting drops the last row at heights ≤ 4
+      // (observed: a 4-row frame decodes rows 0-2 + a zero row 3, same
+      // bytes from the still-image path) — progressive mode is the
+      // interlace switch on the GIF write param
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      // an EXPLICIT full 256-entry gray palette: handing the writer a
+      // TYPE_BYTE_GRAY image lets it derive a minimal palette, and its LZW
+      // path corrupts tiny constant-color frames (observed: stray 0 pixels
+      // in a 4×4 all-7 frame); with the indexed model every 8-bit gray is
+      // a palette identity and every frame round-trips exactly
+      val grays = Array.tabulate(256)(_.toByte)
+      val palette = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { raster.setSample(x, y, 0, pixel(f, x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode: every frame of a GIF payload as
+    * (width, height, grayscale pixels), in frame order — the video half of
+    * the codec surface. Same luminance reduction as [[decodeImage]] for
+    * palette/color frames. None for bytes the GIF reader rejects (including
+    * other image formats — a single-frame PNG is [[decodeImage]]'s job);
+    * never a fake decode. */
+  def decodeGifFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] =
+    try {
+      if (bytes == null || bytes.isEmpty) return None
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+      try {
+        reader.setInput(in, false, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        Some((0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              px(y * w + x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          (w, h, px)
+        })
+      } finally { reader.dispose(); in.close() }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** REAL payload resize: decode → nearest-neighbor rescale (deterministic
     * integer pixel selection, no resampling arithmetic to drift across
     * JVMs) → re-encode as grayscale PNG. None when the payload doesn't
@@ -151,6 +244,11 @@ object Multimodal {
   def imageFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
     decodeImage(bytes).map { case (w, h, px) =>
       val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+      // a non-square dim would leave dim - g*g trailing slots silently 0.0
+      // — dead dimensions that distort cosine against other feature
+      // sources — so the grid must fill the vector exactly
+      require(g * g == dim,
+        s"imageFeatures dim must be a perfect square (got $dim); default 64 = 8x8 grid")
       val out = new Array[Float](dim)
       var gy = 0
       while (gy < g) {
@@ -199,7 +297,12 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+      // encoding must be checked too: 16-bit mono PCM_UNSIGNED (or an
+      // A-law/mu-law stream expanded to 16 bits) would pass the size and
+      // channel guards and decode MISINTERPRETED samples — the contract is
+      // None, never a fake decode
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) return None
       val raw = ais.readAllBytes()
       val buf = java.nio.ByteBuffer.wrap(raw).order(
         if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN

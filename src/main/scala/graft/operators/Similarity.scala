@@ -453,6 +453,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** The filtered-probe viability estimator behind the MEASURED crossover
+    * (SCALE.md round-15 "Filtered-ANN recall curve"): the expected number
+    * of filter survivors inside the probed cells, under the neutral
+    * assumption that the filter is uncorrelated with index geometry (the
+    * worst case the sweep measured). When this falls toward k, the probe
+    * cannot deliver a recall worth its scan — the filtered top-k
+    * increasingly lives in cells the probe never opens (measured: 0.525
+    * recall@10 at nprobe=64 = 45% of cells, 0.1% selectivity). */
+  def expectedProbedSurvivors(filteredRows: Long, nprobe: Int, nlist: Long): Double = {
+    require(nlist > 0, "expectedProbedSurvivors needs a non-empty centroid table")
+    filteredRows.toDouble * math.min(nprobe.toLong, nlist).toDouble / nlist.toDouble
+  }
+
+  /** N43: filtered ANN with the measured probe/brute AUTO-SWITCH — the
+    * serving rule the round-15 recall sweep priced out, as an operator
+    * instead of prose. Estimates the filter's survivors inside the probed
+    * cells ([[expectedProbedSurvivors]]); past the viability bar
+    * (`minSurvivorsPerK`·k, default 10·k — set so the measured 1%
+    * selectivity row, where nprobe=64 recovered only 0.72 recall while an
+    * exact filtered scan was strictly cheaper, lands on the brute side,
+    * and the 10% row, where raising nprobe still works, stays on the
+    * probe) the query runs the normal filter-within-probed-cells probe
+    * ([[ivfSearchPruned]], partition-pruned scan, probe-bounded recall);
+    * under it the query switches to an EXACT brute-force scan of the
+    * filtered subset — same scoring expression and tie-break, schema
+    * identical, recall 1.0 by construction, and cheaper than the
+    * wide-nprobe probe it replaces whenever the filter is this selective.
+    *
+    * `filteredRows` is the filter's cardinality; pass it when the serving
+    * tier already knows it (a per-filter-template cached count — the
+    * production shape). When negative it is counted here with a
+    * column-pruned scan (the filter columns only, no embedding bytes) —
+    * acceptable per-query on a bench, cache it in a loop. */
+  def ivfSearchFilteredAuto(assigned: DataFrame, centroids: DataFrame,
+                            queryVec: Array[Float], k: Int, nprobe: Int,
+                            preFilter: Column,
+                            idCol: String = "vec_id", embCol: String = "embedding",
+                            filteredRows: Long = -1L,
+                            minSurvivorsPerK: Double = 10.0): DataFrame = {
+    val nlist = centroids.count()
+    val fRows =
+      if (filteredRows >= 0L) filteredRows
+      else assigned.filter(preFilter).count()
+    if (expectedProbedSurvivors(fRows, nprobe, nlist) >= minSurvivorsPerK * k)
+      ivfSearchPruned(assigned, centroids, queryVec, k, nprobe, idCol, embCol,
+        preFilter = Some(preFilter))
+    else {
+      val qv = array(queryVec.map(x => lit(x)): _*)
+      assigned.filter(preFilter)
+        .withColumn("score", (cosineSimilarity(col(embCol), qv) + 1.0) / 2.0)
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(k)
+    }
+  }
+
   /** Batch IVF probe over a MATERIALIZED partitioned index
     * ([[graft.IvfCatalog]]) — Q queries amortize ONE pruned scan, the
     * serving-THROUGHPUT form of [[ivfSearchPruned]]. A serving tier

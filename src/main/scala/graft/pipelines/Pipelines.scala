@@ -156,13 +156,55 @@ object Pipelines {
     // clusterWrite (IvfCatalog note): repartition on the bucket column with
     // numPartitions == buckets uses the same murmur3-pmod hash the bucketed
     // writer does, so each task holds exactly one bucket's rows and writes
-    // ONE file per bucket instead of one per (task × bucket)
+    // ONE file per bucket instead of one per (task × bucket).
+    // SCALE NOTE: this is the monolithic form — ONE shuffle of the full
+    // text+embedding payload, whose map output ENOSPC'd the ×10000 decade
+    // (~70 GB spill, SCALE.md round 15). Past the disk budget, use
+    // [[writeBucketedChunksBatched]]: identical final layout, peak shuffle
+    // footprint divided by `slices`.
     chunks.repartition(buckets, col("document_id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "document_id")
       .sortBy("document_id", "chunk_index")
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** [[writeBucketedChunks]] with a BOUNDED disk footprint — the scale fix
+    * for the decade's ENOSPC. The corpus is bucketized in `slices` passes,
+    * each its own Spark job shuffling only corpus/slices of payload.
+    *
+    * Layout-equivalence argument (BucketizeSpec pins it file-for-file):
+    * Spark's bucket id is pmod(murmur3(document_id), buckets) — the same
+    * hash `repartition(n, col)` and the `hash()` function use. With
+    * `slices` dividing `buckets`, pass `s` filters on
+    * pmod(hash(document_id), slices) = s, which selects exactly the rows
+    * of buckets ≡ s (mod slices) — COMPLETE buckets, never a bucket split
+    * across passes. Each pass repartitions its slice into `buckets` tasks
+    * (only its buckets/slices tasks are non-empty) and appends one file
+    * per owned bucket with the same sortBy, so the union of all passes is
+    * row-for-row and file-layout-identical to the monolithic write, while
+    * the per-job shuffle map output — the thing that filled the disk — is
+    * corpus/slices. Shuffle files from a finished pass are unreferenced
+    * and reclaimed by the ContextCleaner on the next GC; the explicit gc
+    * hint between passes keeps the high-water mark at one slice even on
+    * drivers that would otherwise not collect for the whole build. */
+  def writeBucketedChunksBatched(chunks: DataFrame, tableName: String,
+                                 buckets: Int = 32, slices: Int = 8): Unit = {
+    require(slices >= 1 && buckets % slices == 0,
+      s"slices ($slices) must divide buckets ($buckets) so each pass owns whole buckets")
+    val spark = chunks.sparkSession
+    (0 until slices).foreach { s =>
+      val slice = chunks.filter(pmod(hash(col("document_id")), lit(slices)) === s)
+        .repartition(buckets, col("document_id"))
+        .write.mode(if (s == 0) "overwrite" else "append")
+      slice.bucketBy(buckets, "document_id")
+        .sortBy("document_id", "chunk_index")
+        .format("parquet")
+        .saveAsTable(tableName)
+      if (s < slices - 1) System.gc() // release the finished pass's shuffle files
+    }
+    spark.catalog.refreshTable(tableName)
+  }
 
   /** S11: timestamped JSON backup dump (etl_pipeline.py:155-182). */
   def writeJsonBackup(docs: DataFrame, path: String): Unit =

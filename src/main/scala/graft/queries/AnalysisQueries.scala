@@ -201,6 +201,41 @@ object AnalysisQueries {
           round($"score", 6).as("score"))
     }),
 
+    // N43 filtered-ANN AUTO-SWITCH, brute leg (the measured crossover from
+    // SCALE.md's recall sweep as an operator): this filter keeps 10 of 500
+    // rows, so expected survivors in the probed cells (10 x 4/16 = 2.5)
+    // fall far under the 10*k viability bar and the operator switches to
+    // an EXACT brute scan of the filtered subset — the probe at nprobe=4
+    // would open 1/4 of the cells and return ~2 of the true top-10. The
+    // oracle is therefore the plain exact filtered top-k (recall 1.0 by
+    // construction — the strongest possible check).
+    "ann_ivf_filtered_auto" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.seededCentroids(emb, IvfCentroids, IvfStep)
+      val store = graft.IvfCatalog.assignedEmbeddings(s, dir, IvfCentroids, IvfStep)
+      val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+      Similarity.ivfSearchFilteredAuto(store, cents, qv, k = 10, nprobe = 4,
+          preFilter = $"vec_id" % 50 === 7)
+        .select($"vec_id", $"label", round($"score", 6).as("score"))
+    }),
+
+    // N43 probe leg: a broad filter (label < 8, ~78% of rows) stays past
+    // the viability bar at k=2, so the auto-switch runs the normal
+    // filter-within-probed-cells probe — the oracle reproduces the probe
+    // exactly as ann_ivf_filtered's does.
+    "ann_ivf_filtered_probe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.seededCentroids(emb, IvfCentroids, IvfStep)
+      val store = graft.IvfCatalog.assignedEmbeddings(s, dir, IvfCentroids, IvfStep)
+      val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+      Similarity.ivfSearchFilteredAuto(store, cents, qv, k = 2, nprobe = 4,
+          preFilter = $"label" < 8)
+        .select($"vec_id", $"label", $"centroid_id".cast("long").as("centroid_id"),
+          round($"score", 6).as("score"))
+    }),
+
     // Batch IVF probe over the materialized index: 4 query vectors share
     // ONE partition-pruned scan of the union of their probed cells — the
     // serving-throughput form (per-row scoring restricted to the queries
@@ -702,6 +737,29 @@ object AnalysisQueries {
           WHERE e.label = 3
           ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, a.vec_id ASC
           LIMIT 10""",
+    "ann_ivf_filtered_auto" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7)
+          SELECT e.vec_id, e.label,
+                 round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id % 50 = 7
+          ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, e.vec_id ASC
+          LIMIT 10""",
+    "ann_ivf_filtered_probe" ->
+      s"""WITH $duckIvf,
+          q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+          probed AS (
+            SELECT centroid_id FROM cents, q
+            ORDER BY ${duckCos("cvec", "qvec")} DESC, centroid_id ASC LIMIT 4)
+          SELECT a.vec_id, e.label, a.centroid_id,
+                 round((${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0, 6) AS score
+          FROM assign a
+          JOIN probed USING (centroid_id)
+          JOIN embeddings e ON a.vec_id = e.vec_id
+          CROSS JOIN q
+          WHERE e.label < 8
+          ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, a.vec_id ASC
+          LIMIT 2""",
     "ann_ivf_batch" ->
       s"""WITH $duckIvf,
           q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings

@@ -225,6 +225,31 @@ object PipelineQueries {
           $"dec._3".as("sample_sum"))
     }),
 
+    // Multimodal: REAL multi-frame VIDEO decode, oracle-checked — per
+    // document an 8×8 4-frame animated GIF is ENCODED with pixel(f,x,y) =
+    // (doc_id + 5f + 3x + 7y) mod 256, every frame DECODED back through
+    // javax.imageio's GIF reader, one row per frame (the generator shape
+    // frame-sampling hands downstream). A 256-level gray palette is exact
+    // for 8-bit gray, so DuckDB recomputes each frame's pixel sum in
+    // closed form — the r15 video stub made real, same discipline as the
+    // image/audio rows; decodeStub remains only for true container formats.
+    "mm_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val decodeFrames = udf { (docId: Long) =>
+        val gif = Multimodal.encodeGrayGif(8, 8, 4,
+          (f, x, y) => ((docId + 5L * f + 3L * x + 7L * y) % 256L).toInt)
+        Multimodal.decodeGifFrames(gif) match {
+          case Some(frames) => frames.zipWithIndex.map { case ((w, h, px), i) =>
+            (i, w, h, px.map(_.toLong).sum) }
+          case None => Seq((-1, -1, -1, -1L))
+        }
+      }
+      Tables.documents(s, dir).filter($"doc_id" % 10 === 3) // same 10% subset as the image row
+        .select($"doc_id", explode(decodeFrames($"doc_id")).as("fr"))
+        .select($"doc_id", $"fr._1".as("frame_idx"), $"fr._2".as("width"),
+          $"fr._3".as("height"), $"fr._4".as("pixel_sum"))
+    }),
+
     // The end-to-end training-data curation pass as ONE query: transitive
     // near-dup removal (keep each cluster's min-id representative) →
     // quality gate → deterministic train/valid/test split, counted per
@@ -270,6 +295,14 @@ object PipelineQueries {
                 CAST((SELECT SUM(((d.doc_id*31 + 7*t.i) % 4096) - 2048)
                       FROM range(256) t(i)) AS BIGINT) AS sample_sum
          FROM documents d WHERE d.doc_id % 10 = 3""",
+    "mm_video_frames" ->
+      """SELECT d.doc_id,
+                CAST(f.i AS INT) AS frame_idx,
+                CAST(8 AS INT) AS width,
+                CAST(8 AS INT) AS height,
+                CAST((SELECT SUM((d.doc_id + 5*f.i + 3*x.i + 7*y.i) % 256)
+                      FROM range(8) x(i), range(8) y(i)) AS BIGINT) AS pixel_sum
+         FROM documents d, range(4) f(i) WHERE d.doc_id % 10 = 3""",
     "pipe_upsert" ->
       """WITH updates AS (
            SELECT doc_id, 'recrawl' AS source FROM documents WHERE doc_id % 10 = 3

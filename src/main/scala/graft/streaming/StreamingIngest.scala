@@ -12,7 +12,8 @@ import graft.pipelines.Pipelines
   * N28 as a RUNNING loop, not separate pieces): each micro-batch of arriving
   * vectors is (1) flagged for near-duplicates against the materialized
   * index via the partition-pruned incremental celled kernel
-  * ([[Dedup.embeddingPairsCelledIncremental]]), then (2) its SURVIVORS are
+  * ([[Dedup.embeddingPairsCelledIncrementalBatched]]: store rows scored in
+  * place against the broadcast batch), then (2) its SURVIVORS are
   * appended into the index's cell partitioning ([[IvfCatalog.appendBatch]])
   * so the next micro-batch sees them. The store is the stream's state —
   * durable, queryable, shared with every batch consumer — which is why this
@@ -64,8 +65,8 @@ object StreamingIngest {
     val store = IvfCatalog.assignedEmbeddings(spark, dir, nlist, step, trained)
     val cents = IvfCatalog.centroidsFor(spark, dir, nlist, step, trained)
     val b = batch.select(col(idCol).cast("long").as(idCol), col(embCol))
-    val pairs = Dedup.embeddingPairsCelledIncremental(b, store, cents, minCosine, nprobe,
-      idCol = idCol, embCol = embCol)
+    val pairs = Dedup.embeddingPairsCelledIncrementalBatched(b, store, cents, minCosine, nprobe,
+      idCol = idCol, embCol = embCol) // r16: store rows scored in place (no per-batch store shuffle)
     // which pair sides are batch ids (vs stored ids): the batch-id set is
     // micro-batch-sized by construction, so these are broadcast joins
     val bids = b.select(col(idCol).as("__bid")).distinct()
@@ -167,7 +168,7 @@ object StreamingIngest {
     * is materialized where curation can read it: each surviving chunk is
     * flagged against the store (and its batch-mates) through the
     * partition-pruned celled kernel
-    * ([[Dedup.embeddingPairsCelledIncrementalById]]), and near-duplicates
+    * ([[Dedup.embeddingPairsCelledIncrementalByIdBatched]]), and near-duplicates
     * land with `near_dup_of` = the lexically-smallest counterpart chunk id
     * (null otherwise). Flag cost follows the incremental contract — batch ×
     * its probed cells — and `flagNearDups = false` skips it entirely.
@@ -221,35 +222,24 @@ object StreamingIngest {
       val flagged =
         if (!flagNearDups) survivors.withColumn("near_dup_of", lit(null).cast("string"))
         else {
-          // persist BEFORE the left/right union below: `pairs` appears
-          // twice in the flags derivation (same pattern as
-          // minHashPairsImpl's persisted band table), and the persist also
-          // guards the flags against the appends' refreshTable
-          // invalidation. NOTE the ×10000 decade measurement: the flag
-          // half of a 1000-doc batch costs ~190-220 s either way — the
-          // dominant term is ONE evaluation's repartition(__cell) shuffle
-          // of every probed cell's vector rows (≈ 2·nprobe·batch distinct
-          // cells ≈ 13% of the store at law nlist), not double evaluation.
-          // The named fix is a batched-probe-shaped flag kernel (store
-          // rows scanned in place, batch queries broadcast per cell — the
-          // pqSearchBatch dataflow), which removes the store-side shuffle
-          // entirely; it changes a correctness-pinned path (near_dup_of
-          // representative selection), so it lands with its own parity
-          // evidence rather than inside this batch.
-          val pairs = graft.Caches.persistTracked(
-            Dedup.embeddingPairsCelledIncrementalById(
-              survivors.select(col("chunk_id"), col("embedding")),
-              spark.table(storeName),
-              IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
-              flagMinCosine, flagNprobe))
+          // BATCHED-PROBE kernel (r16): store rows scored in place against
+          // the broadcast batch — the r15 decade priced the previous
+          // repartition(__cell) kernel at 232-266 s per 500-chunk batch
+          // (one corpus-scale shuffle of ~13% of the store at law nlist)
+          // vs the 41.8 s append floor; this dataflow moves zero store
+          // rows. Parity with the shuffle kernel is pinned row-equal by
+          // OperatorSpec; the flags derivation evaluates `pairs` ONCE
+          // (explode inside nearDupFlags), so nothing needs persisting —
+          // which also closes the r15 unbounded persistTracked leak on
+          // the long-running ingest stream.
+          val pairs = Dedup.embeddingPairsCelledIncrementalByIdBatched(
+            survivors.select(col("chunk_id"), col("embedding")),
+            spark.table(storeName),
+            IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
+            flagMinCosine, flagNprobe)
           // per surviving chunk: the smallest counterpart as representative
-          // (counterparts can be stored chunks or batch-mates; batch-side
-          // rows selected by a broadcast semi-join on the batch's own ids)
-          val bIds = survivors.select(col("chunk_id"))
-          val flags = pairs.select(col("left_id").as("chunk_id"), col("right_id").as("__other"))
-            .unionByName(pairs.select(col("right_id").as("chunk_id"), col("left_id").as("__other")))
-            .join(broadcast(bIds), Seq("chunk_id"), "left_semi")
-            .groupBy("chunk_id").agg(min(col("__other")).as("near_dup_of"))
+          // (counterparts can be stored chunks or batch-mates)
+          val flags = Dedup.nearDupFlags(pairs, survivors.select(col("chunk_id")))
           survivors.join(broadcast(flags), Seq("chunk_id"), "left")
         }
       // codes FIRST: appendChunks refreshes the chunk store, invalidating

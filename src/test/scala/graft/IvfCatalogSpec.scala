@@ -317,4 +317,57 @@ class IvfCatalogSpec extends AnyFunSuite {
     }.toSet
     assert(got === want, "batch IVFADC must be row-for-row the serial probes")
   }
+
+  test("filtered-ANN auto-switch: measured crossover routes brute vs probe") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val store = IvfCatalog.assignedEmbeddings(spark, dir, 16, 31L)
+    val cents = IvfCatalog.centroidsFor(spark, dir, 16, 31L)
+    val qv = emb.filter($"vec_id" === 7L).select("embedding").head.getSeq[Float](0).toArray
+
+    // the estimator at the MEASURED sweep geometry (SCALE.md: n=20k,
+    // nlist=141, k=10): the 1% selectivity row (200 filtered rows,
+    // nprobe=64 → ~90.8 expected survivors, recall only 0.72) must land
+    // under the 10·k bar → brute; the 10% row (2000 rows → ~907.8,
+    // "raise nprobe" still works) must stay over it → probe
+    assert(Similarity.expectedProbedSurvivors(200L, 64, 141L) < 100.0)
+    assert(Similarity.expectedProbedSurvivors(2000L, 64, 141L) >= 100.0)
+    // nprobe clamps at nlist: the estimate can never exceed filteredRows
+    assert(Similarity.expectedProbedSurvivors(50L, 500, 141L) === 50.0)
+
+    // BRUTE leg: 10 of 500 rows survive the filter → 2.5 expected in the
+    // probed cells, far under 10·k=100. The switch must return the EXACT
+    // filtered top-k — here all 10 filtered rows — while the plain probe
+    // provably misses some (the filter is uncorrelated with geometry)
+    val selective = $"vec_id" % 50 === 7
+    val auto = Similarity.ivfSearchFilteredAuto(store, cents, qv,
+      k = 10, nprobe = 4, preFilter = selective)
+    val exact = emb.filter(selective)
+      .withColumn("score",
+        (graft.functions.VectorFunctions.cosineSimilarity($"embedding",
+          array(qv.map(lit(_)).toIndexedSeq: _*)) + 1.0) / 2.0)
+      .orderBy($"score".desc, $"vec_id".asc).limit(10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", round($"score", 9).as("s")).as[(Long, Double)].collect().toSet
+    assert(rows(auto) === rows(exact), "brute leg must be the exact filtered top-k")
+    assert(auto.count() === 10L)
+    val probeOnly = Similarity.ivfSearchPruned(store, cents, qv, k = 10, nprobe = 4,
+      preFilter = Some(selective))
+    assert(probeOnly.count() < 10L,
+      "fixture lost its point: the probe was supposed to miss filtered rows")
+
+    // PROBE leg: label < 8 keeps ~78% of rows (expected ~97.75 survivors
+    // >= 10·k=20 at k=2) → row-equal to the plain filtered probe
+    val broad = $"label" < 8
+    val autoP = Similarity.ivfSearchFilteredAuto(store, cents, qv,
+      k = 2, nprobe = 4, preFilter = broad)
+    val probe = Similarity.ivfSearchPruned(store, cents, qv, k = 2, nprobe = 4,
+      preFilter = Some(broad))
+    assert(rows(autoP) === rows(probe), "probe leg must be the plain filtered probe")
+
+    // supplied cardinality skips the count and must route identically
+    val autoSup = Similarity.ivfSearchFilteredAuto(store, cents, qv,
+      k = 10, nprobe = 4, preFilter = selective, filteredRows = 10L)
+    assert(rows(autoSup) === rows(exact))
+  }
 }

@@ -26,13 +26,59 @@ class LeaseContentionSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** The faithful object-store PUT: the EXISTENCE CHECK can be stale (the
+    * non-atomicity under test) but the object lands WHOLE — modeled as an
+    * NIO temp + atomic move. Using Hadoop's local create here instead
+    * would model something no object store does: concurrent writers
+    * tearing the data/.crc sidecar PAIR into a permanent
+    * ChecksumException ("held by <unreadable>" until the TTL break) — a
+    * checksummed-local-FS artifact, observed wedging the storm. */
+  private def nioPut(path: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean = {
+    val nio = java.nio.file.Paths.get(path.toUri)
+    java.nio.file.Files.createDirectories(nio.getParent)
+    val tmp = nio.resolveSibling(nio.getFileName.toString + ".put" + System.nanoTime())
+    java.nio.file.Files.write(tmp, bytes)
+    try {
+      java.nio.file.Files.move(tmp, nio,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   private def mkArbiter(atomicLink: Boolean): LeaseArbiter =
     if (atomicLink) new LeaseArbiter {}
-    else new LeaseArbiter { override protected def linkPublishEnabled = false }
+    else new LeaseArbiter {
+      override protected def linkPublishEnabled = false
+      // the non-atomic guarantee is BOUNDED by the verify beat vs the
+      // worst create stall (see verifyBeatMs scaladoc and the injected-
+      // stall test below): under sbt's parallel suites a GC/CPU stall
+      // >50 ms inside the exists-then-PUT is realistic, so the storm runs
+      // with the margin a production object-store arbiter would
+      // configure, not the 50 ms default
+      override protected def verifyBeatMs = 250L
+      override protected def nonAtomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+                                             path: org.apache.hadoop.fs.Path,
+                                             bytes: Array[Byte]): Boolean =
+        !fs.exists(path) && nioPut(path, bytes)
+    }
+
+  /** Remove a scope's lease file AND any Hadoop checksum sidecar before a
+    * storm: a `.crc` orphaned by an earlier aborted run makes every read
+    * of a fresh NIO-written lease throw ChecksumException — the scope
+    * reads "<unreadable>" until its TTL and the storm wedges on dirt, not
+    * on the protocol under test. */
+  private def cleanScope(scope: String): Unit = {
+    val p = MaintenanceLease.leasePath(spark, scope)
+    val nio = java.nio.file.Paths.get(p.toUri)
+    java.nio.file.Files.deleteIfExists(nio)
+    java.nio.file.Files.deleteIfExists(nio.resolveSibling("." + p.getName + ".crc"))
+  }
 
   /** N acquisitions per thread, two threads per arbiter, all storming one
     * scope: a shared counter proves at most one holder at any instant. */
   private def storm(scope: String, atomicLink: Boolean): Unit = {
+    cleanScope(scope)
     val a = mkArbiter(atomicLink)
     val b = mkArbiter(atomicLink)
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -103,6 +149,98 @@ class LeaseContentionSpec extends AnyFunSuite {
     var entered = false
     b.withLease(spark, scope, ttlMs = 600L, waitMs = 5 * 1000L) { entered = true }
     assert(entered)
+  }
+
+  test("non-atomic PUT stall injected: caught inside the verify beat; past it the residual window is real") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    // the r14→r15 residual made measurable: on an object store the create
+    // is exists-then-PUT, and a creator STALLED between the phases (GC
+    // pause, SDK-retried PUT) lands a blind truncating write later. The
+    // delayed double verify catches that write iff it lands within
+    // verifyBeatMs of the winner's first read — this test pins BOTH sides
+    // of that bound with a deterministic latch-driven schedule.
+    class StallArbiter(checked: CountDownLatch, gate: CountDownLatch)
+        extends LeaseArbiter {
+      override protected def linkPublishEnabled = false
+      override protected def nonAtomicCreate(fs: FileSystem, path: Path,
+                                             bytes: Array[Byte]): Boolean = {
+        if (fs.exists(path)) return false
+        checked.countDown() // phase 1 done: existence checked, PUT pending
+        assert(gate.await(30, TimeUnit.SECONDS), "stall gate never released")
+        nioPut(path, bytes) // the delayed PUT replaces blindly (but whole)
+      }
+    }
+    class NotifyArbiter(created: CountDownLatch, beat: Long) extends LeaseArbiter {
+      override protected def linkPublishEnabled = false
+      override protected def verifyBeatMs: Long = beat
+      override protected def nonAtomicCreate(fs: FileSystem, path: Path,
+                                             bytes: Array[Byte]): Boolean = {
+        val r = !fs.exists(path) && nioPut(path, bytes)
+        if (r) created.countDown()
+        r
+      }
+    }
+    def run(scope: String, beat: Long, releaseStallAfterWinnerInBody: Boolean): Int = {
+      cleanScope(scope)
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val checked = new CountDownLatch(1); val gate = new CountDownLatch(1)
+      val created = new CountDownLatch(1); val inBody = new CountDownLatch(1)
+      val hold = new CountDownLatch(1)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def body(): Unit = {
+        maxSeen.accumulateAndGet(inside.incrementAndGet(), math.max)
+        inBody.countDown()
+        if (releaseStallAfterWinnerInBody) hold.await(30, TimeUnit.SECONDS)
+        // direction 1 needs the staller STILL inside when the winner's
+        // second verify read fires (beat 1500 ms) — that read seeing the
+        // foreign token IS the catch being tested
+        else Thread.sleep(2500)
+        inside.decrementAndGet()
+      }
+      val staller = new Thread(() => {
+        try new StallArbiter(checked, gate).withLease(spark, scope,
+          waitMs = 30 * 1000L) { body() }
+        catch { case t: Throwable => errors.add(t) }
+      }, s"$scope-staller")
+      staller.start()
+      assert(checked.await(10, TimeUnit.SECONDS)) // staller parked mid-create
+      val winner = new Thread(() => {
+        try new NotifyArbiter(created, beat).withLease(spark, scope,
+          waitMs = 30 * 1000L) { body() }
+        catch { case t: Throwable => errors.add(t) }
+      }, s"$scope-winner")
+      winner.start()
+      assert(created.await(10, TimeUnit.SECONDS))
+      if (releaseStallAfterWinnerInBody) {
+        // the stalled PUT lands only after the winner passed BOTH verify
+        // reads and entered its critical section — outside the beat window
+        assert(inBody.await(10, TimeUnit.SECONDS))
+        gate.countDown()
+        Thread.sleep(1500) // give the staller time to verify itself in
+        hold.countDown()
+      } else {
+        // the stalled PUT lands right now — inside the winner's wide
+        // verify window, so the second read must catch the truncation
+        gate.countDown()
+      }
+      winner.join(60 * 1000L); staller.join(60 * 1000L)
+      assert(errors.isEmpty, s"interleave threads failed: ${errors.peek()}")
+      maxSeen.get()
+    }
+    // direction 1: stall lands INSIDE the (widened) verify beat → the
+    // double verify retreats the winner; never two holders
+    assert(run("xjvm_stall_caught", beat = 1500L,
+      releaseStallAfterWinnerInBody = false) === 1,
+      "a truncating PUT inside the verify window must be caught")
+    // direction 2: stall lands PAST the winner's second verify → the
+    // documented residual window is REAL (this is why non-atomic create is
+    // the fallback, the guarantee bound is verifyBeatMs, and hard-safety
+    // deployments keep the link publish / conditional PUT)
+    assert(run("xjvm_stall_residual", beat = 50L,
+      releaseStallAfterWinnerInBody = true) === 2,
+      "fixture lost its point: the out-of-window stall was supposed to double-hold")
   }
 
   test("a dead foreign writer's stale lease is TTL-broken by the other arbiter") {

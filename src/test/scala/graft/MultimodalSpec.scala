@@ -98,6 +98,26 @@ class MultimodalSpec extends AnyFunSuite {
       "a flat 128 field must decode within JPEG tolerance")
   }
 
+  test("animated GIF round-trip is frame- and pixel-exact") {
+    val px = (f: Int, x: Int, y: Int) => (13 * f + 11 * x + 29 * y + 5) % 256
+    val bytes = Multimodal.encodeGrayGif(9, 7, 5, px)
+    val Some(frames) = Multimodal.decodeGifFrames(bytes)
+    assert(frames.length === 5, "every frame must decode, in order")
+    frames.zipWithIndex.foreach { case ((w, h, got), f) =>
+      assert((w, h) === ((9, 7)))
+      for (y <- 0 until 7; x <- 0 until 9)
+        assert(got(y * 9 + x) === px(f, x, y), s"frame $f pixel ($x,$y)")
+    }
+    // a single-frame GIF decodes as one frame; PNG bytes are decodeImage's
+    // job and junk is None — never a fake decode
+    assert(Multimodal.decodeGifFrames(Multimodal.encodeGrayGif(4, 4, 1, (_, _, _) => 7))
+      .exists(fs => fs.length == 1 && fs.head._3.forall(_ == 7)))
+    assert(Multimodal.decodeGifFrames(Multimodal.encodeGrayPng(4, 4, (_, _) => 7)).isEmpty)
+    assert(Multimodal.decodeGifFrames(Multimodal.syntheticBytes("junk", 512)).isEmpty)
+    assert(Multimodal.decodeGifFrames(Array.empty).isEmpty)
+    assert(Multimodal.decodeGifFrames(null).isEmpty)
+  }
+
   test("undecodable bytes yield None, never a crash or a fake decode") {
     assert(Multimodal.decodeImage(Multimodal.syntheticBytes("junk", 512)).isEmpty)
     assert(Multimodal.decodeImage(Array.empty).isEmpty)

@@ -127,6 +127,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh === exact, "compound-hash LSH must recover every >=0.9 pair here")
   }
 
+  test("LSH hot-bucket A/B on the boilerplate analog: an overflowing projection bucket is TRUE-pair mass") {
+    import spark.implicits._
+    // the r15 verdict's ask: measure whether the embedding-LSH band join
+    // needs the MinHash-style default cap. Boilerplate-analog fixture:
+    // 300 random unit vectors + a 120-clone cluster (cos ~0.999 ≫ 0.9 bar)
+    val rng = new scala.util.Random(11)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat; v.map(_ / n)
+    }
+    val base = (0L until 300L).map(id => (id, unit(Array.fill(64)(rng.nextGaussian().toFloat))))
+    val seed = unit(Array.fill(64)(rng.nextGaussian().toFloat))
+    val clones = (0 until 120).map(i =>
+      (5000L + i, unit(seed.map(x => x + 0.005f * rng.nextGaussian().toFloat))))
+    val corpus = (base ++ clones).toDF("vec_id", "embedding")
+    val exact = VectorSearch.similarityJoin(corpus, minCosine = 0.9, idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the cluster's pairs are the bulk of the true answer (~120·119/2)
+    assert(exact.size >= 120 * 119 / 2)
+    // UNCAPPED (the lshJoin default): full recall — the "hot" bucket the
+    // clone cluster shares is not a banding artifact, it IS the answer
+    val uncapped = Similarity.lshJoin(corpus, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === exact)
+    // CAPPED below the cluster size: still a SUBSET of exact (precision 1)
+    // but with true pairs silently dropped — which is exactly why the cap
+    // must stay OPT-IN on this exact-candidate API, while the curation
+    // surface (Dedup.embeddingPairsDistributed) defaults it on and trades
+    // in-cluster recall for boundedness deliberately
+    val capped = Similarity.lshJoin(corpus, minCosine = 0.9, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact))
+    assert(capped.size < exact.size,
+      "fixture lost its point: the cap was supposed to bind on the clone cluster")
+    // what the cap costs here: a clone past the per-bucket cutoff shares
+    // ALL its buckets with the cluster, so it loses every pair — measured
+    // loss is in-cluster recall, never precision (the subset assert above).
+    // That loss profile is the measured reason the cap stays opt-in on
+    // this API and default-on only on the curation surface.
+  }
+
   test("LSH join on an empty corpus returns an empty pair set, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
@@ -369,6 +409,69 @@ class OperatorSpec extends AnyFunSuite {
       minCosine = 0.45, nprobe = 2).collect()
     assert(pairs.nonEmpty)
     assert(!pairs.exists(r => r.getLong(0) == 99999L || r.getLong(1) == 99999L))
+  }
+
+  test("batched-probe incremental kernel is row-equal to the shuffle kernel (long ids)") {
+    import spark.implicits._
+    val cents = Similarity.seededCentroids(emb, 16, 31L)
+    val store = Similarity.ivfAssign(emb.select($"vec_id", $"embedding"), cents)
+    val batch = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"left_id", $"right_id", round($"cosine", 9))
+        .as[(Long, Long, Double)].collect().toSet
+    val orig = rows(Dedup.embeddingPairsCelledIncremental(batch, store, cents,
+      minCosine = 0.45, nprobe = 2))
+    val batched = rows(Dedup.embeddingPairsCelledIncrementalBatched(batch, store, cents,
+      minCosine = 0.45, nprobe = 2))
+    assert(orig.nonEmpty)
+    assert(batched === orig)
+    // new×new coverage: a batch-mate pair (two re-tagged copies of the same
+    // original vector) must survive the driver-side loop identically
+    val twin = batch.unionByName(
+      emb.filter($"vec_id" < 5).select(($"vec_id" + 200000).as("vec_id"), $"embedding"))
+    val origT = rows(Dedup.embeddingPairsCelledIncremental(twin, store, cents,
+      minCosine = 0.45, nprobe = 2))
+    val batchedT = rows(Dedup.embeddingPairsCelledIncrementalBatched(twin, store, cents,
+      minCosine = 0.45, nprobe = 2))
+    assert(batchedT === origT)
+    assert(origT.exists { case (l, r, _) => l >= 100000L && r >= 200000L },
+      "fixture lost its planted new×new pair")
+    // empty batch: defined, empty, right schema
+    val none = Dedup.embeddingPairsCelledIncrementalBatched(
+      batch.filter($"vec_id" < 0), store, cents, minCosine = 0.45, nprobe = 2)
+    assert(none.columns.toSeq === Seq("left_id", "right_id", "cosine"))
+    assert(none.count() === 0L)
+  }
+
+  test("batched-probe incremental kernel parity (string ids) + null-embedding store") {
+    import spark.implicits._
+    val cents = Similarity.seededCentroids(emb, 16, 31L)
+    // string-keyed store with a planted null embedding (supported shape)
+    val storeS = Similarity.ivfAssign(
+      emb.select($"vec_id", $"embedding").unionByName(
+        Seq(99999L).toDF("vec_id")
+          .withColumn("embedding", lit(null).cast("array<float>"))), cents)
+      .withColumn("chunk_id", format_string("s%05d", $"vec_id"))
+      .drop("vec_id")
+    val batchS = emb.filter($"vec_id" < 20)
+      .select(format_string("b%05d", $"vec_id").as("chunk_id"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"left_id", $"right_id", round($"cosine", 9))
+        .as[(String, String, Double)].collect().toSet
+    val orig = rows(Dedup.embeddingPairsCelledIncrementalById(batchS, storeS, cents,
+      minCosine = 0.45, nprobe = 2))
+    val batched = rows(Dedup.embeddingPairsCelledIncrementalByIdBatched(batchS, storeS, cents,
+      minCosine = 0.45, nprobe = 2))
+    assert(orig.nonEmpty)
+    assert(batched === orig)
+    assert(!batched.exists { case (l, r, _) => l == "s99999" || r == "s99999" })
+    // the store-side pass moved no store rows: the plan has no shuffle
+    // upstream of the store scan (the original kernel's repartition is gone)
+    val plan = Dedup.embeddingPairsCelledIncrementalByIdBatched(batchS, storeS, cents,
+      minCosine = 0.45, nprobe = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("REPARTITION_BY_COL"),
+      "batched kernel must not repartition store rows by cell")
   }
 
   test("trained k-means centroids/codebook swap in with no plan change; recall >= seeded") {

@@ -157,6 +157,40 @@ class PipelineSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_chunks_bucketed")
   }
 
+  test("batched bucketize ≡ monolithic bucketed write (rows, layout, no-shuffle join)") {
+    import spark.implicits._
+    val chunks = Pipelines.featurePipeline(Tables.documents(spark, dir), qualityThreshold = 0.0)
+      .select("chunk_id", "document_id", "chunk_index", "word_count")
+    Pipelines.writeBucketedChunks(chunks, "graft_cb_mono", buckets = 4)
+    Pipelines.writeBucketedChunksBatched(chunks, "graft_cb_sliced", buckets = 4, slices = 2)
+    def snap(t: String) = spark.table(t)
+      .select($"chunk_id", $"document_id", $"chunk_index")
+      .collect().map(_.toSeq).toSet
+    assert(snap("graft_cb_sliced") === snap("graft_cb_mono"))
+    // layout: same bucket count, one file per non-empty bucket — a bucket is
+    // never split across passes (slices divides buckets ⇒ whole-bucket slices)
+    def files(t: String) = {
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").filter($"col_name" === "Location")
+        .select("data_type").head.getString(0).stripPrefix("file:")
+      new java.io.File(loc).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getName).sorted.toSeq
+    }
+    assert(files("graft_cb_sliced").size === files("graft_cb_mono").size,
+      "sliced build must land the same one-file-per-bucket layout")
+    // the bucketed-join guarantee survives the sliced build
+    val t = spark.table("graft_cb_sliced")
+    val joined = t.as("a").join(t.as("b"), "document_id").groupBy(col("document_id")).count()
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning(document_id"))
+    assert(joined.count() > 0)
+    // a slice count that would split buckets is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Pipelines.writeBucketedChunksBatched(chunks, "graft_cb_bad", buckets = 4, slices = 3)
+    }
+    assert(err.getMessage.contains("divide"))
+    spark.sql("DROP TABLE graft_cb_mono"); spark.sql("DROP TABLE graft_cb_sliced")
+  }
+
   test("orchestrator selects strategies by intent") {
     assert(Orchestrator.queryIntent("how to implement the api") === "technical")
     assert(Orchestrator.selectStrategies("technical").map(_.name) ===
