@@ -312,6 +312,54 @@ object DecadeBench {
       case None => println(s"[decade] reindexAdvice: nlist=$nlist satisfies the law " +
         s"(no rebuild due) — the decade build sits ON the law by construction")
     }
+
+    // ------------------------------------------------- serving matrix (×10000)
+    // batch-8 / batch-32 raw-vs-ADC at the decade store — the ×1000 matrix
+    // (SCALE.md: 0.056–0.224 s/query) re-priced one decade further. Batch
+    // texts beyond the 20 persisted queries are suffix variants: distinct
+    // result keys, same embedding path, same probe shape.
+    val matrixTexts = (queryTexts ++ queryTexts.map(_ + " alt")).toIndexedSeq
+    for (bs <- Seq(8, 32)) {
+      val qs = matrixTexts.take(bs)
+      def price(what: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = mk.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(n > 0, s"$what returned no rows")
+        println(f"[decade] serve batch-$bs $what: ${dt}%.2f s wall, " +
+          f"${dt / bs}%.3f s/query")
+      }
+      price("raw IVF") {
+        pipelines.Pipelines.flagshipIvfBatch(spark, dir, qs, nlist = nlist, nprobe = nprobe)
+      }
+      price(s"IVFADC m=$pqM") {
+        pipelines.Pipelines.flagshipIvfPqBatch(spark, dir, qs, nlist = nlist,
+          nprobe = nprobe, m = pqM, ksub = pqKsub)
+      }
+    }
+
+    // ------------------------------------- bucketed build (opt-in, ×10000)
+    // SPARK_GRAFT_DECADE_BUCKETIZE=1 prices writeBucketedChunksBatched at
+    // the decade: the monolithic bucketed write ENOSPC'd (~70 GB of
+    // one-shuffle spill); the sliced form's peak map output is
+    // corpus/slices, so the build must now fit the sandbox budget. The
+    // bucketed copy is row-count-verified against the flat table and
+    // DROPPED afterwards — the measurement is the artifact, the layout is
+    // the stored catalogs' call to make.
+    if (sys.env.get("SPARK_GRAFT_DECADE_BUCKETIZE").exists(v => v == "1")) {
+      val bucketedName = "graft_decade_chunks_bucketed"
+      val slices = sys.env.get("SPARK_GRAFT_DECADE_SLICES").map(_.toInt).getOrElse(16)
+      println(f"[decade] disk available before bucketize: ${diskGB()}%.1f GB")
+      timed(s"bucketed chunk build (sliced ×$slices, 32 buckets)") {
+        pipelines.Pipelines.writeBucketedChunksBatched(
+          spark.table(chunksName), bucketedName, buckets = 32, slices = slices)
+      }
+      val nb = spark.table(bucketedName).count()
+      require(nb == nChunks, s"bucketed build lost rows: $nb != $nChunks")
+      println(f"[decade] bucketed rows verified ($nb), " +
+        f"disk after build: ${diskGB()}%.1f GB")
+      spark.sql(s"DROP TABLE $bucketedName")
+    }
     println(f"[decade] disk available at close: ${diskGB()}%.1f GB")
     spark.stop()
   }

@@ -877,34 +877,35 @@ object Dedup {
       }
     }
     val probed = byCell.keys.toArray.sorted
-    val bc = spark.sparkContext.broadcast((batchRows, byCell))
     // store scan pruned to the probed partition directories (static IN,
     // same pruning PlanSpec pins on the original kernel) and scored IN
-    // PLACE — no repartition, no store row ever leaves its input split
+    // PLACE by a BROADCAST join against the tiny (cell, query) table —
+    // store rows stream through whole-stage codegen (the codegen cosine
+    // expression, bit-identical fold to cosineArrays) instead of being
+    // deserialized into Scala objects per row — the decade priced the
+    // mapPartitions form's ~7M-row Seq[Float] decode at ~100 s of the
+    // 140 s flagged batch. No repartition; no store row leaves its split.
+    val probeRows: Seq[(Long, K, Seq[Float])] = byCell.toSeq.sortBy(_._1).flatMap {
+      case (cell, idxs) => idxs.map(i => (cell, batchRows(i)._1, batchRows(i)._2.toSeq))
+    }
+    val probesDf = spark.createDataset(probeRows)(storeEnc)
+      .toDF("centroid_id", "__qid", "__qvec")
+    val sid = col(idCol).cast(idCast)
+    val qid = col("__qid")
     val storePairs = assignedStore
       .filter(col("centroid_id").isin(probed.toIndexedSeq: _*))
       .filter(col(embCol).isNotNull)
-      .select(col("centroid_id").cast("long"),
-        col(idCol).cast(idCast), col(embCol))
-      .as[(Long, K, Seq[Float])](storeEnc)
-      .mapPartitions { it =>
-        val (rows, cellMap) = bc.value
-        it.flatMap { case (cell, sid, semb) =>
-          cellMap.get(cell) match {
-            case None => Iterator.empty
-            case Some(idxs) =>
-              val sv = semb.toArray
-              idxs.iterator.flatMap { qi =>
-                val (nid, nv) = rows(qi)
-                val cos = cosineArrays(nv, sv)
-                if (cos >= bar)
-                  Iterator.single(
-                    if (ord.lt(nid, sid)) (nid, sid, cos) else (sid, nid, cos))
-                else Iterator.empty
-              }
-          }
-        }
-      }(pairEnc)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col(idCol).cast(idCast).as(idCol), col(embCol))
+      .join(broadcast(probesDf), Seq("centroid_id"))
+      .withColumn("__cos",
+        graft.functions.VectorFunctions.cosineSimilarity(col(embCol), col("__qvec")))
+      .filter(col("__cos") >= bar)
+      .select(
+        when(qid < sid, qid).otherwise(sid).as("left_id"),
+        when(qid < sid, sid).otherwise(qid).as("right_id"),
+        col("__cos").as("cosine"))
+      .as[(K, K, Double)](pairEnc)
     val newNewDs = spark.createDataset(newNew.toSeq)(pairEnc)
     storePairs.union(newNewDs)
       .toDF("left_id", "right_id", "cosine")
