@@ -508,6 +508,28 @@ object Similarity {
     }
   }
 
+  /** Micro-batch sizing for the batched probes — the ×10000 serving
+    * matrix made into a number (SCALE.md round-16). Batch amortization
+    * rests on the union of probed cells staying a small fraction of the
+    * index: a batch of Q queries at nprobe of nlist opens an expected
+    * 1 − (1 − nprobe/nlist)^Q of all cells, and once that approaches 1
+    * the "shared" scan is a full-corpus scan (measured at the 50M-chunk
+    * decade: batch-8 = 12.5% of cells was the robust point; batch-32 =
+    * ~40% inverted per-query cost on a cold store). This returns the
+    * largest Q whose expected opened fraction stays ≤ `maxCellFraction`
+    * (default 1/8), floored at 1 — feed it to the queue source's trigger
+    * sizing and to [[graft.streaming.StreamingIngest.startQueries]]'s
+    * `maxBatchQueries` (which remains the separate driver-exposure cap). */
+  def recommendedServeBatch(nlist: Long, nprobe: Int,
+                            maxCellFraction: Double = 0.125): Int = {
+    require(nlist > 0 && nprobe > 0, "recommendedServeBatch needs a built index")
+    require(maxCellFraction > 0.0 && maxCellFraction < 1.0,
+      s"maxCellFraction must be in (0,1), got $maxCellFraction")
+    val p = math.min(1.0, nprobe.toDouble / nlist.toDouble)
+    if (p >= maxCellFraction) 1 // one query already opens more than the budget
+    else math.max(1, (math.log1p(-maxCellFraction) / math.log1p(-p)).toInt)
+  }
+
   /** Batch IVF probe over a MATERIALIZED partitioned index
     * ([[graft.IvfCatalog]]) — Q queries amortize ONE pruned scan, the
     * serving-THROUGHPUT form of [[ivfSearchPruned]]. A serving tier

@@ -370,4 +370,23 @@ class IvfCatalogSpec extends AnyFunSuite {
       k = 10, nprobe = 4, preFilter = selective, filteredRows = 10L)
     assert(rows(autoSup) === rows(exact))
   }
+
+  test("recommendedServeBatch: opened-cell fraction stays under budget at the measured geometries") {
+    // the decade geometry (nlist 7063, nprobe 110): batch-8 ≈ 12.5% of
+    // cells was the robust measured point, batch-32 ≈ 40% inverted cold —
+    // the default budget must land in between
+    val qDecade = Similarity.recommendedServeBatch(7063L, 110)
+    assert(qDecade >= 4 && qDecade < 32, s"got $qDecade")
+    def openedFraction(nlist: Long, nprobe: Int, q: Int): Double =
+      1.0 - math.pow(1.0 - nprobe.toDouble / nlist, q.toDouble)
+    assert(openedFraction(7063L, 110, qDecade) <= 0.125 + 1e-9)
+    assert(openedFraction(7063L, 110, qDecade + 1) > 0.125,
+      "must return the LARGEST batch under the budget")
+    // the ×1000 geometry (nlist 2233, nprobe 34): batch-32 measured 3-4×
+    // cheaper per query — the recommendation must not forbid it
+    assert(Similarity.recommendedServeBatch(2233L, 34, maxCellFraction = 0.5) >= 32)
+    // degenerate: a probe already past the budget floors at 1
+    assert(Similarity.recommendedServeBatch(16L, 4) === 1)
+    assert(Similarity.recommendedServeBatch(16L, 64) === 1) // nprobe clamps
+  }
 }
