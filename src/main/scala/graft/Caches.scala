@@ -43,6 +43,13 @@ object Caches {
     live.clear()
   }
 
+  /** Registry size — the leak observable: a loop-shaped operator (an
+    * ingest batch, an upsert) must leave this unchanged across a call, or
+    * a long-running stream grows one cached plan per batch until OOM (the
+    * round-15 flag-kernel persist did exactly that; specs pin the delta
+    * at 0 so it cannot come back). */
+  private[graft] def liveCount: Int = synchronized { live.size }
+
   /** Run `body`, then unpersist ONLY the graft caches persisted during it.
     * The catalog-build form of [[release]]: a caller that interleaves a
     * catalog build with other cached graft work keeps those caches — only

@@ -746,9 +746,16 @@ class StreamingSpec extends AnyFunSuite {
     val docX = (910001L, mk("aurora"))
     val docY = (910002L, mk("aurins"))
 
+    // the flag path must not grow the tracked-cache registry per batch —
+    // a long-running ingest stream would otherwise leak one cached plan
+    // per flagged batch (the r15 persistTracked leak, closed by the
+    // one-evaluation nearDupFlags derivation)
+    val cachesBefore = graft.Caches.liveCount
     val (d1, a1) = graft.streaming.StreamingIngest.ingestDocBatch(
       Seq(docX).toDF("doc_id", "text"), dir, nlist)
     assert(d1 === 0L && a1 >= 1L)
+    assert(graft.Caches.liveCount === cachesBefore,
+      "ingestDocBatch must leave the tracked-cache registry unchanged")
     val store = () => IvfCatalog.assignedChunks(spark, dir, nlist)
     val xChunk = store().filter(col("document_id") === 910001L)
       .select("chunk_id", "near_dup_of").collect()
