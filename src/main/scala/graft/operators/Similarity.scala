@@ -969,7 +969,8 @@ object Similarity {
     * cosine (bounded heap — TakeOrderedAndProject, never a global sort).
     * Rows with a null code/norm (null source embeddings) never rank. */
   private def adcCandidates(codes: DataFrame, cb: PqCodebook,
-                            queryVec: Array[Float], n: Int, idCol: String): DataFrame = {
+                            queryVec: Array[Float], n: Int, idCol: String,
+                            keepCols: Seq[String] = Nil): DataFrame = {
     val qnorm = vecNorm(queryVec)
     val lut = buildAdcLut(cb, queryVec)
     val adcUdf = udf { (code: Array[Byte]) => adcDot(lut, code) }
@@ -982,7 +983,7 @@ object Similarity {
       .withColumn("__acos", approx)
       .orderBy(col("__acos").desc, col(idCol).asc)
       .limit(n)
-      .select(col(idCol))
+      .select((idCol +: keepCols).map(col): _*)
   }
 
   /** Exact re-rank of a (small, broadcast) candidate id set. */
@@ -1056,11 +1057,27 @@ object Similarity {
                         queryVec: Array[Float], k: Int, nprobe: Int,
                         rerankFactor: Int = 16,
                         idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = codesAssigned.sparkSession
     val probedIds = probedCentroidIds(centroids, queryVec, nprobe)
     val prunedCodes = codesAssigned.filter(col("centroid_id").isin(probedIds: _*))
-    val prunedRaw = corpusAssigned.filter(col("centroid_id").isin(probedIds: _*))
-    rerankExact(prunedRaw, adcCandidates(prunedCodes, cb, queryVec, k * rerankFactor, idCol),
-      queryVec, k, idCol, embCol)
+    // candidates collected ONCE, WITH their cells (≤ k·rerankFactor rows —
+    // driver-bound by construction, the same rows rerankExact broadcasts):
+    // the exact re-rank then reads only the CANDIDATES' cells, not every
+    // probed cell. An id lives in exactly one cell, so restricting the raw
+    // scan to cells holding ≥1 candidate loses nothing — and the decade
+    // measured the difference: the probed-cell raw read was the reason the
+    // warm ADC probe (1.95 s p50) trailed the raw probe (1.35 s) while
+    // candidates concentrate in a handful of top cells.
+    val candRows = adcCandidates(prunedCodes, cb, queryVec, k * rerankFactor, idCol,
+      keepCols = Seq("centroid_id")).collect()
+    val candCells = candRows.map(_.get(1)).distinct.toIndexedSeq
+    val idField = codesAssigned.schema(idCol)
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        candRows.toIndexedSeq.map(r => org.apache.spark.sql.Row(r.get(0))), 1),
+      org.apache.spark.sql.types.StructType(Seq(idField.copy(name = idCol))))
+    val prunedRaw = corpusAssigned.filter(col("centroid_id").isin(candCells: _*))
+    rerankExact(prunedRaw, candDf, queryVec, k, idCol, embCol)
   }
 
   /** [[ivfPqSearchPruned]] for a QUEUE of queries — the full compressed
@@ -1144,11 +1161,28 @@ object Similarity {
         s"ivfPqSearchPrunedBatch id column '$idCol' must be integral or string, got " +
           s"${other.catalogString}")
     }
-    val candidates = aggregated
+    // candidates collected ONCE (≤ Q·k·rerankFactor rows — broadcast-scale
+    // by contract; the rerank join was going to broadcast them anyway, and
+    // a lazy plan would re-run the whole ADC scan once per consumer below)
+    val candRows = aggregated
       .select(col("__qi"), explode(col("__topk")).as("__hit"))
       .select(col("__qi"), col("__hit._1").cast(idType).as(idCol))
-    val prunedRaw = filterToCells(corpusAssigned, cells,
-      pairs.select(col("centroid_id")).distinct())
+      .collect()
+    val candidates = spark.createDataFrame(
+      spark.sparkContext.parallelize(candRows.toIndexedSeq, 1),
+      StructType(Seq(StructField("__qi", IntegerType, nullable = false),
+        StructField(idCol, idType))))
+    // the exact re-rank reads only the CANDIDATES' cells (an id lives in
+    // exactly one cell, so this loses nothing): cells are recovered with a
+    // column-pruned pass over the probed CODES (two thin columns of the
+    // 4.3×-smaller table) instead of paying the full probed-cell raw read
+    // — the cost that made warm batch ADC trail raw at the decade.
+    val candCellsDf = filterToCells(codesAssigned, cells,
+        pairs.select(col("centroid_id")).distinct())
+      .join(broadcast(candidates.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
+      .select(col("centroid_id")).distinct()
+    val candCells = candCellsDf.collect().map(_.get(0))
+    val prunedRaw = filterToCells(corpusAssigned, candCells, candCellsDf)
     val rerankW = Window.partitionBy(col("__qi"))
       .orderBy(col("score").desc, col(idCol).asc)
     val out = prunedRaw.join(broadcast(candidates), idCol)

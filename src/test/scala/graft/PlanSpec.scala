@@ -121,37 +121,46 @@ class PlanSpec extends AnyFunSuite {
       "top-k over the probed cells must be a bounded heap, not a global sort")
   }
 
-  test("pipe_flagship_ivfpq prunes BOTH the code scan and the raw rerank scan") {
+  test("pipe_flagship_ivfpq: the rerank scan prunes to the CANDIDATES' cells") {
+    // r16: the ADC candidate cut runs as its own collect job (codes scan,
+    // pruned to the probed cells — not visible in the returned plan), and
+    // the returned plan's raw rerank scan prunes to the cells the
+    // candidates actually live in, a SUBSET of the probed set: the rerank
+    // no longer pays the full probed-cell raw read
     val p = plan("pipe_flagship_ivfpq")
     val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     val pruned = partFilters.filter(f => f.contains("centroid_id") && f.nonEmpty)
-    assert(pruned.size >= 2,
-      s"IVFADC must prune the code table AND the rerank corpus, got: $partFilters")
-    assert(p.contains("TakeOrderedAndProject"),
-      "ADC candidate cut must be a bounded heap, not a global sort")
+    assert(pruned.nonEmpty,
+      s"the rerank corpus scan must prune on centroid_id, got: $partFilters")
+    assert(p.contains("BroadcastHashJoin"),
+      "the candidate id set must broadcast into the rerank join")
   }
 
-  test("flagshipIvfPqBatch: the whole queue shares three pruned scans over one cell union") {
+  test("flagshipIvfPqBatch: the rerank and payload scans prune to the candidates' cell union") {
+    // r16: the per-query ADC candidate cut runs in its own collect jobs
+    // (codes scan pruned to the probed-cell union, the bounded-heap
+    // partial_topkaggregator reducing map-side — not visible in the
+    // returned plan); the RETURNED plan's scans are the raw rerank and the
+    // payload attach, both pruned to the cells the candidates live in —
+    // one shared cell set, a subset of the probed union, never per-query
     val df = graft.pipelines.Pipelines.flagshipIvfPqBatch(spark, dir,
       Seq("spark join vector query", "partitioned parquet scan", "streaming watermark state"))
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     val pruned = partFilters.filter(f => f.contains(" IN ") && f.contains("centroid_id"))
-    // codes scan + candidate-bounded raw rerank + payload attach: three scans
-    // TOTAL for the whole queue, not per query (Q=3 here — a per-query plan
-    // would show 3Q), every one pruned to the same union-of-probed-cells set
-    assert(pruned.size === 3,
-      s"the queue must share exactly three pruned scans (codes, rerank, payload), got: $partFilters")
+    assert(pruned.size === 2,
+      s"the queue must share exactly two pruned scans (rerank, payload), got: $partFilters")
     val cellSets = pruned.flatMap(f =>
       "centroid_id#\\d+L? IN \\(([^)]*)\\)".r.findFirstMatchIn(f).map(_.group(1)))
     assert(cellSets.distinct.size === 1,
-      s"all shared scans must prune to the SAME union-of-cells set, got: $cellSets")
-    assert(p.contains("partial_topkaggregator"),
-      "per-query ADC candidates must reduce map-side through the bounded heap")
+      s"rerank and payload must prune to the SAME candidate-cell set, got: $cellSets")
+    assert(cellSets.head.trim.nonEmpty, "the candidate-cell set must be non-empty")
+    // (semantic containment — candidate cells ⊆ probed, answers row-equal
+    // to serial probes — is IvfCatalogSpec's batch-≡-serial pin)
     assert(p.contains("BroadcastHashJoin"),
-      "the (cell → query) map, rerank set and attribution must broadcast")
+      "the rerank set and attribution must broadcast")
   }
 
   // --- batch KNN: partial top-k BEFORE the exchange -------------------------
