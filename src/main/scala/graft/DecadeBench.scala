@@ -318,7 +318,11 @@ object DecadeBench {
     // (SCALE.md: 0.056–0.224 s/query) re-priced one decade further. Batch
     // texts beyond the 20 persisted queries are suffix variants: distinct
     // result keys, same embedding path, same probe shape.
-    val matrixTexts = (queryTexts ++ queryTexts.map(_ + " alt")).toIndexedSeq
+    // distinct defensively: flagshipIvfBatch requires distinct texts (the
+    // text is the result key) and two docs CAN share a first-240-char
+    // boilerplate prefix — the matrix must degrade to a smaller batch, not
+    // abort a ~55-min run; per-query cost divides by the ACTUAL batch size
+    val matrixTexts = (queryTexts ++ queryTexts.map(_ + " alt")).distinct.toIndexedSeq
     for (bs <- Seq(8, 32)) {
       val qs = matrixTexts.take(bs)
       def price(what: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
@@ -326,8 +330,8 @@ object DecadeBench {
         val n = mk.count()
         val dt = (System.nanoTime() - t0) / 1e9
         require(n > 0, s"$what returned no rows")
-        println(f"[decade] serve batch-$bs $what: ${dt}%.2f s wall, " +
-          f"${dt / bs}%.3f s/query")
+        println(f"[decade] serve batch-${qs.size} $what: ${dt}%.2f s wall, " +
+          f"${dt / qs.size}%.3f s/query")
       }
       price("raw IVF") {
         pipelines.Pipelines.flagshipIvfBatch(spark, dir, qs, nlist = nlist, nprobe = nprobe)

@@ -477,11 +477,15 @@ object DocLifecycle {
         // chunks or batch-mates, smallest id wins — but the store side
         // excludes the document's own OUTGOING rows, so a flag can never
         // point at an id this very call removes
-        val pairs = graft.operators.Dedup.embeddingPairsCelledIncrementalByIdBatched(
+        // Auto dispatch: an edit-stream micro-batch takes the batched
+        // kernel; a BULK re-crawl (this path's documented other caller)
+        // keeps the distributed kernel — the batched form's driver collect
+        // would not survive a million-chunk batch
+        val pairs = graft.operators.Dedup.embeddingPairsCelledIncrementalByIdAuto(
           assigned.select(col("chunk_id"), col("embedding")),
           eids.drop(spark.table(store)),
           IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
-          flagMinCosine, flagNprobe)
+          flagMinCosine, batchRows = nAdded, nprobe = flagNprobe)
         val flags = graft.operators.Dedup.nearDupFlags(pairs, assigned.select(col("chunk_id")))
         assigned.join(broadcast(flags), Seq("chunk_id"), "left")
       }

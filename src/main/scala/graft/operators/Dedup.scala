@@ -215,6 +215,50 @@ object Dedup {
   /** Default per-bucket cap for the banded self-joins ([[capBuckets]]). */
   val HotBucketCap = 4096
 
+  /** Largest batch the BATCHED incremental flag kernels accept before the
+    * dispatchers below route back to the distributed shuffle kernels. The
+    * batched form collects the batch's embeddings driver-side and resolves
+    * new×new pairs in a driver loop — per-cell O(B²) worst case — so it is
+    * sized for MICRO-batches (the ingest loop's contract; the ×10000
+    * decade batches 500–1000 chunks). 20k × 64-dim floats is ~5 MB of
+    * driver heap and ≤ 2×10⁸ worst-case same-cell cosines (~20 s, never
+    * seen in practice); a BULK re-crawl above the bound — a path
+    * upsertDocChunks explicitly supports — keeps the fully distributed
+    * kernel instead of OOMing the driver. */
+  val BatchedFlagMaxRows = 20000L
+
+  /** Route an incremental flag batch to the batched-probe kernel (zero
+    * store-side shuffle — the decade-measured hot path) when the batch is
+    * micro-batch-sized, and to the distributed shuffle kernel when it is
+    * bulk. `batchRows` is the batch's row count, which every caller
+    * already has from its own dedup/count step. */
+  def embeddingPairsCelledIncrementalByIdAuto(newVecs: DataFrame, assignedStore: DataFrame,
+                                              centroids: DataFrame, minCosine: Double,
+                                              batchRows: Long,
+                                              nprobe: Int = 2,
+                                              idCol: String = "chunk_id",
+                                              embCol: String = "embedding"): DataFrame =
+    if (batchRows <= BatchedFlagMaxRows)
+      embeddingPairsCelledIncrementalByIdBatched(newVecs, assignedStore, centroids,
+        minCosine, nprobe, idCol, embCol)
+    else
+      embeddingPairsCelledIncrementalById(newVecs, assignedStore, centroids,
+        minCosine, nprobe, idCol, embCol)
+
+  /** Long-id twin of [[embeddingPairsCelledIncrementalByIdAuto]]. */
+  def embeddingPairsCelledIncrementalAuto(newVecs: DataFrame, assignedStore: DataFrame,
+                                          centroids: DataFrame, minCosine: Double,
+                                          batchRows: Long,
+                                          nprobe: Int = 2,
+                                          idCol: String = "vec_id",
+                                          embCol: String = "embedding"): DataFrame =
+    if (batchRows <= BatchedFlagMaxRows)
+      embeddingPairsCelledIncrementalBatched(newVecs, assignedStore, centroids,
+        minCosine, nprobe, idCol, embCol)
+    else
+      embeddingPairsCelledIncremental(newVecs, assignedStore, centroids,
+        minCosine, nprobe, idCol, embCol)
+
   /** The production guard for LSH banding's known pathology: D documents
     * sharing one bucket (near-identical boilerplate — cookie banners,
     * templated pages — exactly the web-scale near-dup workload) yield

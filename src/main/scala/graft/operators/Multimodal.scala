@@ -195,13 +195,19 @@ object Multimodal {
   def decodeGifFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] =
     try {
       if (bytes == null || bytes.isEmpty) return None
+      // the stream must be closed on EVERY path, including the non-GIF
+      // dispatch returns below — ImageIO's default cache backs the stream
+      // with a temp file + open fd, and the non-GIF path is the normal
+      // route for a mixed media sweep (one leaked fd per PNG/JPEG row
+      // would exhaust an executor's descriptors)
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
-      if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+      var reader: javax.imageio.ImageReader = null
       try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) return None
+        reader = readers.next()
+        if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
         reader.setInput(in, false, false)
         val n = reader.getNumImages(true)
         if (n <= 0) return None
@@ -221,7 +227,10 @@ object Multimodal {
           }
           (w, h, px)
         })
-      } finally { reader.dispose(); in.close() }
+      } finally {
+        if (reader != null) reader.dispose()
+        in.close()
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL payload resize: decode → nearest-neighbor rescale (deterministic

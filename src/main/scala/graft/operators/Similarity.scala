@@ -1051,7 +1051,16 @@ object Similarity {
     * raw-IVF coverage ceiling of every probed-cell budget — the residual
     * loss is cell MISS (an nprobe/centroid-quality knob), not quantization
     * — while the deeper rerank costs nothing measurable (k·16 candidates
-    * semi-joined against already-probed partitions). */
+    * semi-joined against already-probed partitions).
+    *
+    * EAGER at call time (r16): the ADC candidate cut runs as its own
+    * collect job inside this call — the candidate ids AND their cells are
+    * driver-bound by construction, and knowing the cells lets the
+    * returned plan's re-rank scan prune to the candidates' cells instead
+    * of every probed cell (the decade-measured warm-ADC cost). Callers
+    * composing lazy plans for inspection should expect one probe-scan job
+    * per construction; the RETURNED frame (the re-rank) stays lazy. Same
+    * contract for [[ivfPqSearchPrunedBatch]]. */
   def ivfPqSearchPruned(codesAssigned: DataFrame, corpusAssigned: DataFrame,
                         centroids: DataFrame, cb: PqCodebook,
                         queryVec: Array[Float], k: Int, nprobe: Int,

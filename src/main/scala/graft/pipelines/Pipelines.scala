@@ -187,7 +187,13 @@ object Pipelines {
     * corpus/slices. Shuffle files from a finished pass are unreferenced
     * and reclaimed by the ContextCleaner on the next GC; the explicit gc
     * hint between passes keeps the high-water mark at one slice even on
-    * drivers that would otherwise not collect for the whole build. */
+    * drivers that would otherwise not collect for the whole build.
+    *
+    * INPUT CONTRACT: `chunks` should be a MATERIALIZED table (a parquet
+    * scan — the decade usage). Each pass re-evaluates the input plan to
+    * filter its slice, so a derived input (e.g. the raw feature pipeline)
+    * pays its full compute `slices` times; materialize it first, exactly
+    * as the decade builds the flat chunk table before bucketizing. */
   def writeBucketedChunksBatched(chunks: DataFrame, tableName: String,
                                  buckets: Int = 32, slices: Int = 8): Unit = {
     require(slices >= 1 && buckets % slices == 0,

@@ -65,8 +65,11 @@ object StreamingIngest {
     val store = IvfCatalog.assignedEmbeddings(spark, dir, nlist, step, trained)
     val cents = IvfCatalog.centroidsFor(spark, dir, nlist, step, trained)
     val b = batch.select(col(idCol).cast("long").as(idCol), col(embCol))
-    val pairs = Dedup.embeddingPairsCelledIncrementalBatched(b, store, cents, minCosine, nprobe,
-      idCol = idCol, embCol = embCol) // r16: store rows scored in place (no per-batch store shuffle)
+    // r16: the batched kernel scores store rows in place (no per-batch
+    // store shuffle); the Auto dispatch keeps the distributed kernel for a
+    // bulk-sized batch handed to this entry point directly
+    val pairs = Dedup.embeddingPairsCelledIncrementalAuto(b, store, cents, minCosine,
+      batchRows = b.count(), nprobe = nprobe, idCol = idCol, embCol = embCol)
     // which pair sides are batch ids (vs stored ids): the batch-id set is
     // micro-batch-sized by construction, so these are broadcast joins
     val bids = b.select(col(idCol).as("__bid")).distinct()
@@ -232,11 +235,11 @@ object StreamingIngest {
           // (explode inside nearDupFlags), so nothing needs persisting —
           // which also closes the r15 unbounded persistTracked leak on
           // the long-running ingest stream.
-          val pairs = Dedup.embeddingPairsCelledIncrementalByIdBatched(
+          val pairs = Dedup.embeddingPairsCelledIncrementalByIdAuto(
             survivors.select(col("chunk_id"), col("embedding")),
             spark.table(storeName),
             IvfCatalog.chunkCentroidsStored(spark, dir, nlist, trained, gen = g),
-            flagMinCosine, flagNprobe)
+            flagMinCosine, batchRows = nAppended, nprobe = flagNprobe)
           // per surviving chunk: the smallest counterpart as representative
           // (counterparts can be stored chunks or batch-mates)
           val flags = Dedup.nearDupFlags(pairs, survivors.select(col("chunk_id")))

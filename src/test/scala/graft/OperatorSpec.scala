@@ -472,6 +472,19 @@ class OperatorSpec extends AnyFunSuite {
       minCosine = 0.45, nprobe = 2).queryExecution.executedPlan.toString
     assert(!plan.contains("REPARTITION_BY_COL"),
       "batched kernel must not repartition store rows by cell")
+
+    // the Auto dispatch: a micro-batch takes the batched (shuffle-free)
+    // kernel, a bulk batch past BatchedFlagMaxRows keeps the DISTRIBUTED
+    // kernel — the batched form's driver collect and per-cell new×new loop
+    // must never see a million-chunk re-crawl
+    val autoMicro = Dedup.embeddingPairsCelledIncrementalByIdAuto(batchS, storeS, cents,
+      minCosine = 0.45, batchRows = 20L)
+    assert(!autoMicro.queryExecution.executedPlan.toString.contains("REPARTITION_BY_COL"))
+    val autoBulk = Dedup.embeddingPairsCelledIncrementalByIdAuto(batchS, storeS, cents,
+      minCosine = 0.45, batchRows = Dedup.BatchedFlagMaxRows + 1)
+    assert(autoBulk.queryExecution.executedPlan.toString.contains("REPARTITION_BY_COL"),
+      "a bulk-sized batch must route to the distributed kernel")
+    assert(rows(autoBulk) === rows(autoMicro), "both routes must agree row-for-row")
   }
 
   test("trained k-means centroids/codebook swap in with no plan change; recall >= seeded") {
