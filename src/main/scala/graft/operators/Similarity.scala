@@ -508,6 +508,39 @@ object Similarity {
     }
   }
 
+  /** N43 on the BATCH surface: the filtered probe/brute auto-switch for a
+    * QUEUE sharing one metadata filter (the queue-wide `preFilter` the
+    * batched probe already takes). One routing decision for the whole
+    * queue — the estimator is per-query ([[expectedProbedSurvivors]] does
+    * not depend on Q), so the crossover is identical for every query in
+    * it: past the viability bar the queue runs the shared
+    * filter-within-probed-cells probe ([[ivfSearchPrunedBatch]]); under it
+    * the queue switches to ONE exact brute scan of the filtered subset
+    * with per-query bounded-heap top-k
+    * ([[VectorSearch.knnBatch]] — same scoring expression, same
+    * score-desc/id-asc tie-break, same (qid, id, rank, score) schema,
+    * recall 1.0 by construction). Queues mixing filters of different
+    * selectivity should route per filter template upstream — that is the
+    * serving tier's batching key anyway. */
+  def ivfSearchFilteredAutoBatch(assigned: DataFrame, centroids: DataFrame,
+                                 queries: DataFrame, k: Int, nprobe: Int,
+                                 preFilter: Column,
+                                 idCol: String = "vec_id", embCol: String = "embedding",
+                                 qidCol: String = "qid", qvecCol: String = "qvec",
+                                 filteredRows: Long = -1L,
+                                 minSurvivorsPerK: Double = 10.0): DataFrame = {
+    val nlist = centroids.count()
+    val fRows =
+      if (filteredRows >= 0L) filteredRows
+      else assigned.filter(preFilter).count()
+    if (expectedProbedSurvivors(fRows, nprobe, nlist) >= minSurvivorsPerK * k)
+      ivfSearchPrunedBatch(assigned, centroids, queries, k, nprobe, idCol, embCol,
+        qidCol, qvecCol, preFilter = Some(preFilter))
+    else
+      VectorSearch.knnBatch(assigned.filter(preFilter), queries, k, embCol, idCol,
+        qidCol, qvecCol)
+  }
+
   /** Micro-batch sizing for the batched probes — the ×10000 serving
     * matrix made into a number (SCALE.md round-16). Batch amortization
     * rests on the union of probed cells staying a small fraction of the

@@ -236,6 +236,22 @@ object AnalysisQueries {
           round($"score", 6).as("score"))
     }),
 
+    // N43 on the batch surface, brute leg: a 3-query queue sharing the
+    // selective filter switches ONCE to an exact brute scan of the
+    // filtered subset with per-query bounded-heap top-k — the oracle is
+    // the exact per-query filtered top-5 (a DuckDB window).
+    "ann_ivf_filtered_auto_batch" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.seededCentroids(emb, IvfCentroids, IvfStep)
+      val store = graft.IvfCatalog.assignedEmbeddings(s, dir, IvfCentroids, IvfStep)
+      val queries = emb.filter($"vec_id".isin(3L, 7L, 11L))
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      Similarity.ivfSearchFilteredAutoBatch(store, cents, queries, k = 5, nprobe = 4,
+          preFilter = $"vec_id" % 50 === 7)
+        .select($"qid", $"vec_id", $"rank", round($"score", 6).as("score"))
+    }),
+
     // Batch IVF probe over the materialized index: 4 query vectors share
     // ONE partition-pruned scan of the union of their probed cells — the
     // serving-throughput form (per-row scoring restricted to the queries
@@ -760,6 +776,19 @@ object AnalysisQueries {
           WHERE e.label < 8
           ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC, a.vec_id ASC
           LIMIT 2""",
+    "ann_ivf_filtered_auto_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+                     WHERE vec_id IN (3, 7, 11)),
+          scored AS (
+            SELECT q.qid, e.vec_id,
+                   (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 AS s,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                     ORDER BY (${duckCos("e.embedding", "q.qvec")} + 1.0e0) / 2.0e0 DESC,
+                              e.vec_id ASC) AS rn
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id % 50 = 7)
+          SELECT qid, vec_id, CAST(rn AS INT) AS rank, round(s, 6) AS score
+          FROM scored WHERE rn <= 5""",
     "ann_ivf_batch" ->
       s"""WITH $duckIvf,
           q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings

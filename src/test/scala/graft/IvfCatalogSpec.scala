@@ -371,6 +371,39 @@ class IvfCatalogSpec extends AnyFunSuite {
     assert(rows(autoSup) === rows(exact))
   }
 
+  test("filtered-ANN auto-switch, batch surface: one routing decision per queue, both legs row-equal") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val store = IvfCatalog.assignedEmbeddings(spark, dir, 16, 31L)
+    val cents = IvfCatalog.centroidsFor(spark, dir, 16, 31L)
+    val qids = Seq(3L, 7L, 11L)
+    val queries = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"vec_id", $"rank", round($"score", 9).as("s"))
+        .as[(Long, Long, Int, Double)].collect().toSet
+    // BRUTE leg: the queue's per-query answers must equal the serial
+    // auto-switch's brute results (which IvfCatalogSpec already pins exact)
+    val selective = $"vec_id" % 50 === 7
+    val autoB = Similarity.ivfSearchFilteredAutoBatch(store, cents, queries,
+      k = 5, nprobe = 4, preFilter = selective)
+    val wantB = qids.flatMap { qid =>
+      val qv = emb.filter($"vec_id" === qid).select("embedding").head.getSeq[Float](0).toArray
+      Similarity.ivfSearchFilteredAuto(store, cents, qv, k = 5, nprobe = 4,
+          preFilter = selective)
+        .select($"vec_id", round($"score", 9)).as[(Long, Double)].collect()
+        .zipWithIndex.map { case ((id, sc), i) => (qid, id, i + 1, sc) }
+    }.toSet
+    assert(rows(autoB) === wantB, "batch brute leg must equal serial brute legs")
+    // PROBE leg: broad filter routes the queue to the shared filtered probe
+    val broad = $"label" < 8
+    val autoP = Similarity.ivfSearchFilteredAutoBatch(store, cents, queries,
+      k = 2, nprobe = 4, preFilter = broad)
+    val probe = Similarity.ivfSearchPrunedBatch(store, cents, queries,
+      k = 2, nprobe = 4, preFilter = Some(broad))
+    assert(rows(autoP) === rows(probe), "batch probe leg must be the plain filtered batch probe")
+  }
+
   test("recommendedServeBatch: opened-cell fraction stays under budget at the measured geometries") {
     // the decade geometry (nlist 7063, nprobe 110): batch-8 ≈ 12.5% of
     // cells was the robust measured point, batch-32 ≈ 40% inverted cold —
