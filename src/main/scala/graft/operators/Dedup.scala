@@ -1094,4 +1094,165 @@ object Dedup {
       // values (same kernel, same inputs) — one distinct removes the copy
       .distinct()
   }
+
+  // ------------------------------------------------- duplicated substrings
+
+  /** Positional k-gram windows hashed for the exact-substring dedup family:
+    * (id, pos, h) with pos 1-based and h the md5 hex of the k-token window.
+    * The gram STRING never leaves its scan task — only the 128-bit digest
+    * shuffles (collision odds at 10^13 corpus windows ≈ 2^-52·10^26/2 ≈
+    * negligible; the 60-bit family that the MinHash oracle parity uses
+    * would collide at billions of windows, so spans use the full digest —
+    * same md5 in DuckDB, parity preserved). */
+  private def spanGrams(docs: DataFrame, k: Int, idCol: String,
+                        textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    // sequence(1, n-k+1) must never see n < k: Spark infers step -1 when
+    // start > stop and would generate DESCENDING positions, not fail
+    val positions = when(size(w) >= k, sequence(lit(1), size(w) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol), explode(transform(positions,
+        p => struct(p.as("pos"),
+          md5(array_join(slice(w, p, lit(k)), " ")).as("h")))).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.h").as("h"))
+  }
+
+  /** Exact duplicated-substring spans — the suffix-array substring dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"; reference north star: corpus curation over `documents`)
+    * re-expressed distributed. A suffix array is a single-machine
+    * structure, but "every maximal run of ≥ k tokens occurring ≥ minOcc
+    * times in the corpus" is exactly the union of its duplicated k-gram
+    * windows, and those are a lean (id, pos, digest) table at any scale.
+    *
+    * Dataflow: tokenize → one digest per k-token window (narrow, inside
+    * the scan stage) → digest-count aggregation → left-semi join flags the
+    * duplicated windows (two shuffles of the lean table; the aggregation
+    * is map-side-combined, and a boilerplate digest repeated millions of
+    * times stays ONE group row — no hot-key buildup, unlike a count
+    * window) → per-document interval merge (running-max gaps-and-islands;
+    * the window partitions by document, so per-task state is one
+    * document's flagged positions, never corpus-shaped).
+    *
+    * Within-document repeats count toward minOcc — suffix-array semantics:
+    * a page template pasted twice in one crawl is as duplicated as one
+    * shared across two. Output: one row per maximal duplicated span,
+    * token positions 1-based inclusive, (idCol, span_start, span_end). */
+  def duplicateSpans(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window must be at least 2 tokens, got $k")
+    require(minOcc >= 2, s"minOcc must be at least 2, got $minOcc")
+    val grams = spanGrams(docs, k, idCol, textCol)
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc).select(col("h"))
+    mergeFlaggedWindows(grams.join(dup, Seq("h"), "left_semi"), k, idCol)
+  }
+
+  /** Gaps-and-islands merge of flagged (idCol, pos) windows into maximal
+    * spans [pos, pos+k-1]; abutting coverage merges (union-of-covered-token
+    * semantics). One window partitioned by document — per-task state is one
+    * document's flagged positions. */
+  private def mergeFlaggedWindows(flagged0: DataFrame, k: Int,
+                                  idCol: String): DataFrame = {
+    val flagged = flagged0.select(col(idCol), col("pos").cast("long").as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    import org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val prevMax = max(col("e")).over(w.rowsBetween(unboundedPreceding, -1))
+    flagged
+      .withColumn("e", col("pos") + lit((k - 1).toLong))
+      .withColumn("is_new",
+        when(prevMax.isNull || col("pos") > prevMax + lit(1L), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("grp", sum(col("is_new")).over(w.rowsBetween(unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Window-digest count table — the STORED half of the incremental
+    * substring-dedup path: (h, occ) per distinct k-gram digest. Corpus-
+    * shaped but lean (two int-ish columns), maintained by merge-on-digest
+    * appends of each ingested batch's own counts. */
+  def spanGramCounts(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    spanGrams(docs, k, idCol, textCol)
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+
+  /** Ingest-path duplicated spans: flag a micro-batch's windows against a
+    * stored [[spanGramCounts]] table plus the batch's own counts — a window
+    * is duplicated when stored + batch occurrences reach minOcc, so the
+    * result equals [[duplicateSpans]] over store ∪ batch RESTRICTED to the
+    * batch's documents, at batch cost (the equality the oracle and spec
+    * pin). The batch is micro-batch-scale by contract (the nearDupFlags
+    * contract): its digest set broadcasts, the stored table is probed by a
+    * broadcast left-semi — the store scans once in place and only
+    * batch-matched digests come back, so nothing corpus-shaped ever
+    * shuffles and no per-batch cost grows with the corpus (the N44 lesson,
+    * applied to substrings). The caller afterwards merges the batch's
+    * [[spanGramCounts]] into the store (sum occ on digest), keeping ingest
+    * cost ∝ batch forever. `storedCounts` must have been built with the
+    * same k and tokenization. */
+  def duplicateSpansIncremental(newDocs: DataFrame, storedCounts: DataFrame,
+                                k: Int = 5, minOcc: Int = 2,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window must be at least 2 tokens, got $k")
+    require(minOcc >= 2, s"minOcc must be at least 2, got $minOcc")
+    val grams = spanGrams(newDocs, k, idCol, textCol)
+    val batchCounts = grams.groupBy(col("h")).agg(count(lit(1)).as("occ_b"))
+    val stored = storedCounts
+      .join(broadcast(batchCounts.select(col("h"))), Seq("h"), "left_semi")
+      .select(col("h"), col("occ").cast("long").as("occ_s"))
+    val dup = batchCounts.join(stored, Seq("h"), "left")
+      .filter(col("occ_b") + coalesce(col("occ_s"), lit(0L)) >= minOcc)
+      .select(col("h"))
+    mergeFlaggedWindows(grams.join(dup, Seq("h"), "left_semi"), k, idCol)
+  }
+
+  /** Per-document duplicated-token accounting over [[duplicateSpans]]:
+    * (idCol, n_tokens, dup_tokens, dup_fraction) for documents with at
+    * least one duplicated span — the "how contaminated is this shard"
+    * report that decides between scrubbing spans and dropping documents
+    * (Lee et al. scrub; RefinedWeb drops past a fraction). Spans are
+    * disjoint by construction, so dup_tokens is a plain sum. */
+  def duplicateSpanStats(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val nTokens = docs.select(col(idCol),
+      size(words(col(textCol))).cast("long").as("n_tokens"))
+    duplicateSpans(docs, k, minOcc, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start") + lit(1L)).as("dup_tokens"))
+      .join(nTokens, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("dup_tokens"),
+        round(col("dup_tokens") / col("n_tokens"), 6).as("dup_fraction"))
+  }
+
+  /** Scrub the duplicated spans out of each flagged document: drop every
+    * token inside a merged span, rejoin the survivors with single spaces.
+    * Operates in TOKEN space (the dedup tokenization — lowercased,
+    * punctuation-split), which is the space substring dedup is defined
+    * over; returns (idCol, scrubbed_text) for flagged documents only — a
+    * replacement-text table that composes with the upsert surface. A
+    * document that was duplicated wall-to-wall scrubs to the empty string
+    * (an explicit row, not a vanished one — the caller decides whether an
+    * emptied doc survives). The span table is per-doc bounded, so the
+    * token filter is a codegen'd lambda over two bounded arrays. */
+  def scrubDuplicateSpans(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, k, minOcc, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.join(spans, Seq(idCol))
+      .select(col(idCol),
+        array_join(
+          filter(words(col(textCol)), (t, i) =>
+            !exists(col("spans"), sp =>
+              (i + lit(1)).cast("long").between(sp("span_start"), sp("span_end")))),
+          " ").as("scrubbed_text"))
+  }
 }

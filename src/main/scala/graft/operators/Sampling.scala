@@ -139,4 +139,92 @@ object Sampling {
       case (((name, _), cut), acc) => when(bucket < lit(cut), lit(name)).otherwise(acc)
     }
   }
+
+  /** Per-domain row counts for the weighted domains — ONE column-pruned
+    * count aggregation whose result is domain-shaped (a dimension, never
+    * corpus-shaped; the bounded-collect pattern of the LM-vocab operator).
+    * Fails loudly on a malformed mixture: weights must be positive and sum
+    * to 1, the domain column must be string-typed, and every weighted
+    * domain must actually have rows (an empty weighted domain makes the
+    * target unachievable without upsampling — T would be 0 and the
+    * "resampled corpus" silently empty). */
+  private def mixtureCounts(df: DataFrame, domainCol: String,
+                            weights: Map[String, Double]): Map[String, Long] = {
+    require(weights.nonEmpty, "empty target mixture")
+    weights.foreach { case (d, w) =>
+      require(w > 0.0, s"target weight for '$d' must be positive, got $w")
+    }
+    require(math.abs(weights.values.sum - 1.0) < 1e-9,
+      s"target mixture weights must sum to 1, got ${weights.values.sum}")
+    require(df.schema(domainCol).dataType == org.apache.spark.sql.types.StringType,
+      s"$domainCol must be a string domain column, got ${df.schema(domainCol).dataType}")
+    val counts = df
+      .filter(col(domainCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.keys.foreach { d =>
+      require(counts.contains(d),
+        s"weighted domain '$d' has no rows — the target mixture is " +
+          "unachievable without upsampling (T = min_d count_d/w_d would be 0)")
+    }
+    counts
+  }
+
+  /** Keep thresholds (ppm of the hash space) realizing the target mixture:
+    * T = min_d(count_d / w_d) is the largest total corpus achievable
+    * without upsampling any domain, and domain d keeps T·w_d/count_d of
+    * its rows. All arithmetic is IEEE double in ONE fixed association
+    * order — `1e6 * t * w / count` — so a DuckDB oracle recomputing the
+    * thresholds from the same counts reproduces the exact membership
+    * bit-for-bit. The floor may shave the limiting domain to 999999 ppm
+    * (~1 row per million); deterministic and engine-identical. */
+  def mixturePpm(df: DataFrame, domainCol: String,
+                 weights: Map[String, Double]): Map[String, Long] =
+    ppmFromCounts(mixtureCounts(df, domainCol, weights), weights)
+
+  private def ppmFromCounts(counts: Map[String, Long],
+                            weights: Map[String, Double]): Map[String, Long] = {
+    val t = weights.map { case (d, w) => counts(d) / w }.min
+    weights.map { case (d, w) =>
+      d -> math.floor(1e6 * t * w / counts(d)).toLong
+    }
+  }
+
+  /** Resample the corpus to a TARGET DOMAIN MIXTURE — the pretraining
+    * data-mixture rebalancing move ("50% web, 30% code, 20% books";
+    * DoReMi / Llama-style static mixture weights,
+    * reference north star: curating `documents` by `source`). Keeps the
+    * largest corpus achievable at exactly the target proportions WITHOUT
+    * upsampling any domain; domains absent from `weights` are dropped.
+    * Membership is the same deterministic hash as [[stratifiedSample]]:
+    * a pure function of the row id, reproducible across runs, engines,
+    * and corpus growth.
+    *
+    * Scale shape: one column-pruned count aggregation (domain-shaped
+    * result, bounded collect) to resolve the thresholds at plan time, then
+    * one shuffle-free codegen'd filter that composes with scan pushdown —
+    * at 100 TB the whole operator is a count pass plus a narrow filtered
+    * scan, no shuffle of the corpus ever. */
+  def mixtureResample(df: DataFrame, idCol: String, domainCol: String,
+                      weights: Map[String, Double],
+                      seed: String = "mix"): DataFrame = {
+    val ppm = mixturePpm(df, domainCol, weights)
+    df.filter(hashBucket(col(idCol), seed) <
+      coalesce(try_element_at(typedLit(ppm), col(domainCol)), lit(0L)))
+  }
+
+  /** Observability companion of [[mixtureResample]]: one row per weighted
+    * domain — its row count, target weight, and keep threshold — the
+    * "what will this resample do" report a curation run logs before
+    * committing. Domain-shaped (built from the same bounded counts). */
+  def mixtureReport(df: DataFrame, domainCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    val counts = mixtureCounts(df, domainCol, weights)
+    val ppm = ppmFromCounts(counts, weights)
+    val spark = df.sparkSession
+    import spark.implicits._
+    weights.keys.toSeq.sorted
+      .map(d => (d, counts(d), weights(d), ppm(d)))
+      .toDF(domainCol, "n_docs", "target_weight", "keep_ppm")
+  }
 }

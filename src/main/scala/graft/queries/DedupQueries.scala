@@ -86,6 +86,46 @@ object DedupQueries {
           $"truncated".cast("int").as("truncated"))
     }),
 
+    // Exact duplicated-substring spans (Lee et al. 2022's suffix-array
+    // dedup, distributed as positional 5-gram matching): every maximal
+    // ≥5-token run whose windows occur ≥2 times in the corpus, merged per
+    // document. The planted near-dup pairs make these spans long.
+    "dedup_span_flags" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.duplicateSpans(Tables.documents(s, dir))
+        .select($"doc_id", $"span_start", $"span_end")
+    }),
+
+    // Per-document duplicated-token accounting over the same spans — the
+    // scrub-vs-drop decision input.
+    "dedup_span_stats" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.duplicateSpanStats(Tables.documents(s, dir))
+        .select($"doc_id", $"n_tokens", $"dup_tokens", $"dup_fraction")
+    }),
+
+    // The scrub surface: flagged documents with their duplicated spans
+    // removed from the token stream (Lee et al.'s remediation). A
+    // wall-to-wall duplicate scrubs to an explicit empty string.
+    "dedup_span_scrub" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.scrubDuplicateSpans(Tables.documents(s, dir))
+        .select($"doc_id", $"scrubbed_text")
+    }),
+
+    // The ingest-path form: the first 50 docs arrive as a micro-batch and
+    // are flagged against the stored gram counts of the rest — by
+    // construction equal to the full-corpus spans restricted to the batch,
+    // which is exactly what the oracle replays (full pipeline + id filter).
+    "dedup_span_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Dedup.duplicateSpansIncremental(
+          docs.filter($"doc_id" < 50),
+          Dedup.spanGramCounts(docs.filter($"doc_id" >= 50)))
+        .select($"doc_id", $"span_start", $"span_end")
+    }),
+
     // Ground-truth n-gram Jaccard pairs (validates the LSH path's recall).
     "dedup_ngram_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -315,7 +355,57 @@ object DedupQueries {
        JOIN embeddings b ON b.vec_id = cand.right_id
        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45e0"""
 
+  /** Duplicated-substring span pipeline replayed whole in DuckDB (Spark
+    * twin: Dedup.duplicateSpans). k = 5; the window digest is the FULL md5
+    * hex in both engines (the 60-bit family would collide at corpus window
+    * counts); positions 1-based; gaps-and-islands merge via the running
+    * max of span ends. */
+  private val duckSpanCtes =
+    s"""WITH tk AS (SELECT doc_id, ${duckWords("text")} AS w FROM documents),
+          gr AS (SELECT doc_id, p, md5(array_to_string(w[p : p + 4], ' ')) AS h
+                 FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p
+                       FROM tk WHERE len(w) >= 5)),
+          dup AS (SELECT h FROM gr GROUP BY h HAVING COUNT(*) >= 2),
+          fl AS (SELECT doc_id, p, p + 4 AS e FROM gr JOIN dup USING (h)),
+          mx AS (SELECT doc_id, p, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                 FROM fl),
+          il AS (SELECT doc_id, p, e,
+                   SUM(CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY p) AS g
+                 FROM mx),
+          sp AS (SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+                        CAST(MAX(e) AS BIGINT) AS span_end
+                 FROM il GROUP BY doc_id, g)"""
+
   val oracle: Map[String, String] = Map(
+    "dedup_span_flags" ->
+      s"""$duckSpanCtes
+          SELECT doc_id, span_start, span_end FROM sp""",
+    "dedup_span_stats" ->
+      s"""$duckSpanCtes,
+          dt AS (SELECT doc_id, CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+                 FROM sp GROUP BY doc_id)
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, dup_tokens,
+            round(CAST(dup_tokens AS DOUBLE) / CAST(len(w) AS BIGINT), 6) AS dup_fraction
+          FROM dt JOIN tk USING (doc_id)""",
+    "dedup_span_incremental" ->
+      s"""$duckSpanCtes
+          SELECT doc_id, span_start, span_end FROM sp WHERE doc_id < 50""",
+    "dedup_span_scrub" ->
+      s"""$duckSpanCtes,
+          tok AS (SELECT doc_id, unnest(w) AS t, unnest(generate_series(1, len(w))) AS p
+                  FROM tk),
+          kept AS (SELECT tok.doc_id AS doc_id, tok.t AS t, tok.p AS p,
+                     (s2.doc_id IS NULL) AS keep
+                   FROM tok
+                   JOIN (SELECT DISTINCT doc_id FROM sp) fd ON tok.doc_id = fd.doc_id
+                   LEFT JOIN sp s2 ON s2.doc_id = tok.doc_id
+                     AND tok.p BETWEEN s2.span_start AND s2.span_end)
+          SELECT doc_id,
+            coalesce(string_agg(CASE WHEN keep THEN t END, ' ' ORDER BY p), '') AS scrubbed_text
+          FROM kept GROUP BY doc_id""",
     "dedup_exact_groups" ->
       s"""SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
             MIN(doc_id) AS canonical_id,

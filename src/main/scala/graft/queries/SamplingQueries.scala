@@ -69,6 +69,26 @@ object SamplingQueries {
       packed(s, dir).select($"doc_id", $"shard", $"cum")
     }),
 
+    // Domain-mixture resampling (DoReMi/Llama-style static target weights):
+    // keep the largest corpus achievable at exactly 50/30/20 over three
+    // sources without upsampling any of them; every other source drops.
+    // Membership is the deterministic hash, so the oracle pins the exact
+    // kept set — which pins T = min_d(count_d/w_d) and every per-domain
+    // rate transitively.
+    "samp_domain_mixture" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.mixtureResample(Tables.documents(s, dir), "doc_id", "source",
+          weights = mixWeights)
+        .select($"doc_id", $"source")
+    }),
+
+    // The resample's observability half: per-domain counts, target weights,
+    // and keep thresholds — the report a curation run logs before
+    // committing. Pins the threshold arithmetic explicitly (the membership
+    // query above pins it implicitly).
+    "samp_mixture_report" -> ((s, dir) =>
+      Sampling.mixtureReport(Tables.documents(s, dir), "source", mixWeights)),
+
     // Deterministic 80/10/10 train/valid/test split, counted per language —
     // same doc lands in the same split on every run at every scale.
     "samp_split_counts" -> ((s, dir) => {
@@ -83,6 +103,23 @@ object SamplingQueries {
   /** Mirrors Sampling.hashBucket: seeded 60-bit md5, mod 1e6. */
   private[queries] def duckBucket(seed: String, e: String) =
     s"""CAST(concat('0x', substr(md5(concat_ws('_', '$seed', $e)), 1, 15)) AS BIGINT) % 1000000"""
+
+  /** The registered target mixture (Spark twin of the VALUES table in
+    * `mixCtes` — same literals, same domains). */
+  private val mixWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  /** Mirrors Sampling.mixturePpm: counts as DOUBLE, T = MIN(c/w), threshold
+    * = FLOOR(1e6 * t * w / c) in the SAME association order — the IEEE
+    * double sequence is identical in both engines, so membership is
+    * bit-reproducible. */
+  private val mixCtes =
+    s"""WITH w(source, wt) AS (VALUES ('src0', 0.5e0), ('src1', 0.3e0), ('src2', 0.2e0)),
+          cnt AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS c
+                  FROM documents JOIN w USING (source) GROUP BY source),
+          tot AS (SELECT MIN(c / wt) AS t FROM cnt JOIN w USING (source)),
+          rates AS (SELECT source, CAST(c AS BIGINT) AS n_docs, wt AS target_weight,
+                      CAST(FLOOR(1000000e0 * t * wt / c) AS BIGINT) AS keep_ppm
+                    FROM cnt JOIN w USING (source) CROSS JOIN tot)"""
 
   /** Shared Spark side of the packing family: documents with the composite
     * shard key and a BIGINT token count (BIGINT in BOTH engines so every
@@ -141,6 +178,14 @@ object SamplingQueries {
           FROM c""",
     "samp_pack_cum" ->
       s"""$packCtes SELECT doc_id, shard, cum FROM c""",
+    "samp_domain_mixture" ->
+      s"""$mixCtes
+          SELECT d.doc_id, d.source
+          FROM documents d JOIN rates r USING (source)
+          WHERE ${duckBucket("mix", "CAST(d.doc_id AS VARCHAR)")} < r.keep_ppm""",
+    "samp_mixture_report" ->
+      s"""$mixCtes
+          SELECT source, n_docs, target_weight, keep_ppm FROM rates""",
     "samp_split_counts" ->
       s"""SELECT lang,
             CASE WHEN b < 800000 THEN 'train'

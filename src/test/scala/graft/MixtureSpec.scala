@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sampling
+
+/** Domain-mixture resampling on synthetic corpora with known per-domain
+  * counts: threshold arithmetic, achieved proportions, determinism,
+  * drop-unlisted semantics, and the fail-loud guards. */
+class MixtureSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 1000 rows each of domains a/b/c plus 500 of unlisted d. */
+  private def corpus = {
+    import spark.implicits._
+    (0 until 3500).map { i =>
+      val d = if (i < 1000) "a" else if (i < 2000) "b" else if (i < 3000) "c" else "d"
+      (i.toLong, d)
+    }.toDF("doc_id", "domain")
+  }
+
+  private val weights = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+
+  test("thresholds realize T = min(count/weight) without upsampling") {
+    val ppm = Sampling.mixturePpm(corpus, "domain", weights)
+    // limiting domain: a (1000/0.5 = 2000 is the min) — kept whole, and
+    // its arithmetic is exact in doubles, so exactly 1e6
+    assert(ppm("a") === 1000000L)
+    // the others reproduce the documented IEEE sequence bit-for-bit
+    val t = List(1000L / 0.5, 1000L / 0.3, 1000L / 0.2).min
+    assert(ppm("b") === math.floor(1e6 * t * 0.3 / 1000L).toLong)
+    assert(ppm("c") === math.floor(1e6 * t * 0.2 / 1000L).toLong)
+    assert(ppm("b") >= 599999L && ppm("b") <= 600000L)
+    assert(ppm("c") >= 399999L && ppm("c") <= 400000L)
+  }
+
+  test("membership: limiting domain kept whole, others hash-thinned to " +
+       "the target proportions, unlisted domains dropped") {
+    import spark.implicits._
+    val kept = Sampling.mixtureResample(corpus, "doc_id", "domain", weights)
+      .as[(Long, String)].collect()
+    val by = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(by("a") === 1000)            // limiting domain: every row kept
+    assert(!by.contains("d"))           // unlisted: dropped entirely
+    // hash-uniformity tolerance: keep-prob .6/.4 over 1000 rows, sd ~15
+    assert(math.abs(by("b") - 600) <= 60, s"b kept ${by("b")}, want ~600")
+    assert(math.abs(by("c") - 400) <= 60, s"c kept ${by("c")}, want ~400")
+  }
+
+  test("membership is a pure function of the id (deterministic reruns)") {
+    import spark.implicits._
+    def run() = Sampling.mixtureResample(corpus, "doc_id", "domain", weights)
+      .as[(Long, String)].collect().toSet
+    assert(run() === run())
+  }
+
+  test("report carries counts, weights, and thresholds, domain-shaped") {
+    import spark.implicits._
+    val rep = Sampling.mixtureReport(corpus, "domain", weights)
+      .as[(String, Long, Double, Long)].collect().toSet
+    val ppm = Sampling.mixturePpm(corpus, "domain", weights)
+    assert(rep === Set(
+      ("a", 1000L, 0.5, ppm("a")),
+      ("b", 1000L, 0.3, ppm("b")),
+      ("c", 1000L, 0.2, ppm("c"))))
+  }
+
+  test("guards: weights must sum to 1, be positive, name non-empty " +
+       "domains, and the domain column must be string-typed") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      Sampling.mixturePpm(corpus, "domain", Map("a" -> 0.5, "b" -> 0.3)))
+    intercept[IllegalArgumentException](
+      Sampling.mixturePpm(corpus, "domain", Map("a" -> 1.5, "b" -> -0.5)))
+    intercept[IllegalArgumentException](
+      Sampling.mixturePpm(corpus, "domain", Map.empty))
+    // a weighted domain with zero rows: unachievable without upsampling
+    intercept[IllegalArgumentException](
+      Sampling.mixturePpm(corpus, "domain",
+        Map("a" -> 0.5, "nope" -> 0.5)))
+    // non-string domain column rejected at plan time
+    val intDomain = corpus.withColumn("domain",
+      org.apache.spark.sql.functions.lit(1))
+    intercept[IllegalArgumentException](
+      Sampling.mixturePpm(intDomain, "domain", Map("1" -> 1.0)))
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Duplicated-substring span dedup (Lee et al. 2022 re-expressed as
+  * positional k-gram matching) on hand-built corpora where the maximal
+  * spans are known exactly: cross-doc shared runs, within-doc repeats,
+  * non-adjacent regions, the k boundary, and the scrub surface's
+  * empty-string contract. */
+class SpanDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def spans(df: org.apache.spark.sql.DataFrame, k: Int = 5,
+                    minOcc: Int = 2): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    Dedup.duplicateSpans(df, k, minOcc)
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("a 6-token run shared by two docs merges its two 5-gram windows") {
+    val got = spans(docs(
+      1L -> "one two three four five six alpha",
+      2L -> "zero one two three four five six beta"))
+    assert(got === Set((1L, 1L, 6L), (2L, 2L, 7L)))
+  }
+
+  test("a within-doc repeat counts toward minOcc (suffix-array semantics)") {
+    // duplicated windows at 1,2 (first copy) and 7,8 (second copy) cover
+    // positions {1..6} ∪ {7..12} — contiguous, so ONE maximal span: the
+    // whole doc is duplicated material (each half repeats the other)
+    val got = spans(docs(3L -> "p1 q1 r1 s1 t1 u1 p1 q1 r1 s1 t1 u1"))
+    assert(got === Set((3L, 1L, 12L)))
+  }
+
+  test("non-adjacent duplicated regions stay separate spans") {
+    val got = spans(docs(
+      4L -> "a1 b1 c1 d1 e1 gap1 gap2 gap3 a2 b2 c2 d2 e2",
+      5L -> "a1 b1 c1 d1 e1 xx yy zz a2 b2 c2 d2 e2"))
+    assert(got === Set(
+      (4L, 1L, 5L), (4L, 9L, 13L),
+      (5L, 1L, 5L), (5L, 9L, 13L)))
+  }
+
+  test("abutting duplicated regions merge across the 1-token seam") {
+    // the two duplicated 5-runs are adjacent (positions 1-5 and 6-10):
+    // intervals [1,5] and [6,10] touch, so one merged span comes out
+    val got = spans(docs(
+      6L -> "a1 b1 c1 d1 e1 f1 g1 h1 i1 j1",
+      7L -> "a1 b1 c1 d1 e1 q9 q8 q7 q6 q5",
+      8L -> "z9 z8 z7 z6 z5 f1 g1 h1 i1 j1"))
+    assert(got.filter(_._1 == 6L) === Set((6L, 1L, 10L)))
+  }
+
+  test("a doc shorter than k tokens is never flagged; unique docs absent") {
+    val got = spans(docs(
+      9L -> "dup1 dup2 dup3 dup4",   // < k, even though repeated below
+      10L -> "dup1 dup2 dup3 dup4",
+      11L -> "lone1 lone2 lone3 lone4 lone5 lone6"))
+    assert(got === Set.empty)
+  }
+
+  test("minOcc above the actual occurrence count suppresses the flag") {
+    val d = docs(
+      1L -> "one two three four five six alpha",
+      2L -> "zero one two three four five six beta")
+    assert(spans(d, minOcc = 3) === Set.empty)
+    assert(spans(d, minOcc = 2).nonEmpty)
+  }
+
+  test("stats: duplicated-token accounting is exact and spans-only") {
+    import spark.implicits._
+    val got = Dedup.duplicateSpanStats(docs(
+        1L -> "one two three four five six alpha",
+        2L -> "zero one two three four five six beta",
+        11L -> "lone1 lone2 lone3 lone4 lone5 lone6"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 7L, 6L, 0.857143),
+      (2L, 8L, 6L, 0.75)))
+  }
+
+  test("scrub removes span tokens, keeps the rest, and a wall-to-wall " +
+       "duplicate scrubs to an explicit empty string") {
+    import spark.implicits._
+    val got = Dedup.scrubDuplicateSpans(docs(
+        1L -> "one two three four five six alpha",
+        2L -> "zero one two three four five six beta",
+        3L -> "p1 q1 r1 s1 t1 u1 p1 q1 r1 s1 t1 u1",
+        11L -> "lone1 lone2 lone3 lone4 lone5 lone6"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "alpha",
+      2L -> "zero beta",
+      3L -> ""))
+  }
+
+  test("incremental: batch flags against stored counts equal the full-run " +
+       "spans restricted to the batch (store hit, batch-internal dup, " +
+       "store-only dup invisible)") {
+    import spark.implicits._
+    val store = docs(
+      100L -> "one two three four five six alpha",
+      101L -> "s1 s2 s3 s4 s5 s6",           // duplicated only inside store
+      102L -> "s1 s2 s3 s4 s5 s6")
+    val batch = docs(
+      1L -> "zero one two three four five six beta", // dup vs store
+      2L -> "b1 b2 b3 b4 b5 filler",                 // dup within batch
+      3L -> "pre b1 b2 b3 b4 b5",
+      4L -> "u1 u2 u3 u4 u5 u6 u7")                  // unique everywhere
+    val inc = Dedup.duplicateSpansIncremental(batch, Dedup.spanGramCounts(store))
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.duplicateSpans(batch.unionByName(store))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc === full.filter(_._1 < 100L))
+    assert(inc === Set((1L, 2L, 7L), (2L, 1L, 5L), (3L, 2L, 6L)))
+  }
+
+  test("incremental: counts compose — a window seen once in store and " +
+       "once in batch reaches minOcc 2, and minOcc 3 needs a third") {
+    import spark.implicits._
+    val store = docs(100L -> "c1 c2 c3 c4 c5 tail1")
+    val batch = docs(1L -> "head1 c1 c2 c3 c4 c5")
+    def inc(minOcc: Int) = Dedup.duplicateSpansIncremental(
+        batch, Dedup.spanGramCounts(store), minOcc = minOcc)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc(2) === Set((1L, 2L, 6L)))
+    assert(inc(3) === Set.empty)
+    // a second stored copy pushes the total to 3
+    val store2 = store.unionByName(docs(101L -> "c1 c2 c3 c4 c5 tail2"))
+    val got = Dedup.duplicateSpansIncremental(
+        batch, Dedup.spanGramCounts(store2), minOcc = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 6L)))
+  }
+
+  test("guards: k < 2 and minOcc < 2 fail loudly") {
+    val d = docs(1L -> "a b c")
+    intercept[IllegalArgumentException](Dedup.duplicateSpans(d, k = 1))
+    intercept[IllegalArgumentException](Dedup.duplicateSpans(d, minOcc = 1))
+  }
+}
