@@ -213,6 +213,47 @@ object Sampling {
       coalesce(try_element_at(typedLit(ppm), col(domainCol)), lit(0L)))
   }
 
+  /** [[mixtureResample]] with bounded UPSAMPLING — the epoch-weighted
+    * mixture every real pretraining run uses (rare high-quality domains
+    * repeat for a few epochs, e.g. "Wikipedia ×4"; Llama/GPT-3 style).
+    * T = min_d(count_d · epochsCap / w_d) is the largest total where no
+    * domain repeats more than `epochsCap` times; domain d's rows each
+    * appear floor(r_d) times plus once more for the deterministic
+    * hash-fraction of rows, r_d = T·w_d/count_d. Output rows carry an
+    * `epoch` column (1-based replica index) — row identity is (id, epoch),
+    * ready for a training-shard writer. `epochsCap = 1` degenerates to
+    * [[mixtureResample]]'s membership with epoch ≡ 1.
+    *
+    * The threshold math floors ONCE — ppmTotal_d = floor(1e6·T·w_d/count_d),
+    * millionths-of-copies — and splits full copies / fractional remainder
+    * by exact integer div/mod, so engines agree bit-for-bit. Scale shape:
+    * the replication is a codegen'd explode of a ≤ ⌈epochsCap⌉-element
+    * sequence — narrow, no shuffle, output ∝ T. */
+  def mixtureResampleEpochs(df: DataFrame, idCol: String, domainCol: String,
+                            weights: Map[String, Double],
+                            epochsCap: Double = 4.0,
+                            seed: String = "mix"): DataFrame = {
+    require(epochsCap >= 1.0, s"epochsCap must be at least 1, got $epochsCap")
+    require(!df.columns.contains("epoch"),
+      "input already has a column named 'epoch' — mixtureResampleEpochs " +
+        "reserves that name for its replica index")
+    val counts = mixtureCounts(df, domainCol, weights)
+    val t = weights.map { case (d, w) => counts(d) * epochsCap / w }.min
+    val ppmTotal = weights.map { case (d, w) =>
+      d -> math.floor(1e6 * t * w / counts(d)).toLong
+    }
+    val tot = coalesce(try_element_at(typedLit(ppmTotal), col(domainCol)), lit(0L))
+    val full = call_function("div", tot, lit(1000000L))
+    val frac = pmod(tot, lit(1000000L))
+    val nCopies = full +
+      when(hashBucket(col(idCol), seed) < frac, lit(1L)).otherwise(lit(0L))
+    // sequence(1, n) must never see n < 1: Spark infers step -1 when
+    // start > stop and would generate DESCENDING epochs, not an empty list
+    df.withColumn("epoch",
+        explode(when(nCopies >= 1L, sequence(lit(1L), nCopies))
+          .otherwise(array().cast("array<long>"))))
+  }
+
   /** Observability companion of [[mixtureResample]]: one row per weighted
     * domain — its row count, target weight, and keep threshold — the
     * "what will this resample do" report a curation run logs before

@@ -82,6 +82,18 @@ object SamplingQueries {
         .select($"doc_id", $"source")
     }),
 
+    // The upsampling form (epoch-weighted mixture, "rare domain ×4"):
+    // same 50/30/20 target, but the rarest-vs-weight domain may repeat up
+    // to 4 epochs; each row carries its 1-based replica index. The oracle
+    // replays the millionths-of-copies arithmetic and the per-row
+    // generate_series replication exactly.
+    "samp_mixture_epochs" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.mixtureResampleEpochs(Tables.documents(s, dir), "doc_id",
+          "source", weights = mixWeights, epochsCap = 4.0)
+        .select($"doc_id", $"source", $"epoch")
+    }),
+
     // The resample's observability half: per-domain counts, target weights,
     // and keep thresholds — the report a curation run logs before
     // committing. Pins the threshold arithmetic explicitly (the membership
@@ -186,6 +198,21 @@ object SamplingQueries {
     "samp_mixture_report" ->
       s"""$mixCtes
           SELECT source, n_docs, target_weight, keep_ppm FROM rates""",
+    "samp_mixture_epochs" ->
+      s"""WITH w(source, wt) AS (VALUES ('src0', 0.5e0), ('src1', 0.3e0), ('src2', 0.2e0)),
+          cnt AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS c
+                  FROM documents JOIN w USING (source) GROUP BY source),
+          tot AS (SELECT MIN(c * 4.0e0 / wt) AS t FROM cnt JOIN w USING (source)),
+          rates AS (SELECT source,
+                      CAST(FLOOR(1000000e0 * t * wt / c) AS BIGINT) AS ppm_total
+                    FROM cnt JOIN w USING (source) CROSS JOIN tot),
+          base AS (SELECT d.doc_id, d.source,
+                     r.ppm_total // 1000000
+                       + CASE WHEN ${duckBucket("mix", "CAST(d.doc_id AS VARCHAR)")}
+                                   < r.ppm_total % 1000000 THEN 1 ELSE 0 END AS n
+                   FROM documents d JOIN rates r USING (source))
+          SELECT doc_id, source, unnest(generate_series(1, n)) AS epoch
+          FROM base WHERE n >= 1""",
     "samp_split_counts" ->
       s"""SELECT lang,
             CASE WHEN b < 800000 THEN 'train'

@@ -70,6 +70,51 @@ class MixtureSpec extends AnyFunSuite {
       ("c", 1000L, 0.2, ppm("c"))))
   }
 
+  test("epochs: the cap-limited domain repeats exactly epochsCap times, " +
+       "others get floor(r)+hash-fraction copies at the target mixture") {
+    import spark.implicits._
+    val got = Sampling.mixtureResampleEpochs(corpus, "doc_id", "domain",
+        weights, epochsCap = 4.0)
+      .select($"doc_id", $"domain", $"epoch")
+      .as[(Long, String, Long)].collect()
+    val byRow = got.groupBy(r => (r._1, r._2)).view.mapValues(_.length).toMap
+    // T = min(1000·4/0.5, 1000·4/0.3, 1000·4/0.2) = 8000:
+    // r_a = 4.0 exactly — every a row appears exactly 4 times, epochs 1..4
+    assert(byRow.filter(_._1._2 == "a").values.toSet === Set(4))
+    assert(got.filter(_._2 == "a").map(_._3).toSet === Set(1L, 2L, 3L, 4L))
+    // r_b = 2.4, r_c = 1.6: per-row copies are floor/ceil of r only
+    assert(byRow.filter(_._1._2 == "b").values.toSet.subsetOf(Set(2, 3)))
+    assert(byRow.filter(_._1._2 == "c").values.toSet.subsetOf(Set(1, 2)))
+    // achieved totals near T·w: 4000 / 2400 / 1600 (hash noise on the frac)
+    val byDom = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("a") === 4000)
+    assert(math.abs(byDom("b") - 2400) <= 100, s"b got ${byDom("b")}")
+    assert(math.abs(byDom("c") - 1600) <= 100, s"c got ${byDom("c")}")
+    assert(!byDom.contains("d"))
+  }
+
+  test("epochs: cap 1 degenerates to the no-upsample membership, epoch = 1") {
+    import spark.implicits._
+    val plain = Sampling.mixtureResample(corpus, "doc_id", "domain", weights)
+      .as[(Long, String)].collect().toSet
+    val eps = Sampling.mixtureResampleEpochs(corpus, "doc_id", "domain",
+        weights, epochsCap = 1.0)
+      .select($"doc_id", $"domain", $"epoch")
+      .as[(Long, String, Long)].collect()
+    assert(eps.map(_._3).toSet === Set(1L))
+    assert(eps.map(r => (r._1, r._2)).toSet === plain)
+  }
+
+  test("epochs guards: cap below 1 and a reserved epoch column fail loudly") {
+    intercept[IllegalArgumentException](
+      Sampling.mixtureResampleEpochs(corpus, "doc_id", "domain", weights,
+        epochsCap = 0.5))
+    val withEpoch = corpus.withColumn("epoch",
+      org.apache.spark.sql.functions.lit(1L))
+    intercept[IllegalArgumentException](
+      Sampling.mixtureResampleEpochs(withEpoch, "doc_id", "domain", weights))
+  }
+
   test("guards: weights must sum to 1, be positive, name non-empty " +
        "domains, and the domain column must be string-typed") {
     import spark.implicits._
