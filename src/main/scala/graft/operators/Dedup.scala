@@ -1106,12 +1106,18 @@ object Dedup {
     * same md5 in DuckDB, parity preserved). */
   private def spanGrams(docs: DataFrame, k: Int, idCol: String,
                         textCol: String): DataFrame = {
-    val w = words(col(textCol))
+    // materialize the token array as an ATTRIBUTE before the window
+    // transform: inlining `words(text)` into the lambda would re-tokenize
+    // the document once per window — O(len²) per doc (measured 13 s → 3 s
+    // at sf0.1). The generator references the bound `w`, so the split runs
+    // once per row and every window slices the same array.
+    val toks = docs.select(col(idCol), words(col(textCol)).as("w"))
+    val w = col("w")
     // sequence(1, n-k+1) must never see n < k: Spark infers step -1 when
     // start > stop and would generate DESCENDING positions, not fail
     val positions = when(size(w) >= k, sequence(lit(1), size(w) - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    docs
+    toks
       .select(col(idCol), explode(transform(positions,
         p => struct(p.as("pos"),
           md5(array_join(slice(w, p, lit(k)), " ")).as("h")))).as("g"))
