@@ -1197,10 +1197,12 @@ object Dedup {
     * broadcast left-semi — the store scans once in place and only
     * batch-matched digests come back, so nothing corpus-shaped ever
     * shuffles and no per-batch cost grows with the corpus (the N44 lesson,
-    * applied to substrings). The caller afterwards merges the batch's
-    * [[spanGramCounts]] into the store (sum occ on digest), keeping ingest
-    * cost ∝ batch forever. `storedCounts` must have been built with the
-    * same k and tokenization. */
+    * applied to substrings). `storedCounts` must have been built with the
+    * same k and tokenization, and may be an APPEND-ONLY LOG — each ingested
+    * batch just appends its own [[spanGramCounts]] part, no store rewrite
+    * ever — because matched store rows are summed per digest (a batch-sized
+    * aggregation) before the threshold test; compaction folds the log's
+    * parts on the maintenance cadence exactly like the chunk stores. */
   def duplicateSpansIncremental(newDocs: DataFrame, storedCounts: DataFrame,
                                 k: Int = 5, minOcc: Int = 2,
                                 idCol: String = "doc_id",
@@ -1211,7 +1213,9 @@ object Dedup {
     val batchCounts = grams.groupBy(col("h")).agg(count(lit(1)).as("occ_b"))
     val stored = storedCounts
       .join(broadcast(batchCounts.select(col("h"))), Seq("h"), "left_semi")
-      .select(col("h"), col("occ").cast("long").as("occ_s"))
+      // sum AFTER the semi-shrink: batch-sized, and an append-only store
+      // with several parts per digest still thresholds on the true total
+      .groupBy(col("h")).agg(sum(col("occ").cast("long")).as("occ_s"))
     val dup = batchCounts.join(stored, Seq("h"), "left")
       .filter(col("occ_b") + coalesce(col("occ_s"), lit(0L)) >= minOcc)
       .select(col("h"))

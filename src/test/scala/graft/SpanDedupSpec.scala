@@ -145,6 +145,27 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L, 6L)))
   }
 
+  test("incremental: an append-only count log (several parts per digest) " +
+       "thresholds on the true summed total") {
+    import spark.implicits._
+    val batch = docs(1L -> "head1 c1 c2 c3 c4 c5")
+    // the same stored doc ingested as two separate log parts: the digest
+    // for "c1..c5" appears as two rows of occ=1 — a per-row threshold test
+    // would see 1+1 < 3 twice and miss the flag; the true total is 3
+    val partA = Dedup.spanGramCounts(docs(100L -> "c1 c2 c3 c4 c5 tail1"))
+    val partB = Dedup.spanGramCounts(docs(101L -> "c1 c2 c3 c4 c5 tail2"))
+    val log = partA.unionByName(partB)
+    val got = Dedup.duplicateSpansIncremental(batch, log, minOcc = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 6L)))
+    // and the folded (compacted) store gives the identical answer
+    val folded = log.groupBy("h")
+      .agg(org.apache.spark.sql.functions.sum("occ").as("occ"))
+    val got2 = Dedup.duplicateSpansIncremental(batch, folded, minOcc = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 === got)
+  }
+
   test("guards: k < 2 and minOcc < 2 fail loudly") {
     val d = docs(1L -> "a b c")
     intercept[IllegalArgumentException](Dedup.duplicateSpans(d, k = 1))
