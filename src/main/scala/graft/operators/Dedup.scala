@@ -1241,23 +1241,48 @@ object Dedup {
         round(col("dup_tokens") / col("n_tokens"), 6).as("dup_fraction"))
   }
 
-  /** Scrub the duplicated spans out of each flagged document: drop every
-    * token inside a merged span, rejoin the survivors with single spaces.
-    * Operates in TOKEN space (the dedup tokenization — lowercased,
-    * punctuation-split), which is the space substring dedup is defined
-    * over; returns (idCol, scrubbed_text) for flagged documents only — a
-    * replacement-text table that composes with the upsert surface. A
-    * document that was duplicated wall-to-wall scrubs to the empty string
-    * (an explicit row, not a vanished one — the caller decides whether an
-    * emptied doc survives). The span table is per-doc bounded, so the
-    * token filter is a codegen'd lambda over two bounded arrays. */
-  def scrubDuplicateSpans(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
-                          idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
-    val spans = duplicateSpans(docs, k, minOcc, idCol, textCol)
-      .groupBy(col(idCol))
+  /** Contaminated spans: maximal runs of ≥ k tokens a training document
+    * shares VERBATIM with the evaluation set — the span-level form of
+    * benchmark decontamination (the GPT-3/PaLM 13-gram rule located to
+    * positions, so the remediation can be [[scrubSpans]] instead of
+    * dropping the whole document — the "dirty span" treatment). Unlike
+    * [[duplicateSpans]], occurrence counts are irrelevant: ONE appearance
+    * in the eval set flags the window. The eval side is benchmark-sized by
+    * nature, so its distinct digests broadcast and the train side streams
+    * scan → gram → broadcast semi-join → per-doc merge, nothing
+    * corpus-shaped shuffled (the [[Decontamination.overlapCounts]] shape,
+    * output in positions instead of counts). Eval documents shorter than
+    * k tokens contribute no windows — span semantics need a full window
+    * (use overlapCounts' whole-string fallback to catch short exact
+    * copies). */
+  def contaminatedSpans(train: DataFrame, evalSet: DataFrame, k: Int = 13,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window must be at least 2 tokens, got $k")
+    val evalDigests = broadcast(
+      spanGrams(evalSet, k, idCol, textCol).select(col("h")).distinct())
+    mergeFlaggedWindows(
+      spanGrams(train, k, idCol, textCol).join(evalDigests, Seq("h"), "left_semi"),
+      k, idCol)
+  }
+
+  /** Scrub SPANS out of documents: drop every token inside a merged span,
+    * rejoin the survivors with single spaces. Operates in TOKEN space (the
+    * dedup tokenization — lowercased, punctuation-split), which is the
+    * space substring dedup is defined over; returns (idCol, scrubbed_text)
+    * for documents present in `spans` only — a replacement-text table that
+    * composes with the upsert surface. A document covered wall-to-wall
+    * scrubs to the empty string (an explicit row, not a vanished one — the
+    * caller decides whether an emptied doc survives). The span table is
+    * per-doc bounded, so the token filter is a codegen'd lambda over two
+    * bounded arrays. `spans` must carry (idCol, span_start, span_end) —
+    * [[duplicateSpans]] or [[contaminatedSpans]] output. */
+  def scrubSpans(docs: DataFrame, spans: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
-    docs.join(spans, Seq(idCol))
+    docs.join(perDoc, Seq(idCol))
       .select(col(idCol),
         array_join(
           filter(words(col(textCol)), (t, i) =>
@@ -1265,4 +1290,11 @@ object Dedup {
               (i + lit(1)).cast("long").between(sp("span_start"), sp("span_end")))),
           " ").as("scrubbed_text"))
   }
+
+  /** [[scrubSpans]] over [[duplicateSpans]] — the Lee-et-al remediation. */
+  def scrubDuplicateSpans(docs: DataFrame, k: Int = 5, minOcc: Int = 2,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    scrubSpans(docs, duplicateSpans(docs, k, minOcc, idCol, textCol),
+      idCol, textCol)
 }

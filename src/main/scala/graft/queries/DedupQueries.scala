@@ -235,6 +235,17 @@ object DedupQueries {
         docs.filter($"doc_id" >= 50), docs.filter($"doc_id" < 50), n = 8)
     }),
 
+    // The span-level decontamination form: WHICH runs are contaminated
+    // (merged token positions), so the remediation can scrubSpans the
+    // dirty span instead of dropping the whole training document.
+    "decon_span_flags" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminatedSpans(
+          docs.filter($"doc_id" >= 50), docs.filter($"doc_id" < 50), k = 8)
+        .select($"doc_id", $"span_start", $"span_end")
+    }),
+
     // Incremental ingest dedup: the re-crawled batch (doc_id<50 re-tagged
     // +100000) banded against the existing corpus — new×corpus and new×new
     // pairs only, never corpus×corpus. The production daily-ingest shape.
@@ -360,14 +371,11 @@ object DedupQueries {
     * hex in both engines (the 60-bit family would collide at corpus window
     * counts); positions 1-based; gaps-and-islands merge via the running
     * max of span ends. */
-  private val duckSpanCtes =
-    s"""WITH tk AS (SELECT doc_id, ${duckWords("text")} AS w FROM documents),
-          gr AS (SELECT doc_id, p, md5(array_to_string(w[p : p + 4], ' ')) AS h
-                 FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p
-                       FROM tk WHERE len(w) >= 5)),
-          dup AS (SELECT h FROM gr GROUP BY h HAVING COUNT(*) >= 2),
-          fl AS (SELECT doc_id, p, p + 4 AS e FROM gr JOIN dup USING (h)),
-          mx AS (SELECT doc_id, p, e,
+  /** Gaps-and-islands merge of flagged windows `fl(doc_id, p, e)` into
+    * maximal spans — the SQL twin of Dedup.mergeFlaggedWindows, shared by
+    * the duplicated-span and contaminated-span oracles. */
+  private val duckSpanMergeCtes =
+    s"""mx AS (SELECT doc_id, p, e,
                    MAX(e) OVER (PARTITION BY doc_id ORDER BY p
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
                  FROM fl),
@@ -378,6 +386,28 @@ object DedupQueries {
           sp AS (SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
                         CAST(MAX(e) AS BIGINT) AS span_end
                  FROM il GROUP BY doc_id, g)"""
+
+  private val duckSpanCtes =
+    s"""WITH tk AS (SELECT doc_id, ${duckWords("text")} AS w FROM documents),
+          gr AS (SELECT doc_id, p, md5(array_to_string(w[p : p + 4], ' ')) AS h
+                 FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p
+                       FROM tk WHERE len(w) >= 5)),
+          dup AS (SELECT h FROM gr GROUP BY h HAVING COUNT(*) >= 2),
+          fl AS (SELECT doc_id, p, p + 4 AS e FROM gr JOIN dup USING (h)),
+          $duckSpanMergeCtes"""
+
+  /** Span-level decontamination (Spark twin: Dedup.contaminatedSpans,
+    * k = 8 over the decon_flags eval/train split): a train window flags on
+    * ONE eval occurrence — no count threshold. */
+  private val duckDeconSpanCtes =
+    s"""WITH tw AS (SELECT doc_id, ${duckWords("text")} AS w FROM documents),
+          gr AS (SELECT doc_id, p, md5(array_to_string(w[p : p + 7], ' ')) AS h
+                 FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS p
+                       FROM tw WHERE len(w) >= 8)),
+          eg AS (SELECT DISTINCT h FROM gr WHERE doc_id < 50),
+          fl AS (SELECT gr.doc_id AS doc_id, p, p + 7 AS e
+                 FROM gr JOIN eg USING (h) WHERE gr.doc_id >= 50),
+          $duckSpanMergeCtes"""
 
   val oracle: Map[String, String] = Map(
     "dedup_span_flags" ->
@@ -560,6 +590,9 @@ object DedupQueries {
           tg AS (SELECT doc_id, gram FROM grams WHERE doc_id >= 50)
           SELECT tg.doc_id, CAST(COUNT(DISTINCT tg.gram) AS BIGINT) AS n_overlap
           FROM tg JOIN eg ON tg.gram = eg.gram GROUP BY tg.doc_id""",
+    "decon_span_flags" ->
+      s"""$duckDeconSpanCtes
+          SELECT doc_id, span_start, span_end FROM sp""",
     // Incremental = the full-union pair set restricted to new-involving
     // pairs. Banding recall is hash-family-independent for the planted
     // ~0.99-Jaccard fixtures (same argument as dedup_minhash_fast), so the

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Dedup
+
+/** Substring-dedup as a RUNNING ingest loop (the deployment shape of N47,
+  * mirroring how N32/N44 deploy the embedding near-dup flag): documents
+  * arrive as a stream; each micro-batch is flagged for duplicated spans
+  * against the accumulated gram-count log and then contributes its own
+  * counts, so ingest cost stays ∝ batch while the corpus grows without
+  * bound.
+  *
+  * The log is PLAIN APPEND-ONLY PARQUET, one `batch=<id>` partition
+  * directory per micro-batch — deliberately not the leased catalog-table
+  * machinery: nothing here ever rewrites, so there is no overwrite race to
+  * fence. Idempotence under checkpoint replay is structural instead:
+  *
+  *  - the counts land by OVERWRITING the batch's own `batch=<id>` dir — a
+  *    replayed batch replaces its own part, never doubles it;
+  *  - the probe EXCLUDES the current batch id (partition-pruned), so a
+  *    replay that crashed after its counts landed still sees exactly the
+  *    pre-batch store and reproduces the same flags;
+  *  - the flags sink uses the same per-batch overwrite.
+  *
+  * [[foldLog]] is OFFLINE maintenance (stream stopped, or output swapped in
+  * by the caller): it writes the digest-summed log to a fresh directory —
+  * flag results against the folded store are identical by
+  * [[Dedup.duplicateSpansIncremental]]'s summed-threshold contract
+  * (spec-pinned). */
+object SpanDedupIngest {
+
+  private def emptyCounts(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("h", StringType), StructField("occ", LongType))))
+  }
+
+  /** The accumulated gram-count log, minus `excludeBatch`'s own partition
+    * (replay safety: a batch must never probe its own counts). */
+  def readLog(spark: SparkSession, logDir: String,
+              excludeBatch: Long = -1L): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dir with no batch= parts yet (first batch, or a pre-created empty
+    // dir) has no schema to infer — it IS the empty log
+    val hasParts = fs.exists(p) &&
+      fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (!hasParts) emptyCounts(spark)
+    else spark.read.option("basePath", logDir).parquet(logDir)
+      .filter(col("batch") =!= excludeBatch)
+      .select(col("h"), col("occ"))
+  }
+
+  /** One micro-batch through the loop: flag against the pre-batch store
+    * (own partition excluded), then land this batch's counts by overwriting
+    * its own `batch=<id>` dir. The flags are MATERIALIZED before the
+    * append (localCheckpoint, the ingest-loop lineage discipline) — the
+    * lazy plan must never observe the store with its own counts already
+    * in it. Returns the flags (idCol, span_start, span_end). */
+  def ingestBatch(batch: DataFrame, logDir: String, batchId: Long,
+                  k: Int = 5, minOcc: Int = 2,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val store = readLog(spark, logDir, excludeBatch = batchId)
+    val flags = Dedup.duplicateSpansIncremental(batch, store, k, minOcc,
+      idCol, textCol).localCheckpoint(true)
+    Dedup.spanGramCounts(batch, k, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$logDir/batch=$batchId")
+    flags
+  }
+
+  /** The running loop: `docs` (a streaming frame with idCol + textCol) →
+    * per-batch flags appended under `flagsDir/batch=<id>`, counts log under
+    * `logDir`. Both sinks are per-batch-overwrite, so a replayed batch
+    * converges to the identical state. */
+  def startSpanDedup(docs: DataFrame, logDir: String, flagsDir: String,
+                     checkpoint: String, k: Int = 5, minOcc: Int = 2,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // empty micro-batches (trigger fired, nothing arrived) must not
+        // leave schema-less partition dirs in either sink
+        if (!b.isEmpty) {
+          val flags = ingestBatch(b, logDir, id, k, minOcc, idCol, textCol)
+          flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$id")
+        }
+        ()
+      }
+      .start()
+
+  /** All flags the loop has emitted so far. */
+  def readFlags(spark: SparkSession, flagsDir: String): DataFrame =
+    spark.read.option("basePath", flagsDir).parquet(flagsDir)
+      .drop("batch")
+
+  /** Offline fold: the log's parts summed per digest into `outDir` (one
+    * `batch=0` partition, so the folded dir IS a valid log to resume on).
+    * Run with the stream stopped, or write to a fresh dir and swap the
+    * loop's logDir — flag results are identical either way because the
+    * incremental kernel sums matched store rows per digest. */
+  def foldLog(spark: SparkSession, logDir: String, outDir: String): Unit =
+    readLog(spark, logDir)
+      .groupBy(col("h")).agg(sum(col("occ")).as("occ"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=0")
+}

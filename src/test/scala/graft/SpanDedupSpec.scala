@@ -166,6 +166,39 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got2 === got)
   }
 
+  test("contaminated spans: one eval occurrence flags (no count " +
+       "threshold), train-internal duplication does not") {
+    import spark.implicits._
+    val evalSet = docs(
+      900L -> "e1 e2 e3 e4 e5 endq",
+      901L -> "tiny eval")                          // < k: contributes nothing
+    val train = docs(
+      1L -> "pre e1 e2 e3 e4 e5 post",              // shares the eval run
+      2L -> "t1 t2 t3 t4 t5 filler",                // duplicated in TRAIN only
+      3L -> "t1 t2 t3 t4 t5 other",
+      4L -> "tiny eval")                            // shares only a <k string
+    val got = Dedup.contaminatedSpans(train, evalSet, k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 6L)))
+  }
+
+  test("scrubSpans with an external span table: the contaminated run is " +
+       "cut out, equivalent machinery to scrubDuplicateSpans") {
+    import spark.implicits._
+    val evalSet = docs(900L -> "e1 e2 e3 e4 e5 endq")
+    val train = docs(1L -> "pre e1 e2 e3 e4 e5 post")
+    val spans = Dedup.contaminatedSpans(train, evalSet, k = 5)
+    val got = Dedup.scrubSpans(train, spans)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "pre post"))
+    // and the duplicate-scrub surface is the same code path
+    val viaDup = Dedup.scrubDuplicateSpans(docs(
+      5L -> "one two three four five six alpha",
+      6L -> "zero one two three four five six beta"))
+      .as[(Long, String)].collect().toMap
+    assert(viaDup === Map(5L -> "alpha", 6L -> "zero beta"))
+  }
+
   test("guards: k < 2 and minOcc < 2 fail loudly") {
     val d = docs(1L -> "a b c")
     intercept[IllegalArgumentException](Dedup.duplicateSpans(d, k = 1))

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.streaming.SpanDedupIngest
+
+/** The substring-dedup ingest loop (SpanDedupIngest) driven through a real
+  * streaming query: per-arrival flags equal the full-corpus spans
+  * restricted to each batch at its arrival time, replayed batches converge
+  * to identical state, and the offline fold preserves flag results. */
+class SpanIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def collectSpans(df: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    df.select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  private val b1 = Seq(
+    1L -> "one two three four five six alpha",
+    2L -> "b1 b2 b3 b4 b5 filler",            // batch-internal dup with 3
+    3L -> "pre b1 b2 b3 b4 b5")
+  private val b2 = Seq(
+    10L -> "zero one two three four five six beta", // dup vs batch-1 doc 1
+    11L -> "u1 u2 u3 u4 u5 u6")                     // unique everywhere
+  private val b3 = Seq(
+    20L -> "one two three four five six gamma")     // dup vs the store
+
+  /** Arrival-time expectation: spans of the union of batches 1..N,
+    * restricted to batch N's documents. */
+  private def expectedAt(batches: Seq[(Long, String)]*) = {
+    val all = docs(batches.flatten: _*)
+    val lastIds = batches.last.map(_._1).toSet
+    collectSpans(Dedup.duplicateSpans(all)).filter(s => lastIds(s._1))
+  }
+
+  test("a three-batch stream flags each arrival against the store so far") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (logDir, flagsDir, ckpt) =
+      (tmp("spanlog"), tmp("spanflags"), tmp("spanckpt"))
+    val source = MemoryStream[(Long, String)]
+    val q = SpanDedupIngest.startSpanDedup(
+      source.toDF().toDF("doc_id", "text"), logDir, flagsDir, ckpt)
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      source.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = collectSpans(SpanDedupIngest.readFlags(spark, flagsDir))
+    val want = expectedAt(b1) ++ expectedAt(b1, b2) ++ expectedAt(b1, b2, b3)
+    assert(got === want)
+    // the loop's store now carries every batch's counts, one part each
+    val log = spark.read.option("basePath", logDir).parquet(logDir)
+    assert(log.select("batch").distinct().as[Long].collect().toSet === Set(0L, 1L, 2L))
+  }
+
+  test("a replayed batch converges: identical flags, no doubled counts") {
+    import spark.implicits._
+    val logDir = tmp("spanlog_rp")
+    SpanDedupIngest.ingestBatch(docs(b1: _*), logDir, batchId = 0L)
+    val first = collectSpans(
+      SpanDedupIngest.ingestBatch(docs(b2: _*), logDir, batchId = 1L))
+    val logAfterFirst = spark.read.option("basePath", logDir).parquet(logDir)
+      .as[(String, Long, Long)].collect().toSet
+    // crash-replay of batch 1: its counts are ALREADY in the log, yet the
+    // probe excludes its own partition, so the flags reproduce exactly and
+    // the overwrite leaves the log semantically unchanged
+    val replay = collectSpans(
+      SpanDedupIngest.ingestBatch(docs(b2: _*), logDir, batchId = 1L))
+    val logAfterReplay = spark.read.option("basePath", logDir).parquet(logDir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(replay === first)
+    assert(logAfterReplay === logAfterFirst)
+    assert(first === expectedAt(b1, b2))
+  }
+
+  test("offline fold preserves flag results and yields a resumable log") {
+    import spark.implicits._
+    val raw = tmp("spanlog_raw")
+    SpanDedupIngest.ingestBatch(docs(b1: _*), raw, batchId = 0L)
+    SpanDedupIngest.ingestBatch(docs(b2: _*), raw, batchId = 1L)
+    val folded = tmp("spanlog_folded")
+    SpanDedupIngest.foldLog(spark, raw, folded)
+    // folded log: one part, digest-summed, same totals
+    assert(spark.read.option("basePath", folded).parquet(folded)
+      .groupBy().sum("occ").as[Long].head() ===
+      spark.read.option("basePath", raw).parquet(raw)
+        .groupBy().sum("occ").as[Long].head())
+    // the next batch flags identically against raw and folded stores
+    val viaRaw = collectSpans(
+      SpanDedupIngest.ingestBatch(docs(b3: _*), raw, batchId = 7L))
+    val viaFolded = collectSpans(
+      SpanDedupIngest.ingestBatch(docs(b3: _*), folded, batchId = 7L))
+    assert(viaFolded === viaRaw)
+    assert(viaRaw === expectedAt(b1, b2, b3))
+  }
+}
