@@ -69,7 +69,17 @@ object SpanDedupBench {
       Dedup.duplicateSpansIncremental(batch, store).count())
     println(s"[spanbench] incremental spans=$nInc")
 
-    // 4. mixture resample: count pass + filtered scan
+    // 4. span-level decontamination: a benchmark-sized eval set (the sf0.1
+    // originals, ids < 5000 — replicas carry shifted ids) against the full
+    // corpus — eval digests broadcast, train streams gram → semi-join →
+    // merge with NO corpus-wide aggregation, so this prices cheaper than
+    // the full dedup pass
+    val evalSet = spark.read.parquet(s"$storePath.batch") // the materialized batch
+    val nCon = timed("contaminatedSpans (batch as eval set)")(
+      graft.operators.Dedup.contaminatedSpans(docs, evalSet, k = 8).count())
+    println(s"[spanbench] contaminated spans=$nCon")
+
+    // 5. mixture resample: count pass + filtered scan
     val kept = timed("mixtureResample")(
       Sampling.mixtureResample(docs, "doc_id", "source",
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)).count())
