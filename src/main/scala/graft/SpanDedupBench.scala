@@ -43,6 +43,13 @@ object SpanDedupBench {
     val reuse = sys.env.get("SPARK_GRAFT_SPAN_REUSE").contains("1") &&
       new java.io.File(s"$storePath/_SUCCESS").exists()
 
+    // the batch docs and the store/train corpus are DISJOINT — a store
+    // that contained the batch's own windows would flag every batch window
+    // trivially (occ_s >= 1 for all of them) and the leg would measure a
+    // degenerate max-flag workload, not the deployment semantics (the
+    // ingest loop excludes the batch's own counts for exactly this reason)
+    val corpus = docs.filter(col("doc_id") >= batchN)
+
     if (!reuse) {
       // 1. batch pass: full-corpus duplicated spans
       val nSpans = timed("full duplicateSpans")(
@@ -52,7 +59,7 @@ object SpanDedupBench {
       // 2. stored-counts build (one-time): written to parquet so the
       // incremental leg below scans real files, not a recomputed plan
       timed("spanGramCounts build+write")(
-        Dedup.spanGramCounts(docs).write.mode("overwrite").parquet(storePath))
+        Dedup.spanGramCounts(corpus).write.mode("overwrite").parquet(storePath))
     }
     val store = spark.read.parquet(storePath)
     println(s"[spanbench] store rows=${store.count()}")
@@ -69,14 +76,13 @@ object SpanDedupBench {
       Dedup.duplicateSpansIncremental(batch, store).count())
     println(s"[spanbench] incremental spans=$nInc")
 
-    // 4. span-level decontamination: a benchmark-sized eval set (the sf0.1
-    // originals, ids < 5000 — replicas carry shifted ids) against the full
-    // corpus — eval digests broadcast, train streams gram → semi-join →
-    // merge with NO corpus-wide aggregation, so this prices cheaper than
-    // the full dedup pass
-    val evalSet = spark.read.parquet(s"$storePath.batch") // the materialized batch
+    // 4. span-level decontamination: the batch docs as a benchmark-sized
+    // eval set against the DISJOINT corpus — eval digests broadcast, train
+    // streams gram → semi-join → merge with NO corpus-wide aggregation, so
+    // this prices cheaper than the full dedup pass (self-matches excluded:
+    // an eval set inside the train side would flag itself wall-to-wall)
     val nCon = timed("contaminatedSpans (batch as eval set)")(
-      graft.operators.Dedup.contaminatedSpans(docs, evalSet, k = 8).count())
+      Dedup.contaminatedSpans(corpus, batch, k = 8).count())
     println(s"[spanbench] contaminated spans=$nCon")
 
     // 5. mixture resample: count pass + filtered scan

@@ -1104,24 +1104,33 @@ object Dedup {
     * negligible; the 60-bit family that the MinHash oracle parity uses
     * would collide at billions of windows, so spans use the full digest —
     * same md5 in DuckDB, parity preserved). */
+  /** Compiled kernel for [[spanGrams]]: per document, the md5 hex of every
+    * k-token window, array index i ↔ token position i+1. Plain compiled
+    * Scala with the thread-local digest — the Column-tree alternative
+    * (transform + slice + md5 over a bound array) evaluates its lambda
+    * INTERPRETED per window, the same overhead
+    * [[Decontamination.overlapCounts]]'s kernel swap documented at ~30×
+    * the scan cost (and the naive un-bound-array form re-tokenizes per
+    * window on top, O(len²) per doc — both shapes measured and rejected
+    * here: 13 s naive, ~3 s bound-array, see SCALE.md round-16 for the
+    * kernel's numbers). */
+  private[graft] def spanDigestsScala(text: String, k: Int): Array[String] = {
+    val w = wordsScala(text)
+    if (w.length < k) Array.empty[String]
+    else Array.tabulate(w.length - k + 1) { i =>
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + k) { if (j > i) sb.append(' '); sb.append(w(j)); j += 1 }
+      ChunkOps.md5Hex(sb.toString)
+    }
+  }
+
   private def spanGrams(docs: DataFrame, k: Int, idCol: String,
                         textCol: String): DataFrame = {
-    // materialize the token array as an ATTRIBUTE before the window
-    // transform: inlining `words(text)` into the lambda would re-tokenize
-    // the document once per window — O(len²) per doc (measured 13 s → 3 s
-    // at sf0.1). The generator references the bound `w`, so the split runs
-    // once per row and every window slices the same array.
-    val toks = docs.select(col(idCol), words(col(textCol)).as("w"))
-    val w = col("w")
-    // sequence(1, n-k+1) must never see n < k: Spark infers step -1 when
-    // start > stop and would generate DESCENDING positions, not fail
-    val positions = when(size(w) >= k, sequence(lit(1), size(w) - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    toks
-      .select(col(idCol), explode(transform(positions,
-        p => struct(p.as("pos"),
-          md5(array_join(slice(w, p, lit(k)), " ")).as("h")))).as("g"))
-      .select(col(idCol), col("g.pos").as("pos"), col("g.h").as("h"))
+    val digests = udf((text: String) => spanDigestsScala(text, k))
+    docs
+      .select(col(idCol), posexplode(digests(col(textCol))).as(Seq("pos0", "h")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("h"))
   }
 
   /** Exact duplicated-substring spans — the suffix-array substring dedup of

@@ -38,9 +38,12 @@ object SpanDedupIngest {
   }
 
   /** The accumulated gram-count log, minus `excludeBatch`'s own partition
-    * (replay safety: a batch must never probe its own counts). */
+    * (replay safety: a batch must never probe its own counts). The default
+    * excludes nothing — the sentinel is MinValue, NOT -1, because -1 is
+    * the folded-history partition [[foldLog]] writes and a default that
+    * excluded it would silently hide the whole pre-fold corpus. */
   def readLog(spark: SparkSession, logDir: String,
-              excludeBatch: Long = -1L): DataFrame = {
+              excludeBatch: Long = Long.MinValue): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(logDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a dir with no batch= parts yet (first batch, or a pre-created empty
@@ -97,13 +100,29 @@ object SpanDedupIngest {
     spark.read.option("basePath", flagsDir).parquet(flagsDir)
       .drop("batch")
 
-  /** Offline fold: the log's parts summed per digest into `outDir` (one
-    * `batch=0` partition, so the folded dir IS a valid log to resume on).
-    * Run with the stream stopped, or write to a fresh dir and swap the
-    * loop's logDir — flag results are identical either way because the
+  /** Offline fold: the log's parts summed per digest into `outDir` as one
+    * `batch=-1` partition — NEGATIVE on purpose: streaming batch ids start
+    * at 0 again when a folded log is resumed with a FRESH checkpoint, so a
+    * folded part named `batch=0` would be (a) excluded from batch 0's own
+    * probe (the replay-exclusion filter would hide the whole history) and
+    * then (b) destroyed by batch 0's own-partition overwrite. No real
+    * batch id is ever negative, so the folded part is always probed and
+    * never overwritten. Must fold to a FRESH directory (rejected
+    * otherwise): folding in place would sum the parts it is lazily
+    * reading while leaving the originals beside the result — every count
+    * doubled. Run with the stream stopped, or swap the loop's logDir to
+    * the folded dir; flag results are identical either way because the
     * incremental kernel sums matched store rows per digest. */
-  def foldLog(spark: SparkSession, logDir: String, outDir: String): Unit =
+  def foldLog(spark: SparkSession, logDir: String, outDir: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(logDir)
+    val dst = new org.apache.hadoop.fs.Path(outDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(src) != fs.makeQualified(dst),
+      s"foldLog must write to a fresh directory, not fold '$logDir' in " +
+        "place — the unsummed parts would remain beside the folded one and " +
+        "every occurrence would count twice")
     readLog(spark, logDir)
       .groupBy(col("h")).agg(sum(col("occ")).as("occ"))
-      .write.mode("overwrite").parquet(s"$outDir/batch=0")
+      .write.mode("overwrite").parquet(s"$outDir/batch=-1")
+  }
 }

@@ -106,12 +106,26 @@ class SpanIngestSpec extends AnyFunSuite {
       .groupBy().sum("occ").as[Long].head() ===
       spark.read.option("basePath", raw).parquet(raw)
         .groupBy().sum("occ").as[Long].head())
-    // the next batch flags identically against raw and folded stores
+    // the next batch flags identically against raw and folded stores —
+    // and the folded leg uses batchId = 0, the FRESH-CHECKPOINT resume
+    // case: streaming ids restart at 0, so the folded part must be neither
+    // excluded by batch 0's own-id probe filter nor overwritten by its
+    // own-partition write (it lives at batch=-1)
     val viaRaw = collectSpans(
       SpanDedupIngest.ingestBatch(docs(b3: _*), raw, batchId = 7L))
     val viaFolded = collectSpans(
-      SpanDedupIngest.ingestBatch(docs(b3: _*), folded, batchId = 7L))
+      SpanDedupIngest.ingestBatch(docs(b3: _*), folded, batchId = 0L))
     assert(viaFolded === viaRaw)
     assert(viaRaw === expectedAt(b1, b2, b3))
+    // the folded history survived batch 0's own-partition overwrite
+    assert(spark.read.option("basePath", folded).parquet(folded)
+      .filter($"batch" === -1L).count() > 0)
+  }
+
+  test("foldLog refuses to fold a log in place") {
+    val raw = tmp("spanlog_inplace")
+    SpanDedupIngest.ingestBatch(docs(b1: _*), raw, batchId = 0L)
+    intercept[IllegalArgumentException](
+      SpanDedupIngest.foldLog(spark, raw, raw))
   }
 }
