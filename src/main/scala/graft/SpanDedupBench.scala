@@ -38,8 +38,14 @@ object SpanDedupBench {
     println(s"[spanbench] corpus $dir: $nDocs docs, batch=$batchN")
 
     // adopt a completed store build from disk (the DecadeBench resume
-    // discipline) so the incremental leg can be re-measured cheaply
-    val storePath = s"/tmp/graft_span_store_${new java.io.File(dir).getName}"
+    // discipline) so the incremental leg can be re-measured cheaply. The
+    // path encodes batchN: the store is built DISJOINT from the batch ids,
+    // so a store built for one batchN must never be reused for another —
+    // ids inside the new batch range would sit in the stale store and
+    // every their window would trivially reach minOcc (the degenerate
+    // max-flag workload the disjointness exists to avoid)
+    val storePath =
+      s"/tmp/graft_span_store_${new java.io.File(dir).getName}_b$batchN"
     val reuse = sys.env.get("SPARK_GRAFT_SPAN_REUSE").contains("1") &&
       new java.io.File(s"$storePath/_SUCCESS").exists()
 

@@ -66,10 +66,15 @@ object SpanDedupIngest {
                   k: Int = 5, minOcc: Int = 2,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = batch.sparkSession
+    // materialize the batch ONCE: a foreachBatch frame re-reads its source
+    // per action, and this method takes three (the flag kernel's two gram
+    // evaluations and the counts write) — micro-batch-scale by contract,
+    // so the checkpoint is cheap and the source scan happens exactly once
+    val src = batch.localCheckpoint(true)
     val store = readLog(spark, logDir, excludeBatch = batchId)
-    val flags = Dedup.duplicateSpansIncremental(batch, store, k, minOcc,
+    val flags = Dedup.duplicateSpansIncremental(src, store, k, minOcc,
       idCol, textCol).localCheckpoint(true)
-    Dedup.spanGramCounts(batch, k, idCol, textCol)
+    Dedup.spanGramCounts(src, k, idCol, textCol)
       .write.mode("overwrite").parquet(s"$logDir/batch=$batchId")
     flags
   }
@@ -95,10 +100,23 @@ object SpanDedupIngest {
       }
       .start()
 
-  /** All flags the loop has emitted so far. */
-  def readFlags(spark: SparkSession, flagsDir: String): DataFrame =
-    spark.read.option("basePath", flagsDir).parquet(flagsDir)
-      .drop("batch")
+  /** All flags the loop has emitted so far; empty (with the loop's output
+    * schema) before the first non-empty batch commits — same guard as
+    * [[readLog]], a just-started stream must not throw on its own sink. */
+  def readFlags(spark: SparkSession, flagsDir: String,
+                idCol: String = "doc_id"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(flagsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasParts = fs.exists(p) &&
+      fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (!hasParts) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, LongType),
+          StructField("span_start", LongType), StructField("span_end", LongType))))
+    } else
+      spark.read.option("basePath", flagsDir).parquet(flagsDir).drop("batch")
+  }
 
   /** Offline fold: the log's parts summed per digest into `outDir` as one
     * `batch=-1` partition — NEGATIVE on purpose: streaming batch ids start
@@ -117,10 +135,14 @@ object SpanDedupIngest {
     val src = new org.apache.hadoop.fs.Path(logDir)
     val dst = new org.apache.hadoop.fs.Path(outDir)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.makeQualified(src) != fs.makeQualified(dst),
-      s"foldLog must write to a fresh directory, not fold '$logDir' in " +
-        "place — the unsummed parts would remain beside the folded one and " +
-        "every occurrence would count twice")
+    val (srcQ, dstQ) = (fs.makeQualified(src).toString, fs.makeQualified(dst).toString)
+    // reject identity AND nesting either way: a fold landing INSIDE the
+    // live log (or enclosing it) corrupts the log's partition discovery
+    // for every subsequent reader, not just double-counts
+    require(srcQ != dstQ && !dstQ.startsWith(srcQ + "/") && !srcQ.startsWith(dstQ + "/"),
+      s"foldLog must write to a fresh directory disjoint from the log — " +
+        s"got log '$logDir' and out '$outDir' (in-place or nested folds " +
+        "leave unsummed parts beside or inside the folded result)")
     readLog(spark, logDir)
       .groupBy(col("h")).agg(sum(col("occ")).as("occ"))
       .write.mode("overwrite").parquet(s"$outDir/batch=-1")

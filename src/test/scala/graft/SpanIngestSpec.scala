@@ -122,10 +122,21 @@ class SpanIngestSpec extends AnyFunSuite {
       .filter($"batch" === -1L).count() > 0)
   }
 
-  test("foldLog refuses to fold a log in place") {
+  test("foldLog refuses in-place and nested folds") {
     val raw = tmp("spanlog_inplace")
     SpanDedupIngest.ingestBatch(docs(b1: _*), raw, batchId = 0L)
     intercept[IllegalArgumentException](
       SpanDedupIngest.foldLog(spark, raw, raw))
+    // nested either way corrupts partition discovery, not just counts
+    intercept[IllegalArgumentException](
+      SpanDedupIngest.foldLog(spark, raw, s"$raw/compacted"))
+    intercept[IllegalArgumentException](
+      SpanDedupIngest.foldLog(spark, raw, new java.io.File(raw).getParent))
+  }
+
+  test("readFlags on a not-yet-written sink returns empty, not a throw") {
+    val flagsDir = tmp("spanflags_empty")
+    assert(SpanDedupIngest.readFlags(spark, flagsDir).count() === 0L)
+    assert(SpanDedupIngest.readFlags(spark, s"$flagsDir/never_created").count() === 0L)
   }
 }
