@@ -311,4 +311,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(_w"),
       s"expected the explicit constant partition key in the Exchange:\n$p")
   }
+
+  // --- span-dedup ingest path: the stored count table never shuffles --------
+
+  test("duplicateSpansIncremental probes the store scan-in-place: a " +
+       "broadcast LeftSemi with NO shuffle anywhere on the store side") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    // the registered query's store is a derived frame; build the REAL shape
+    // (a parquet-backed count table) so the plan matches deployment
+    val docs = graft.Tables.documents(spark, dir)
+    val storeDir = "/tmp/graft_test_span_store"
+    graft.operators.Dedup.spanGramCounts(docs.filter(col("doc_id") >= 50))
+      .write.mode("overwrite").parquet(storeDir)
+    val plan = graft.operators.Dedup.duplicateSpansIncremental(
+        docs.filter(col("doc_id") < 50), spark.read.parquet(storeDir))
+      .queryExecution.sparkPlan
+    // the N44-analog claim: per-batch cost is one narrow store scan IN
+    // PLACE — the store streams into a broadcast semi join (batch digests
+    // are the build side) and no ShuffleExchange sits between the store
+    // files and that join; the only digest-keyed exchanges in the plan
+    // carry batch-sized data (the batch's own counts, the semi-shrunk sum)
+    def containsStoreScan(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect { case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(
+            "graft_test_span_store")) => s }.nonEmpty
+    val storeSemi = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == LeftSemi && containsStoreScan(j.left) => j
+    }
+    assert(storeSemi.nonEmpty,
+      s"expected the store probed by a broadcast LeftSemi:\n$plan")
+    val shuffles = storeSemi.head.left.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"no shuffle may sit between the store scan and its semi join, " +
+        s"found: $shuffles\n$plan")
+  }
 }
