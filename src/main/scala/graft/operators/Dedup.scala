@@ -1218,7 +1218,13 @@ object Dedup {
                                 textCol: String = "text"): DataFrame = {
     require(k >= 2, s"window must be at least 2 tokens, got $k")
     require(minOcc >= 2, s"minOcc must be at least 2, got $minOcc")
-    val grams = spanGrams(newDocs, k, idCol, textCol)
+    // the plan references the batch grams three times (broadcast digest
+    // set, batch-count join, final semi join) — materialize them ONCE so
+    // the tokenize+md5 kernel runs once per batch, not three times, even
+    // for callers that hand in a non-materialized batch (the registered
+    // query does). Batch-scale by the micro-batch contract, so the eager
+    // checkpoint is cheap.
+    val grams = spanGrams(newDocs, k, idCol, textCol).localCheckpoint(true)
     val batchCounts = grams.groupBy(col("h")).agg(count(lit(1)).as("occ_b"))
     val stored = storedCounts
       .join(broadcast(batchCounts.select(col("h"))), Seq("h"), "left_semi")
@@ -1283,8 +1289,11 @@ object Dedup {
     * composes with the upsert surface. A document covered wall-to-wall
     * scrubs to the empty string (an explicit row, not a vanished one — the
     * caller decides whether an emptied doc survives). The span table is
-    * per-doc bounded, so the token filter is a codegen'd lambda over two
-    * bounded arrays. `spans` must carry (idCol, span_start, span_end) —
+    * per-doc bounded, so the token filter — array higher-order functions,
+    * which Spark evaluates INTERPRETED per element — runs over two
+    * per-doc-bounded arrays, where that overhead is acceptable (unlike
+    * the per-window gram kernel above, which is compiled for exactly that
+    * reason). `spans` must carry (idCol, span_start, span_end) —
     * [[duplicateSpans]] or [[contaminatedSpans]] output. */
   def scrubSpans(docs: DataFrame, spans: DataFrame,
                  idCol: String = "doc_id",

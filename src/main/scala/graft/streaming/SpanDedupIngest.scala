@@ -66,10 +66,13 @@ object SpanDedupIngest {
                   k: Int = 5, minOcc: Int = 2,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = batch.sparkSession
-    // materialize the batch ONCE: a foreachBatch frame re-reads its source
-    // per action, and this method takes three (the flag kernel's two gram
-    // evaluations and the counts write) — micro-batch-scale by contract,
-    // so the checkpoint is cheap and the source scan happens exactly once
+    // materialize the batch before fanning out: a foreachBatch frame
+    // re-reads its source per action, and this method takes several (gram
+    // evaluation and the counts write) — micro-batch-scale by contract, so
+    // the checkpoint is cheap. [[startSpanDedup]] checkpoints BEFORE its
+    // emptiness guard and hands the materialized frame here, so the
+    // source scans once per batch; for an already-checkpointed input this
+    // second checkpoint is one in-memory copy of a micro-batch.
     val src = batch.localCheckpoint(true)
     val store = readLog(spark, logDir, excludeBatch = batchId)
     val flags = Dedup.duplicateSpansIncremental(src, store, k, minOcc,
@@ -90,10 +93,13 @@ object SpanDedupIngest {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        // materialize ONCE, before the emptiness guard — isEmpty on the
+        // raw foreachBatch frame would itself be a (partial) source scan
+        val src = b.localCheckpoint(true)
         // empty micro-batches (trigger fired, nothing arrived) must not
         // leave schema-less partition dirs in either sink
-        if (!b.isEmpty) {
-          val flags = ingestBatch(b, logDir, id, k, minOcc, idCol, textCol)
+        if (!src.isEmpty) {
+          val flags = ingestBatch(src, logDir, id, k, minOcc, idCol, textCol)
           flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$id")
         }
         ()
@@ -102,9 +108,14 @@ object SpanDedupIngest {
 
   /** All flags the loop has emitted so far; empty (with the loop's output
     * schema) before the first non-empty batch commits — same guard as
-    * [[readLog]], a just-started stream must not throw on its own sink. */
+    * [[readLog]], a just-started stream must not throw on its own sink.
+    * `idType` must match the source's id column (the span family supports
+    * string ids too — a hardcoded LongType here would hand a string-id
+    * pipeline an un-unionable empty frame before its first commit). */
   def readFlags(spark: SparkSession, flagsDir: String,
-                idCol: String = "doc_id"): DataFrame = {
+                idCol: String = "doc_id",
+                idType: org.apache.spark.sql.types.DataType =
+                  org.apache.spark.sql.types.LongType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(flagsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasParts = fs.exists(p) &&
@@ -112,7 +123,7 @@ object SpanDedupIngest {
     if (!hasParts) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField(idCol, LongType),
+        StructType(Seq(StructField(idCol, idType),
           StructField("span_start", LongType), StructField("span_end", LongType))))
     } else
       spark.read.option("basePath", flagsDir).parquet(flagsDir).drop("batch")

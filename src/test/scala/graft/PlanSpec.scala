@@ -324,7 +324,9 @@ class PlanSpec extends AnyFunSuite {
     // the registered query's store is a derived frame; build the REAL shape
     // (a parquet-backed count table) so the plan matches deployment
     val docs = graft.Tables.documents(spark, dir)
-    val storeDir = "/tmp/graft_test_span_store"
+    // per-run temp dir (concurrent suites on one machine must not race)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_span_store_plan").toString
     graft.operators.Dedup.spanGramCounts(docs.filter(col("doc_id") >= 50))
       .write.mode("overwrite").parquet(storeDir)
     val plan = graft.operators.Dedup.duplicateSpansIncremental(
@@ -338,7 +340,7 @@ class PlanSpec extends AnyFunSuite {
     def containsStoreScan(p: org.apache.spark.sql.execution.SparkPlan) =
       p.collect { case s: FileSourceScanExec
           if s.relation.location.rootPaths.exists(_.toString.contains(
-            "graft_test_span_store")) => s }.nonEmpty
+            "graft_span_store_plan")) => s }.nonEmpty
     val storeSemi = plan.collect {
       case j: BroadcastHashJoinExec
         if j.joinType == LeftSemi && containsStoreScan(j.left) => j
