@@ -24,9 +24,12 @@ import graft.operators.Dedup
   *    pre-batch store and reproduces the same flags;
   *  - the flags sink uses the same per-batch overwrite.
   *
-  * [[foldLog]] is OFFLINE maintenance (stream stopped, or output swapped in
-  * by the caller): it writes the digest-summed log to a fresh directory —
-  * flag results against the folded store are identical by
+  * Maintenance: without it the log grows one part per micro-batch forever
+  * and probe cost degrades with file count — the exact failure mode table
+  * compaction exists for. [[foldLogInLoop]] closes it for a RUNNING loop
+  * (generation-swap, crash-safe, called by the loops on their maintenance
+  * cadence); [[foldLog]] is the offline form (stream stopped, fresh output
+  * directory). Flag results against a folded store are identical by
   * [[Dedup.duplicateSpansIncremental]]'s summed-threshold contract
   * (spec-pinned). */
 object SpanDedupIngest {
@@ -37,21 +40,64 @@ object SpanDedupIngest {
       StructType(Seq(StructField("h", StringType), StructField("occ", LongType))))
   }
 
+  // ------------------------------------------------ generational layout
+  //
+  // The in-loop fold ([[foldLogInLoop]]) needs a crash-safe swap: the log
+  // lives in GENERATION subdirectories `logDir/g<N>/batch=*`, and the
+  // current generation is RESOLVED FROM DISK — the highest g<N> whose
+  // `batch=-1` folded part committed (`_SUCCESS`) — never from a pointer
+  // file a crash could leave stale. A log that has never folded in-loop
+  // keeps the legacy flat layout (parts directly under logDir), so every
+  // pre-existing log, spec fixture, and [[foldLog]] output reads
+  // unchanged; the first in-loop fold migrates it. A crash mid-fold
+  // leaves either an unreadable half-written g<N+1> (ignored: no
+  // committed batch=-1) or a complete one beside the stale g<N>
+  // (resolution picks the newer, the stale dir is swept by the next
+  // fold) — at no point is the log's total count wrong.
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (generation number, parts directory) for the log's CURRENT
+    * generation; generation -1 = the legacy flat layout (logDir itself). */
+  private def currentGen(spark: SparkSession, logDir: String): (Int, String) = {
+    val fs = hadoopFs(spark, logDir)
+    val root = new org.apache.hadoop.fs.Path(logDir)
+    if (!fs.exists(root)) return (-1, logDir)
+    val gens = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("g\\d+"))
+      .map(_.getPath.getName.drop(1).toInt)
+      // a generation is LIVE only once its folded history committed — a
+      // half-written fold output must never be mistaken for the log
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$logDir/g$g/batch=-1/_SUCCESS")))
+    if (gens.isEmpty) (-1, logDir) else {
+      val g = gens.max; (g, s"$logDir/g$g")
+    }
+  }
+
+  /** The directory the log's `batch=*` parts live in right now. */
+  def partsDir(spark: SparkSession, logDir: String): String =
+    currentGen(spark, logDir)._2
+
   /** The accumulated gram-count log, minus `excludeBatch`'s own partition
     * (replay safety: a batch must never probe its own counts). The default
     * excludes nothing — the sentinel is MinValue, NOT -1, because -1 is
-    * the folded-history partition [[foldLog]] writes and a default that
-    * excluded it would silently hide the whole pre-fold corpus. */
+    * the folded-history partition [[foldLog]]/[[foldLogInLoop]] write and
+    * a default that excluded it would silently hide the whole pre-fold
+    * corpus. */
   def readLog(spark: SparkSession, logDir: String,
               excludeBatch: Long = Long.MinValue): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(logDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = partsDir(spark, logDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(spark, dir)
     // a dir with no batch= parts yet (first batch, or a pre-created empty
     // dir) has no schema to infer — it IS the empty log
     val hasParts = fs.exists(p) &&
       fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
     if (!hasParts) emptyCounts(spark)
-    else spark.read.option("basePath", logDir).parquet(logDir)
+    else spark.read.option("basePath", dir).parquet(dir)
       .filter(col("batch") =!= excludeBatch)
       .select(col("h"), col("occ"))
   }
@@ -78,18 +124,25 @@ object SpanDedupIngest {
     val flags = Dedup.duplicateSpansIncremental(src, store, k, minOcc,
       idCol, textCol).localCheckpoint(true)
     Dedup.spanGramCounts(src, k, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$logDir/batch=$batchId")
+      .write.mode("overwrite").parquet(s"${partsDir(spark, logDir)}/batch=$batchId")
     flags
   }
 
   /** The running loop: `docs` (a streaming frame with idCol + textCol) →
     * per-batch flags appended under `flagsDir/batch=<id>`, counts log under
     * `logDir`. Both sinks are per-batch-overwrite, so a replayed batch
-    * converges to the identical state. */
+    * converges to the identical state. `foldEvery = N` makes the loop
+    * self-maintaining: after every N non-empty batches the count log is
+    * folded in place ([[foldLogInLoop]], at the START of the next batch —
+    * the only point where every foldable part is checkpoint-committed), so
+    * probe cost stays one-part-plus-recent instead of one part per
+    * micro-batch forever. */
   def startSpanDedup(docs: DataFrame, logDir: String, flagsDir: String,
                      checkpoint: String, k: Int = 5, minOcc: Int = 2,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): StreamingQuery =
+                     textCol: String = "text",
+                     foldEvery: Int = 0): StreamingQuery = {
+    var sinceFold = 0
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -99,12 +152,18 @@ object SpanDedupIngest {
         // empty micro-batches (trigger fired, nothing arrived) must not
         // leave schema-less partition dirs in either sink
         if (!src.isEmpty) {
+          if (foldEvery > 0 && sinceFold >= foldEvery) {
+            foldLogInLoop(src.sparkSession, logDir, belowBatch = id)
+            sinceFold = 0
+          }
           val flags = ingestBatch(src, logDir, id, k, minOcc, idCol, textCol)
           flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$id")
+          sinceFold += 1
         }
         ()
       }
       .start()
+  }
 
   /** All flags the loop has emitted so far; empty (with the loop's output
     * schema) before the first non-empty batch commits — same guard as
@@ -157,5 +216,60 @@ object SpanDedupIngest {
     readLog(spark, logDir)
       .groupBy(col("h")).agg(sum(col("occ")).as("occ"))
       .write.mode("overwrite").parquet(s"$outDir/batch=-1")
+  }
+
+  /** Fold the log IN PLACE, crash-safely — the RUNNING loop's maintenance
+    * form of [[foldLog]] (which requires a stopped stream and a fresh
+    * directory). Every part with batch id below `belowBatch` (plus any
+    * previous `batch=-1` history) is digest-summed into one part in a
+    * fresh generation directory (`logDir/g<N+1>/batch=-1`); once that
+    * write COMMITS, generation resolution flips to it and the superseded
+    * generation is swept. Flag results are identical before and after by
+    * the summed-threshold contract, and probe cost drops back to one part
+    * instead of one-per-micro-batch — the exact growth mode table
+    * compaction exists for, closed for the span log.
+    *
+    * MUST run at the START of processing batch `belowBatch`, before that
+    * batch's own counts land (the doc/span loops call it there): every
+    * part below that id belongs to a checkpoint-COMMITTED batch, so
+    * folding it can never race a replay, and a partial part left by a
+    * crashed attempt of the current batch is deliberately dropped — the
+    * probe excludes the current batch id anyway and its replay rewrites
+    * the part in the new generation. Crash anywhere inside this method
+    * and the log stays correct: a half-written fold output has no
+    * committed `batch=-1` and is invisible to resolution (swept later); a
+    * completed one beside a stale generation resolves by recency.
+    *
+    * Offline callers (stream stopped) may omit `belowBatch` to fold
+    * everything in place. Returns true when a fold ran (false = nothing
+    * worth folding: the history is already one part). */
+  def foldLogInLoop(spark: SparkSession, logDir: String,
+                    belowBatch: Long = Long.MaxValue): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = hadoopFs(spark, logDir)
+    val (g, cur) = currentGen(spark, logDir)
+    val curPath = new Path(cur)
+    if (!fs.exists(curPath)) return false
+    val parts = fs.listStatus(curPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
+    val foldable = parts.filter(_._1 < belowBatch)
+    if (foldable.size <= 1) return false
+    val next = g + 1 // legacy flat layout (-1) migrates to g0
+    spark.read.parquet(foldable.map(_._2.toString): _*)
+      .groupBy(col("h")).agg(sum(col("occ")).as("occ"))
+      .write.mode("overwrite").parquet(s"$logDir/g$next/batch=-1")
+    // the commit above made g<next> current; sweep everything it
+    // superseded — stale generations, legacy flat parts, and any
+    // crashed-attempt part of the current batch (its replay rewrites it
+    // in the new generation). Best-effort: a dir that survives a failed
+    // delete is ignored by resolution and retried by the next fold.
+    fs.listStatus(new Path(logDir)).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory &&
+          (n.startsWith("batch=") || (n.matches("g\\d+") && n != s"g$next")))
+        try fs.delete(s.getPath, true) catch { case _: java.io.IOException => () }
+    }
+    true
   }
 }

@@ -261,6 +261,43 @@ object StreamingIngest {
     }
   }
 
+  /** [[ingestDocBatch]] plus SUBSTRING-SPAN maintenance for one batch —
+    * the composition [[startDocs]] runs when span dedup is enabled, shared
+    * so the batch-parity path in specs exercises the identical dataflow.
+    * The arriving documents are materialized ONCE and feed both
+    * granularities: chunk-level ingest (exact dedup + near-dup flags into
+    * the IVF store) and document-level span flags against the accumulated
+    * gram-count log ([[SpanDedupIngest.ingestBatch]] — probe excludes the
+    * batch's own partition, so a checkpoint replay reproduces identical
+    * flags). Span flags land under `spanFlagsDir/batch=<id>` with the same
+    * per-batch-overwrite idempotence as every other sink in the loop.
+    * Returns (duplicate chunks dropped, chunks appended, span-flag rows). */
+  def ingestDocBatchWithSpans(docs: DataFrame, dir: String, nlist: Int,
+                              spanLogDir: String, spanFlagsDir: String,
+                              batchId: Long,
+                              qualityThreshold: Double = 0.0,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              trained: Boolean = false,
+                              flagNearDups: Boolean = true,
+                              flagMinCosine: Double = 0.9,
+                              flagNprobe: Int = 2,
+                              pqM: Int = 0, pqKsub: Int = 32,
+                              spanK: Int = 5,
+                              spanMinOcc: Int = 2): (Long, Long, Long) = {
+    require(spanLogDir.nonEmpty && spanFlagsDir.nonEmpty,
+      "span maintenance needs both a count-log dir and a flags dir")
+    require(batchId >= 0,
+      s"batch ids are non-negative (got $batchId) — negative ids are " +
+        "reserved for the log's folded-history partition")
+    val src = docs.localCheckpoint(true)
+    val (dropped, appended) = ingestDocBatch(src, dir, nlist, qualityThreshold,
+      idCol, textCol, trained, flagNearDups, flagMinCosine, flagNprobe, pqM, pqKsub)
+    val flags = SpanDedupIngest.ingestBatch(src, spanLogDir, batchId,
+      spanK, spanMinOcc, idCol, textCol)
+    flags.write.mode("overwrite").parquet(s"$spanFlagsDir/batch=$batchId")
+    (dropped, appended, flags.count())
+  }
+
   /** One edit micro-batch's outcome, surfaced through `onBatch`. */
   case class EditReport(batchId: Long, edits: Long, upsertedDocs: Long,
                         deletedDocs: Long, removedChunks: Long,
@@ -405,7 +442,18 @@ object StreamingIngest {
     * against the store, so a restart from `checkpoint` appends nothing
     * twice (the md5 identity makes the loop idempotent). `pqM > 0` keeps a
     * materialized IVFADC code table in step with every append and folds it
-    * into the `compactEvery` cadence (see [[ingestDocBatch]]). */
+    * into the `compactEvery` cadence (see [[ingestDocBatch]]).
+    *
+    * `spanLogDir`/`spanFlagsDir` (set together) add the engine's SECOND
+    * dedup granularity to the same arrival stream: each batch is flagged
+    * for duplicated substring spans against the accumulated gram-count log
+    * and contributes its own counts ([[ingestDocBatchWithSpans]]) — one
+    * stream maintains both the chunk-level near-dup signal and the
+    * document-level span signal. The count log is folded IN PLACE on the
+    * `compactEvery` cadence ([[SpanDedupIngest.foldLogInLoop]], run at the
+    * START of the next batch — the only point where every foldable part is
+    * checkpoint-committed), so its file count stays bounded exactly like
+    * the chunk store's. */
   def startDocs(docs: DataFrame, dir: String, checkpoint: String, nlist: Int,
                 qualityThreshold: Double = 0.0,
                 idCol: String = "doc_id", textCol: String = "text",
@@ -415,18 +463,43 @@ object StreamingIngest {
                 flagNprobe: Int = 2,
                 pqM: Int = 0, pqKsub: Int = 32,
                 splitCellsOver: Long = 0L,
+                spanLogDir: String = "", spanFlagsDir: String = "",
+                spanK: Int = 5, spanMinOcc: Int = 2,
                 onBatch: BatchReport => Unit = _ => (),
                 onAdvice: graft.Reindex.Advice => Unit = _ => ()): StreamingQuery = {
+    val spanEnabled = spanLogDir.nonEmpty || spanFlagsDir.nonEmpty
+    if (spanEnabled) require(spanLogDir.nonEmpty && spanFlagsDir.nonEmpty,
+      "span maintenance needs both spanLogDir and spanFlagsDir")
     var sinceCompact = 0
+    var sinceFold = 0
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val t0 = System.nanoTime()
-        val arrived = batch.count()
+        // with span maintenance on, the batch feeds two consumers —
+        // materialize once so the source scans once
+        val src = if (spanEnabled) batch.toDF().localCheckpoint(true)
+                  else batch.toDF()
+        val arrived = src.count()
         if (arrived > 0) {
+          // span-log fold runs BEFORE this batch's own counts land (see
+          // foldLogInLoop: everything below the current id is committed)
+          if (spanEnabled && compactEvery > 0 && sinceFold >= compactEvery) {
+            SpanDedupIngest.foldLogInLoop(src.sparkSession, spanLogDir,
+              belowBatch = batchId)
+            sinceFold = 0
+          }
           val (dropped, appended) =
-            ingestDocBatch(batch.toDF(), dir, nlist, qualityThreshold, idCol, textCol,
-              trained, flagNearDups, flagMinCosine, flagNprobe, pqM, pqKsub)
+            if (spanEnabled) {
+              val (d, a, _) = ingestDocBatchWithSpans(src, dir, nlist,
+                spanLogDir, spanFlagsDir, batchId, qualityThreshold, idCol,
+                textCol, trained, flagNearDups, flagMinCosine, flagNprobe,
+                pqM, pqKsub, spanK, spanMinOcc)
+              sinceFold += 1
+              (d, a)
+            } else
+              ingestDocBatch(src, dir, nlist, qualityThreshold, idCol, textCol,
+                trained, flagNearDups, flagMinCosine, flagNprobe, pqM, pqKsub)
           sinceCompact += 1
           if (compactEvery > 0 && sinceCompact >= compactEvery) {
             // one leased block per cadence: the generation resolved inside

@@ -134,6 +134,88 @@ class SpanIngestSpec extends AnyFunSuite {
       SpanDedupIngest.foldLog(spark, raw, new java.io.File(raw).getParent))
   }
 
+  test("foldLogInLoop folds committed parts in place: totals, flags, layout") {
+    import spark.implicits._
+    val logDir = tmp("spanlog_inloop")
+    SpanDedupIngest.ingestBatch(docs(b1: _*), logDir, batchId = 0L)
+    SpanDedupIngest.ingestBatch(docs(b2: _*), logDir, batchId = 1L)
+    val totalBefore = SpanDedupIngest.readLog(spark, logDir)
+      .groupBy().sum("occ").as[Long].head()
+    // fold at the start of batch 2: both committed parts collapse into the
+    // first generation's folded-history part
+    assert(SpanDedupIngest.foldLogInLoop(spark, logDir, belowBatch = 2L))
+    assert(SpanDedupIngest.partsDir(spark, logDir) === s"$logDir/g0")
+    assert(spark.read.option("basePath", s"$logDir/g0").parquet(s"$logDir/g0")
+      .select("batch").distinct().as[Long].collect().toSet === Set(-1L))
+    assert(SpanDedupIngest.readLog(spark, logDir)
+      .groupBy().sum("occ").as[Long].head() === totalBefore)
+    // superseded flat parts are swept
+    assert(!new java.io.File(s"$logDir/batch=0").exists())
+    // the next batch probes the folded history identically; its part lands
+    // in the live generation
+    val flags = collectSpans(
+      SpanDedupIngest.ingestBatch(docs(b3: _*), logDir, batchId = 2L))
+    assert(flags === expectedAt(b1, b2, b3))
+    assert(new java.io.File(s"$logDir/g0/batch=2").exists())
+    // a second fold advances the generation and sweeps the previous one
+    val totalAll = SpanDedupIngest.readLog(spark, logDir)
+      .groupBy().sum("occ").as[Long].head()
+    assert(SpanDedupIngest.foldLogInLoop(spark, logDir, belowBatch = 3L))
+    assert(SpanDedupIngest.partsDir(spark, logDir) === s"$logDir/g1")
+    assert(!new java.io.File(s"$logDir/g0").exists())
+    assert(SpanDedupIngest.readLog(spark, logDir)
+      .groupBy().sum("occ").as[Long].head() === totalAll)
+  }
+
+  test("foldLogInLoop drops an uncommitted attempt's part; the replay converges") {
+    import spark.implicits._
+    val logDir = tmp("spanlog_crashfold")
+    SpanDedupIngest.ingestBatch(docs(b1: _*), logDir, batchId = 0L)
+    // a single committed part is already as folded as it gets
+    assert(!SpanDedupIngest.foldLogInLoop(spark, logDir, belowBatch = 1L))
+    SpanDedupIngest.ingestBatch(docs(b2: _*), logDir, batchId = 1L)
+    // batch 2 lands its counts, then CRASHES before its checkpoint commits
+    SpanDedupIngest.ingestBatch(docs(b3: _*), logDir, batchId = 2L)
+    // restart: the fold at the start of batch 2's REPLAY folds only the
+    // committed parts (0, 1) and drops the crashed attempt's part
+    assert(SpanDedupIngest.foldLogInLoop(spark, logDir, belowBatch = 2L))
+    val committed = SpanDedupIngest.readLog(spark, logDir)
+      .groupBy().sum("occ").as[Long].head()
+    assert(committed ===
+      graft.operators.Dedup.spanGramCounts(docs(b1 ++ b2: _*))
+        .groupBy().sum("occ").as[Long].head())
+    // the replay reproduces batch 2's flags exactly and lands its part once
+    val replay = collectSpans(
+      SpanDedupIngest.ingestBatch(docs(b3: _*), logDir, batchId = 2L))
+    assert(replay === expectedAt(b1, b2, b3))
+    assert(SpanDedupIngest.readLog(spark, logDir)
+      .groupBy().sum("occ").as[Long].head() ===
+      graft.operators.Dedup.spanGramCounts(docs(b1 ++ b2 ++ b3: _*))
+        .groupBy().sum("occ").as[Long].head())
+  }
+
+  test("streamed loop with foldEvery folds mid-stream and flags unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (logDir, flagsDir, ckpt) =
+      (tmp("spanlog_fe"), tmp("spanflags_fe"), tmp("spanckpt_fe"))
+    val source = MemoryStream[(Long, String)]
+    val q = SpanDedupIngest.startSpanDedup(
+      source.toDF().toDF("doc_id", "text"), logDir, flagsDir, ckpt,
+      foldEvery = 2)
+    try {
+      source.addData(b1: _*); q.processAllAvailable()
+      source.addData(b2: _*); q.processAllAvailable()
+      source.addData(b3: _*); q.processAllAvailable() // fold fires first here
+    } finally q.stop()
+    val got = collectSpans(SpanDedupIngest.readFlags(spark, flagsDir))
+    assert(got === expectedAt(b1) ++ expectedAt(b1, b2) ++ expectedAt(b1, b2, b3))
+    // batches 0+1 folded into g0/batch=-1; batch 2 landed beside it
+    assert(SpanDedupIngest.partsDir(spark, logDir) === s"$logDir/g0")
+    assert(spark.read.option("basePath", s"$logDir/g0").parquet(s"$logDir/g0")
+      .select("batch").distinct().as[Long].collect().toSet === Set(-1L, 2L))
+  }
+
   test("readFlags on a not-yet-written sink returns empty, not a throw") {
     val flagsDir = tmp("spanflags_empty")
     assert(SpanDedupIngest.readFlags(spark, flagsDir).count() === 0L)

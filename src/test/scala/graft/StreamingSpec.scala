@@ -726,6 +726,87 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $centName")
   }
 
+  test("doc loop maintains span flags alongside near-dup flags; the gram log folds in place on the cadence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val nlist = 37 // isolated store/centroid tables
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+    // planted span structure across batches: 910011 duplicates a batch-0
+    // run at arrival, 910021 flags against the store, 910031 flags against
+    // counts that by then live ONLY in the folded batch=-1 part
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(910001L -> "alpha beta gamma delta epsilon zeta shared run one",
+          910002L -> "noise n1 n2 n3 n4 n5"),
+      Seq(910011L -> "prefix alpha beta gamma delta epsilon zeta suffix",
+          910012L -> "unique u1 u2 u3 u4 u5 u6"),
+      Seq(910021L -> "tail alpha beta gamma delta epsilon zeta"),
+      Seq(910031L -> "noise n1 n2 n3 n4 n5 coda"))
+
+    // arrival-time truth: full-corpus spans over batches 0..n, restricted
+    // to batch n's documents — the equivalence the incremental kernel pins
+    def expectedAt(n: Int): Set[(Long, Long, Long)] = {
+      val ids = batches(n).map(_._1).toSet
+      graft.operators.Dedup.duplicateSpans(
+          batches.take(n + 1).flatten.toDF("doc_id", "text"))
+        .as[(Long, Long, Long)].collect().toSet.filter(s => ids(s._1))
+    }
+    val want = batches.indices.map(expectedAt).reduce(_ ++ _)
+    assert(want.exists(_._1 == 910011L) && want.exists(_._1 == 910021L) &&
+      want.exists(_._1 == 910031L), s"planted dups must flag: $want")
+
+    def runLoop(viaStream: Boolean): (Set[(Long, Long, Long)], Long, String) = {
+      spark.sql(s"DROP TABLE IF EXISTS $storeName")
+      spark.sql(s"DROP TABLE IF EXISTS $centName")
+      IvfCatalog.assignedChunks(spark, dir, nlist).count()
+      val (logDir, flagsDir) = (tmp("graft_spanlog_triad"), tmp("graft_spanflags_triad"))
+      if (viaStream) {
+        val source = MemoryStream[(Long, String)]
+        val q = graft.streaming.StreamingIngest.startDocs(
+          source.toDF().toDF("doc_id", "text"), dir,
+          tmp("graft_spanloop_ckpt"), nlist, compactEvery = 2,
+          spanLogDir = logDir, spanFlagsDir = flagsDir)
+        try batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
+        finally q.stop()
+      } else batches.zipWithIndex.foreach { case (b, i) =>
+        // the same cadence the stream runs: fold due at the start of batch 2
+        if (i > 0 && i % 2 == 0)
+          graft.streaming.SpanDedupIngest.foldLogInLoop(spark, logDir,
+            belowBatch = i.toLong)
+        graft.streaming.StreamingIngest.ingestDocBatchWithSpans(
+          b.toDF("doc_id", "text"), dir, nlist, logDir, flagsDir, batchId = i.toLong)
+      }
+      val flags = graft.streaming.SpanDedupIngest.readFlags(spark, flagsDir)
+        .as[(Long, Long, Long)].collect().toSet
+      (flags, IvfCatalog.assignedChunks(spark, dir, nlist).count(), logDir)
+    }
+
+    val (sFlags, sRows, sLog) = runLoop(viaStream = true)
+    assert(sFlags === want)
+    // the log folded mid-stream: batches 0+1 live only as g0/batch=-1,
+    // batches 2+3 landed beside it in the live generation
+    assert(graft.streaming.SpanDedupIngest.partsDir(spark, sLog) === s"$sLog/g0")
+    assert(spark.read.option("basePath", s"$sLog/g0").parquet(s"$sLog/g0")
+      .select("batch").distinct().as[Long].collect().toSet === Set(-1L, 2L, 3L))
+    // ...with every batch's counts exactly once
+    assert(graft.streaming.SpanDedupIngest.readLog(spark, sLog)
+      .groupBy().sum("occ").as[Long].head() ===
+      graft.operators.Dedup.spanGramCounts(
+          batches.flatten.toDF("doc_id", "text"))
+        .groupBy().sum("occ").as[Long].head())
+    // one arrival stream maintained BOTH granularities: chunks appended too
+    assert(sRows > 0)
+    // stream ≡ the batch composition of the same steps
+    val (bFlags, bRows, _) = runLoop(viaStream = false)
+    assert(bFlags === sFlags)
+    assert(bRows === sRows)
+    spark.sql(s"DROP TABLE IF EXISTS $storeName")
+    spark.sql(s"DROP TABLE IF EXISTS $centName")
+  }
+
   test("doc ingest flags near-duplicate chunks with near_dup_of — admission stays upstream") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
