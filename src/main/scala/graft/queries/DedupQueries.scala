@@ -387,14 +387,34 @@ object DedupQueries {
                         CAST(MAX(e) AS BIGINT) AS span_end
                  FROM il GROUP BY doc_id, g)"""
 
-  private val duckSpanCtes =
-    s"""WITH tk AS (SELECT doc_id, ${duckWords("text")} AS w FROM documents),
+  /** The span-flag pipeline as a WITH-less fragment (tk → … → sp), so the
+    * composed curation oracle can embed it after its own leading CTEs. */
+  private[queries] val duckSpanFragment =
+    s"""tk AS (SELECT doc_id, ${duckWords("text")} AS w FROM documents),
           gr AS (SELECT doc_id, p, md5(array_to_string(w[p : p + 4], ' ')) AS h
                  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS p
                        FROM tk WHERE len(w) >= 5)),
           dup AS (SELECT h FROM gr GROUP BY h HAVING COUNT(*) >= 2),
           fl AS (SELECT doc_id, p, p + 4 AS e FROM gr JOIN dup USING (h)),
           $duckSpanMergeCtes"""
+
+  private val duckSpanCtes = s"WITH $duckSpanFragment"
+
+  /** Scrub tail over `tk` + `sp`: flagged documents with every in-span
+    * token dropped → scrubbed(doc_id, scrubbed_text). Shared by the
+    * dedup_span_scrub row and the composed curation pipeline. */
+  private[queries] val duckScrubTail =
+    s"""tok AS (SELECT doc_id, unnest(w) AS t, unnest(generate_series(1, len(w))) AS p
+                  FROM tk),
+          kept AS (SELECT tok.doc_id AS doc_id, tok.t AS t, tok.p AS p,
+                     (s2.doc_id IS NULL) AS keep
+                   FROM tok
+                   JOIN (SELECT DISTINCT doc_id FROM sp) fd ON tok.doc_id = fd.doc_id
+                   LEFT JOIN sp s2 ON s2.doc_id = tok.doc_id
+                     AND tok.p BETWEEN s2.span_start AND s2.span_end),
+          scrubbed AS (SELECT doc_id,
+              coalesce(string_agg(CASE WHEN keep THEN t END, ' ' ORDER BY p), '') AS scrubbed_text
+            FROM kept GROUP BY doc_id)"""
 
   /** Span-level decontamination (Spark twin: Dedup.contaminatedSpans,
     * k = 8 over the decon_flags eval/train split): a train window flags on
@@ -425,17 +445,8 @@ object DedupQueries {
           SELECT doc_id, span_start, span_end FROM sp WHERE doc_id < 50""",
     "dedup_span_scrub" ->
       s"""$duckSpanCtes,
-          tok AS (SELECT doc_id, unnest(w) AS t, unnest(generate_series(1, len(w))) AS p
-                  FROM tk),
-          kept AS (SELECT tok.doc_id AS doc_id, tok.t AS t, tok.p AS p,
-                     (s2.doc_id IS NULL) AS keep
-                   FROM tok
-                   JOIN (SELECT DISTINCT doc_id FROM sp) fd ON tok.doc_id = fd.doc_id
-                   LEFT JOIN sp s2 ON s2.doc_id = tok.doc_id
-                     AND tok.p BETWEEN s2.span_start AND s2.span_end)
-          SELECT doc_id,
-            coalesce(string_agg(CASE WHEN keep THEN t END, ' ' ORDER BY p), '') AS scrubbed_text
-          FROM kept GROUP BY doc_id""",
+          $duckScrubTail
+          SELECT doc_id, scrubbed_text FROM scrubbed""",
     "dedup_exact_groups" ->
       s"""SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
             MIN(doc_id) AS canonical_id,

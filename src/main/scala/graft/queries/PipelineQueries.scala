@@ -255,6 +255,73 @@ object PipelineQueries {
     // quality gate → deterministic train/valid/test split, counted per
     // (lang, split). Every stage is an oracle-checked operator; this row
     // checks their COMPOSITION.
+    // The FULL pretraining-curation flagship: every corpus-curation family
+    // composed into one dataflow over `documents` —
+    //   span scrub (N47, Lee et al. substring dedup remediation)
+    //   → transitive near-dup removal (N2/N6, cluster representative)
+    //   → quality gate on what remains
+    //   → span decontamination vs the held-out eval set (N50, k=8;
+    //     docs < 50 play the benchmark, so only doc_id ≥ 50 may train)
+    //   → domain-mixture resample over lang at 50/25/25 (N48; es/zh are
+    //     unweighted and drop — the fine-grained source domain empties
+    //     out at sf0.01 after the upstream gates)
+    //   → deterministic 80/10/10 split (N13)
+    //   → 2048-token sequence packing per (split, lang, sub-shard) (N26).
+    // Output: one row per surviving document with its split and pack
+    // assignment — the manifest a training-shard writer consumes. Every
+    // stage is an oracle-checked operator on its own; this row pins the
+    // COMPOSITION end-to-end against a DuckDB replay of the whole chain.
+    // Scale shape: the only corpus-wide shuffles are the span-dedup
+    // digest aggregation and the per-doc/per-shard windows; dedup is a
+    // precomputed catalog join, decon broadcasts benchmark-sized digests,
+    // the mixture is a count-pass + codegen filter, split/pack are
+    // narrow + one bounded window per sub-shard.
+    "pipe_curation_full" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.qualityScore
+      import graft.operators.{Dedup, Sampling, TextAnalysis}
+      val docs = Tables.documents(s, dir)
+      // 1. substring-span scrub over the full corpus; unflagged docs keep
+      // their text (scrubDuplicateSpans returns flagged docs only)
+      val base = docs
+        .join(Dedup.scrubDuplicateSpans(docs), Seq("doc_id"), "left")
+        .select($"doc_id", $"source", $"lang",
+          coalesce($"scrubbed_text", $"text").as("text"))
+      // 2. near-dup cluster representatives (the stored cluster catalog,
+      // min-id per transitive component — same stage as pipe_curation)
+      val rep = base.join(graft.ClusterCatalog.clusterIds(s, dir), Seq("doc_id"))
+        .filter($"cluster_id" === $"doc_id").drop("cluster_id")
+      // 3. quality gate evaluates the SCRUBBED text — a wall-to-wall
+      // duplicate scrubs to '' and gates out here with no special case
+      val gated = rep.filter(qualityScore($"text", lit(null).cast("string"),
+        lit(null).cast("string")) >= 0.25)
+      // 4. span decontamination: any surviving train doc sharing a
+      // verbatim 8-token run with the eval set (original text) drops
+      val train0 = gated.filter($"doc_id" >= 50)
+      val dirty = Dedup.contaminatedSpans(
+          train0.select($"doc_id", $"text"),
+          docs.filter($"doc_id" < 50).select($"doc_id", $"text"), k = 8)
+        .select($"doc_id").distinct()
+      // materialized once: the mixture below resolves its thresholds with
+      // an eager count pass over this frame, then filters it again
+      val clean = train0.join(dirty, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      // 5–7. mixture resample (over lang — see curationMixWeights) →
+      // split → pack
+      val mixed = Sampling.mixtureResample(clean, "doc_id", "lang",
+          SamplingQueries.curationMixWeights)
+        .withColumn("split", Sampling.splitColumn($"doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+        .select($"doc_id", $"source", $"lang", $"split",
+          TextAnalysis.whitespaceTokens($"text").cast("long").as("n_tokens"))
+        .withColumn("shard", concat_ws("#", $"split", $"lang",
+          pmod(Sampling.hashBucket($"doc_id", "pack"), lit(8L)).cast("string")))
+      Sampling.packSequences(mixed, $"n_tokens", budget = 2048,
+          shardCol = "shard", idCol = "doc_id")
+        .select($"doc_id", $"source", $"lang", $"split", $"n_tokens",
+          $"pack_start", $"pack_end", $"start_offset")
+    }),
+
     "pipe_curation" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.TextFunctions.qualityScore
@@ -332,6 +399,67 @@ object PipelineQueries {
                 round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_recent_value,
                 MAX(round(value, 6)) AS max_recent_value
          FROM ranked WHERE rn <= 100 GROUP BY event_type""",
+    // the full curation chain, replayed stage by stage from the shared
+    // per-stage fragments: span scrub (DedupQueries.duckSpanFragment +
+    // duckScrubTail), components (duckComponentCtes), quality (DuckSql),
+    // decon 8-grams, mixture (SamplingQueries.mixCtesOver), split bucket
+    // and pack arithmetic (SamplingQueries twins)
+    "pipe_curation_full" ->
+      s"""WITH RECURSIVE ${DedupQueries.duckComponentCtes},
+          ${DedupQueries.duckSpanFragment},
+          ${DedupQueries.duckScrubTail},
+          base AS (
+            SELECT d.doc_id, d.source, d.lang,
+                   COALESCE(s.scrubbed_text, d.text) AS text
+            FROM documents d LEFT JOIN scrubbed s USING (doc_id)),
+          keep1 AS (
+            SELECT b.doc_id, b.source, b.lang, b.text
+            FROM base b LEFT JOIN comp c ON b.doc_id = c.id
+            WHERE COALESCE(c.cluster_id, b.doc_id) = b.doc_id),
+          keep2 AS (SELECT * FROM keep1 WHERE ${DuckSql.quality} >= 0.25e0),
+          ew AS (SELECT ${DuckSql.words("text")} AS w FROM documents WHERE doc_id < 50),
+          eg8 AS (SELECT DISTINCT md5(array_to_string(w[p : p + 7], ' ')) AS h
+                  FROM (SELECT w, unnest(generate_series(1, len(w) - 7)) AS p
+                        FROM ew WHERE len(w) >= 8)),
+          tw8 AS (SELECT doc_id, ${DuckSql.words("text")} AS w
+                  FROM keep2 WHERE doc_id >= 50),
+          tg8 AS (SELECT DISTINCT t8.doc_id AS doc_id
+                  FROM (SELECT doc_id, md5(array_to_string(w[p : p + 7], ' ')) AS h
+                        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS p
+                              FROM tw8 WHERE len(w) >= 8)) t8
+                  JOIN eg8 USING (h)),
+          clean AS (
+            SELECT k.doc_id, k.source, k.lang, k.text
+            FROM keep2 k LEFT JOIN tg8 ON k.doc_id = tg8.doc_id
+            WHERE k.doc_id >= 50 AND tg8.doc_id IS NULL),
+          ${SamplingQueries.mixCtesOver("clean", "lang", SamplingQueries.curationMixWeights)},
+          mixed AS (
+            SELECT c2.doc_id, c2.source, c2.lang, c2.text
+            FROM clean c2 JOIN rates r USING (lang)
+            WHERE ${SamplingQueries.duckBucket("mix", "CAST(c2.doc_id AS VARCHAR)")} < r.keep_ppm),
+          t AS (
+            SELECT doc_id, source, lang,
+              CASE WHEN b < 800000 THEN 'train'
+                   WHEN b < 900000 THEN 'valid'
+                   ELSE 'test' END AS split,
+              CAST(${DuckSql.wc("text")} AS BIGINT) AS n_tokens
+            FROM (SELECT *, ${SamplingQueries.duckBucket("split", "CAST(doc_id AS VARCHAR)")} AS b
+                  FROM mixed)),
+          t2 AS (
+            SELECT *, concat_ws('#', split, lang,
+              CAST((${SamplingQueries.duckBucket("pack", "CAST(doc_id AS VARCHAR)")}) % 8 AS VARCHAR)) AS shard
+            FROM t),
+          cw AS (
+            SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM t2)
+          SELECT doc_id, source, lang, split, n_tokens,
+            CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_start,
+            CAST(GREATEST((GREATEST(cum, 1) - 1) // 2048,
+                          (cum - n_tokens) // 2048) AS BIGINT) AS pack_end,
+            CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_offset
+          FROM cw""",
+
     // composed from the per-stage oracles: comp CTEs from DedupQueries,
     // quality from DuckSql, split bucket from SamplingQueries
     "pipe_curation" ->

@@ -117,21 +117,39 @@ object SamplingQueries {
     s"""CAST(concat('0x', substr(md5(concat_ws('_', '$seed', $e)), 1, 15)) AS BIGINT) % 1000000"""
 
   /** The registered target mixture (Spark twin of the VALUES table in
-    * `mixCtes` — same literals, same domains). */
-  private val mixWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    * `mixCtes` — same literals, same domains). Shared with the composed
+    * curation pipeline. */
+  private[queries] val mixWeights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
 
-  /** Mirrors Sampling.mixturePpm: counts as DOUBLE, T = MIN(c/w), threshold
-    * = FLOOR(1e6 * t * w / c) in the SAME association order — the IEEE
+  /** The composed curation pipeline's target mixture — over `lang`, the
+    * domain every corpus scale keeps populated through the upstream
+    * scrub/dedup/quality/decon stages (source is too fine-grained at
+    * sf0.01: several sources empty out and the no-upsampling mixture
+    * would be unachievable). es/zh are deliberately unweighted — the
+    * dropped-domain path is part of the operator. */
+  private[queries] val curationMixWeights =
+    Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+
+  /** Mirrors Sampling.mixturePpm over an arbitrary relation and domain
+    * column: counts as DOUBLE, T = MIN(c/w), threshold =
+    * FLOOR(1e6 * t * w / c) in the SAME association order — the IEEE
     * double sequence is identical in both engines, so membership is
-    * bit-reproducible. */
-  private val mixCtes =
-    s"""WITH w(source, wt) AS (VALUES ('src0', 0.5e0), ('src1', 0.3e0), ('src2', 0.2e0)),
-          cnt AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS c
-                  FROM documents JOIN w USING (source) GROUP BY source),
-          tot AS (SELECT MIN(c / wt) AS t FROM cnt JOIN w USING (source)),
-          rates AS (SELECT source, CAST(c AS BIGINT) AS n_docs, wt AS target_weight,
+    * bit-reproducible. WITH-less fragment so the composed curation oracle
+    * can resample its own survivor CTE. */
+  private[queries] def mixCtesOver(rel: String, domainCol: String = "source",
+                                   weights: Map[String, Double] = mixWeights): String = {
+    val values = weights.toSeq.sortBy(_._1)
+      .map { case (d, w) => s"('$d', ${w}e0)" }.mkString(", ")
+    s"""w($domainCol, wt) AS (VALUES $values),
+          cnt AS (SELECT $domainCol, CAST(COUNT(*) AS DOUBLE) AS c
+                  FROM $rel JOIN w USING ($domainCol) GROUP BY $domainCol),
+          tot AS (SELECT MIN(c / wt) AS t FROM cnt JOIN w USING ($domainCol)),
+          rates AS (SELECT $domainCol, CAST(c AS BIGINT) AS n_docs, wt AS target_weight,
                       CAST(FLOOR(1000000e0 * t * wt / c) AS BIGINT) AS keep_ppm
-                    FROM cnt JOIN w USING (source) CROSS JOIN tot)"""
+                    FROM cnt JOIN w USING ($domainCol) CROSS JOIN tot)"""
+  }
+
+  private val mixCtes = s"WITH ${mixCtesOver("documents")}"
 
   /** Shared Spark side of the packing family: documents with the composite
     * shard key and a BIGINT token count (BIGINT in BOTH engines so every
