@@ -1184,47 +1184,68 @@ object Similarity {
       .filter(col("code").isNotNull && col("norm").isNotNull)
       .join(broadcast(pairs), "centroid_id")
       .select(col("__qi"), col(idCol).as("__id"),
+        col("centroid_id").cast("long").as("__cell"),
         adcUdf(col("code"), col("norm"), col("__qi")).as("__acos"))
     val limit = k * rerankFactor
     val idType = codesAssigned.schema(idCol).dataType
+    // the aggregated value is the (id, cell) PAIR — the cell rides the
+    // probe job itself (the serial path's keepCols trick, folded into the
+    // top-k aggregation), so the candidates' cells come back in the SAME
+    // collect and the old candidate-cell recovery pass — a second scan of
+    // the probed codes plus its own collect, whose two driver jobs were
+    // the r16 decade's batch-8 regression — is gone. Ordering by id alone
+    // stays a total order over the data (an id lives in exactly one cell),
+    // so candidate selection is bit-identical to the id-only aggregation.
     val aggregated = idType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        val topk = udaf(new graft.functions.TopKAggregator[Long](
-          limit, implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Double)]]]))
+        val topk = udaf(new graft.functions.TopKAggregator[(Long, Long)](
+          limit, implicitly[org.apache.spark.sql.Encoder[Seq[((Long, Long), Double)]]])(
+          Ordering.by[(Long, Long), Long](_._1), implicitly))
         scored.groupBy(col("__qi"))
-          .agg(topk(col("__id").cast("long"), col("__acos")).as("__topk"))
+          .agg(topk(struct(col("__id").cast("long").as("_1"), col("__cell").as("_2")),
+            col("__acos")).as("__topk"))
       case StringType =>
-        val topk = udaf(new graft.functions.TopKAggregator[String](
-          limit, implicitly[org.apache.spark.sql.Encoder[Seq[(String, Double)]]])(
-          graft.functions.TopKAggregator.utf8Ordering, implicitly))
+        val topk = udaf(new graft.functions.TopKAggregator[(String, Long)](
+          limit, implicitly[org.apache.spark.sql.Encoder[Seq[((String, Long), Double)]]])(
+          Ordering.by[(String, Long), String](_._1)(
+            graft.functions.TopKAggregator.utf8Ordering), implicitly))
         scored.groupBy(col("__qi"))
-          .agg(topk(col("__id"), col("__acos")).as("__topk"))
+          .agg(topk(struct(col("__id").as("_1"), col("__cell").as("_2")),
+            col("__acos")).as("__topk"))
       case other => throw new IllegalArgumentException(
         s"ivfPqSearchPrunedBatch id column '$idCol' must be integral or string, got " +
           s"${other.catalogString}")
     }
-    // candidates collected ONCE (≤ Q·k·rerankFactor rows — broadcast-scale
-    // by contract; the rerank join was going to broadcast them anyway, and
-    // a lazy plan would re-run the whole ADC scan once per consumer below)
+    // candidates collected ONCE, WITH their cells (≤ Q·k·rerankFactor rows
+    // — broadcast-scale by contract; the rerank join was going to broadcast
+    // them anyway, and a lazy plan would re-run the whole ADC scan once per
+    // consumer below)
     val candRows = aggregated
       .select(col("__qi"), explode(col("__topk")).as("__hit"))
-      .select(col("__qi"), col("__hit._1").cast(idType).as(idCol))
+      .select(col("__qi"), col("__hit._1._1").cast(idType).as(idCol),
+        col("__hit._1._2").as("__cell"))
       .collect()
     val candidates = spark.createDataFrame(
-      spark.sparkContext.parallelize(candRows.toIndexedSeq, 1),
+      spark.sparkContext.parallelize(
+        candRows.toIndexedSeq.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1))), 1),
       StructType(Seq(StructField("__qi", IntegerType, nullable = false),
         StructField(idCol, idType))))
     // the exact re-rank reads only the CANDIDATES' cells (an id lives in
-    // exactly one cell, so this loses nothing): cells are recovered with a
-    // column-pruned pass over the probed CODES (two thin columns of the
-    // 4.3×-smaller table) instead of paying the full probed-cell raw read
-    // — the cost that made warm batch ADC trail raw at the decade.
-    val candCellsDf = filterToCells(codesAssigned, cells,
-        pairs.select(col("centroid_id")).distinct())
-      .join(broadcast(candidates.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
-      .select(col("centroid_id")).distinct()
-    val candCells = candCellsDf.collect().map(_.get(0))
-    val prunedRaw = filterToCells(corpusAssigned, candCells, candCellsDf)
+    // exactly one cell, so this loses nothing — the decade-measured fix
+    // for the probed-cell raw read that made warm batch ADC trail raw)
+    val candCellLongs = candRows.map(_.getLong(2)).distinct.toIndexedSeq
+    val candCells: Array[Any] = (cellType match {
+      case ByteType => candCellLongs.map(_.toByte)
+      case ShortType => candCellLongs.map(_.toShort)
+      case IntegerType => candCellLongs.map(_.toInt)
+      case _ => candCellLongs
+    }).toArray
+    val prunedRaw = filterToCells(corpusAssigned, candCells,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          candCellLongs.map(l => org.apache.spark.sql.Row(l)), 1),
+        StructType(Seq(StructField("centroid_id", LongType))))
+        .select(col("centroid_id").cast(cellType)))
     val rerankW = Window.partitionBy(col("__qi"))
       .orderBy(col("score").desc, col(idCol).asc)
     val out = prunedRaw.join(broadcast(candidates), idCol)
