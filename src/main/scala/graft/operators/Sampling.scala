@@ -254,6 +254,48 @@ object Sampling {
           .otherwise(array().cast("array<long>"))))
   }
 
+  /** The ingest loops' "arriving corpus has drifted from the target
+    * mixture" signal — the curation twin of the reindex nlist-drift
+    * advice (surface on the maintenance cadence, never act: rebalancing
+    * is a curation decision, not something a cadence should trigger
+    * implicitly). `observed` is each weighted domain's share of the
+    * weighted arrivals; `maxDrift` the worst |observed − target|;
+    * `otherArrivals` counts rows from domains the mixture doesn't weight
+    * (their growth is its own drift mode — a corpus silently filling
+    * with unweighted junk never moves `maxDrift`). */
+  case class MixtureAdvice(counts: Map[String, Long],
+                           target: Map[String, Double],
+                           observed: Map[String, Double],
+                           maxDrift: Double,
+                           weightedArrivals: Long,
+                           otherArrivals: Long) {
+    override def toString: String = {
+      val per = target.keys.toSeq.sorted.map { d =>
+        f"$d: ${observed.getOrElse(d, 0.0)}%.3f vs ${target(d)}%.3f"
+      }.mkString(", ")
+      f"mixture drift ${maxDrift}%.3f over $weightedArrivals weighted " +
+        s"arrivals ($per; $otherArrivals unweighted)"
+    }
+  }
+
+  /** Drift of observed per-domain arrival counts against a target mixture
+    * — pure arithmetic over driver-side counts (the loops accumulate them
+    * one domain-shaped aggregation per micro-batch). Domains with zero
+    * arrivals observe share 0 and still count toward the drift (a target
+    * domain that stopped arriving is the loudest drift there is). */
+  def mixtureDrift(counts: Map[String, Long], weights: Map[String, Double],
+                   otherArrivals: Long = 0L): MixtureAdvice = {
+    require(weights.nonEmpty, "empty target mixture")
+    val weighted = weights.keys.map(d => d -> counts.getOrElse(d, 0L)).toMap
+    val total = weighted.values.sum
+    val observed =
+      if (total == 0L) weights.keys.map(_ -> 0.0).toMap
+      else weighted.map { case (d, c) => d -> c.toDouble / total }
+    val maxDrift = weights.map { case (d, w) =>
+      math.abs(observed(d) - w) }.max
+    MixtureAdvice(weighted, weights, observed, maxDrift, total, otherArrivals)
+  }
+
   /** Observability companion of [[mixtureResample]]: one row per weighted
     * domain — its row count, target weight, and keep threshold — the
     * "what will this resample do" report a curation run logs before

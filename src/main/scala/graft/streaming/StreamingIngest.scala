@@ -453,7 +453,17 @@ object StreamingIngest {
     * `compactEvery` cadence ([[SpanDedupIngest.foldLogInLoop]], run at the
     * START of the next batch — the only point where every foldable part is
     * checkpoint-committed), so its file count stays bounded exactly like
-    * the chunk store's. */
+    * the chunk store's.
+    *
+    * `mixtureWeights` (with `mixtureDomainCol` on the arriving rows) adds
+    * the DOMAIN-MIXTURE drift advisory to the same maintenance cadence —
+    * the curation twin of the reindex nlist-drift advice: each batch folds
+    * one domain-shaped count aggregation into driver-side arrival totals,
+    * and on the cadence the cumulative mixture is compared to the target
+    * ([[graft.operators.Sampling.mixtureDrift]]); past
+    * `mixtureDriftTolerance`, `onMixtureAdvice` fires. Surface, never act
+    * — resampling is a curation decision ([[graft.operators.Sampling.mixtureResample]]),
+    * not something the cadence triggers implicitly. */
   def startDocs(docs: DataFrame, dir: String, checkpoint: String, nlist: Int,
                 qualityThreshold: Double = 0.0,
                 idCol: String = "doc_id", textCol: String = "text",
@@ -465,23 +475,41 @@ object StreamingIngest {
                 splitCellsOver: Long = 0L,
                 spanLogDir: String = "", spanFlagsDir: String = "",
                 spanK: Int = 5, spanMinOcc: Int = 2,
+                mixtureWeights: Map[String, Double] = Map.empty,
+                mixtureDomainCol: String = "source",
+                mixtureDriftTolerance: Double = 0.05,
+                onMixtureAdvice: graft.operators.Sampling.MixtureAdvice => Unit = _ => (),
                 onBatch: BatchReport => Unit = _ => (),
                 onAdvice: graft.Reindex.Advice => Unit = _ => ()): StreamingQuery = {
     val spanEnabled = spanLogDir.nonEmpty || spanFlagsDir.nonEmpty
     if (spanEnabled) require(spanLogDir.nonEmpty && spanFlagsDir.nonEmpty,
       "span maintenance needs both spanLogDir and spanFlagsDir")
+    val mixEnabled = mixtureWeights.nonEmpty
     var sinceCompact = 0
     var sinceFold = 0
+    // cumulative arrival counts per weighted domain (+ the unweighted
+    // rest) — domain-shaped, driver-resident by the same bounded-collect
+    // contract as mixtureReport
+    val mixCounts = scala.collection.mutable.Map.empty[String, Long]
+    var mixOther = 0L
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val t0 = System.nanoTime()
-        // with span maintenance on, the batch feeds two consumers —
-        // materialize once so the source scans once
-        val src = if (spanEnabled) batch.toDF().localCheckpoint(true)
+        // with span/mixture maintenance on, the batch feeds extra
+        // consumers — materialize once so the source scans once
+        val src = if (spanEnabled || mixEnabled) batch.toDF().localCheckpoint(true)
                   else batch.toDF()
         val arrived = src.count()
         if (arrived > 0) {
+          if (mixEnabled) // one domain-shaped count agg per batch
+            src.groupBy(col(mixtureDomainCol)).count().collect().foreach { r =>
+              Option(r.get(0)).map(_.toString) match {
+                case Some(d) if mixtureWeights.contains(d) =>
+                  mixCounts(d) = mixCounts.getOrElse(d, 0L) + r.getLong(1)
+                case _ => mixOther += r.getLong(1)
+              }
+            }
           // span-log fold runs BEFORE this batch's own counts land (see
           // foldLogInLoop: everything below the current id is committed)
           if (spanEnabled && compactEvery > 0 && sinceFold >= compactEvery) {
@@ -534,6 +562,13 @@ object StreamingIngest {
             // cutover the cadence must not trigger implicitly
             graft.Reindex.reindexAdvice(batch.sparkSession, dir, nlist, trained)
               .foreach(onAdvice)
+            }
+            // mixture drift is plain driver arithmetic over the arrival
+            // counts — no table access, so it sits outside the lease
+            if (mixEnabled) {
+              val adv = graft.operators.Sampling.mixtureDrift(
+                mixCounts.toMap, mixtureWeights, mixOther)
+              if (adv.maxDrift > mixtureDriftTolerance) onMixtureAdvice(adv)
             }
             sinceCompact = 0
           }

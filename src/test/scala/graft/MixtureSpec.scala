@@ -59,6 +59,20 @@ class MixtureSpec extends AnyFunSuite {
     assert(run() === run())
   }
 
+  test("mixtureDrift: shares over weighted arrivals, vanished domain is loudest") {
+    val w = Map("a" -> 0.5, "b" -> 0.5)
+    val even = Sampling.mixtureDrift(Map("a" -> 10L, "b" -> 10L), w, otherArrivals = 3L)
+    assert(even.maxDrift === 0.0 && even.weightedArrivals === 20L && even.otherArrivals === 3L)
+    val skew = Sampling.mixtureDrift(Map("a" -> 30L, "b" -> 10L), w)
+    assert(skew.observed("a") === 0.75 && skew.maxDrift === 0.25)
+    // a target domain with zero arrivals observes 0 and drives the drift
+    val gone = Sampling.mixtureDrift(Map("a" -> 10L), w)
+    assert(gone.observed("b") === 0.0 && gone.maxDrift === 0.5)
+    // no weighted arrivals at all: shares 0, drift = the largest weight
+    val none = Sampling.mixtureDrift(Map.empty, w, otherArrivals = 7L)
+    assert(none.weightedArrivals === 0L && none.maxDrift === 0.5)
+  }
+
   test("report carries counts, weights, and thresholds, domain-shaped") {
     import spark.implicits._
     val rep = Sampling.mixtureReport(corpus, "domain", weights)

@@ -1396,6 +1396,51 @@ class StreamingSpec extends AnyFunSuite {
     Seq(storeName, centName, idxName).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("doc loop cadence surfaces mixture-drift advice; a balanced stream stays quiet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val nlist = 41 // isolated store/centroid tables
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    def mkText(tag: String): String = (1 to 8).map(i =>
+      s"Mixture fixture $tag sentence $i with enough prose to chunk.").mkString(" ")
+
+    def run(docs: Seq[(Long, String, String)]): Seq[graft.operators.Sampling.MixtureAdvice] = {
+      spark.sql(s"DROP TABLE IF EXISTS $storeName")
+      spark.sql(s"DROP TABLE IF EXISTS $centName")
+      IvfCatalog.assignedChunks(spark, dir, nlist).count()
+      val advice = scala.collection.mutable.ListBuffer.empty[graft.operators.Sampling.MixtureAdvice]
+      val source = MemoryStream[(Long, String, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_mixadvice_ckpt").toString
+      val q = graft.streaming.StreamingIngest.startDocs(
+        source.toDF().toDF("doc_id", "text", "source"), dir, ckpt, nlist,
+        compactEvery = 1,
+        mixtureWeights = Map("web" -> 0.5, "code" -> 0.5),
+        onMixtureAdvice = a => advice.synchronized { advice += a })
+      try { source.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+      advice.toList
+    }
+
+    // skewed arrivals: 3 web / 1 code (+1 unweighted) → drift 0.25 > 0.05
+    val skewed = run(Seq(
+      (970001L, mkText("w1"), "web"), (970002L, mkText("w2"), "web"),
+      (970003L, mkText("w3"), "web"), (970004L, mkText("c1"), "code"),
+      (970005L, mkText("x1"), "books")))
+    assert(skewed.nonEmpty, "a skewed arrival mixture must surface advice on the cadence")
+    val a = skewed.head
+    assert(a.counts === Map("web" -> 3L, "code" -> 1L))
+    assert(a.observed("web") === 0.75 && a.observed("code") === 0.25)
+    assert(a.maxDrift === 0.25 && a.weightedArrivals === 4L && a.otherArrivals === 1L)
+
+    // balanced arrivals: 1/1 → drift 0, the cadence stays quiet
+    val balanced = run(Seq(
+      (970011L, mkText("w4"), "web"), (970012L, mkText("c2"), "code")))
+    assert(balanced.isEmpty, s"a balanced mixture must not advise: $balanced")
+    spark.sql(s"DROP TABLE IF EXISTS $storeName")
+    spark.sql(s"DROP TABLE IF EXISTS $centName")
+  }
+
   test("query-serving loop: micro-batches answered by one batched probe each, ≡ serial flagship") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
