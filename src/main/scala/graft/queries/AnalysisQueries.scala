@@ -41,6 +41,25 @@ object AnalysisQueries {
           graft.functions.TextFunctions.tokenEstimate($"text").as("est_tokens"))
     }),
 
+    // REAL subword counts under the frozen corpus-trained BPE merges
+    // (Sennrich et al.; operators.Bpe) — the trained-tokenizer upgrade of
+    // ana_token_counts' regex approximation. The oracle replays the exact
+    // encoder: a recursive CTE applying the same frozen merge table in
+    // rank order, one leftmost occurrence per step (provably equal to the
+    // kernel's merge-all-per-rank — a pair involving a merged symbol is
+    // always learned later, so it can never outrank the pair that created
+    // it). Encoding dedups to DISTINCT words first in both engines — at
+    // 100 TB the encode cost is vocabulary-shaped, not corpus-shaped, and
+    // the kernel memoizes per word for the same reason.
+    "ana_token_counts_bpe" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Bpe
+      Tables.documents(s, dir)
+        .select($"doc_id",
+          size(graft.operators.Dedup.words($"text")).cast("long").as("n_words"),
+          Bpe.tokenCount($"text", Bpe.frozen).as("n_bpe_tokens"))
+    }),
+
     // Exact token-length percentiles per language — the distribution view
     // that sets truncation budgets and flags outlier strata. Single
     // percentile(array) aggregate: one sort buffer per group, not one per
@@ -495,6 +514,15 @@ object AnalysisQueries {
           CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS INT) AS bpe_tokens,
           CAST(length(text) // 4 AS BIGINT) AS est_tokens
           FROM documents""",
+    "ana_token_counts_bpe" ->
+      s"""WITH RECURSIVE ${DuckSql.bpeWordTokenCtes(graft.operators.Bpe.frozen)},
+          dtok AS (SELECT doc_id, unnest(${duckWords("text")}) AS w FROM documents),
+          agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nb
+                  FROM dtok JOIN wtok USING (w) GROUP BY doc_id)
+          SELECT d.doc_id,
+            CAST(len(${duckWords("text")}) AS BIGINT) AS n_words,
+            CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bpe_tokens
+          FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "ana_pii_redact" ->
       """WITH t AS (
            SELECT doc_id,

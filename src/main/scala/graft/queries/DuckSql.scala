@@ -39,6 +39,41 @@ object DuckSql {
              * 1.0e0 / len(string_split_regex(text, '[.!?]+'))) - 17.0e0) / 17.0e0)
         + 0.2e0 * 0.5e0))"""
 
+  /** Recursive-CTE replay of the BPE encoder under a fixed merge table
+    * (Spark twin: operators.Bpe.tokensScala): WITH-less fragment — prepend
+    * WITH RECURSIVE — defining `m` (rank, ' l r ', ' lr '), `dw` (distinct
+    * corpus words), `st` (one leftmost-occurrence splice per step, lowest
+    * applicable rank first — provably the kernel's merge-all order, see
+    * Bpe's scaladoc), `enc` (fixpoint state per word) and
+    * `wtok(w, n)` — per-word BPE token counts. Symbols are [a-z0-9]+ by
+    * the words() tokenization, so embedding them as SQL literals is safe.
+    * Encoding runs once per DISTINCT word — vocabulary-shaped, exactly
+    * like the kernel's memo. */
+  def bpeWordTokenCtes(merges: Seq[(String, String)]): String = {
+    val values = merges.zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1}, ' $l $r ', ' $l$r ')" }
+      .mkString(", ")
+    s"""m(rank, pat, rep) AS (VALUES $values),
+        dw AS (SELECT DISTINCT unnest(${words("text")}) AS w FROM documents),
+        st AS (
+          SELECT w, ' ' || array_to_string(
+              list_transform(range(1, length(w) + 1), i -> w[i]), ' ') || ' ' AS s,
+            0 AS it
+          FROM dw
+          UNION ALL
+          SELECT st.w,
+            substr(st.s, 1, b.p - 1) || b.rep || substr(st.s, b.p + length(b.pat)),
+            st.it + 1
+          FROM st, LATERAL (
+            SELECT m.pat AS pat, m.rep AS rep, position(m.pat IN st.s) AS p
+            FROM m WHERE position(m.pat IN st.s) > 0
+            ORDER BY m.rank LIMIT 1) b),
+        enc AS (SELECT w, s FROM (
+          SELECT w, s, it, row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+          FROM st) WHERE rn = 1),
+        wtok AS (SELECT w, len(string_split_regex(trim(s), '\\s+')) AS n FROM enc)"""
+  }
+
   /** BM25 of ('spark','join','vector') over `documents` (Spark twin:
     * TextSearch.bm25). Doc length / N / avgdl come from ALL documents —
     * including zero-token ones — matching Lucene docCount semantics. */

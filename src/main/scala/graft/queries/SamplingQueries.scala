@@ -69,6 +69,24 @@ object SamplingQueries {
       packed(s, dir).select($"doc_id", $"shard", $"cum")
     }),
 
+    // samp_pack_sequences under REAL token counts: the same packing layout
+    // with the frozen corpus-trained BPE tokenizer supplying n_tokens —
+    // the budget a trained model actually consumes, not the whitespace
+    // proxy. Same shard key family, same oracle pack arithmetic; the BPE
+    // counts replay through the recursive-CTE encoder.
+    "samp_pack_bpe" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Bpe
+      val in = Tables.documents(s, dir).select($"doc_id", $"lang",
+          Bpe.tokenCount($"text", Bpe.frozen).as("n_tokens"))
+        .withColumn("shard", concat_ws("#", $"lang",
+          pmod(Sampling.hashBucket($"doc_id", "pack"), lit(8L)).cast("string")))
+      Sampling.packSequences(in, $"n_tokens", budget = 2048,
+          shardCol = "shard", idCol = "doc_id")
+        .select($"doc_id", $"lang", $"shard", $"n_tokens",
+          $"pack_start", $"pack_end", $"start_offset")
+    }),
+
     // Domain-mixture resampling (DoReMi/Llama-style static target weights):
     // keep the largest corpus achievable at exactly 50/30/20 over three
     // sources without upsampling any of them; every other source drops.
@@ -208,6 +226,30 @@ object SamplingQueries {
           FROM c""",
     "samp_pack_cum" ->
       s"""$packCtes SELECT doc_id, shard, cum FROM c""",
+    "samp_pack_bpe" ->
+      s"""WITH RECURSIVE ${DuckSql.bpeWordTokenCtes(graft.operators.Bpe.frozen)},
+          dtok AS (SELECT doc_id, unnest(${DuckSql.words("text")}) AS w FROM documents),
+          bt AS (SELECT d.doc_id, d.lang, CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_tokens
+                 FROM documents d LEFT JOIN
+                   (SELECT doc_id, SUM(n) AS nb FROM dtok JOIN wtok USING (w)
+                    GROUP BY doc_id) a USING (doc_id)),
+          t AS (
+            SELECT doc_id, lang,
+              concat_ws('#', lang,
+                CAST((${duckBucket("pack", "CAST(doc_id AS VARCHAR)")}) % 8 AS VARCHAR)) AS shard,
+              n_tokens
+            FROM bt),
+          c AS (
+            SELECT doc_id, lang, shard, n_tokens,
+              CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM t)
+          SELECT doc_id, lang, shard, n_tokens,
+            CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_start,
+            CAST(GREATEST((GREATEST(cum, 1) - 1) // 2048,
+                          (cum - n_tokens) // 2048) AS BIGINT) AS pack_end,
+            CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_offset
+          FROM c""",
     "samp_domain_mixture" ->
       s"""$mixCtes
           SELECT d.doc_id, d.source
