@@ -12,12 +12,24 @@ import graft.operators.{Dedup, Sampling}
   * cost — one narrow broadcast-probed scan of the lean store, zero
   * shuffle), and the mixture resample (count pass + filtered scan).
   *
-  * Usage: SpanDedupBench [corpusDir] [batchDocs]
+  * Round 17 adds (a) a docs-only upsample leg so the ×10000 decade corpus
+  * can be generated in place (the DecadeBench corpus is text-LEAN by its
+  * disk-budget rewrite, useless for substring dedup), and (b) the FOLD
+  * legs: the incremental flag measured against a fragmented multi-part
+  * count log, the in-place generational fold ([[streaming.SpanDedupIngest
+  * .foldLogInLoop]]), and the same flag against the folded log — the
+  * degradation-and-repair cycle the in-loop fold cadence exists for.
+  *
+  * Usage: SpanDedupBench [corpusDir] [batchDocs] [factor] [srcDir]
+  *   factor > 0: if corpusDir/documents.parquet is missing, build the
+  *   docs-only ×factor upsample from srcDir (default sf0.1) first.
   */
 object SpanDedupBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf1")
     val batchN = if (args.length > 1) args(1).toInt else 500
+    val factor = if (args.length > 2) args(2).toInt else 0
+    val srcDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.dataSizedShuffle(SparkSession.builder()
         .master(s"local[$cpus]")
@@ -31,6 +43,40 @@ object SpanDedupBench {
       val r = f
       println(f"[spanbench] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
+    }
+
+    // docs-only upsample on demand (ScaleGen's exact mutation kernel —
+    // the DecadeBench corpus block, minus the events/embeddings nobody
+    // here reads and minus the text-lean rewrite that would empty it)
+    val docsPath = s"$dir/documents.parquet"
+    val dfs = new org.apache.hadoop.fs.Path(docsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (factor > 0 && !dfs.exists(new org.apache.hadoop.fs.Path(docsPath))) {
+      timed(s"docs-only upsample x$factor ($srcDir -> $docsPath)") {
+        val src = Tables.documents(spark, srcDir)
+        val docStride = src.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val vocab = src
+          .select(explode(operators.TextSearch.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).count()
+          .orderBy(col("count").desc, col("w").asc).limit(20000)
+          .collect().map(_.getString(0))
+        val vocabB = spark.sparkContext.broadcast(vocab)
+        val mutateUdf = udf { (text: String, docId: Long, rep: Int) =>
+          if (rep == 0) text
+          else {
+            val rate = if (ScaleGen.plantedDoc(docId, rep)) 0.02 else 0.35
+            ScaleGen.mutateText(text, docId, rep, rate, vocabB.value)
+          }
+        }
+        val reps = spark.range(factor).repartition(cpus.toInt * 8)
+          .select(col("id").cast("int").as("rep"))
+        reps.crossJoin(broadcast(src))
+          .withColumn("text", mutateUdf(col("text"), col("doc_id"), col("rep")))
+          .select((col("doc_id") + col("rep").cast("long") * docStride).as("doc_id"),
+            col("text"), col("lang"), col("source"),
+            length(col("text")).cast("long").as("n_chars"))
+          .write.mode("overwrite").parquet(docsPath)
+      }
     }
 
     val docs = Tables.documents(spark, dir)
@@ -81,6 +127,34 @@ object SpanDedupBench {
     val nInc = timed(s"incremental flag ($batchN docs)")(
       Dedup.duplicateSpansIncremental(batch, store).count())
     println(s"[spanbench] incremental spans=$nInc")
+
+    // 3b. the ingest-log LIFECYCLE: the same counts as a fragmented
+    // append-only log (digests hash-split into 24 `batch=` parts — the
+    // state a running loop reaches between folds), the per-batch flag
+    // against it, the in-place generational fold
+    // (SpanDedupIngest.foldLogInLoop — the r17 maintenance move), and the
+    // flag again. Prices the degradation the fold cadence repairs and the
+    // fold itself, at this corpus's log size; flag results must be
+    // identical in all three shapes (summed-threshold contract).
+    val logDir = s"$storePath.log"
+    val logFs = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    logFs.delete(new org.apache.hadoop.fs.Path(logDir), true)
+    timed("fragmented log write (24 parts)")(
+      store.withColumn("batch", pmod(xxhash64(col("h")), lit(24L)))
+        .write.mode("overwrite").partitionBy("batch").parquet(logDir))
+    import graft.streaming.SpanDedupIngest
+    val nFrag = timed("incremental flag vs 24-part log")(
+      Dedup.duplicateSpansIncremental(batch,
+        SpanDedupIngest.readLog(spark, logDir)).count())
+    timed("foldLogInLoop (in-place generational fold)")(
+      SpanDedupIngest.foldLogInLoop(spark, logDir))
+    val nFold = timed("incremental flag vs folded log")(
+      Dedup.duplicateSpansIncremental(batch,
+        SpanDedupIngest.readLog(spark, logDir)).count())
+    require(nFrag == nInc && nFold == nInc,
+      s"flag parity across log shapes broke: $nInc/$nFrag/$nFold")
+    logFs.delete(new org.apache.hadoop.fs.Path(logDir), true) // disk back
 
     // 4. span-level decontamination: the batch docs as a benchmark-sized
     // eval set against the DISJOINT corpus — eval digests broadcast, train
