@@ -77,15 +77,18 @@ class LeaseContentionSpec extends AnyFunSuite {
 
   /** N acquisitions per thread, two threads per arbiter, all storming one
     * scope: a shared counter proves at most one holder at any instant. */
-  private def storm(scope: String, atomicLink: Boolean): Unit = {
+  private def storm(scope: String, atomicLink: Boolean): Unit =
+    stormWith(scope, () => mkArbiter(atomicLink), perThread = 6)
+
+  private def stormWith(scope: String, mk: () => LeaseArbiter,
+                        perThread: Int): Unit = {
     cleanScope(scope)
-    val a = mkArbiter(atomicLink)
-    val b = mkArbiter(atomicLink)
+    val a = mk()
+    val b = mk()
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
     val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     val entries = new java.util.concurrent.atomic.AtomicInteger(0)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val perThread = 6
     val threads = Seq(a, a, b, b).zipWithIndex.map { case (arb, i) =>
       new Thread(() => {
         try {
@@ -117,6 +120,32 @@ class LeaseContentionSpec extends AnyFunSuite {
 
   test("two isolated arbiters storm one scope, non-atomic create forced (object-store shape): never two holders") {
     storm("xjvm_storm_put", atomicLink = false)
+  }
+
+  test("ADVERSARIAL non-atomic storm: random create stalls inside the verify " +
+       "beat never double-hold (the documented bound, exercised as a storm)") {
+    // the verifyBeatMs scaladoc's contract, storm-shaped: a competing
+    // writer's late truncating write is caught IFF its create stall stays
+    // inside the verify window. Here every exists-then-PUT stalls a
+    // RANDOM (deterministically seeded) duration drawn strictly below the
+    // beat — the worst adversarial schedule the bound still covers — and
+    // at most one holder may ever be inside the scope. The
+    // stall-PAST-the-beat direction (the residual window, where the bound
+    // honestly gives out) is pinned by the single-interleave test below.
+    val rnd = new java.util.Random(0x5ea5e17)
+    def mk(): LeaseArbiter = new LeaseArbiter {
+      override protected def linkPublishEnabled = false
+      override protected def verifyBeatMs = 250L
+      override protected def nonAtomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+                                             path: org.apache.hadoop.fs.Path,
+                                             bytes: Array[Byte]): Boolean = {
+        if (fs.exists(path)) return false
+        val stall = rnd.synchronized(rnd.nextInt(200)) // < beat, adversarial
+        Thread.sleep(stall.toLong)
+        nioPut(path, bytes)
+      }
+    }
+    stormWith("xjvm_storm_stall", mk, perThread = 3)
   }
 
   test("keepalive defends a LIVE holder against the other arbiter's TTL break; release hands over cleanly") {
