@@ -463,7 +463,11 @@ object StreamingIngest {
     * ([[graft.operators.Sampling.mixtureDrift]]); past
     * `mixtureDriftTolerance`, `onMixtureAdvice` fires. Surface, never act
     * — resampling is a curation decision ([[graft.operators.Sampling.mixtureResample]]),
-    * not something the cadence triggers implicitly. */
+    * not something the cadence triggers implicitly. The counters are
+    * per-process telemetry, not checkpointed state: a restart resets them
+    * and a replayed batch counts again — fine for a drift signal, not an
+    * audit log (audit-grade counts come from `mixtureReport` over the
+    * stored corpus). */
   def startDocs(docs: DataFrame, dir: String, checkpoint: String, nlist: Int,
                 qualityThreshold: Double = 0.0,
                 idCol: String = "doc_id", textCol: String = "text",
