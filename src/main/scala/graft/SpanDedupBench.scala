@@ -103,13 +103,12 @@ object SpanDedupBench {
     val corpus = docs.filter(col("doc_id") >= batchN)
 
     if (!reuse) {
-      // 1. batch pass: full-corpus duplicated spans
-      val nSpans = timed("full duplicateSpans")(
-        Dedup.duplicateSpans(docs).count())
-      println(s"[spanbench] spans=$nSpans")
-
-      // 2. stored-counts build (one-time): written to parquet so the
-      // incremental leg below scans real files, not a recomputed plan
+      // 1. stored-counts build (one-time): written to parquet so the
+      // incremental leg below scans real files, not a recomputed plan.
+      // Runs FIRST (r17 reorder): the batch-shaped legs are the scale
+      // claim under test, and the full corpus pass — the most
+      // shuffle-hungry leg — must not be able to take them down with an
+      // out-of-disk at the decade; it runs last, skippable.
       timed("spanGramCounts build+write")(
         Dedup.spanGramCounts(corpus).write.mode("overwrite").parquet(storePath))
     }
@@ -170,6 +169,16 @@ object SpanDedupBench {
       Sampling.mixtureResample(docs, "doc_id", "source",
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)).count())
     println(s"[spanbench] mixture kept=$kept")
+
+    // 6. full-corpus pass LAST (see the build-order note above): two
+    // shuffles of the lean (id, pos, digest) table — corpus-shaped by
+    // nature, like the suffix array it replaces. SPARK_GRAFT_SPAN_FULL=0
+    // skips it when the sandbox disk cannot hold the decade's shuffle.
+    if (!sys.env.get("SPARK_GRAFT_SPAN_FULL").contains("0")) {
+      val nSpans = timed("full duplicateSpans")(
+        Dedup.duplicateSpans(docs).count())
+      println(s"[spanbench] spans=$nSpans")
+    }
 
     spark.stop()
   }
