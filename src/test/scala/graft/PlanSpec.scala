@@ -312,6 +312,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected the explicit constant partition key in the Exchange:\n$p")
   }
 
+  // --- span decontamination: eval digests broadcast, train side streams ----
+
+  test("contaminatedSpans broadcasts the eval digests; the train grams " +
+       "stream into the semi join with no shuffle (the curation chain's decon stage)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val docs = graft.Tables.documents(spark, dir)
+    val sp = graft.operators.Dedup.contaminatedSpans(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), k = 8)
+      .queryExecution.sparkPlan
+    val semi = sp.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j }
+    assert(semi.nonEmpty, s"eval digests must broadcast into a LeftSemi:\n$sp")
+    val shuffles = semi.head.left.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"nothing corpus-shaped may shuffle below the decon semi join, found $shuffles:\n$sp")
+  }
+
   // --- span-dedup ingest path: the stored count table never shuffles --------
 
   test("duplicateSpansIncremental probes the store scan-in-place: a " +
