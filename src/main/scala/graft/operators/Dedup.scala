@@ -1098,30 +1098,35 @@ object Dedup {
   // ------------------------------------------------- duplicated substrings
 
   /** Positional k-gram windows hashed for the exact-substring dedup family:
-    * (id, pos, h) with pos 1-based and h the md5 hex of the k-token window.
-    * The gram STRING never leaves its scan task — only the 128-bit digest
-    * shuffles (collision odds at 10^13 corpus windows ≈ 2^-52·10^26/2 ≈
-    * negligible; the 60-bit family that the MinHash oracle parity uses
-    * would collide at billions of windows, so spans use the full digest —
-    * same md5 in DuckDB, parity preserved). */
-  /** Compiled kernel for [[spanGrams]]: per document, the md5 hex of every
-    * k-token window, array index i ↔ token position i+1. Plain compiled
-    * Scala with the thread-local digest — the Column-tree alternative
-    * (transform + slice + md5 over a bound array) evaluates its lambda
-    * INTERPRETED per window, the same overhead
+    * (id, pos, h) with pos 1-based and h the md5 of the k-token window as
+    * 16 RAW BYTES. The gram STRING never leaves its scan task, and the
+    * digest shuffles/stores in binary — half the bytes of the hex form on
+    * the one table every span operator aggregates, joins and logs
+    * (collision odds at 10^13 corpus windows ≈ negligible at 128 bits;
+    * the 60-bit family that the MinHash oracle parity uses would collide
+    * at billions of windows, so spans keep the full digest). The DuckDB
+    * oracles hash the same windows with hex md5 — equal digests ⇔ equal
+    * hex, and only merged SPANS ever leave the operators, so parity is
+    * untouched by the encoding. */
+  /** Compiled kernel for [[spanGrams]]: per document, the 16-byte md5 of
+    * every k-token window, array index i ↔ token position i+1. Plain
+    * compiled Scala with the thread-local digest — the Column-tree
+    * alternative (transform + slice + md5 over a bound array) evaluates
+    * its lambda INTERPRETED per window, the same overhead
     * [[Decontamination.overlapCounts]]'s kernel swap documented at ~30×
     * the scan cost (and the naive un-bound-array form re-tokenizes per
     * window on top, O(len²) per doc — both shapes measured and rejected
     * here: 13 s naive, ~3 s bound-array, see SCALE.md round-16 for the
-    * kernel's numbers). */
-  private[graft] def spanDigestsScala(text: String, k: Int): Array[String] = {
+    * kernel's numbers; round 17 dropped the hex encode from the kernel
+    * along with the bytes). */
+  private[graft] def spanDigestsScala(text: String, k: Int): Array[Array[Byte]] = {
     val w = wordsScala(text)
-    if (w.length < k) Array.empty[String]
+    if (w.length < k) Array.empty[Array[Byte]]
     else Array.tabulate(w.length - k + 1) { i =>
       val sb = new java.lang.StringBuilder
       var j = i
       while (j < i + k) { if (j > i) sb.append(' '); sb.append(w(j)); j += 1 }
-      ChunkOps.md5Hex(sb.toString)
+      ChunkOps.md5Bytes(sb.toString)
     }
   }
 
@@ -1218,6 +1223,14 @@ object Dedup {
                                 textCol: String = "text"): DataFrame = {
     require(k >= 2, s"window must be at least 2 tokens, got $k")
     require(minOcc >= 2, s"minOcc must be at least 2, got $minOcc")
+    // a store from before the binary-digest change (hex strings) must be
+    // rebuilt, not silently joined: Spark would CAST string→binary on the
+    // join key (hex chars, not raw bytes), match nothing, and flag nothing
+    require(storedCounts.schema("h").dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      s"stored span counts carry ${storedCounts.schema("h").dataType.catalogString} " +
+        "digests — this engine stores 16-byte binary md5; rebuild the " +
+        "count table with spanGramCounts")
     // the plan references the batch grams three times (broadcast digest
     // set, batch-count join, final semi join) — materialize them ONCE so
     // the tokenize+md5 kernel runs once per batch, not three times, even

@@ -37,7 +37,7 @@ object SpanDedupIngest {
   private def emptyCounts(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("h", StringType), StructField("occ", LongType))))
+      StructType(Seq(StructField("h", BinaryType), StructField("occ", LongType))))
   }
 
   // ------------------------------------------------ generational layout

@@ -81,6 +81,7 @@ class SpanIngestSpec extends AnyFunSuite {
     val first = collectSpans(
       SpanDedupIngest.ingestBatch(docs(b2: _*), logDir, batchId = 1L))
     val logAfterFirst = spark.read.option("basePath", logDir).parquet(logDir)
+      .select(org.apache.spark.sql.functions.hex($"h"), $"occ", $"batch")
       .as[(String, Long, Long)].collect().toSet
     // crash-replay of batch 1: its counts are ALREADY in the log, yet the
     // probe excludes its own partition, so the flags reproduce exactly and
@@ -88,6 +89,7 @@ class SpanIngestSpec extends AnyFunSuite {
     val replay = collectSpans(
       SpanDedupIngest.ingestBatch(docs(b2: _*), logDir, batchId = 1L))
     val logAfterReplay = spark.read.option("basePath", logDir).parquet(logDir)
+      .select(org.apache.spark.sql.functions.hex($"h"), $"occ", $"batch")
       .as[(String, Long, Long)].collect().toSet
     assert(replay === first)
     assert(logAfterReplay === logAfterFirst)
