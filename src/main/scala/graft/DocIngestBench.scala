@@ -106,16 +106,40 @@ object DocIngestBench {
       }
     }
 
+    // SPARK_GRAFT_SPAN=1 runs the INTEGRATED dual-granularity loop (r17):
+    // the same arrival stream also maintains the span gram-count log and
+    // emits document-level span flags, with the log folded in place on the
+    // compactEvery cadence — pricing what the second granularity adds to
+    // the per-batch latency above the chunk path alone.
+    val span = sys.env.get("SPARK_GRAFT_SPAN").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    val (spanLog, spanFlags) =
+      if (!span) ("", "")
+      else (java.nio.file.Files.createTempDirectory("graft_docingest_spanlog").toString,
+            java.nio.file.Files.createTempDirectory("graft_docingest_spanflags").toString)
+
     val source = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft_docingest_ckpt").toString
     val q = streaming.StreamingIngest.startDocs(
       source.toDF().toDF("doc_id", "text"), dir, ckpt, nlist,
       trained = trained, compactEvery = 2, flagNearDups = flagNearDups,
       pqM = if (pq) pqM else 0, pqKsub = pqKsub,
+      spanLogDir = spanLog, spanFlagsDir = spanFlags,
       onBatch = r => println(f"[docingest] batch ${r.batchId}: docs=${r.arrived} " +
         f"chunksDropped=${r.dropped} chunksAppended=${r.appended} latency=${r.seconds}%.2f s"))
     batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
     q.stop()
+
+    if (span) {
+      val flags = streaming.SpanDedupIngest.readFlags(spark, spanFlags)
+      println(s"[docingest] span flags emitted: rows=${flags.count()} " +
+        s"docs=${flags.select("doc_id").distinct().count()}")
+      val partsName = streaming.SpanDedupIngest.partsDir(spark, spanLog)
+        .stripPrefix(spanLog).stripPrefix("/")
+      println(s"[docingest] span log parts dir after cadence folds: " +
+        (if (partsName.isEmpty) "legacy (no fold ran)"
+         else s"$partsName (folded in place)"))
+    }
 
     println(s"[docingest] store rows after $nBatches batches: " +
       IvfCatalog.assignedChunks(spark, dir, nlist, trained).count())
