@@ -110,9 +110,15 @@ object Bpe {
     val in = getClass.getResourceAsStream("/graft/bpe_merges.tsv")
     require(in != null, "frozen BPE merges resource missing from classpath")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).map { line =>
-      val Array(_, l, r) = line.split("\t", 3)
-      (l, r)
+    try src.getLines().filter(_.nonEmpty).zipWithIndex.map { case (line, i) =>
+      // a corrupted deployment artifact must name itself, not MatchError
+      line.split("\t", 3) match {
+        case Array(_, l, r) => (l, r)
+        case parts => throw new IllegalStateException(
+          s"frozen BPE merges resource /graft/bpe_merges.tsv is corrupt: " +
+            s"line ${i + 1} has ${parts.length} tab-separated fields, " +
+            "expected 3 (rank, left, right)")
+      }
     }.toVector
     finally src.close()
   }

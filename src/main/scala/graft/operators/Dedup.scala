@@ -1170,6 +1170,60 @@ object Dedup {
     mergeFlaggedWindows(grams.join(dup, Seq("h"), "left_semi"), k, idCol)
   }
 
+  /** [[duplicateSpans]] with a BOUNDED shuffle/disk footprint — the scale
+    * form of the one-time full corpus pass (the N45 whole-bucket-slicing
+    * move, applied to the gram table). The monolithic pass shuffles the
+    * corpus-shaped (id, pos, digest) table twice at once (count agg +
+    * semi join), which exceeded this sandbox's disk at the ×10000 decade
+    * (SCALE.md round-17); here the gram space is sliced by DIGEST RANGE
+    * into `slices` sequential passes, each shuffling only 1/slices of the
+    * windows.
+    *
+    * Equivalence argument (SpanDedupSpec pins sliced ≡ monolithic
+    * hash-equal): every occurrence of a digest lands in the same slice
+    * (the slice key is a pure function of the digest), so each slice's
+    * count aggregation sees ALL occurrences of its digests — per-slice
+    * flags are complete and the union over slices is exactly the
+    * monolithic flag set. The per-doc gaps-and-islands merge then runs
+    * ONCE over the union, which is flag-sized, not gram-sized.
+    *
+    * Cost shape: the tokenize+digest kernel re-runs once per pass (CPU
+    * ∝ slices, embarrassingly parallel and scan-local), in exchange for
+    * the per-pass shuffle and scratch footprint dropping to 1/slices —
+    * the same trade [[graft.pipelines.Pipelines.writeBucketedChunksBatched]]
+    * makes for the bucketized build. Each pass materializes its slice's
+    * grams to DISK_ONLY storage before the two consumers (count agg +
+    * semi join) so the kernel runs once per pass, not twice; the slice
+    * is unpersisted and the pass's shuffle files are GC-reclaimed before
+    * the next pass starts, keeping the disk high-water mark at one
+    * slice. Flagged windows land under `scratchDir` (flag-shaped, one
+    * append per pass) and the returned frame reads them back merged.
+    *
+    * EAGER — the passes run inside this call (it is a write-shaped
+    * operator like the bucketized build, not a lazy plan). */
+  def duplicateSpansSliced(docs: DataFrame, scratchDir: String,
+                           slices: Int = 8, k: Int = 5, minOcc: Int = 2,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window must be at least 2 tokens, got $k")
+    require(minOcc >= 2, s"minOcc must be at least 2, got $minOcc")
+    require(slices >= 1, s"slices must be at least 1, got $slices")
+    val spark = docs.sparkSession
+    (0 until slices).foreach { s =>
+      val slice = spanGrams(docs, k, idCol, textCol)
+        .filter(pmod(xxhash64(col("h")), lit(slices.toLong)) === s.toLong)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val dup = slice.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= minOcc).select(col("h"))
+      slice.join(dup, Seq("h"), "left_semi")
+        .select(col(idCol), col("pos"))
+        .write.mode(if (s == 0) "overwrite" else "append").parquet(scratchDir)
+      slice.unpersist(blocking = true)
+      if (s < slices - 1) System.gc() // release the pass's shuffle files
+    }
+    mergeFlaggedWindows(spark.read.parquet(scratchDir), k, idCol)
+  }
+
   /** Gaps-and-islands merge of flagged (idCol, pos) windows into maximal
     * spans [pos, pos+k-1]; abutting coverage merges (union-of-covered-token
     * semantics). One window partitioned by document — per-task state is one

@@ -16,7 +16,12 @@ final class WordPieceTokenizer(vocab: Map[String, Int],
   def id(token: String): Int = vocab.getOrElse(token, vocab(unkToken))
 
   /** Lowercase, strip combining accents, split on whitespace and around
-    * punctuation — BERT's uncased BasicTokenizer. */
+    * punctuation — BERT's uncased BasicTokenizer, including its
+    * `_clean_text` (control/format chars dropped, \t\n\r already covered
+    * by the whitespace split) and `_tokenize_chinese_chars` (every CJK
+    * ideograph is its own token) steps, so tokenization of CJK or
+    * control-laden text matches the real BertTokenizer instead of
+    * silently gluing ideographs into unsplittable [UNK] words. */
   def basicTokenize(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
     val norm = java.text.Normalizer.normalize(
@@ -25,10 +30,21 @@ final class WordPieceTokenizer(vocab: Map[String, Int],
     val out = Array.newBuilder[String]
     val cur = new java.lang.StringBuilder
     def flush(): Unit = if (cur.length > 0) { out += cur.toString; cur.setLength(0) }
-    norm.foreach { c =>
-      if (Character.isWhitespace(c)) flush()
-      else if (!Character.isLetterOrDigit(c)) { flush(); out += c.toString }
-      else cur.append(c)
+    var i = 0
+    while (i < norm.length) {
+      val cp = norm.codePointAt(i)
+      val t = Character.getType(cp)
+      if (cp == 0 || cp == 0xFFFD ||
+          ((t == Character.CONTROL || t == Character.FORMAT) &&
+            !Character.isWhitespace(cp))) {
+        () // _clean_text: drop NUL, replacement char, Cc/Cf
+      } else if (Character.isWhitespace(cp)) flush()
+      else if (WordPieceTokenizer.isCjk(cp)) {
+        flush(); out += new String(Character.toChars(cp))
+      } else if (!Character.isLetterOrDigit(cp)) {
+        flush(); out += new String(Character.toChars(cp))
+      } else cur.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     flush()
     out.result()
@@ -65,6 +81,14 @@ object WordPieceTokenizer {
       src.getLines().zipWithIndex.map { case (t, i) => (t, i) }.toMap)
     finally src.close()
   }
+
+  /** BERT's `_is_chinese_char` CJK blocks (the basic tokenizer splits
+    * these into single-character tokens). */
+  private[operators] def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+    (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
+    (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0x2B820 && cp <= 0x2CEAF) ||
+    (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F)
 }
 
 /** The PRODUCTION half of the V1 seam: sentence-transformers
@@ -170,12 +194,40 @@ object OnnxMiniLmEmbedder {
       (try { Class.forName("ai.onnxruntime.OrtEnvironment"); true }
        catch { case _: ClassNotFoundException => false })
 
-  /** The gated constructor callers compose with `.getOrElse(HashingEmbedder)`. */
+  /** The gated constructor callers compose with `.getOrElse(HashingEmbedder)`.
+    *
+    * The gate distinguishes CLEAN ABSENCE from MISDEPLOYMENT: None only
+    * when NO artifact is present (the offline sandbox, by design). Any
+    * half-deployed state — artifacts without the onnxruntime jar, one
+    * file of the pair, an empty model file, a vocab missing the special
+    * tokens — throws instead of returning None, because the
+    * `.getOrElse(HashingEmbedder)` composition would otherwise silently
+    * serve hash embeddings where the deployer installed MiniLM (the
+    * quietest possible retrieval-quality failure). OnnxEmbedderSpec
+    * drills every branch offline. */
   def ifAvailable(modelPath: String, vocabPath: String,
-                  maxSeqLen: Int = 256): Option[OnnxMiniLmEmbedder] =
-    if (available(modelPath, vocabPath))
-      Some(new OnnxMiniLmEmbedder(modelPath, vocabPath, maxSeqLen))
-    else None
+                  maxSeqLen: Int = 256): Option[OnnxMiniLmEmbedder] = {
+    val model = new java.io.File(modelPath)
+    val vocab = new java.io.File(vocabPath)
+    if (!model.isFile && !vocab.isFile) return None
+    def fail(why: String) = throw new IllegalStateException(
+      s"MiniLM artifacts misdeployed ($why) — refusing the silent " +
+        s"HashingEmbedder fallback; fix the deployment or remove BOTH " +
+        s"artifacts to opt into the offline default (model=$modelPath, " +
+        s"vocab=$vocabPath)")
+    if (!model.isFile) fail("vocab present but model file missing")
+    if (!vocab.isFile) fail("model present but vocab file missing")
+    if (model.length() == 0L) fail("model file is empty")
+    val vk = WordPieceTokenizer.fromFile(vocabPath)
+    Seq("[UNK]", "[CLS]", "[SEP]").foreach { t =>
+      if (vk.id(t) == vk.id("[UNK]") && t != "[UNK]")
+        fail(s"vocab has no $t token")
+    }
+    if (try { Class.forName("ai.onnxruntime.OrtEnvironment"); false }
+        catch { case _: ClassNotFoundException => true })
+      fail("artifacts present but onnxruntime is not on the classpath")
+    Some(new OnnxMiniLmEmbedder(modelPath, vocabPath, maxSeqLen))
+  }
 
   /** Attention-masked mean pooling over the last hidden state + l2
     * normalization — MiniLM's documented sentence-embedding pooling,

@@ -1166,6 +1166,13 @@ object Similarity {
     val qnorms = qVecs.map(vecNorm)
     // per-query probe sets: one centroid job, serial-path tie-break
     val cellType = codesAssigned.schema("centroid_id").dataType
+    // the candidate-cell ride-along (below) carries cells as LONG inside
+    // the top-k pair — a non-integral centroid id would cast to null and
+    // crash the candidate collect; reject it loudly up front (ids get the
+    // same treatment via the idType match)
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(cellType),
+      s"ivfPqSearchPrunedBatch centroid_id must be integral, got " +
+        s"${cellType.catalogString} — the engine's catalogs assign long cells")
     val pairs = centroids.crossJoin(broadcast(qIndexed.select(col("__qi"), col(qvecCol))))
       .withColumn("__qcos", cosineSimilarity(col("centroid_vec"), col(qvecCol)))
       .withColumn("__rn", row_number().over(

@@ -279,7 +279,7 @@ object PipelineQueries {
     "pipe_curation_full" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.TextFunctions.qualityScore
-      import graft.operators.{Dedup, Sampling, TextAnalysis}
+      import graft.operators.{Dedup, Sampling}
       val docs = Tables.documents(s, dir)
       // 1. substring-span scrub over the full corpus; unflagged docs keep
       // their text (scrubDuplicateSpans returns flagged docs only)
@@ -307,13 +307,19 @@ object PipelineQueries {
       val clean = train0.join(dirty, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       // 5–7. mixture resample (over lang — see curationMixWeights) →
-      // split → pack
+      // split → pack. The packing budget counts REAL subword tokens under
+      // the frozen corpus-trained BPE merges (operators.Bpe — the same
+      // trained tokenizer ana_token_counts_bpe / samp_pack_bpe pin), not
+      // the whitespace approximation: a training-shard manifest packs
+      // what the model will actually see. The oracle replays the frozen
+      // merge table over the scrubbed text word-for-word.
       val mixed = Sampling.mixtureResample(clean, "doc_id", "lang",
           SamplingQueries.curationMixWeights)
         .withColumn("split", Sampling.splitColumn($"doc_id",
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
         .select($"doc_id", $"source", $"lang", $"split",
-          TextAnalysis.whitespaceTokens($"text").cast("long").as("n_tokens"))
+          graft.operators.Bpe.tokenCount($"text",
+            graft.operators.Bpe.frozen).as("n_tokens"))
         .withColumn("shard", concat_ws("#", $"split", $"lang",
           pmod(Sampling.hashBucket($"doc_id", "pack"), lit(8L)).cast("string")))
       Sampling.packSequences(mixed, $"n_tokens", budget = 2048,
@@ -437,14 +443,19 @@ object PipelineQueries {
             SELECT c2.doc_id, c2.source, c2.lang, c2.text
             FROM clean c2 JOIN rates r USING (lang)
             WHERE ${SamplingQueries.duckBucket("mix", "CAST(c2.doc_id AS VARCHAR)")} < r.keep_ppm),
+          ${DuckSql.bpeWordTokenCtes(graft.operators.Bpe.frozen)},
+          dtok AS (SELECT doc_id, unnest(${DuckSql.words("text")}) AS w FROM mixed),
+          bagg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nb
+                   FROM dtok JOIN wtok USING (w) GROUP BY doc_id),
           t AS (
             SELECT doc_id, source, lang,
               CASE WHEN b < 800000 THEN 'train'
                    WHEN b < 900000 THEN 'valid'
                    ELSE 'test' END AS split,
-              CAST(${DuckSql.wc("text")} AS BIGINT) AS n_tokens
-            FROM (SELECT *, ${SamplingQueries.duckBucket("split", "CAST(doc_id AS VARCHAR)")} AS b
-                  FROM mixed)),
+              CAST(COALESCE(nb, 0) AS BIGINT) AS n_tokens
+            FROM (SELECT mx.*, bg.nb,
+                    ${SamplingQueries.duckBucket("split", "CAST(mx.doc_id AS VARCHAR)")} AS b
+                  FROM mixed mx LEFT JOIN bagg bg USING (doc_id))),
           t2 AS (
             SELECT *, concat_ws('#', split, lang,
               CAST((${SamplingQueries.duckBucket("pack", "CAST(doc_id AS VARCHAR)")}) % 8 AS VARCHAR)) AS shard

@@ -136,7 +136,9 @@ object SpanDedupIngest {
     * folded in place ([[foldLogInLoop]], at the START of the next batch —
     * the only point where every foldable part is checkpoint-committed), so
     * probe cost stays one-part-plus-recent instead of one part per
-    * micro-batch forever. */
+    * micro-batch forever. The FLAGS store folds on the same cadence
+    * ([[foldFlagsInLoop]] — pure part compaction, readFlags-identical),
+    * so its dir/file count stays bounded too. */
   def startSpanDedup(docs: DataFrame, logDir: String, flagsDir: String,
                      checkpoint: String, k: Int = 5, minOcc: Int = 2,
                      idCol: String = "doc_id",
@@ -154,10 +156,13 @@ object SpanDedupIngest {
         if (!src.isEmpty) {
           if (foldEvery > 0 && sinceFold >= foldEvery) {
             foldLogInLoop(src.sparkSession, logDir, belowBatch = id)
+            // the flags store fragments at the same one-dir-per-batch rate
+            foldFlagsInLoop(src.sparkSession, flagsDir, belowBatch = id)
             sinceFold = 0
           }
           val flags = ingestBatch(src, logDir, id, k, minOcc, idCol, textCol)
-          flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$id")
+          flags.write.mode("overwrite")
+            .parquet(s"${partsDir(src.sparkSession, flagsDir)}/batch=$id")
           sinceFold += 1
         }
         ()
@@ -175,7 +180,8 @@ object SpanDedupIngest {
                 idCol: String = "doc_id",
                 idType: org.apache.spark.sql.types.DataType =
                   org.apache.spark.sql.types.LongType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(flagsDir)
+    val dir = partsDir(spark, flagsDir) // the flags store folds generationally too
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasParts = fs.exists(p) &&
       fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
@@ -185,7 +191,7 @@ object SpanDedupIngest {
         StructType(Seq(StructField(idCol, idType),
           StructField("span_start", LongType), StructField("span_end", LongType))))
     } else
-      spark.read.option("basePath", flagsDir).parquet(flagsDir).drop("batch")
+      spark.read.option("basePath", dir).parquet(dir).drop("batch")
   }
 
   /** Offline fold: the log's parts summed per digest into `outDir` as one
@@ -244,10 +250,36 @@ object SpanDedupIngest {
     * everything in place. Returns true when a fold ran (false = nothing
     * worth folding: the history is already one part). */
   def foldLogInLoop(spark: SparkSession, logDir: String,
-                    belowBatch: Long = Long.MaxValue): Boolean = {
+                    belowBatch: Long = Long.MaxValue): Boolean =
+    foldPartsInLoop(spark, logDir, belowBatch,
+      _.groupBy(col("h")).agg(sum(col("occ")).as("occ")))
+
+  /** [[foldLogInLoop]] for the FLAGS side of the loop: the per-batch span
+    * flags are emissions, not counts — folding them is pure part
+    * compaction (union the committed parts into one bounded-file part, no
+    * aggregation), closing the same one-dir-per-micro-batch-forever
+    * growth mode for the flags store that [[foldLogInLoop]] closes for
+    * the count log ([[readFlags]] output is identical before and after;
+    * SpanIngestSpec pins it). Same generational crash-safety and same
+    * call discipline: at the START of processing batch `belowBatch`. */
+  def foldFlagsInLoop(spark: SparkSession, flagsDir: String,
+                      belowBatch: Long = Long.MaxValue,
+                      files: Int = 8): Boolean =
+    foldPartsInLoop(spark, flagsDir, belowBatch, _.coalesce(files))
+
+  /** The shared generational in-place fold: every committed `batch=<id>`
+    * part below `belowBatch` in `dir`'s current generation is read,
+    * passed through `fold`, and written as `g<N+1>/batch=-1`; once that
+    * commit is VISIBLE to generation resolution the superseded layout is
+    * swept. Used by the span count log (digest-sum fold), the span flags
+    * store (part compaction), and the mixture arrival log (domain-sum
+    * fold). */
+  private[streaming] def foldPartsInLoop(spark: SparkSession, dir: String,
+                                         belowBatch: Long,
+                                         fold: DataFrame => DataFrame): Boolean = {
     import org.apache.hadoop.fs.Path
-    val fs = hadoopFs(spark, logDir)
-    val (g, cur) = currentGen(spark, logDir)
+    val fs = hadoopFs(spark, dir)
+    val (g, cur) = currentGen(spark, dir)
     val curPath = new Path(cur)
     if (!fs.exists(curPath)) return false
     val parts = fs.listStatus(curPath).toSeq
@@ -256,15 +288,28 @@ object SpanDedupIngest {
     val foldable = parts.filter(_._1 < belowBatch)
     if (foldable.size <= 1) return false
     val next = g + 1 // legacy flat layout (-1) migrates to g0
-    spark.read.parquet(foldable.map(_._2.toString): _*)
-      .groupBy(col("h")).agg(sum(col("occ")).as("occ"))
-      .write.mode("overwrite").parquet(s"$logDir/g$next/batch=-1")
-    // the commit above made g<next> current; sweep everything it
-    // superseded — stale generations, legacy flat parts, and any
-    // crashed-attempt part of the current batch (its replay rewrites it
-    // in the new generation). Best-effort: a dir that survives a failed
-    // delete is ignored by resolution and retried by the next fold.
-    fs.listStatus(new Path(logDir)).foreach { s =>
+    fold(spark.read.parquet(foldable.map(_._2.toString): _*))
+      .write.mode("overwrite").parquet(s"$dir/g$next/batch=-1")
+    // the sweep below deletes the layout the fold SUPERSEDED — it must
+    // only run once resolution actually reads g<next>. A deployment with
+    // _SUCCESS markers disabled (mapreduce.fileoutputcommitter
+    // .marksuccessfuljobs=false) commits invisibly to currentGen; sweeping
+    // there would delete the LIVE log while readers still resolve the old
+    // generation. Fail loudly instead — the folded data is all still
+    // present (old layout intact, new one ignored), only the maintenance
+    // move is refused.
+    val gNow = currentGen(spark, dir)._1
+    require(gNow == next,
+      s"in-place fold of '$dir' wrote g$next but generation resolution " +
+        s"still reads g$gNow — the folded part's _SUCCESS marker is not " +
+        "visible (committer success markers disabled?); refusing to sweep " +
+        "the live layout")
+    // sweep everything g<next> superseded — stale generations, legacy
+    // flat parts, and any crashed-attempt part of the current batch (its
+    // replay rewrites it in the new generation). Best-effort: a dir that
+    // survives a failed delete is ignored by resolution and retried by
+    // the next fold.
+    fs.listStatus(new Path(dir)).foreach { s =>
       val n = s.getPath.getName
       if (s.isDirectory &&
           (n.startsWith("batch=") || (n.matches("g\\d+") && n != s"g$next")))

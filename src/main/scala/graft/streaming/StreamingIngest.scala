@@ -294,7 +294,8 @@ object StreamingIngest {
       idCol, textCol, trained, flagNearDups, flagMinCosine, flagNprobe, pqM, pqKsub)
     val flags = SpanDedupIngest.ingestBatch(src, spanLogDir, batchId,
       spanK, spanMinOcc, idCol, textCol)
-    flags.write.mode("overwrite").parquet(s"$spanFlagsDir/batch=$batchId")
+    flags.write.mode("overwrite")
+      .parquet(s"${SpanDedupIngest.partsDir(src.sparkSession, spanFlagsDir)}/batch=$batchId")
     (dropped, appended, flags.count())
   }
 
@@ -463,11 +464,13 @@ object StreamingIngest {
     * ([[graft.operators.Sampling.mixtureDrift]]); past
     * `mixtureDriftTolerance`, `onMixtureAdvice` fires. Surface, never act
     * — resampling is a curation decision ([[graft.operators.Sampling.mixtureResample]]),
-    * not something the cadence triggers implicitly. The counters are
-    * per-process telemetry, not checkpointed state: a restart resets them
-    * and a replayed batch counts again — fine for a drift signal, not an
-    * audit log (audit-grade counts come from `mixtureReport` over the
-    * stored corpus). */
+    * not something the cadence triggers implicitly. With `mixtureLogDir`
+    * set, the counts are DURABLE ([[MixtureLog]]): each batch lands its
+    * domain counts by overwriting its own `batch=<id>` part, so a restart
+    * resumes the true cumulative totals and a replayed batch converges
+    * instead of double-counting (StreamingSpec pins the restart).
+    * Without a log dir the counts fall back to in-memory counters —
+    * per-process telemetry, reset by restarts, documented as such. */
   def startDocs(docs: DataFrame, dir: String, checkpoint: String, nlist: Int,
                 qualityThreshold: Double = 0.0,
                 idCol: String = "doc_id", textCol: String = "text",
@@ -482,6 +485,7 @@ object StreamingIngest {
                 mixtureWeights: Map[String, Double] = Map.empty,
                 mixtureDomainCol: String = "source",
                 mixtureDriftTolerance: Double = 0.05,
+                mixtureLogDir: String = "",
                 onMixtureAdvice: graft.operators.Sampling.MixtureAdvice => Unit = _ => (),
                 onBatch: BatchReport => Unit = _ => (),
                 onAdvice: graft.Reindex.Advice => Unit = _ => ()): StreamingQuery = {
@@ -489,11 +493,14 @@ object StreamingIngest {
     if (spanEnabled) require(spanLogDir.nonEmpty && spanFlagsDir.nonEmpty,
       "span maintenance needs both spanLogDir and spanFlagsDir")
     val mixEnabled = mixtureWeights.nonEmpty
+    val mixDurable = mixEnabled && mixtureLogDir.nonEmpty
     var sinceCompact = 0
     var sinceFold = 0
-    // cumulative arrival counts per weighted domain (+ the unweighted
-    // rest) — domain-shaped, driver-resident by the same bounded-collect
-    // contract as mixtureReport
+    var sinceMixFold = 0
+    // the in-memory fallback (no mixtureLogDir): cumulative arrival counts
+    // per weighted domain (+ the unweighted rest) — domain-shaped,
+    // driver-resident by the same bounded-collect contract as
+    // mixtureReport; process-local, reset by restarts
     val mixCounts = scala.collection.mutable.Map.empty[String, Long]
     var mixOther = 0L
     docs.writeStream
@@ -506,7 +513,18 @@ object StreamingIngest {
                   else batch.toDF()
         val arrived = src.count()
         if (arrived > 0) {
-          if (mixEnabled) // one domain-shaped count agg per batch
+          if (mixDurable) {
+            // the arrival log folds on the cadence BEFORE this batch's
+            // part lands (everything below this id is committed; folding
+            // after the append would sweep the uncommitted part)
+            if (compactEvery > 0 && sinceMixFold >= compactEvery) {
+              MixtureLog.foldInLoop(src.sparkSession, mixtureLogDir,
+                belowBatch = batchId)
+              sinceMixFold = 0
+            }
+            MixtureLog.append(src, mixtureDomainCol, mixtureLogDir, batchId)
+            sinceMixFold += 1
+          } else if (mixEnabled) // one domain-shaped count agg per batch
             src.groupBy(col(mixtureDomainCol)).count().collect().foreach { r =>
               Option(r.get(0)).map(_.toString) match {
                 case Some(d) if mixtureWeights.contains(d) =>
@@ -518,6 +536,9 @@ object StreamingIngest {
           // foldLogInLoop: everything below the current id is committed)
           if (spanEnabled && compactEvery > 0 && sinceFold >= compactEvery) {
             SpanDedupIngest.foldLogInLoop(src.sparkSession, spanLogDir,
+              belowBatch = batchId)
+            // the flags store fragments at the same one-dir-per-batch rate
+            SpanDedupIngest.foldFlagsInLoop(src.sparkSession, spanFlagsDir,
               belowBatch = batchId)
             sinceFold = 0
           }
@@ -567,11 +588,15 @@ object StreamingIngest {
             graft.Reindex.reindexAdvice(batch.sparkSession, dir, nlist, trained)
               .foreach(onAdvice)
             }
-            // mixture drift is plain driver arithmetic over the arrival
-            // counts — no table access, so it sits outside the lease
+            // mixture drift reads the durable log (or, in the fallback,
+            // plain driver arithmetic over the counters) — no catalog
+            // table access, so it sits outside the lease
             if (mixEnabled) {
-              val adv = graft.operators.Sampling.mixtureDrift(
-                mixCounts.toMap, mixtureWeights, mixOther)
+              val adv =
+                if (mixDurable)
+                  MixtureLog.drift(batch.sparkSession, mixtureLogDir, mixtureWeights)
+                else graft.operators.Sampling.mixtureDrift(
+                  mixCounts.toMap, mixtureWeights, mixOther)
               if (adv.maxDrift > mixtureDriftTolerance) onMixtureAdvice(adv)
             }
             sinceCompact = 0

@@ -66,6 +66,48 @@ class OnnxEmbedderSpec extends AnyFunSuite {
       "/nonexistent/vocab.txt").isEmpty)
   }
 
+  test("CJK ideographs split per character; control chars are dropped " +
+       "(BERT _tokenize_chinese_chars / _clean_text)") {
+    assert(tk.basicTokenize("深度学习 spark").toSeq ===
+      Seq("深", "度", "学", "习", "spark"))
+    // an ideograph glued to latin text still splits out
+    assert(tk.basicTokenize("spark学join").toSeq === Seq("spark", "学", "join"))
+    // NUL, BEL (Cc), zero-width joiner (Cf), U+FFFD all vanish; \t\n stay
+    // word separators
+    assert(tk.basicTokenize("a\u0000b\u0007c\u200Dd\uFFFDe").toSeq === Seq("abcde"))
+    assert(tk.basicTokenize("a\tb\nc").toSeq === Seq("a", "b", "c"))
+  }
+
+  test("misdeployment drill: half-deployed artifacts fail loudly instead " +
+       "of silently falling back to hash embeddings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_onnx_drill")
+    val model = dir.resolve("model.onnx")
+    val vocabF = dir.resolve("vocab.txt")
+    def write(p: java.nio.file.Path, s: String) =
+      java.nio.file.Files.write(p, s.getBytes("UTF-8"))
+    def gate() = OnnxMiniLmEmbedder.ifAvailable(model.toString, vocabF.toString)
+
+    // both absent: the clean offline default — None, no throw
+    assert(gate().isEmpty)
+    // vocab without model (and vice versa): misdeployment, loud
+    write(vocabF, Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "spark").mkString("\n"))
+    val e1 = intercept[IllegalStateException](gate())
+    assert(e1.getMessage.contains("model file missing"))
+    write(model, "") // model now present but EMPTY — a truncated copy
+    val e2 = intercept[IllegalStateException](gate())
+    assert(e2.getMessage.contains("empty"))
+    write(model, "not really onnx but non-empty")
+    // vocab missing [CLS]: the framing would silently encode [UNK] [UNK]
+    write(vocabF, Seq("[PAD]", "[UNK]", "spark").mkString("\n"))
+    val e3 = intercept[IllegalStateException](gate())
+    assert(e3.getMessage.contains("[CLS]"))
+    // full artifacts but no onnxruntime on this classpath (always true in
+    // this sandbox): STILL loud — the jar was forgotten, not the model
+    write(vocabF, Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "spark").mkString("\n"))
+    val e4 = intercept[IllegalStateException](gate())
+    assert(e4.getMessage.contains("onnxruntime"))
+  }
+
   test("end-to-end MiniLM embedding (cancels honestly without the model)") {
     val modelPath = sys.env.getOrElse("GRAFT_MINILM_ONNX",
       "/models/all-MiniLM-L6-v2/model.onnx")

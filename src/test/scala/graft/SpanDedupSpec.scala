@@ -204,4 +204,27 @@ class SpanDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.duplicateSpans(d, k = 1))
     intercept[IllegalArgumentException](Dedup.duplicateSpans(d, minOcc = 1))
   }
+
+  test("sliced full pass ≡ monolithic: digest-range slicing loses nothing " +
+       "at slices = 1, 3, 8") {
+    import spark.implicits._
+    // every structural case above in one corpus: cross-doc share, within-
+    // doc repeat, non-adjacent regions, a 3-way shared prefix, uniques
+    val corpus = docs(
+      1L -> "one two three four five six alpha",
+      2L -> "zero one two three four five six beta",
+      3L -> "p1 q1 r1 s1 t1 u1 p1 q1 r1 s1 t1 u1",
+      4L -> "a1 b1 c1 d1 e1 gap1 gap2 gap3 a2 b2 c2 d2 e2",
+      5L -> "a1 b1 c1 d1 e1 xx yy zz a2 b2 c2 d2 e2",
+      6L -> "entirely unique tokens u3 u4 u5 u6",
+      7L -> "one two three four five staggered tail words here")
+    val mono = spans(corpus)
+    assert(mono.nonEmpty) // the fixture must actually exercise the merge
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sliced").toString
+    for (s <- Seq(1, 3, 8)) {
+      val got = Dedup.duplicateSpansSliced(corpus, s"$tmp/s$s", slices = s)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === mono, s"slices=$s diverged from the monolithic pass")
+    }
+  }
 }

@@ -216,6 +216,31 @@ class SpanIngestSpec extends AnyFunSuite {
     assert(SpanDedupIngest.partsDir(spark, logDir) === s"$logDir/g0")
     assert(spark.read.option("basePath", s"$logDir/g0").parquet(s"$logDir/g0")
       .select("batch").distinct().as[Long].collect().toSet === Set(-1L, 2L))
+    // the FLAGS store folded on the same cadence: same generational
+    // layout, and `got` above already proved readFlags is unchanged by it
+    assert(SpanDedupIngest.partsDir(spark, flagsDir) === s"$flagsDir/g0")
+    assert(spark.read.option("basePath", s"$flagsDir/g0").parquet(s"$flagsDir/g0")
+      .select("batch").distinct().as[Long].collect().toSet === Set(-1L, 2L))
+  }
+
+  test("foldFlagsInLoop is pure compaction: readFlags identical, parts bounded") {
+    val (logDir, flagsDir) = (tmp("spanlog_ffl"), tmp("spanflags_ffl"))
+    def land(batch: Seq[(Long, String)], id: Long): Unit =
+      SpanDedupIngest.ingestBatch(docs(batch: _*), logDir, id)
+        .write.mode("overwrite")
+        .parquet(s"${SpanDedupIngest.partsDir(spark, flagsDir)}/batch=$id")
+    land(b1, 0L); land(b2, 1L)
+    val before = collectSpans(SpanDedupIngest.readFlags(spark, flagsDir))
+    assert(SpanDedupIngest.foldFlagsInLoop(spark, flagsDir, belowBatch = 2L))
+    assert(SpanDedupIngest.partsDir(spark, flagsDir) === s"$flagsDir/g0")
+    assert(collectSpans(SpanDedupIngest.readFlags(spark, flagsDir)) === before)
+    assert(!new java.io.File(s"$flagsDir/batch=0").exists()) // swept
+    // a post-fold batch lands in the live generation and unions in
+    land(b3, 2L)
+    assert(collectSpans(SpanDedupIngest.readFlags(spark, flagsDir)) ===
+      before ++ expectedAt(b1, b2, b3))
+    // folded part + one new part: nothing foldable below the same bound
+    assert(!SpanDedupIngest.foldFlagsInLoop(spark, flagsDir, belowBatch = 2L))
   }
 
   test("readFlags on a not-yet-written sink returns empty, not a throw") {

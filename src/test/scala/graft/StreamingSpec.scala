@@ -1441,6 +1441,63 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $centName")
   }
 
+  test("durable mixture log: the drift advisory survives a loop restart " +
+       "and a replayed batch converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val nlist = 43 // isolated store/centroid tables
+    val storeName = TableStore.tableName(s"ivfchunks$nlist", dir)
+    val centName = TableStore.tableName(s"ivfchunkcent$nlist", dir)
+    spark.sql(s"DROP TABLE IF EXISTS $storeName")
+    spark.sql(s"DROP TABLE IF EXISTS $centName")
+    IvfCatalog.assignedChunks(spark, dir, nlist).count()
+    def mkText(tag: String): String = (1 to 8).map(i =>
+      s"Durable mixture fixture $tag sentence $i with enough prose to chunk.").mkString(" ")
+    val weights = Map("web" -> 0.5, "code" -> 0.5)
+    val mixLog = java.nio.file.Files.createTempDirectory("graft_mixlog").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mixlog_ckpt").toString
+    val source = MemoryStream[(Long, String, String)]
+    def runOnce(data: Seq[(Long, String, String)]) = {
+      val advice = scala.collection.mutable.ListBuffer.empty[graft.operators.Sampling.MixtureAdvice]
+      val q = graft.streaming.StreamingIngest.startDocs(
+        source.toDF().toDF("doc_id", "text", "source"), dir, ckpt, nlist,
+        compactEvery = 1,
+        mixtureWeights = weights, mixtureLogDir = mixLog,
+        onMixtureAdvice = a => advice.synchronized { advice += a })
+      try { source.addData(data: _*); q.processAllAvailable() } finally q.stop()
+      advice.toList
+    }
+    // run 1: skewed arrivals, advice from the DURABLE log
+    val run1 = runOnce(Seq(
+      (980001L, mkText("w1"), "web"), (980002L, mkText("w2"), "web"),
+      (980003L, mkText("w3"), "web"), (980004L, mkText("c1"), "code")))
+    assert(run1.nonEmpty && run1.head.counts === Map("web" -> 3L, "code" -> 1L))
+    // RESTART from the same checkpoint (same source instance, batch ids
+    // continue): the advisory must see the CUMULATIVE history — the
+    // in-memory counters this log replaces would have reset to code=1
+    val run2 = runOnce(Seq((980005L, mkText("c2"), "code")))
+    assert(run2.nonEmpty,
+      "web 3/5 vs target 0.5 is drift 0.1 > 0.05 — the restarted loop must advise")
+    assert(run2.head.counts === Map("web" -> 3L, "code" -> 2L),
+      s"restart lost the durable arrival history: ${run2.head}")
+    assert(math.abs(run2.head.maxDrift - 0.1) < 1e-12 &&
+      run2.head.weightedArrivals === 5L)
+    // a replayed batch converges: re-landing batch 0's counts changes nothing
+    val batch0 = Seq(
+      (980001L, "web"), (980002L, "web"), (980003L, "web"), (980004L, "code"))
+      .toDF("doc_id", "source")
+    graft.streaming.MixtureLog.append(batch0, "source", mixLog, batchId = 0L)
+    assert(graft.streaming.MixtureLog.counts(spark, mixLog, weights) ===
+      (Map("web" -> 3L, "code" -> 2L), 0L))
+    // the log folds generationally like its siblings; counts unchanged
+    assert(graft.streaming.MixtureLog.foldInLoop(spark, mixLog))
+    assert(graft.streaming.MixtureLog.counts(spark, mixLog, weights) ===
+      (Map("web" -> 3L, "code" -> 2L), 0L))
+    spark.sql(s"DROP TABLE IF EXISTS $storeName")
+    spark.sql(s"DROP TABLE IF EXISTS $centName")
+  }
+
   test("query-serving loop: micro-batches answered by one batched probe each, ≡ serial flagship") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
