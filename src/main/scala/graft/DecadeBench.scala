@@ -340,6 +340,85 @@ object DecadeBench {
         pipelines.Pipelines.flagshipIvfPqBatch(spark, dir, qs, nlist = nlist,
           nprobe = nprobe, m = pqM, ksub = pqKsub)
       }
+      // PAIRED serial leg (round-17 verdict: the serial-IVF p50 drifted
+      // 1.35→1.69 s across rounds without a paired reading) — the same
+      // `qs` queries run one by one, TWICE, adjacent to the batch rows
+      // above, so serial-vs-batch and rep1-vs-rep2 are measured on the
+      // same cache/JIT state and machine noise is bounded by the repeat
+      // delta instead of guessed.
+      for (rep <- 1 to 2) {
+        val times = qs.map { qt =>
+          val t0 = System.nanoTime()
+          val n = pipelines.Pipelines.flagshipIvf(spark, dir, queryText = qt,
+            nlist = nlist, nprobe = nprobe).count()
+          require(n > 0, "serial IVF returned no rows")
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[decade] serve batch-${qs.size} serial IVF rep$rep: " +
+          f"${times.sum}%.2f s wall, ${times.sum / qs.size}%.3f s/query, " +
+          f"p50=${pct(times, 0.50)}%.2f s")
+      }
+    }
+
+    // --------------------------------------- edits channel (opt-in, ×10000)
+    // SPARK_GRAFT_DECADE_EDITS=1 runs the N35/N36 lifecycle against the
+    // decade store — the one family whose SCALE.md evidence stopped at
+    // ×1000: a 3-doc upsert batch and a 3-doc delete batch through the
+    // production startDocEdits loop (per-batch latency must be cell-shaped,
+    // not corpus-shaped), then SPARK_GRAFT_DECADE_BULK=N adds the bulk
+    // re-crawl form (N existing docs re-texted through the join-pruned,
+    // byte-batched route, near-dup flag off, disk low-water reported — at
+    // the decade a 100k-doc re-crawl touches essentially every cell, so
+    // this leg prices a bounded full-store rewrite by construction).
+    if (sys.env.get("SPARK_GRAFT_DECADE_EDITS").contains("1")) {
+      val eVictims = ingestSlice.take(3)
+      val editSrc = MemoryStream[(Long, String, String, Int)]
+      val eCkpt = java.nio.file.Files.createTempDirectory("graft_decade_edit_ckpt").toString
+      val eq = streaming.StreamingIngest.startDocEdits(
+        editSrc.toDF().toDF("doc_id", "text", "op", "seq"), dir, eCkpt, nlist,
+        pqM = pqM, pqKsub = pqKsub,
+        onBatch = r => println(f"[decade] edit-stream batch ${r.batchId}: " +
+          f"edits=${r.edits} upserted=${r.upsertedDocs} deleted=${r.deletedDocs} " +
+          f"removed=${r.removedChunks} added=${r.addedChunks} ${r.seconds}%.2f s"))
+      editSrc.addData(eVictims.map { case (id, t) =>
+        (id, s"decade edited $t", "upsert", 1) }: _*)
+      eq.processAllAvailable()
+      editSrc.addData(eVictims.map { case (id, _) => (id, "", "delete", 1) }: _*)
+      eq.processAllAvailable()
+      eq.stop()
+
+      val bulkN = sys.env.get("SPARK_GRAFT_DECADE_BULK").map(_.toInt).getOrElse(0)
+      if (bulkN > 0) {
+        // re-crawl texts: the persisted ingest slice cycled over EXISTING
+        // corpus ids, uniquified per doc (the lean corpus has no text to
+        // re-read; content must differ per doc or the md5 identity would
+        // dedup the whole batch)
+        val textsDf = ingestSlice.map(_._2).zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("ti", "t")
+        val bulkDf = Tables.documents(spark, dir)
+          .filter(pmod($"doc_id", lit(99991L)) === 11L)
+          .orderBy($"doc_id".asc).limit(bulkN)
+          .withColumn("ti", pmod($"doc_id", lit(ingestSlice.size.toLong)))
+          .join(broadcast(textsDf), "ti")
+          .select($"doc_id",
+            concat(lit("recrawl "), $"doc_id", lit(" "), $"t").as("text"))
+        val low = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+        @volatile var mon = true
+        val t = new Thread(() => while (mon) {
+          low.getAndUpdate(l => math.min(l, new java.io.File("/tmp").getUsableSpace))
+          Thread.sleep(500)
+        })
+        t.setDaemon(true); t.start()
+        val (brm, badd) = timed(s"BULK re-crawl upsert of $bulkN docs " +
+            "(join-pruned, byte-batched, flag off)") {
+          DocLifecycle.upsertDocChunks(spark, dir, bulkDf, nlist,
+            flagNearDups = false, bulkThreshold = 1000,
+            pqM = pqM, pqKsub = pqKsub)
+        }
+        mon = false; t.join(1500)
+        println(f"[decade]   bulk removed=$brm added=$badd " +
+          f"(disk low-water ${low.get / 1e9}%.1f GB free)")
+      }
     }
 
     // ------------------------------------- bucketed build (opt-in, ×10000)

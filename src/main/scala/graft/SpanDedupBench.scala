@@ -170,14 +170,84 @@ object SpanDedupBench {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)).count())
     println(s"[spanbench] mixture kept=$kept")
 
-    // 6. full-corpus pass LAST (see the build-order note above): two
-    // shuffles of the lean (id, pos, digest) table — corpus-shaped by
-    // nature, like the suffix array it replaces. SPARK_GRAFT_SPAN_FULL=0
-    // skips it when the sandbox disk cannot hold the decade's shuffle.
+    // 5b. encoding A/B for the DECON leg, paired and interleaved
+    // (SPARK_GRAFT_SPAN_AB=N runs N binary/hex pairs): round 17 measured
+    // ×10000 contaminatedSpans at 314 s on hex digests but 436 s on
+    // binary in UNPAIRED runs and blamed page cache without evidence.
+    // Both legs here are the same code — gram kernel → broadcast distinct
+    // eval digests → left-semi flagged-window count — differing ONLY in
+    // the digest encoding, run back-to-back on the same cache state, so
+    // the pair differences measure the encoding and nothing else. (The
+    // per-doc merge is excluded: it runs on flag-sized data and is
+    // encoding-independent.) The hex twin exists only here, as the
+    // measurement control — the engine stores binary.
+    val abPairs = sys.env.get("SPARK_GRAFT_SPAN_AB").map(_.toInt).getOrElse(0)
+    if (abPairs > 0) {
+      val binUdf = udf((t: String) => Dedup.spanDigestsScala(t, 8))
+      val hexUdf = udf((t: String) => { // HexFormat is not Serializable
+        val f = java.util.HexFormat.of()
+        Dedup.spanDigestsScala(t, 8).map(f.formatHex)
+      })
+      def grams(df: org.apache.spark.sql.DataFrame, hex: Boolean) = {
+        val d = if (hex) hexUdf else binUdf
+        df.select(col("doc_id"), posexplode(d(col("text"))).as(Seq("pos0", "h")))
+      }
+      def leg(hex: Boolean): Long =
+        grams(corpus, hex)
+          .join(broadcast(grams(batch, hex).select(col("h")).distinct()),
+            Seq("h"), "left_semi")
+          .count()
+      (1 to abPairs).foreach { i =>
+        val nB = timed(s"decon A/B pair $i: binary")(leg(hex = false))
+        val nH = timed(s"decon A/B pair $i: hex")(leg(hex = true))
+        require(nB == nH, s"encoding changed the flag set: $nB vs $nH")
+      }
+    }
+
+    // background disk monitor for the corpus-shaped legs: samples the
+    // filesystem the corpus lives on and reports the LOW-water mark of
+    // free bytes — the number the disk-budget claims are graded on
+    def withDiskLowWater[T](f: => T): (T, Double) = {
+      val fsFile = new java.io.File(dir)
+      val low = new java.util.concurrent.atomic.AtomicLong(fsFile.getUsableSpace)
+      @volatile var run = true
+      val t = new Thread(() => while (run) {
+        low.getAndUpdate(l => math.min(l, fsFile.getUsableSpace))
+        Thread.sleep(500)
+      })
+      t.setDaemon(true); t.start()
+      val r = try f finally { run = false; t.join(1500) }
+      (r, low.get / 1e9)
+    }
+
+    // 6. full-corpus pass (see the build-order note above): two shuffles
+    // of the lean (id, pos, digest) table — corpus-shaped by nature, like
+    // the suffix array it replaces. SPARK_GRAFT_SPAN_FULL=0 skips it when
+    // the sandbox disk cannot hold the decade's monolithic shuffle.
+    var nSpansFull = -1L
     if (!sys.env.get("SPARK_GRAFT_SPAN_FULL").contains("0")) {
-      val nSpans = timed("full duplicateSpans")(
-        Dedup.duplicateSpans(docs).count())
-      println(s"[spanbench] spans=$nSpans")
+      val (n, low) = withDiskLowWater(timed("full duplicateSpans")(
+        Dedup.duplicateSpans(docs).count()))
+      nSpansFull = n
+      println(f"[spanbench] spans=$nSpansFull (disk low-water $low%.1f GB free)")
+    }
+
+    // 6b. the SLICED full pass (SPARK_GRAFT_SPAN_SLICES=S): the bounded-
+    // disk form — S sequential passes each shuffling 1/S of the gram
+    // table (Dedup.duplicateSpansSliced). Runs LAST of all: it is the
+    // most expensive leg even though its footprint is bounded. Span-count
+    // parity against the monolithic pass is asserted when both legs ran.
+    val slices = sys.env.get("SPARK_GRAFT_SPAN_SLICES").map(_.toInt).getOrElse(0)
+    if (slices > 0) {
+      val scratch = s"$storePath.slices"
+      val (nSliced, low) = withDiskLowWater(
+        timed(s"sliced duplicateSpans (S=$slices)")(
+          Dedup.duplicateSpansSliced(docs, scratch, slices).count()))
+      println(f"[spanbench] sliced spans=$nSliced (disk low-water $low%.1f GB free)")
+      if (nSpansFull >= 0)
+        require(nSliced == nSpansFull,
+          s"sliced pass diverged from monolithic: $nSliced vs $nSpansFull")
+      logFs.delete(new org.apache.hadoop.fs.Path(scratch), true) // disk back
     }
 
     spark.stop()
