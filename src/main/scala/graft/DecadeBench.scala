@@ -395,8 +395,11 @@ object DecadeBench {
         // dedup the whole batch)
         val textsDf = ingestSlice.map(_._2).zipWithIndex
           .map { case (t, i) => (i.toLong, t) }.toDF("ti", "t")
+        // stride sized so ~bulkN docs actually match at the decade: the
+        // ingest slice's 99991 stride yields only ~500 of 50M docs (the
+        // first run of this leg measured a 500-doc "bulk" — fixed here)
         val bulkDf = Tables.documents(spark, dir)
-          .filter(pmod($"doc_id", lit(99991L)) === 11L)
+          .filter(pmod($"doc_id", lit(499L)) === 11L)
           .orderBy($"doc_id".asc).limit(bulkN)
           .withColumn("ti", pmod($"doc_id", lit(ingestSlice.size.toLong)))
           .join(broadcast(textsDf), "ti")
