@@ -118,13 +118,35 @@ object DocIngestBench {
       else (java.nio.file.Files.createTempDirectory("graft_docingest_spanlog").toString,
             java.nio.file.Files.createTempDirectory("graft_docingest_spanflags").toString)
 
+    // SPARK_GRAFT_MIX=1 adds the DURABLE mixture-drift advisory to the
+    // same loop (r18: MixtureLog — per-batch domain counts landed
+    // replay-idempotently, folded on the cadence, advisory computed from
+    // disk). The batch docs carry no `source` column in this bench, so
+    // the domain is derived from the id — the point here is pricing the
+    // log writes + the cadence read in the running loop, not the weights.
+    val mix = sys.env.get("SPARK_GRAFT_MIX").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    val mixLog =
+      if (!mix) ""
+      else java.nio.file.Files.createTempDirectory("graft_docingest_mixlog").toString
+
     val source = MemoryStream[(Long, String)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft_docingest_ckpt").toString
+    val arrivals0 =
+      source.toDF().toDF("doc_id", "text")
+    val arrivals =
+      if (mix) arrivals0.withColumn("source",
+        concat(lit("src"), pmod($"doc_id", lit(3L)).cast("string")))
+      else arrivals0
     val q = streaming.StreamingIngest.startDocs(
-      source.toDF().toDF("doc_id", "text"), dir, ckpt, nlist,
+      arrivals, dir, ckpt, nlist,
       trained = trained, compactEvery = 2, flagNearDups = flagNearDups,
       pqM = if (pq) pqM else 0, pqKsub = pqKsub,
       spanLogDir = spanLog, spanFlagsDir = spanFlags,
+      mixtureWeights = if (mix) Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3)
+                       else Map.empty,
+      mixtureLogDir = mixLog,
+      onMixtureAdvice = a => println(s"[docingest] mixture advice: $a"),
       onBatch = r => println(f"[docingest] batch ${r.batchId}: docs=${r.arrived} " +
         f"chunksDropped=${r.dropped} chunksAppended=${r.appended} latency=${r.seconds}%.2f s"))
     batches.foreach { b => source.addData(b: _*); q.processAllAvailable() }
@@ -139,6 +161,19 @@ object DocIngestBench {
       println(s"[docingest] span log parts dir after cadence folds: " +
         (if (partsName.isEmpty) "legacy (no fold ran)"
          else s"$partsName (folded in place)"))
+      // r18: the FLAGS store folds on the same cadence now
+      val flagsParts = streaming.SpanDedupIngest.partsDir(spark, spanFlags)
+        .stripPrefix(spanFlags).stripPrefix("/")
+      println(s"[docingest] span FLAGS parts dir after cadence folds: " +
+        (if (flagsParts.isEmpty) "legacy (no fold ran)"
+         else s"$flagsParts (folded in place)"))
+    }
+    if (mix) {
+      val (w, other) = streaming.MixtureLog.counts(spark, mixLog,
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3))
+      println(s"[docingest] durable mixture log totals: $w other=$other " +
+        s"(parts dir ${streaming.SpanDedupIngest.partsDir(spark, mixLog)
+          .stripPrefix(mixLog).stripPrefix("/")})")
     }
 
     println(s"[docingest] store rows after $nBatches batches: " +
