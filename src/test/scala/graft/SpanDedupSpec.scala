@@ -226,5 +226,12 @@ class SpanDedupSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().toSet
       assert(got === mono, s"slices=$s diverged from the monolithic pass")
     }
+    // custom column names (string id) ride the same scratch round-trip
+    val renamed = corpus.select($"doc_id".cast("string").as("uri"),
+      $"text".as("body"))
+    val gotCustom = Dedup.duplicateSpansSliced(renamed, s"$tmp/custom",
+        slices = 3, idCol = "uri", textCol = "body")
+      .as[(String, Long, Long)].collect().toSet
+    assert(gotCustom === mono.map { case (id, a, b) => (id.toString, a, b) })
   }
 }
