@@ -240,13 +240,62 @@ object SpanDedupBench {
     val slices = sys.env.get("SPARK_GRAFT_SPAN_SLICES").map(_.toInt).getOrElse(0)
     if (slices > 0) {
       val scratch = s"$storePath.slices"
+      var spansDf: org.apache.spark.sql.DataFrame = null
       val (nSliced, low) = withDiskLowWater(
-        timed(s"sliced duplicateSpans (S=$slices)")(
-          Dedup.duplicateSpansSliced(docs, scratch, slices).count()))
+        timed(s"sliced duplicateSpans (S=$slices)") {
+          spansDf = Dedup.duplicateSpansSliced(docs, scratch, slices)
+          spansDf.count()
+        })
       println(f"[spanbench] sliced spans=$nSliced (disk low-water $low%.1f GB free)")
       if (nSpansFull >= 0)
         require(nSliced == nSpansFull,
           s"sliced pass diverged from monolithic: $nSliced vs $nSpansFull")
+
+      // 6c. the FULL curation chain at scale (SPARK_GRAFT_SPAN_CURATION=1):
+      // pipe_curation_full's dataflow composed with the SLICED span pass —
+      // span scrub → exact-survivor dedup on the scrubbed text → quality
+      // gate → span decon vs the held-out batch (k=8) → source-mixture
+      // resample → 80/10/10 split → 2048-token packing on REAL frozen-BPE
+      // counts. The oracle-checked sf-scale flagship pins semantics; this
+      // leg prices the composition where it matters, with the one-time
+      // pass in its bounded form. (Exact dedup stands in for the stored
+      // cluster catalog — no embedding index exists at this corpus, and
+      // the catalog join it replaces is cheaper than this stage.)
+      if (sys.env.get("SPARK_GRAFT_SPAN_CURATION").contains("1")) {
+        import graft.functions.TextFunctions.qualityScore
+        val spans = spansDf.localCheckpoint(true) // merge once, spans are flag-sized
+        val gated = timed("curation: scrub + exact survivors + quality gate") {
+          val scrubbed = Dedup.scrubSpans(docs, spans)
+          val base = docs.join(scrubbed, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("source"), col("lang"),
+              coalesce(col("scrubbed_text"), col("text")).as("text"))
+          val g = Dedup.dropExactDuplicates(base)
+            .filter(qualityScore(col("text"), lit(null).cast("string"),
+              lit(null).cast("string")) >= 0.25)
+            .localCheckpoint(true) // scanned by decon, mixture count AND filter
+          println(s"[spanbench] curation survivors=${g.count()}")
+          g
+        }
+        val packed = timed("curation: decon + mixture + split + BPE pack") {
+          val dirty = Dedup.contaminatedSpans(
+              gated.select(col("doc_id"), col("text")), batch, k = 8)
+            .select(col("doc_id")).distinct().localCheckpoint(true)
+          val clean = gated.join(dirty, Seq("doc_id"), "left_anti")
+          val mixed = Sampling.mixtureResample(clean, "doc_id", "source",
+              Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+            .withColumn("split", Sampling.splitColumn(col("doc_id"),
+              Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+            .select(col("doc_id"), col("source"), col("lang"), col("split"),
+              operators.Bpe.tokenCount(col("text"), operators.Bpe.frozen)
+                .as("n_tokens"))
+            .withColumn("shard", concat_ws("#", col("split"), col("source"),
+              pmod(Sampling.hashBucket(col("doc_id"), "pack"), lit(32L))
+                .cast("string")))
+          Sampling.packSequences(mixed, col("n_tokens"), budget = 2048,
+            shardCol = "shard", idCol = "doc_id").count()
+        }
+        println(s"[spanbench] curation manifest rows=$packed")
+      }
       logFs.delete(new org.apache.hadoop.fs.Path(scratch), true) // disk back
     }
 
