@@ -264,7 +264,7 @@ object SpanDedupBench {
       if (sys.env.get("SPARK_GRAFT_SPAN_CURATION").contains("1")) {
         import graft.functions.TextFunctions.qualityScore
         val spans = spansDf.localCheckpoint(true) // merge once, spans are flag-sized
-        val gated = timed("curation: scrub + exact survivors + quality gate") {
+        val scrubbedGated = timed("curation: scrub + exact survivors + quality gate") {
           val scrubbed = Dedup.scrubSpans(docs, spans)
           val base = docs.join(scrubbed, Seq("doc_id"), "left")
             .select(col("doc_id"), col("source"), col("lang"),
@@ -276,6 +276,20 @@ object SpanDedupBench {
           println(s"[spanbench] curation survivors=${g.count()}")
           g
         }
+        // the ×N upsample makes every doc a near-copy, so the Lee-et-al
+        // scrub CORRECTLY annihilates this fixture (wall-to-wall spans →
+        // empty texts → quality-gated out). That is the right answer for
+        // the corpus, but it starves the downstream stages — price them
+        // on the unscrubbed corpus instead so the decon/mixture/pack
+        // costs are measured at full 5M-row width, and say so.
+        val gated =
+          if (!scrubbedGated.isEmpty) scrubbedGated
+          else {
+            println("[spanbench] curation: scrub annihilated the upsampled " +
+              "fixture (every doc is a rep) — pricing the remaining stages " +
+              "on the unscrubbed corpus")
+            docs.select(col("doc_id"), col("source"), col("lang"), col("text"))
+          }
         val packed = timed("curation: decon + mixture + split + BPE pack") {
           val dirty = Dedup.contaminatedSpans(
               gated.select(col("doc_id"), col("text")), batch, k = 8)
