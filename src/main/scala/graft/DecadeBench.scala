@@ -405,22 +405,17 @@ object DecadeBench {
           .join(broadcast(textsDf), "ti")
           .select($"doc_id",
             concat(lit("recrawl "), $"doc_id", lit(" "), $"t").as("text"))
-        val low = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
-        @volatile var mon = true
-        val t = new Thread(() => while (mon) {
-          low.getAndUpdate(l => math.min(l, new java.io.File("/tmp").getUsableSpace))
-          Thread.sleep(500)
-        })
-        t.setDaemon(true); t.start()
-        val (brm, badd) = timed(s"BULK re-crawl upsert of $bulkN docs " +
-            "(join-pruned, byte-batched, flag off)") {
-          DocLifecycle.upsertDocChunks(spark, dir, bulkDf, nlist,
-            flagNearDups = false, bulkThreshold = 1000,
-            pqM = pqM, pqKsub = pqKsub)
-        }
-        mon = false; t.join(1500)
+        // monitor the filesystem the STORE lives on, not a hard-coded
+        // /tmp — a relocated decade store would grade the wrong volume
+        val ((brm, badd), low) = GraftSession.withDiskLowWater(dir)(
+          timed(s"BULK re-crawl upsert of $bulkN docs " +
+              "(join-pruned, byte-batched, flag off)") {
+            DocLifecycle.upsertDocChunks(spark, dir, bulkDf, nlist,
+              flagNearDups = false, bulkThreshold = 1000,
+              pqM = pqM, pqKsub = pqKsub)
+          })
         println(f"[decade]   bulk removed=$brm added=$badd " +
-          f"(disk low-water ${low.get / 1e9}%.1f GB free)")
+          f"(disk low-water $low%.1f GB free)")
       }
     }
 

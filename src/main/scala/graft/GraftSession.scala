@@ -44,6 +44,25 @@ object GraftSession {
     walk(new java.io.File(dir))
   }
 
+  /** Background disk monitor for corpus-shaped bench legs: runs `f` while
+    * sampling free bytes on the filesystem `path` lives on every 500 ms,
+    * returning (result, LOW-water mark in GB free) — the number the
+    * disk-budget claims in SCALE.md are graded on. Pass the directory the
+    * workload actually writes under (store/scratch), not a hard-coded
+    * volume: a relocated store would otherwise grade the wrong disk. */
+  def withDiskLowWater[T](path: String)(f: => T): (T, Double) = {
+    val fsFile = new java.io.File(path)
+    val low = new java.util.concurrent.atomic.AtomicLong(fsFile.getUsableSpace)
+    @volatile var run = true
+    val t = new Thread(() => while (run) {
+      low.getAndUpdate(l => math.min(l, fsFile.getUsableSpace))
+      Thread.sleep(500)
+    })
+    t.setDaemon(true); t.start()
+    val r = try f finally { run = false; t.join(1500) }
+    (r, low.get / 1e9)
+  }
+
   /** Apply the shuffle-sizing defaults to a session builder. `shuffle` is
     * the static partition count (used verbatim below the gate or when AQE
     * is disabled; otherwise the floor under `initialPartitionNum`);

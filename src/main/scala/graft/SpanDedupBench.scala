@@ -207,18 +207,8 @@ object SpanDedupBench {
     // background disk monitor for the corpus-shaped legs: samples the
     // filesystem the corpus lives on and reports the LOW-water mark of
     // free bytes — the number the disk-budget claims are graded on
-    def withDiskLowWater[T](f: => T): (T, Double) = {
-      val fsFile = new java.io.File(dir)
-      val low = new java.util.concurrent.atomic.AtomicLong(fsFile.getUsableSpace)
-      @volatile var run = true
-      val t = new Thread(() => while (run) {
-        low.getAndUpdate(l => math.min(l, fsFile.getUsableSpace))
-        Thread.sleep(500)
-      })
-      t.setDaemon(true); t.start()
-      val r = try f finally { run = false; t.join(1500) }
-      (r, low.get / 1e9)
-    }
+    def withDiskLowWater[T](f: => T): (T, Double) =
+      GraftSession.withDiskLowWater(dir)(f)
 
     // 6. full-corpus pass (see the build-order note above): two shuffles
     // of the lean (id, pos, digest) table — corpus-shaped by nature, like

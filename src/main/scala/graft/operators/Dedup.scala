@@ -1199,6 +1199,15 @@ object Dedup {
     * slice. Flagged windows land under `scratchDir` (flag-shaped, one
     * append per pass) and the returned frame reads them back merged.
     *
+    * CAVEAT: the between-pass reclaim rides on `System.gc()` driving
+    * Spark's ContextCleaner (the standard JVM-Spark shuffle-cleanup
+    * idiom, and it measurably held the ×10000 low-water at 27.9 GB) —
+    * under `-XX:+DisableExplicitGC` the call is a no-op and the disk
+    * high-water mark can drift back toward the monolithic footprint.
+    * Correctness is unaffected either way; deployments that pin the
+    * footprint claim must not disable explicit GC for this job (or must
+    * size `slices` with that drift in mind).
+    *
     * EAGER — the passes run inside this call (it is a write-shaped
     * operator like the bucketized build, not a lazy plan). */
   def duplicateSpansSliced(docs: DataFrame, scratchDir: String,

@@ -15,6 +15,10 @@ final class WordPieceTokenizer(vocab: Map[String, Int],
 
   def id(token: String): Int = vocab.getOrElse(token, vocab(unkToken))
 
+  /** Raw membership — no [UNK] fallback, so deployment gates can tell a
+    * missing token from one that maps to [UNK]. */
+  def contains(token: String): Boolean = vocab.contains(token)
+
   /** Lowercase, strip combining accents, split on whitespace and around
     * punctuation — BERT's uncased BasicTokenizer, including its
     * `_clean_text` (control/format chars dropped, \t\n\r already covered
@@ -75,10 +79,16 @@ final class WordPieceTokenizer(vocab: Map[String, Int],
 
 object WordPieceTokenizer {
   /** Load a BERT vocab.txt (one token per line, line number = id). */
-  def fromFile(path: String): WordPieceTokenizer = {
+  def fromFile(path: String): WordPieceTokenizer =
+    new WordPieceTokenizer(loadVocab(path))
+
+  /** The raw token→id map, separated from the constructor so the
+    * deployment gate can inspect membership BEFORE the class invariant
+    * (vocab must contain [UNK]) gets a chance to throw its own,
+    * less diagnostic error. */
+  def loadVocab(path: String): Map[String, Int] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try new WordPieceTokenizer(
-      src.getLines().zipWithIndex.map { case (t, i) => (t, i) }.toMap)
+    try src.getLines().zipWithIndex.map { case (t, i) => (t, i) }.toMap
     finally src.close()
   }
 
@@ -218,10 +228,12 @@ object OnnxMiniLmEmbedder {
     if (!model.isFile) fail("vocab present but model file missing")
     if (!vocab.isFile) fail("model present but vocab file missing")
     if (model.length() == 0L) fail("model file is empty")
-    val vk = WordPieceTokenizer.fromFile(vocabPath)
+    // raw membership, NOT WordPieceTokenizer.id: id() falls back to
+    // vocab("[UNK]") internally, so a vocab missing [UNK] itself would
+    // throw a bare key-not-found instead of this gate's diagnostic
+    val rawVocab = WordPieceTokenizer.loadVocab(vocabPath)
     Seq("[UNK]", "[CLS]", "[SEP]").foreach { t =>
-      if (vk.id(t) == vk.id("[UNK]") && t != "[UNK]")
-        fail(s"vocab has no $t token")
+      if (!rawVocab.contains(t)) fail(s"vocab has no $t token")
     }
     if (try { Class.forName("ai.onnxruntime.OrtEnvironment"); false }
         catch { case _: ClassNotFoundException => true })

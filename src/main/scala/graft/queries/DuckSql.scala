@@ -49,12 +49,18 @@ object DuckSql {
     * the words() tokenization, so embedding them as SQL literals is safe.
     * Encoding runs once per DISTINCT word — vocabulary-shaped, exactly
     * like the kernel's memo. */
-  def bpeWordTokenCtes(merges: Seq[(String, String)]): String = {
+  def bpeWordTokenCtes(merges: Seq[(String, String)],
+                       srcRel: String = "documents"): String = {
     val values = merges.zipWithIndex
       .map { case ((l, r), i) => s"(${i + 1}, ' $l $r ', ' $l$r ')" }
       .mkString(", ")
+    // `srcRel` must be the SAME relation the per-doc counts are later
+    // taken over: an inner join against a word set built from a different
+    // text (e.g. unscrubbed documents under a scrubbed count) would
+    // silently DROP any word the transform introduced, undercounting
+    // instead of failing parity
     s"""m(rank, pat, rep) AS (VALUES $values),
-        dw AS (SELECT DISTINCT unnest(${words("text")}) AS w FROM documents),
+        dw AS (SELECT DISTINCT unnest(${words("text")}) AS w FROM $srcRel),
         st AS (
           SELECT w, ' ' || array_to_string(
               list_transform(range(1, length(w) + 1), i -> w[i]), ' ') || ' ' AS s,

@@ -443,7 +443,7 @@ object PipelineQueries {
             SELECT c2.doc_id, c2.source, c2.lang, c2.text
             FROM clean c2 JOIN rates r USING (lang)
             WHERE ${SamplingQueries.duckBucket("mix", "CAST(c2.doc_id AS VARCHAR)")} < r.keep_ppm),
-          ${DuckSql.bpeWordTokenCtes(graft.operators.Bpe.frozen)},
+          ${DuckSql.bpeWordTokenCtes(graft.operators.Bpe.frozen, srcRel = "mixed")},
           dtok AS (SELECT doc_id, unnest(${DuckSql.words("text")}) AS w FROM mixed),
           bagg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nb
                    FROM dtok JOIN wtok USING (w) GROUP BY doc_id),

@@ -59,6 +59,22 @@ object SpanDedupIngest {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Fail FAST on deployments where parquet job commits are invisible to
+    * generation resolution (success markers disabled): the in-place folds
+    * already refuse to sweep when the folded part's `_SUCCESS` never
+    * appears, but from inside a running stream that surfaces as a
+    * recurring mid-cadence crash AFTER each fold's work is done — every
+    * restart re-hits it. Streams that enable fold maintenance call this
+    * at START so the incompatibility surfaces once, immediately, before
+    * any ingest work. */
+  def requireVisibleCommits(spark: SparkSession, context: String): Unit =
+    require(spark.sessionState.newHadoopConf().getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      s"$context resolves fold generations from _SUCCESS markers, but " +
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs=false on this " +
+        "deployment — in-place fold maintenance cannot run here (re-enable " +
+        "success markers or disable the fold cadence)")
+
   /** (generation number, parts directory) for the log's CURRENT
     * generation; generation -1 = the legacy flat layout (logDir itself). */
   private def currentGen(spark: SparkSession, logDir: String): (Int, String) = {
@@ -144,6 +160,11 @@ object SpanDedupIngest {
                      idCol: String = "doc_id",
                      textCol: String = "text",
                      foldEvery: Int = 0): StreamingQuery = {
+    // surfaced HERE, not at the first fold cadence: on a deployment with
+    // success markers disabled the fold's sweep guard would otherwise
+    // kill the stream mid-run, after the fold work, on every restart
+    if (foldEvery > 0)
+      requireVisibleCommits(docs.sparkSession, "startSpanDedup's fold cadence")
     var sinceFold = 0
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -278,6 +299,7 @@ object SpanDedupIngest {
                                          belowBatch: Long,
                                          fold: DataFrame => DataFrame): Boolean = {
     import org.apache.hadoop.fs.Path
+    requireVisibleCommits(spark, s"in-place fold of '$dir'")
     val fs = hadoopFs(spark, dir)
     val (g, cur) = currentGen(spark, dir)
     val curPath = new Path(cur)

@@ -494,6 +494,12 @@ object StreamingIngest {
       "span maintenance needs both spanLogDir and spanFlagsDir")
     val mixEnabled = mixtureWeights.nonEmpty
     val mixDurable = mixEnabled && mixtureLogDir.nonEmpty
+    // surfaced at stream START, not at the first fold cadence (see
+    // SpanDedupIngest.requireVisibleCommits): with success markers
+    // disabled, every fold would crash the stream mid-run, repeatedly
+    if (compactEvery > 0 && (spanEnabled || mixDurable))
+      SpanDedupIngest.requireVisibleCommits(docs.sparkSession,
+        "startDocs' span/mixture fold cadence")
     var sinceCompact = 0
     var sinceFold = 0
     var sinceMixFold = 0

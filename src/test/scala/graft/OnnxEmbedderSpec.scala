@@ -101,6 +101,13 @@ class OnnxEmbedderSpec extends AnyFunSuite {
     write(vocabF, Seq("[PAD]", "[UNK]", "spark").mkString("\n"))
     val e3 = intercept[IllegalStateException](gate())
     assert(e3.getMessage.contains("[CLS]"))
+    // vocab missing [UNK] ITSELF: the check must not route through the
+    // tokenizer's id() fallback (which throws a bare key-not-found) — the
+    // gate's misdeployment diagnostic must survive this branch too
+    write(vocabF, Seq("[PAD]", "[CLS]", "[SEP]", "spark").mkString("\n"))
+    val e3b = intercept[IllegalStateException](gate())
+    assert(e3b.getMessage.contains("[UNK]") &&
+      e3b.getMessage.contains("misdeployed"))
     // full artifacts but no onnxruntime on this classpath (always true in
     // this sandbox): STILL loud — the jar was forgotten, not the model
     write(vocabF, Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "spark").mkString("\n"))
