@@ -96,6 +96,21 @@ object DedupQueries {
         .select($"doc_id", $"span_start", $"span_end")
     }),
 
+    // The SLICED form of the same pass — the bounded-disk scale variant
+    // (S sequential digest-range passes; the one that completed the
+    // ×10000 decade where the monolithic shuffle ran out of disk). Same
+    // oracle as dedup_span_flags: the slice key is a pure function of the
+    // digest, so the union over slices is exactly the monolithic flag
+    // set. Runs with S=3 over a real scratch dir, so the oracle pins the
+    // kernel ≡ sliced ≡ DuckDB triangle, not just the spec's hash-equal.
+    "dedup_span_sliced" -> ((s, dir) => {
+      import s.implicits._
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_span_sliced").toString
+      Dedup.duplicateSpansSliced(Tables.documents(s, dir), scratch, slices = 3)
+        .select($"doc_id", $"span_start", $"span_end")
+    }),
+
     // Per-document duplicated-token accounting over the same spans — the
     // scrub-vs-drop decision input.
     "dedup_span_stats" -> ((s, dir) => {
@@ -431,6 +446,11 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_span_flags" ->
+      s"""$duckSpanCtes
+          SELECT doc_id, span_start, span_end FROM sp""",
+    // the sliced pass is digest-partitioned, never digest-dependent in
+    // RESULT — one oracle serves both forms (the dedup_sql_pairs precedent)
+    "dedup_span_sliced" ->
       s"""$duckSpanCtes
           SELECT doc_id, span_start, span_end FROM sp""",
     "dedup_span_stats" ->
