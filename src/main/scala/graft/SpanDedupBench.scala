@@ -222,12 +222,26 @@ object SpanDedupBench {
       println(f"[spanbench] spans=$nSpansFull (disk low-water $low%.1f GB free)")
     }
 
-    // 6b. the SLICED full pass (SPARK_GRAFT_SPAN_SLICES=S): the bounded-
+    // 6b. the SLICED full pass (SPARK_GRAFT_SPAN_SLICES=S, or `auto` to
+    // let the engine size S from the measured disk budget): the bounded-
     // disk form — S sequential passes each shuffling 1/S of the gram
     // table (Dedup.duplicateSpansSliced). Runs LAST of all: it is the
     // most expensive leg even though its footprint is bounded. Span-count
     // parity against the monolithic pass is asserted when both legs ran.
-    val slices = sys.env.get("SPARK_GRAFT_SPAN_SLICES").map(_.toInt).getOrElse(0)
+    val slices = sys.env.get("SPARK_GRAFT_SPAN_SLICES") match {
+      case Some("auto") =>
+        val nWin = timed("spanWindowCount (sizing scan)")(
+          Dedup.spanWindowCount(docs))
+        val gramBytes = Dedup.estimatedSpanGramBytes(nWin)
+        val usable = new java.io.File(dir).getUsableSpace
+        val s = Dedup.recommendedSpanSlices(gramBytes, usable)
+        println(f"[spanbench] auto slices: $nWin windows ~ " +
+          f"${gramBytes / 1e9}%.1f GB gram shuffle, " +
+          f"${usable / 1e9}%.1f GB usable -> S=$s")
+        s
+      case Some(v) => v.toInt
+      case None => 0
+    }
     if (slices > 0) {
       val scratch = s"$storePath.slices"
       var spansDf: org.apache.spark.sql.DataFrame = null

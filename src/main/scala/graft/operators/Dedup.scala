@@ -1233,6 +1233,56 @@ object Dedup {
     mergeFlaggedWindows(spark.read.parquet(scratchDir), k, idCol)
   }
 
+  /** Total k-gram window count of the corpus — one narrow scan-local
+    * aggregation (tokenize + arithmetic, no shuffle of anything
+    * row-shaped), the sizing input [[recommendedSpanSlices]] wants. */
+  def spanWindowCount(docs: DataFrame, k: Int = 5,
+                      textCol: String = "text"): Long =
+    docs.select(coalesce(sum(greatest(
+        size(words(col(textCol))) - lit(k - 1), lit(0)).cast("long")), lit(0L)))
+      .head.getLong(0)
+
+  /** Window count → estimated monolithic shuffle-visible bytes of the
+    * (id, pos, digest) gram table. Calibrated on the measured decade
+    * curve (SCALE.md round-18): the ×1000 monolithic pass (260M windows)
+    * held a ~6.5 GB footprint, and the ×10000 one (2.6B) ENOSPC'd a ~65 GB
+    * headroom at 97–98% — both consistent with ~26 bytes per window
+    * across the two concurrent shuffle legs. */
+  def estimatedSpanGramBytes(nWindows: Long): Long = nWindows * 26L
+
+  /** Auto-size [[duplicateSpansSliced]]'s slice count from the disk
+    * budget — the measured-rule-as-operator move
+    * ([[Similarity.recommendedServeBatch]], [[graft.Reindex.reindexAdvice]])
+    * applied to the span pass. Each pass's disk share (DISK_ONLY slice
+    * persist + its two shuffle legs + the scratch flags accumulating
+    * beside it) is bounded to `maxPassFraction` of `usableDiskBytes`;
+    * S is the smallest slice count that fits. The 0.15 default reproduces
+    * the measured curve's two anchors: 260M windows → S=1 (the ×1000
+    * monolithic pass fit with ~58 GB to spare) and 2.6B windows → S=8
+    * (the configuration that COMPLETED the ×10000 pass at a 27.9 GB
+    * low-water where the monolithic form died twice) at this sandbox's
+    * ~60 GB usable. Rejects LOUDLY when even `maxSlices` passes cannot
+    * fit — an estimator that silently returned its cap would reintroduce
+    * the exact out-of-disk failure the sliced form exists to avoid. */
+  def recommendedSpanSlices(estimatedGramBytes: Long, usableDiskBytes: Long,
+                            maxPassFraction: Double = 0.15,
+                            maxSlices: Int = 64): Int = {
+    require(estimatedGramBytes >= 0, s"negative gram bytes: $estimatedGramBytes")
+    require(usableDiskBytes > 0, s"no usable disk: $usableDiskBytes")
+    require(maxPassFraction > 0.0 && maxPassFraction <= 1.0,
+      s"maxPassFraction must be in (0,1], got $maxPassFraction")
+    val perPassBudget = (usableDiskBytes * maxPassFraction).toLong
+    val s = math.max(1L,
+      (estimatedGramBytes + perPassBudget - 1) / math.max(1L, perPassBudget))
+    require(s <= maxSlices,
+      f"even $maxSlices slices cannot bound the span pass to " +
+        f"$maxPassFraction%.2f of ${usableDiskBytes / 1e9}%.1f GB usable " +
+        f"(${estimatedGramBytes / 1e9}%.1f GB of gram shuffle needs " +
+        f"S=$s) — free disk, raise the budget, or shard the corpus " +
+        "upstream")
+    s.toInt
+  }
+
   /** Gaps-and-islands merge of flagged (idCol, pos) windows into maximal
     * spans [pos, pos+k-1]; abutting coverage merges (union-of-covered-token
     * semantics). One window partitioned by document — per-task state is one

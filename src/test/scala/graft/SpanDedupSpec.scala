@@ -234,4 +234,38 @@ class SpanDedupSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSet
     assert(gotCustom === mono.map { case (id, a, b) => (id.toString, a, b) })
   }
+
+  test("spanWindowCount: one window per k-token position, short docs zero") {
+    val corpus = docs(
+      1L -> "one two three four five six",    // 6 tokens -> 2 windows at k=5
+      2L -> "a b c",                          // < k -> 0
+      3L -> "w1 w2 w3 w4 w5")                 // exactly k -> 1
+    assert(Dedup.spanWindowCount(corpus) === 3L)
+    assert(Dedup.spanWindowCount(corpus, k = 3) === 4L + 1L + 3L)
+    assert(Dedup.spanWindowCount(docs()) === 0L)
+  }
+
+  test("recommendedSpanSlices reproduces the measured decade anchors and " +
+       "rejects an unfittable budget loudly") {
+    val usable60 = 60000000000L // the sandbox's ~60 GB (decimal, as reported)
+    // x1000: 260M windows fit the monolithic pass (SCALE.md round-18
+    // measured ~6.5 GB held, 58.6 GB low-water) -> S=1
+    assert(Dedup.recommendedSpanSlices(
+      Dedup.estimatedSpanGramBytes(260000000L), usable60) === 1)
+    // x10000: 2.6B windows ENOSPC'd monolithic; S=8 completed at a
+    // 27.9 GB low-water -> the estimator must pick 8 at ~60 GB usable
+    assert(Dedup.recommendedSpanSlices(
+      Dedup.estimatedSpanGramBytes(2600000000L), usable60) === 8)
+    // loud reject: a corpus no slice count can bound to the budget must
+    // throw, not silently return the cap and reintroduce the ENOSPC
+    val e = intercept[IllegalArgumentException](
+      Dedup.recommendedSpanSlices(
+        Dedup.estimatedSpanGramBytes(2600000000L), 1L << 30))
+    assert(e.getMessage.contains("64 slices cannot"))
+    // degenerate inputs fail, never divide by zero
+    intercept[IllegalArgumentException](
+      Dedup.recommendedSpanSlices(100L, 0L))
+    // empty corpus -> one pass
+    assert(Dedup.recommendedSpanSlices(0L, usable60) === 1)
+  }
 }
