@@ -69,5 +69,5 @@ object MixtureLog {
   def foldInLoop(spark: SparkSession, dir: String,
                  belowBatch: Long = Long.MaxValue): Boolean =
     SpanDedupIngest.foldPartsInLoop(spark, dir, belowBatch,
-      _.groupBy(col("domain")).agg(sum(col("n")).as("n")))
+      (df, _) => df.groupBy(col("domain")).agg(sum(col("n")).as("n")))
 }

@@ -273,7 +273,7 @@ object SpanDedupIngest {
   def foldLogInLoop(spark: SparkSession, logDir: String,
                     belowBatch: Long = Long.MaxValue): Boolean =
     foldPartsInLoop(spark, logDir, belowBatch,
-      _.groupBy(col("h")).agg(sum(col("occ")).as("occ")))
+      (df, _) => df.groupBy(col("h")).agg(sum(col("occ")).as("occ")))
 
   /** [[foldLogInLoop]] for the FLAGS side of the loop: the per-batch span
     * flags are emissions, not counts — folding them is pure part
@@ -282,22 +282,33 @@ object SpanDedupIngest {
     * growth mode for the flags store that [[foldLogInLoop]] closes for
     * the count log ([[readFlags]] output is identical before and after;
     * SpanIngestSpec pins it). Same generational crash-safety and same
-    * call discipline: at the START of processing batch `belowBatch`. */
+    * call discipline: at the START of processing batch `belowBatch`.
+    * Output file count is sized by BYTES — `ceil(input bytes /
+    * targetFileBytes)`, the [[graft.Compaction.compactTable]] bin-pack
+    * rule — not a fixed count: flags are span-shaped at every measured
+    * scale, but a corpus-decade store under a fixed count would pack
+    * into ever-fatter files. */
   def foldFlagsInLoop(spark: SparkSession, flagsDir: String,
                       belowBatch: Long = Long.MaxValue,
-                      files: Int = 8): Boolean =
-    foldPartsInLoop(spark, flagsDir, belowBatch, _.coalesce(files))
+                      targetFileBytes: Long = 128L << 20): Boolean = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    foldPartsInLoop(spark, flagsDir, belowBatch, (df, bytes) =>
+      df.coalesce(math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt))
+  }
 
   /** The shared generational in-place fold: every committed `batch=<id>`
     * part below `belowBatch` in `dir`'s current generation is read,
-    * passed through `fold`, and written as `g<N+1>/batch=-1`; once that
-    * commit is VISIBLE to generation resolution the superseded layout is
-    * swept. Used by the span count log (digest-sum fold), the span flags
-    * store (part compaction), and the mixture arrival log (domain-sum
-    * fold). */
+    * passed through `fold` (which also receives the foldable parts' total
+    * data bytes, so a compaction-shaped fold can bin-pack its output file
+    * count), and written as `g<N+1>/batch=-1`; once that commit is
+    * VISIBLE to generation resolution the superseded layout is swept.
+    * Used by the span count log (digest-sum fold), the span flags store
+    * (byte-sized part compaction), and the mixture arrival log
+    * (domain-sum fold). */
   private[streaming] def foldPartsInLoop(spark: SparkSession, dir: String,
                                          belowBatch: Long,
-                                         fold: DataFrame => DataFrame): Boolean = {
+                                         fold: (DataFrame, Long) => DataFrame): Boolean = {
     import org.apache.hadoop.fs.Path
     requireVisibleCommits(spark, s"in-place fold of '$dir'")
     val fs = hadoopFs(spark, dir)
@@ -309,8 +320,10 @@ object SpanDedupIngest {
       .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
     val foldable = parts.filter(_._1 < belowBatch)
     if (foldable.size <= 1) return false
+    val foldableBytes = foldable
+      .map(p => fs.getContentSummary(p._2).getLength).sum
     val next = g + 1 // legacy flat layout (-1) migrates to g0
-    fold(spark.read.parquet(foldable.map(_._2.toString): _*))
+    fold(spark.read.parquet(foldable.map(_._2.toString): _*), foldableBytes)
       .write.mode("overwrite").parquet(s"$dir/g$next/batch=-1")
     // the sweep below deletes the layout the fold SUPERSEDED — it must
     // only run once resolution actually reads g<next>. A deployment with

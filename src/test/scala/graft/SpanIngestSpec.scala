@@ -243,6 +243,37 @@ class SpanIngestSpec extends AnyFunSuite {
     assert(!SpanDedupIngest.foldFlagsInLoop(spark, flagsDir, belowBatch = 2L))
   }
 
+  test("foldFlagsInLoop sizes its output files by BYTES, not a fixed count") {
+    val (logDir, flagsDir) = (tmp("spanlog_fsz"), tmp("spanflags_fsz"))
+    def land(batch: Seq[(Long, String)], id: Long): Unit =
+      SpanDedupIngest.ingestBatch(docs(batch: _*), logDir, id)
+        .write.mode("overwrite")
+        .parquet(s"${SpanDedupIngest.partsDir(spark, flagsDir)}/batch=$id")
+    land(b1, 0L); land(b2, 1L)
+    def dataFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    val inputBytes = dataFiles(flagsDir).map(_.length()).sum
+    // span-shaped volume, generous target -> exactly one output file
+    assert(SpanDedupIngest.foldFlagsInLoop(spark, flagsDir, belowBatch = 2L))
+    assert(dataFiles(s"$flagsDir/g0/batch=-1").size === 1)
+    // a decade-fat store under the same rule bin-packs: force it by
+    // setting the target BELOW the input volume -> more than one file
+    land(b3, 2L)
+    val target = math.max(1L, inputBytes / 3)
+    assert(SpanDedupIngest.foldFlagsInLoop(spark, flagsDir,
+      belowBatch = 3L, targetFileBytes = target))
+    val outFiles = dataFiles(s"$flagsDir/g1/batch=-1")
+    assert(outFiles.size > 1,
+      s"expected bin-packing at target=$target bytes, got ${outFiles.size} file(s)")
+    // degenerate target rejected
+    intercept[IllegalArgumentException](
+      SpanDedupIngest.foldFlagsInLoop(spark, flagsDir, targetFileBytes = 0L))
+  }
+
   test("readFlags on a not-yet-written sink returns empty, not a throw") {
     val flagsDir = tmp("spanflags_empty")
     assert(SpanDedupIngest.readFlags(spark, flagsDir).count() === 0L)
