@@ -44,6 +44,22 @@ object ScaleGen {
   private def unit(h: Long): Double =
     java.lang.Long.remainderUnsigned(h, 1L << 40).toDouble / (1L << 40).toDouble
 
+  /** Hex token unique to (doc, replica, position) — the survivor-mode
+    * filler: a k-gram window containing one can never repeat across
+    * replicas (64-bit keyed hash; a full 5-token window collision needs
+    * 5 consecutive matches), so filler regions are never span-flagged. */
+  def fillerTok(docId: Long, rep: Int, i: Int): String =
+    java.lang.Long.toHexString(
+      mix3(docId, rep.toLong << 32 | (i & 0xffffffffL), 0xF177E4L))
+
+  /** Survivor-mode replica classifier: a `dupFrac` fraction of mutated
+    * replicas carry a duplicated region (scrub fodder); the rest are
+    * clean. Pure hash of (doc, replica) — reproducible anywhere, which
+    * is what lets the curation bench compute its survivor expectation
+    * exactly. */
+  def dupReplica(docId: Long, rep: Int, dupFrac: Double): Boolean =
+    unit(mix3(docId, rep, 0xD0BL)) < dupFrac
+
   val PlantedPct = 2 // % of mutated replicas that are near-duplicates
 
   def plantedDoc(docId: Long, rep: Int): Boolean =
@@ -62,6 +78,51 @@ object ScaleGen {
       if (unit(h) < rate)
         parts(i) = vocab(java.lang.Long.remainderUnsigned(mix(h), vocab.length).toInt)
       i += 1
+    }
+    parts.mkString(" ")
+  }
+
+  /** SURVIVOR-MODE mutation (the round-19 fixture knob): the default ×N
+    * upsample makes every replica a near-copy of its base, so a span
+    * scrub over the upsampled corpus CORRECTLY annihilates it — every
+    * document wall-to-wall duplicated, zero curation survivors, and the
+    * chain's most interesting regime (PARTIAL scrub survival) untestable
+    * at scale. This mode makes duplication partial and knob-tracked:
+    *
+    *  - a `dupFrac` fraction of replicas ([[dupReplica]]) keep one
+    *    CONTIGUOUS `keepFrac` run of their source tokens — those windows
+    *    duplicate the base (verbatim in the corpus as replica 0) and get
+    *    flagged and scrubbed — and replace everything outside the run
+    *    with replica-unique filler ([[fillerTok]], never flagged): the
+    *    scrub leaves a partial remnant of ~(1−keepFrac)·n tokens;
+    *  - the rest replace every 4th token with filler: the fixture corpus
+    *    is one-token-per-part (no punctuation), so no 5-token window
+    *    survives intact (max unchanged run = 3 < k) and none shares an
+    *    8-gram with a decontamination eval side — never flagged, and the
+    *    text scores EXACTLY like its base under the quality gate (every
+    *    count the score reads — word count, structure matches, sentence
+    *    split — is preserved by in-place single-token substitution).
+    *
+    * Deterministic like everything here: any row reproducible from
+    * (docId, rep) alone. */
+  def mutateTextSurvivor(text: String, docId: Long, rep: Int,
+                         dupFrac: Double, keepFrac: Double = 0.7): String = {
+    val parts = text.split(" ", -1)
+    val n = parts.length
+    if (dupReplica(docId, rep, dupFrac)) {
+      val keep = math.max(1, (n * keepFrac).toInt)
+      val off =
+        if (n - keep <= 0) 0
+        else java.lang.Long.remainderUnsigned(
+          mix3(docId, rep, 0x0FF5E7L), (n - keep + 1).toLong).toInt
+      var i = 0
+      while (i < n) {
+        if (i < off || i >= off + keep) parts(i) = fillerTok(docId, rep, i)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) { parts(i) = fillerTok(docId, rep, i); i += 4 }
     }
     parts.mkString(" ")
   }

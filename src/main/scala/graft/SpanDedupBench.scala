@@ -45,6 +45,17 @@ object SpanDedupBench {
       r
     }
 
+    // SPARK_GRAFT_SPAN_DUPFRAC=<0..1> switches the docs-only upsample to
+    // ScaleGen's SURVIVOR-MODE mutation (partial duplication): dupFrac of
+    // replicas carry a scrubbable contiguous region, the rest are clean —
+    // the knob the curation leg's nonzero-survivor requirement tracks.
+    // Unset = the original all-near-copy fixture (comparable to prior
+    // rounds' numbers).
+    val dupFrac = sys.env.get("SPARK_GRAFT_SPAN_DUPFRAC").map(_.toDouble)
+    val keepFrac = sys.env.get("SPARK_GRAFT_SPAN_KEEPFRAC")
+      .map(_.toDouble).getOrElse(0.7)
+    dupFrac.foreach(f => require(f >= 0.0 && f <= 1.0, s"dupFrac out of range: $f"))
+
     // docs-only upsample on demand (ScaleGen's exact mutation kernel —
     // the DecadeBench corpus block, minus the events/embeddings nobody
     // here reads and minus the text-lean rewrite that would empty it)
@@ -61,11 +72,17 @@ object SpanDedupBench {
           .orderBy(col("count").desc, col("w").asc).limit(20000)
           .collect().map(_.getString(0))
         val vocabB = spark.sparkContext.broadcast(vocab)
+        val dupFracLocal = dupFrac
+        val keepFracLocal = keepFrac
         val mutateUdf = udf { (text: String, docId: Long, rep: Int) =>
           if (rep == 0) text
-          else {
-            val rate = if (ScaleGen.plantedDoc(docId, rep)) 0.02 else 0.35
-            ScaleGen.mutateText(text, docId, rep, rate, vocabB.value)
+          else if (ScaleGen.plantedDoc(docId, rep))
+            ScaleGen.mutateText(text, docId, rep, 0.02, vocabB.value)
+          else dupFracLocal match {
+            case Some(f) =>
+              ScaleGen.mutateTextSurvivor(text, docId, rep, f, keepFracLocal)
+            case None =>
+              ScaleGen.mutateText(text, docId, rep, 0.35, vocabB.value)
           }
         }
         val reps = spark.range(factor).repartition(cpus.toInt * 8)
@@ -280,12 +297,52 @@ object SpanDedupBench {
           println(s"[spanbench] curation survivors=${g.count()}")
           g
         }
-        // the ×N upsample makes every doc a near-copy, so the Lee-et-al
-        // scrub CORRECTLY annihilates this fixture (wall-to-wall spans →
-        // empty texts → quality-gated out). That is the right answer for
-        // the corpus, but it starves the downstream stages — price them
-        // on the unscrubbed corpus instead so the decon/mixture/pack
-        // costs are measured at full 5M-row width, and say so.
+        // sanity tie to the mutation knob: under the survivor fixture the
+        // CLEAN half's survivor count is EXACTLY predictable — a clean
+        // replica scores exactly like its base under the gate (the
+        // survivor-mode mutation preserves every count the score reads),
+        // is never span-flagged (max unchanged run = 3 < k) and never an
+        // exact duplicate (replica-unique filler) — so expected clean
+        // survivors = Σ over gate-passing bases of their clean replica
+        // count. Scrubbed survivors (the partial-scrub regime this
+        // fixture exists to exercise) come ON TOP and are reported.
+        dupFrac.foreach { f =>
+          val nSurv = scrubbedGated.count()
+          require(nSurv > 0,
+            s"survivor fixture (dupFrac=$f keepFrac=$keepFrac) still " +
+              "annihilated under the scrub — the knob is not doing its job")
+          val stride = Tables.documents(spark, srcDir)
+            .agg(max(col("doc_id"))).head.getLong(0) + 1
+          val reps = (nDocs / stride).toInt
+          val passBases = Tables.documents(spark, srcDir)
+            .filter(qualityScore(col("text"), lit(null).cast("string"),
+              lit(null).cast("string")) >= 0.25)
+            .select(col("doc_id")).collect().map(_.getLong(0))
+          val expectedClean = passBases.iterator.map { base =>
+            (1 until reps).count(r =>
+              !ScaleGen.plantedDoc(base, r) && !ScaleGen.dupReplica(base, r, f)).toLong
+          }.sum
+          val isClean = udf((id: Long) => {
+            val rep = (id / stride).toInt; val base = id % stride
+            rep > 0 && !ScaleGen.plantedDoc(base, rep) &&
+              !ScaleGen.dupReplica(base, rep, f)
+          })
+          val nClean = scrubbedGated.filter(isClean(col("doc_id"))).count()
+          println(s"[spanbench] curation survivor split: clean=$nClean " +
+            s"(expected $expectedClean from ${passBases.length} passing " +
+            s"bases x clean-replica count), partial-scrub=${nSurv - nClean}")
+          require(nClean == expectedClean,
+            s"clean survivors $nClean != expected $expectedClean — the " +
+              "survivor fixture's gate-equivalence invariant broke")
+        }
+        // the DEFAULT ×N upsample makes every doc a near-copy, so the
+        // Lee-et-al scrub CORRECTLY annihilates that fixture (wall-to-wall
+        // spans → empty texts → quality-gated out). That is the right
+        // answer for such a corpus, but it starves the downstream stages —
+        // price them on the unscrubbed corpus instead so the
+        // decon/mixture/pack costs are measured at full width, and say so.
+        // (Unreachable under the survivor knob, which requires nonzero
+        // survivors above.)
         val gated =
           if (!scrubbedGated.isEmpty) scrubbedGated
           else {
