@@ -544,6 +544,60 @@ object DocLifecycle {
     }
   }
 
+  /** The N47 → S9 composition — scrub duplicated spans IN THE SERVING
+    * STORE (the production remediation loop): `spans` locates duplicated
+    * runs across the corpus ([[graft.operators.Dedup.duplicateSpans]], or
+    * its sliced/incremental forms at scale), [[graft.operators.Dedup.scrubSpans]]
+    * builds the replacement texts for the FLAGGED documents only, and the
+    * bulk-capable upsert route pushes them into the stored chunk index —
+    * so the store converges to exactly what a rebuild from the scrubbed
+    * corpus would produce (DocLifecycleSpec pins the equivalence) at
+    * flag-sized edit cost, never a corpus rebuild. A document scrubbed
+    * wall-to-wall re-chunks to nothing, i.e. its chunks leave the store —
+    * the Lee et al. 2022 treatment applied to a live index. The scrubbed
+    * replacement table is materialized ONCE (the upsert takes several
+    * actions over it; an unmaterialized plan would re-run the
+    * corpus-shaped scrub per action). Near-dup flagging is off by
+    * default: remediation rewrites are maintenance, not new content.
+    * Returns (documents scrubbed, chunks removed, chunks added). */
+  def scrubSpansInStore(spark: SparkSession, dir: String, docs: DataFrame,
+                        spans: DataFrame, nlist: Int,
+                        qualityThreshold: Double = 0.0,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        trained: Boolean = false,
+                        flagNearDups: Boolean = false,
+                        pqM: Int = 0, pqKsub: Int = 32,
+                        bulkThreshold: Int = BulkThreshold,
+                        maxBatchBytes: Long = 4L << 30): (Long, Long, Long) = {
+    val scrubbed = graft.operators.Dedup.scrubSpans(docs, spans, idCol, textCol)
+      .withColumnRenamed("scrubbed_text", textCol)
+      .localCheckpoint(true)
+    val nDocs = scrubbed.count()
+    if (nDocs == 0) return (0L, 0L, 0L)
+    val (removed, added) = upsertDocChunks(spark, dir, scrubbed, nlist,
+      qualityThreshold, idCol, textCol, trained,
+      flagNearDups = flagNearDups, pqM = pqM, pqKsub = pqKsub,
+      bulkThreshold = bulkThreshold, maxBatchBytes = maxBatchBytes)
+    (nDocs, removed, added)
+  }
+
+  /** [[scrubSpansInStore]] over [[graft.operators.Dedup.duplicateSpans]] —
+    * the one-call monolithic form (fits up to the ×1000 corpus; at decade
+    * scale compute the spans with the sliced pass and hand them in). */
+  def scrubDuplicateSpansInStore(spark: SparkSession, dir: String,
+                                 docs: DataFrame, nlist: Int,
+                                 k: Int = 5, minOcc: Int = 2,
+                                 qualityThreshold: Double = 0.0,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 trained: Boolean = false,
+                                 pqM: Int = 0,
+                                 pqKsub: Int = 32): (Long, Long, Long) =
+    scrubSpansInStore(spark, dir, docs,
+      graft.operators.Dedup.duplicateSpans(docs, k, minOcc, idCol, textCol),
+      nlist, qualityThreshold, idCol, textCol, trained,
+      pqM = pqM, pqKsub = pqKsub)
+
   /** Cascading delete of `ids`' chunks from the stored index — S10 at the
     * serving-index level. Returns the number of chunks removed. Mutation
     * order: raw store first, code purge last (live-id semi-join, same as

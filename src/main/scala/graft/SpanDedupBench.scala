@@ -371,6 +371,32 @@ object SpanDedupBench {
         }
         println(s"[spanbench] curation manifest rows=$packed")
       }
+
+      // 6d. scrub-in-place (SPARK_GRAFT_SPAN_SCRUB_STORE=1): the N47→S9
+      // composition priced at scale — build the stored chunk index for
+      // THIS corpus, then remediate every flagged document through
+      // DocLifecycle.scrubSpansInStore (the bulk-capable upsert route,
+      // rebuild-equivalence spec-pinned in DocLifecycleSpec). Reuses the
+      // sliced pass's span table — exactly how a decade deployment would
+      // compose the two. The store build is a one-time cost, printed
+      // separately from the remediation edit it exists to price.
+      if (sys.env.get("SPARK_GRAFT_SPAN_SCRUB_STORE").contains("1")) {
+        val nChunks = timed("scrub-store: chunk table (one-time)")(
+          ChunkCatalog.flatChunks(spark, dir).count())
+        val nlist = sys.env.get("SPARK_GRAFT_SPAN_NLIST").map(_.toInt)
+          .getOrElse(math.max(16, math.sqrt(nChunks.toDouble).toInt))
+        timed(s"scrub-store: chunk index build (one-time, nlist=$nlist)")(
+          IvfCatalog.assignedChunks(spark, dir, nlist).count())
+        timed("scrub-store: docCells index (one-time)")(
+          DocLifecycle.docCells(spark, dir, nlist).count())
+        val spans = spansDf.localCheckpoint(true) // flag-sized
+        val ((nScrubbed, removed, added), low) =
+          GraftSession.withDiskLowWater(dir)(
+            timed("scrub-store: scrubSpansInStore (flag-sized bulk edit)")(
+              DocLifecycle.scrubSpansInStore(spark, dir, docs, spans, nlist)))
+        println(f"[spanbench] scrub-store: docs=$nScrubbed removed=$removed " +
+          f"added=$added chunks (disk low-water $low%.1f GB free)")
+      }
       logFs.delete(new org.apache.hadoop.fs.Path(scratch), true) // disk back
     }
 

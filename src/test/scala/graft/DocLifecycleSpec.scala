@@ -393,4 +393,83 @@ class DocLifecycleSpec extends AnyFunSuite {
     assert(codes().join(store(), Seq("chunk_id"), "left_anti").count() === 0L)
     dropAll()
   }
+
+  test("scrubSpansInStore: the span scrub composed with the bulk upsert " +
+       "leaves the store rebuild-equivalent to the scrubbed corpus") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity}
+    val tdir = "/tmp/graft_doclife_scrub_fixture"
+    val nlist = 41
+    def mkDoc(id: Long): String =
+      (1 to 6).map(i => s"Document $id sentence $i describes topic " +
+        s"${(id * 7 + i) % 23} of the serving index with a stable shared " +
+        "vocabulary and enough running words that the chunker emits real chunks.")
+        .mkString(" ")
+    // docs 1-6 unique; 7 is a WALL-TO-WALL copy of 1 (both must leave the
+    // store); 8 shares doc 2's first half (both partially scrubbed)
+    val half2 = mkDoc(2L).split(" ").take(40).mkString(" ")
+    val corpus: Map[Long, String] =
+      (1L to 6L).map(id => id -> mkDoc(id)).toMap +
+        (7L -> mkDoc(1L)) +
+        (8L -> (half2 + " " + (1 to 30).map(i => s"unique8tail$i").mkString(" ")))
+    corpus.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tdir/documents.parquet")
+    val toDrop = Seq(TableStore.tableName("chunks", tdir),
+      TableStore.tableName(s"ivfchunks$nlist", tdir),
+      TableStore.tableName(s"ivfchunkcent$nlist", tdir),
+      DocLifecycle.docCellsName(tdir, nlist))
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.catalog.clearCache()
+    IvfCatalog.assignedChunks(spark, tdir, nlist).count()
+    DocLifecycle.docCells(spark, tdir, nlist).count()
+
+    val docs = corpus.toSeq.toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs)
+    val flagged = spans.select($"doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(flagged.contains(1L) && flagged.contains(7L) &&
+      flagged.contains(2L) && flagged.contains(8L))
+
+    val (nScrubbed, removed, added) =
+      DocLifecycle.scrubSpansInStore(spark, tdir, docs, spans, nlist)
+    assert(nScrubbed === flagged.size.toLong)
+    assert(removed > 0L)
+
+    // the pin: store content == a from-scratch feature-pipeline run over
+    // the SCRUBBED corpus, assigned with the store's frozen centroids
+    val scrubbedCorpus = docs
+      .join(Dedup.scrubSpans(docs, spans), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"scrubbed_text", $"text").as("text"))
+    val expected = Similarity.ivfAssign(
+        graft.pipelines.Pipelines.featurePipeline(scrubbedCorpus, 0.0)
+          .select(col("chunk_id"), col("document_id"), col("embedding")),
+        IvfCatalog.chunkCentroidsStored(spark, tdir, nlist), idCol = "chunk_id")
+      .select("chunk_id", "document_id", "centroid_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = IvfCatalog.assignedChunks(spark, tdir, nlist)
+      .select("chunk_id", "document_id", "centroid_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected, "store diverged from rebuild-from-scrubbed-corpus")
+    // wall-to-wall duplicates 1 and 7 scrub to empty and LEAVE the store
+    assert(!got.exists(t => t._2 == 1L || t._2 == 7L))
+    // the partially scrubbed pair keeps its surviving content
+    assert(got.exists(_._2 == 8L))
+    // counts reconcile with the snapshot delta
+    assert(got.size === expected.size)
+    assert(added === got.count(t => flagged.contains(t._2)).toLong)
+
+    // a replay of the SAME remediation converges: identical replacement
+    // texts re-chunk to identical content-derived ids, so the store's
+    // content is unchanged (note the scrub itself is not a fixpoint —
+    // rejoining survivors with spaces can assemble NEW duplicated
+    // windows; a second remediation ROUND is new maintenance, pinned by
+    // the same equivalence above, not a no-op)
+    val (n2, _, _) = DocLifecycle.scrubSpansInStore(spark, tdir, docs, spans, nlist)
+    assert(n2 === nScrubbed)
+    val replayed = IvfCatalog.assignedChunks(spark, tdir, nlist)
+      .select("chunk_id", "document_id", "centroid_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(replayed === got, "replaying the same remediation changed the store")
+    toDrop.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
