@@ -119,58 +119,72 @@ object SpanDedupBench {
     // ingest loop excludes the batch's own counts for exactly this reason)
     val corpus = docs.filter(col("doc_id") >= batchN)
 
-    if (!reuse) {
-      // 1. stored-counts build (one-time): written to parquet so the
-      // incremental leg below scans real files, not a recomputed plan.
-      // Runs FIRST (r17 reorder): the batch-shaped legs are the scale
-      // claim under test, and the full corpus pass — the most
-      // shuffle-hungry leg — must not be able to take them down with an
-      // out-of-disk at the decade; it runs last, skippable.
-      timed("spanGramCounts build+write")(
-        Dedup.spanGramCounts(corpus).write.mode("overwrite").parquet(storePath))
-    }
-    val store = spark.read.parquet(storePath)
-    println(s"[spanbench] store rows=${store.count()}")
-
-    // 3. the recurring ingest cost: one micro-batch flagged against the
-    // stored counts (broadcast batch digests, narrow store scan, no shuffle
-    // of anything corpus-shaped). The batch is MATERIALIZED first — a real
-    // ingest micro-batch arrives as its own frame; filtering it out of the
-    // 3 GB corpus would bill a corpus scan to the kernel.
+    // The batch is MATERIALIZED first — a real ingest micro-batch arrives
+    // as its own frame; filtering it out of the 3 GB corpus would bill a
+    // corpus scan to the kernel. (Outside the store legs: the decon and
+    // curation legs read it too.)
     val batchPath = s"$storePath.batch"
     docs.filter(col("doc_id") < batchN).write.mode("overwrite").parquet(batchPath)
     val batch = spark.read.parquet(batchPath)
-    val nInc = timed(s"incremental flag ($batchN docs)")(
-      Dedup.duplicateSpansIncremental(batch, store).count())
-    println(s"[spanbench] incremental spans=$nInc")
 
-    // 3b. the ingest-log LIFECYCLE: the same counts as a fragmented
-    // append-only log (digests hash-split into 24 `batch=` parts — the
-    // state a running loop reaches between folds), the per-batch flag
-    // against it, the in-place generational fold
-    // (SpanDedupIngest.foldLogInLoop — the r17 maintenance move), and the
-    // flag again. Prices the degradation the fold cadence repairs and the
-    // fold itself, at this corpus's log size; flag results must be
-    // identical in all three shapes (summed-threshold contract).
-    val logDir = s"$storePath.log"
-    val logFs = new org.apache.hadoop.fs.Path(logDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    logFs.delete(new org.apache.hadoop.fs.Path(logDir), true)
-    timed("fragmented log write (24 parts)")(
-      store.withColumn("batch", pmod(xxhash64(col("h")), lit(24L)))
-        .write.mode("overwrite").partitionBy("batch").parquet(logDir))
-    import graft.streaming.SpanDedupIngest
-    val nFrag = timed("incremental flag vs 24-part log")(
-      Dedup.duplicateSpansIncremental(batch,
-        SpanDedupIngest.readLog(spark, logDir)).count())
-    timed("foldLogInLoop (in-place generational fold)")(
-      SpanDedupIngest.foldLogInLoop(spark, logDir))
-    val nFold = timed("incremental flag vs folded log")(
-      Dedup.duplicateSpansIncremental(batch,
-        SpanDedupIngest.readLog(spark, logDir)).count())
-    require(nFrag == nInc && nFold == nInc,
-      s"flag parity across log shapes broke: $nInc/$nFrag/$nFold")
-    logFs.delete(new org.apache.hadoop.fs.Path(logDir), true) // disk back
+    // SPARK_GRAFT_SPAN_STORE=0 skips the stored-counts legs (1-3b): on a
+    // REALISTIC-duplication corpus (the survivor fixture) the gram-count
+    // store is corpus-shaped — ~1.6B DISTINCT digests at ×10000 where the
+    // all-near-copy fixture collapses to 28.6M — and its build shuffle is
+    // exactly the monolithic footprint the sliced pass exists to avoid.
+    // The incremental-flag decade numbers stand on the near-copy fixture
+    // (SCALE.md round-18); a production store at this shape is the
+    // append-only LOG the ingest loop maintains incrementally, never a
+    // one-shot groupBy of the whole corpus.
+    if (!sys.env.get("SPARK_GRAFT_SPAN_STORE").contains("0")) {
+      if (!reuse) {
+        // 1. stored-counts build (one-time): written to parquet so the
+        // incremental leg below scans real files, not a recomputed plan.
+        // Runs FIRST (r17 reorder): the batch-shaped legs are the scale
+        // claim under test, and the full corpus pass — the most
+        // shuffle-hungry leg — must not be able to take them down with an
+        // out-of-disk at the decade; it runs last, skippable.
+        timed("spanGramCounts build+write")(
+          Dedup.spanGramCounts(corpus).write.mode("overwrite").parquet(storePath))
+      }
+      val store = spark.read.parquet(storePath)
+      println(s"[spanbench] store rows=${store.count()}")
+
+      // 3. the recurring ingest cost: one micro-batch flagged against the
+      // stored counts (broadcast batch digests, narrow store scan, no
+      // shuffle of anything corpus-shaped).
+      val nInc = timed(s"incremental flag ($batchN docs)")(
+        Dedup.duplicateSpansIncremental(batch, store).count())
+      println(s"[spanbench] incremental spans=$nInc")
+
+      // 3b. the ingest-log LIFECYCLE: the same counts as a fragmented
+      // append-only log (digests hash-split into 24 `batch=` parts — the
+      // state a running loop reaches between folds), the per-batch flag
+      // against it, the in-place generational fold
+      // (SpanDedupIngest.foldLogInLoop — the r17 maintenance move), and the
+      // flag again. Prices the degradation the fold cadence repairs and the
+      // fold itself, at this corpus's log size; flag results must be
+      // identical in all three shapes (summed-threshold contract).
+      val logDir = s"$storePath.log"
+      val logFs = new org.apache.hadoop.fs.Path(logDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      logFs.delete(new org.apache.hadoop.fs.Path(logDir), true)
+      timed("fragmented log write (24 parts)")(
+        store.withColumn("batch", pmod(xxhash64(col("h")), lit(24L)))
+          .write.mode("overwrite").partitionBy("batch").parquet(logDir))
+      import graft.streaming.SpanDedupIngest
+      val nFrag = timed("incremental flag vs 24-part log")(
+        Dedup.duplicateSpansIncremental(batch,
+          SpanDedupIngest.readLog(spark, logDir)).count())
+      timed("foldLogInLoop (in-place generational fold)")(
+        SpanDedupIngest.foldLogInLoop(spark, logDir))
+      val nFold = timed("incremental flag vs folded log")(
+        Dedup.duplicateSpansIncremental(batch,
+          SpanDedupIngest.readLog(spark, logDir)).count())
+      require(nFrag == nInc && nFold == nInc,
+        s"flag parity across log shapes broke: $nInc/$nFrag/$nFold")
+      logFs.delete(new org.apache.hadoop.fs.Path(logDir), true) // disk back
+    }
 
     // 4. span-level decontamination: the batch docs as a benchmark-sized
     // eval set against the DISJOINT corpus — eval digests broadcast, train
@@ -397,7 +411,9 @@ object SpanDedupBench {
         println(f"[spanbench] scrub-store: docs=$nScrubbed removed=$removed " +
           f"added=$added chunks (disk low-water $low%.1f GB free)")
       }
-      logFs.delete(new org.apache.hadoop.fs.Path(scratch), true) // disk back
+      new org.apache.hadoop.fs.Path(scratch)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(scratch), true) // disk back
     }
 
     spark.stop()
