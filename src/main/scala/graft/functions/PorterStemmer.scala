@@ -11,8 +11,15 @@ package graft.functions
   * pluggable BM25 analyzer (alongside the standard regex analyzer and any
   * caller-supplied one): "searching"/"searched"/"searches" all land on
   * "search", closing the stemming half of the documented Lucene divergence
-  * (TextSearch.tokens note) for callers that opt in. Not SQL-expressible,
-  * so stemmed rows are golden-pinned rather than oracle-checked.
+  * (TextSearch.tokens note) for callers that opt in.
+  *
+  * SQL-expressible after all: [[graft.queries.DuckSql.porterStemCtes]]
+  * replays the whole cascade in pure DuckDB SQL (CV pattern via three
+  * regexp_replace passes — prefix-stable, so every measure/condition on a
+  * candidate stem is a prefix read of one per-stage pattern column), built
+  * from the SAME rule tables below. `txt_porter_stems` oracle-checks the
+  * two implementations word for word over a rule-coverage matrix, and
+  * `txt_bm25_stemmed` oracle-checks the stemmed BM25 pipeline end to end.
   */
 object PorterStemmer {
 
@@ -99,30 +106,44 @@ object PorterStemmer {
 
   private def mGt0(stem: String): Boolean = m(stem) > 0
 
-  private def step2(s: String): String = firstOf(s, Seq(
-    ("ational", "ate", mGt0), ("tional", "tion", mGt0), ("enci", "ence", mGt0),
-    ("anci", "ance", mGt0), ("izer", "ize", mGt0), ("abli", "able", mGt0),
-    ("alli", "al", mGt0), ("entli", "ent", mGt0), ("eli", "e", mGt0),
-    ("ousli", "ous", mGt0), ("ization", "ize", mGt0), ("ation", "ate", mGt0),
-    ("ator", "ate", mGt0), ("alism", "al", mGt0), ("iveness", "ive", mGt0),
-    ("fulness", "ful", mGt0), ("ousness", "ous", mGt0), ("aliti", "al", mGt0),
-    ("iviti", "ive", mGt0), ("biliti", "ble", mGt0)))
+  /** Step-2/3/4 (suffix, replacement) tables in the algorithm's published
+    * rule order (first match consumes). Shared with the SQL replay
+    * (DuckSql.porterStemCtes) so the two implementations cannot drift. */
+  private[graft] val Step2Rules: Seq[(String, String)] = Seq(
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+    ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+    ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+    ("iviti", "ive"), ("biliti", "ble"))
 
-  private def step3(s: String): String = firstOf(s, Seq(
-    ("icate", "ic", mGt0), ("ative", "", mGt0), ("alize", "al", mGt0),
-    ("iciti", "ic", mGt0), ("ical", "ic", mGt0), ("ful", "", mGt0),
-    ("ness", "", mGt0)))
+  private[graft] val Step3Rules: Seq[(String, String)] = Seq(
+    ("icate", "ic"), ("ative", ""), ("alize", "al"),
+    ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""))
+
+  /** Step 4: all m>1, except "ion" which additionally requires the stem to
+    * end in s/t (encoded in the SQL replay with the same special case). */
+  private[graft] val Step4Rules: Seq[(String, String)] = Seq(
+    ("ement", ""), ("ance", ""), ("ence", ""), ("able", ""), ("ible", ""),
+    ("ment", ""), ("ant", ""), ("ent", ""), ("ion", ""), ("ism", ""),
+    ("ate", ""), ("iti", ""), ("ous", ""), ("ive", ""), ("ize", ""),
+    ("ou", ""), ("al", ""), ("er", ""), ("ic", ""))
+
+  private def step2(s: String): String =
+    firstOf(s, Step2Rules.map { case (suf, rep) => (suf, rep, mGt0) })
+
+  private def step3(s: String): String =
+    firstOf(s, Step3Rules.map { case (suf, rep) => (suf, rep, mGt0) })
 
   private def step4(s: String): String = {
     val mGt1: String => Boolean = stem => m(stem) > 1
-    firstOf(s, Seq(
-      ("ement", "", mGt1), ("ance", "", mGt1), ("ence", "", mGt1),
-      ("able", "", mGt1), ("ible", "", mGt1), ("ment", "", mGt1),
-      ("ant", "", mGt1), ("ent", "", mGt1),
-      ("ion", "", stem => m(stem) > 1 && stem.nonEmpty && "st".contains(stem.last)),
-      ("ism", "", mGt1), ("ate", "", mGt1), ("iti", "", mGt1),
-      ("ous", "", mGt1), ("ive", "", mGt1), ("ize", "", mGt1),
-      ("ou", "", mGt1), ("al", "", mGt1), ("er", "", mGt1), ("ic", "", mGt1)))
+    firstOf(s, Step4Rules.map {
+      case ("ion", rep) =>
+        ("ion", rep, (stem: String) =>
+          m(stem) > 1 && stem.nonEmpty && "st".contains(stem.last))
+      case (suf, rep) => (suf, rep, mGt1)
+    })
   }
 
   private def step5(s: String): String = {

@@ -53,9 +53,12 @@ object TextSearch {
     * (StandardTokenizer + PorterStemFilter). The stemmer itself is scalar
     * Scala ([[graft.functions.PorterStemmer]]) applied over the standard
     * token array — one UDF on the analyzer seam only; every aggregate and
-    * join downstream stays codegen. Not SQL-expressible, so stemmed query
-    * rows are golden-pinned (GoldenSpec `txt_bm25_stemmed` digest; DuckDB
-    * has no stemmer); TextSearchSpec pins the stemmer against published-
+    * join downstream stays codegen. Oracle-checked end to end: DuckDB has
+    * no stemmer offline, so DuckSql.porterStemCtes replays the cascade in
+    * pure SQL (`txt_bm25_stemmed` compares the whole stemmed pipeline,
+    * `txt_porter_stems` pins the two stemmer implementations word for word
+    * over a rule-coverage matrix); GoldenSpec additionally digest-pins the
+    * fixture rows, and TextSearchSpec pins the stemmer against published-
     * algorithm word vectors, asserts stemmed recall ⊇ standard recall on
     * an inflected-form corpus, and asserts fixture top-10 overlap. */
   val stemmedTokens: Column => Column = { c =>

@@ -80,17 +80,127 @@ object DuckSql {
         wtok AS (SELECT w, len(string_split_regex(trim(s), '\\s+')) AS n FROM enc)"""
   }
 
-  /** BM25 of ('spark','join','vector') over `documents` (Spark twin:
-    * TextSearch.bm25). Doc length / N / avgdl come from ALL documents —
-    * including zero-token ones — matching Lucene docCount semantics. */
-  val bm25: String =
+  // ------------------------------------------------------------- Porter SQL
+
+  /** CV pattern of a lowercase token: vowels → V (y vocalic after a
+    * consonant — the '([^V])y' pass; leftmost non-overlapping replacement
+    * naturally alternates runs of y), everything else → C. Prefix-stable
+    * (a char's class depends only on chars at or before it), so conditions
+    * on any candidate stem are prefix reads of the whole word's pattern. */
+  private def cvOf(x: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($x, '[aeiou]', 'V', 'g')," +
+      s" '([^V])y', '\\1V', 'g'), '[^V]', 'C', 'g')"
+
+  /** Porter measure m over a CV-pattern fragment: number of VC runs =
+    * count of 'VC' occurrences (replace each with 'V' and diff lengths). */
+  private def mOf(cp: String): String =
+    s"(length($cp) - length(replace($cp, 'VC', 'V')))"
+
+  private def hasV(n: String): String =
+    s"position('V' IN substr(c, 1, $n)) > 0"
+
+  /** *o (cvc) on the stem of length `n`: pattern ends CVC and the last
+    * char is not w/x/y. */
+  private def cvcAt(n: String): String =
+    s"($n >= 3 AND substr(c, ($n)-2, 3) = 'CVC'" +
+      s" AND substr(s, $n, 1) NOT IN ('w','x','y'))"
+
+  /** One CASE arm per (suffix, replacement) rule, first match consumes —
+    * a matched suffix whose measure condition fails leaves the word
+    * unchanged, exactly like PorterStemmer.replace. */
+  private def ruleCases(rules: Seq[(String, String)], mFloor: Int): String =
+    rules.map { case (suf, rep) =>
+      val k = suf.length
+      val stem = s"substr(s, 1, length(s)-$k)"
+      val stemC = s"substr(c, 1, length(s)-$k)"
+      val cond =
+        if (suf == "ion")
+          s"${mOf(stemC)} > 1 AND length(s) > 3 AND substr(s, length(s)-3, 1) IN ('s','t')"
+        else s"${mOf(stemC)} > $mFloor"
+      val repSql = if (rep.isEmpty) stem else s"$stem || '$rep'"
+      s"WHEN s LIKE '%$suf' THEN CASE WHEN $cond THEN $repSql ELSE s END"
+    }.mkString("\n      ")
+
+  /** Pure-SQL replay of [[graft.functions.PorterStemmer]] (Spark twin:
+    * TextSearch.stemmedTokens): WITH-less fragment — prepend WITH — that
+    * turns `srcCte(w)` (distinct lowercase tokens) into `stems(w, stem)`.
+    * Stage CTEs apply the five rule steps in order; each stage that needs
+    * measure/vowel conditions recomputes the CV pattern column `c` once
+    * (per DISTINCT word — vocabulary-shaped, like the BPE replay). Rule
+    * tables come from PorterStemmer.Step{2,3,4}Rules, so the two
+    * implementations cannot drift; fuzz-pinned over 9k+ words (published
+    * vectors + random + vowel/y-adversarial) during development and
+    * oracle-pinned every round by `txt_porter_stems`. `stems` is
+    * MATERIALIZED: letting DuckDB inline the 15-stage chain into a
+    * downstream join explodes the expression tree (the un-materialized
+    * stemmed-BM25 oracle did not finish; materialized it runs in ~0.5 s). */
+  def porterStemCtes(srcCte: String): String = {
+    import graft.functions.PorterStemmer.{Step2Rules, Step3Rules, Step4Rules}
+    val cvs = cvOf("s")
+    s"""p0 AS (SELECT w, w AS s FROM $srcCte WHERE length(w) > 2),
+        p1a AS (SELECT w, CASE
+          WHEN s LIKE '%sses' THEN substr(s, 1, length(s)-2)
+          WHEN s LIKE '%ies' THEN substr(s, 1, length(s)-2)
+          WHEN s LIKE '%ss' THEN s
+          WHEN s LIKE '%s' THEN substr(s, 1, length(s)-1)
+          ELSE s END AS s FROM p0),
+        p1bc AS (SELECT w, s, $cvs AS c FROM p1a),
+        p1b1 AS (SELECT w, s, c, CASE
+          WHEN s LIKE '%eed' THEN 0
+          WHEN s LIKE '%ed' AND ${hasV("length(s)-2")} THEN length(s)-2
+          WHEN s LIKE '%ing' AND ${hasV("length(s)-3")} THEN length(s)-3
+          ELSE -1 END AS tl FROM p1bc),
+        p1b AS (SELECT w, CASE
+          WHEN tl = 0 THEN CASE WHEN ${mOf("substr(c, 1, length(s)-3)")} > 0
+            THEN substr(s, 1, length(s)-1) ELSE s END
+          WHEN tl = -1 THEN s
+          WHEN tl >= 2 AND substr(s, tl-1, 2) IN ('at','bl','iz') THEN substr(s, 1, tl) || 'e'
+          WHEN tl >= 2 AND substr(s, tl, 1) = substr(s, tl-1, 1) AND substr(c, tl, 1) = 'C'
+               AND substr(s, tl, 1) NOT IN ('l','s','z') THEN substr(s, 1, tl-1)
+          WHEN ${mOf("substr(c, 1, tl)")} = 1 AND ${cvcAt("tl")} THEN substr(s, 1, tl) || 'e'
+          ELSE substr(s, 1, tl) END AS s FROM p1b1),
+        p1cc AS (SELECT w, s, $cvs AS c FROM p1b),
+        p1c AS (SELECT w, CASE WHEN s LIKE '%y' AND ${hasV("length(s)-1")}
+          THEN substr(s, 1, length(s)-1) || 'i' ELSE s END AS s FROM p1cc),
+        p2c AS (SELECT w, s, $cvs AS c FROM p1c),
+        p2 AS (SELECT w, CASE
+          ${ruleCases(Step2Rules, 0)}
+          ELSE s END AS s FROM p2c),
+        p3c AS (SELECT w, s, $cvs AS c FROM p2),
+        p3 AS (SELECT w, CASE
+          ${ruleCases(Step3Rules, 0)}
+          ELSE s END AS s FROM p3c),
+        p4c AS (SELECT w, s, $cvs AS c FROM p3),
+        p4 AS (SELECT w, CASE
+          ${ruleCases(Step4Rules, 1)}
+          ELSE s END AS s FROM p4c),
+        p5c AS (SELECT w, s, $cvs AS c FROM p4),
+        p5a AS (SELECT w, CASE WHEN s LIKE '%e' AND (${mOf("substr(c, 1, length(s)-1)")} > 1
+                OR (${mOf("substr(c, 1, length(s)-1)")} = 1 AND NOT ${cvcAt("length(s)-1")}))
+          THEN substr(s, 1, length(s)-1) ELSE s END AS s FROM p5c),
+        p5bc AS (SELECT w, s, $cvs AS c FROM p5a),
+        p5b AS (SELECT w, CASE WHEN s LIKE '%ll' AND ${mOf("c")} > 1
+          THEN substr(s, 1, length(s)-1) ELSE s END AS s FROM p5bc),
+        stems AS MATERIALIZED (SELECT w, s AS stem FROM p5b
+                  UNION ALL SELECT w, w FROM $srcCte WHERE length(w) <= 2)"""
+  }
+
+  /** Shared BM25 scoring program: `tokensCtes` must define a CTE
+    * `tokens(doc_id, term)` in the query's analyzer space; `terms` are the
+    * query terms in the SAME space. Doc length / N / avgdl come from ALL
+    * documents — including zero-token ones — matching Lucene docCount
+    * semantics (stemming rewrites tokens 1:1, so the plain token count is
+    * the stemmed doc length too, exactly like size(analyzer(text)) on the
+    * Spark side). */
+  private def bm25Body(tokensCtes: String, terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH doclen AS (SELECT doc_id, len(${words("text")}) AS dl FROM documents),
         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
                          CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avgdl
                   FROM doclen),
-        tokens AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents),
+        $tokensCtes,
         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tokens
-               WHERE term IN ('spark', 'join', 'vector') GROUP BY doc_id, term),
+               WHERE term IN ($termList) GROUP BY doc_id, term),
         dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
         SELECT tf.doc_id AS doc_id,
           round(CAST(SUM(CAST(
@@ -100,4 +210,23 @@ object DuckSql {
             AS DECIMAL(38,12))) AS DOUBLE), 6) AS text_score
         FROM tf JOIN dfreq USING(term) JOIN doclen USING(doc_id) CROSS JOIN stats
         GROUP BY tf.doc_id"""
+  }
+
+  /** BM25 of ('spark','join','vector') over `documents` (Spark twin:
+    * TextSearch.bm25). */
+  val bm25: String = bm25Body(
+    s"tokens AS (SELECT doc_id, unnest(${words("text")}) AS term FROM documents)",
+    Seq("spark", "join", "vector"))
+
+  /** BM25 with the Porter-stemmed analyzer (Spark twin: TextSearch.bm25
+    * with stemmedTokens): tokens map through the SQL stemmer — computed
+    * once per DISTINCT corpus word, then joined back onto occurrences —
+    * and `queryStems` must already be stemmed (TextSearch.stemQueryTerms,
+    * mirroring how the Spark query is built). */
+  def bm25Stemmed(queryStems: Seq[String]): String = bm25Body(
+    s"""dw AS (SELECT DISTINCT unnest(${words("text")}) AS w FROM documents),
+        ${porterStemCtes("dw")},
+        tok0 AS (SELECT doc_id, unnest(${words("text")}) AS w FROM documents),
+        tokens AS (SELECT doc_id, stem AS term FROM tok0 JOIN stems USING (w))""",
+    queryStems)
 }
