@@ -11,6 +11,12 @@ import scala.collection.mutable.ListBuffer
   * Python interop. Reference usage: /root/reference/src/feature_pipeline/
   * document_processor.py:83-123 (flat, 1000/200) and
   * parent_child_chunker.py:14-136 (2000/400 parents → 400/100 children).
+  *
+  * Oracle: graft.queries.DuckSql.chunkCtes replays this kernel in pure
+  * DuckDB SQL (the separator recursion unrolls into four level blocks, the
+  * merge loop runs as a recursive CTE over prefix sums), so every chunk
+  * registry row is compared against an independent engine bit for bit —
+  * fixing semantics here means fixing BOTH places.
   */
 object RecursiveSplitter {
 

@@ -145,23 +145,12 @@ object DocQueries {
   private def strip(e: String): String = DuckSql.strip(e)
 
   /** DuckDB needs the 'g' flag to replace all matches (Spark/Python replace
-    * all by default) and e0-suffixed literals to force double arithmetic. */
-  private val duckClean =
-    strip("""
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(text, '\n\s*\n\s*\n', chr(10)||chr(10), 'g'),
-                   ' +', ' ', 'g'),
-                 'Cookie Policy|Privacy Policy|Terms of Service', '', 'gi'),
-               'Subscribe to.*newsletter', '', 'gi'),
-             'Follow us on.*', '', 'gi'),
-           '<[^>]+>|&\w+;', '', 'g')""")
-
-  // NOTE: tags and entities are two reference rewrites; combined with | here
-  // — equivalent because the replacement is deletion for both.
+    * all by default) and e0-suffixed literals to force double arithmetic.
+    * The clean fragment moved to DuckSql.clean — it is shared with the
+    * chunk-replay oracles (featurePipeline chunks the CLEANED text).
+    * NOTE: tags and entities are two reference rewrites; combined with |
+    * there — equivalent because the replacement is deletion for both. */
+  private val duckClean = DuckSql.clean("text")
 
   private def duckWcOf(expr: String) = DuckSql.wc(expr)
 

@@ -10,6 +10,28 @@ object DuckSql {
   def strip(e: String): String =
     "regexp_replace(" + e + ", '^\\s+|\\s+$', '', 'g')"
 
+  /** Java String.trim(): strips chars ≤ U+0020 from both ends (Spark twin:
+    * the .trim calls inside RecursiveSplitter/ChunkOps). Distinct from
+    * [[strip]]: \s misses most C0 controls that Java trim removes. */
+  def jtrim(e: String): String =
+    "regexp_replace(regexp_replace(" + e +
+      ", '^[\\x00-\\x20]+', ''), '[\\x00-\\x20]+$', '')"
+
+  /** F1 content cleaning (Spark twin: TextFunctions.cleanContent). */
+  def clean(e: String): String =
+    strip(s"""
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace($e, '\\n\\s*\\n\\s*\\n', chr(10)||chr(10), 'g'),
+                   ' +', ' ', 'g'),
+                 'Cookie Policy|Privacy Policy|Terms of Service', '', 'gi'),
+               'Subscribe to.*newsletter', '', 'gi'),
+             'Follow us on.*', '', 'gi'),
+           '<[^>]+>|&\\w+;', '', 'g')""")
+
   /** Python-str.split() word count (Spark twin: TextFunctions.wordCount). */
   def wc(e: String): String =
     "CASE WHEN " + strip(e) + " = '' THEN 0 ELSE len(string_split_regex(" +
@@ -78,6 +100,136 @@ object DuckSql {
           SELECT w, s, it, row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
           FROM st) WHERE rn = 1),
         wtok AS (SELECT w, len(string_split_regex(trim(s), '\\s+')) AS n FROM enc)"""
+  }
+
+  // ------------------------------------------------------------ chunker SQL
+
+  /** Pure-SQL replay of RecursiveSplitter.splitText (Spark twin:
+    * ChunkOps.chunkFlat / the graft_chunk generator): WITH-less fragment —
+    * the caller prepends WITH RECURSIVE — that turns `srcCte(gid, txt)`
+    * into `<pfx>_chunks(gid, ord, chunk, seq)` with `seq` the 0-based
+    * chunk index per gid (splitText's zipWithIndex order) and `chunk` the
+    * raw splitText output (merged runs arrive trimmed, unsplittable big
+    * pieces untrimmed — exactly the kernel's contract).
+    *
+    * Shape: the recursion over the fixed separator hierarchy
+    * ["\n\n","\n"," ",""] unrolls into FOUR level blocks (the separator
+    * list shrinks on every recursion, so depth ≤ 4); each node picks the
+    * first separator present in ITS text (tracked by `rem`), splits with
+    * keep-separator semantics, and big pieces (≥ chunkSize) either recurse
+    * into the next level or — at the char level — emit as-is. Runs of
+    * consecutive small pieces feed the greedy merge-with-overlap loop,
+    * replayed as a recursive CTE over (i, j) window state with prefix-sum
+    * lists: the backtracking while-loop collapses to "smallest j' with a
+    * non-violating window" (violation is monotone in j'), and emissions
+    * join back to the pieces by index range. Hierarchical order is encoded
+    * in zero-padded fixed-width path strings so lexicographic ORDER BY =
+    * document order. Fuzz-pinned against the Scala kernel over 6 (size,
+    * overlap) configs × 6k adversarial texts during development;
+    * oracle-pinned every round by the pipe_* chunk rows. */
+  def chunkCtes(pfx: String, srcCte: String, chunkSize: Int, overlap: Int): String = {
+    val pad = 9
+    val sepExpr = "CASE ci WHEN 0 THEN chr(10)||chr(10) WHEN 1 THEN chr(10) ELSE ' ' END"
+    val blocks = scala.collection.mutable.ListBuffer.empty[String]
+    val chunkStreams = scala.collection.mutable.ListBuffer.empty[String]
+    blocks += s"""${pfx}_n1 AS (
+      SELECT gid, '' AS path, 0 AS rem, txt FROM $srcCte
+      WHERE txt IS NOT NULL AND txt <> '')"""
+    for (lv <- 1 to 4) {
+      val nd = s"${pfx}_n$lv"
+      val nx = s"${pfx}_n${lv + 1}"
+      val p = s"${pfx}_l$lv"
+      // a) first separator present in this node's text, at or after `rem`
+      blocks += s"""${p}_sep AS (
+      SELECT gid, path, rem, txt, CASE
+        WHEN rem <= 0 AND position(chr(10)||chr(10) IN txt) > 0 THEN 0
+        WHEN rem <= 1 AND position(chr(10) IN txt) > 0 THEN 1
+        WHEN rem <= 2 AND position(' ' IN txt) > 0 THEN 2
+        ELSE 3 END AS ci
+      FROM $nd)"""
+      // b) keep-separator split: separator attaches to the START of the
+      // following piece; the empty separator explodes into chars
+      blocks += s"""${p}_lst AS (
+      SELECT gid, path, ci, CASE
+        WHEN ci = 3 THEN list_transform(range(1, length(txt) + 1), i -> txt[i])
+        ELSE list_transform(string_split(txt, $sepExpr),
+               (x, i) -> CASE WHEN i = 1 THEN x ELSE ($sepExpr) || x END)
+        END AS pl
+      FROM ${p}_sep)"""
+      // c) nonempty pieces, contiguous ordinal k, small/big classification
+      blocks += s"""${p}_pc AS MATERIALIZED (
+      SELECT gid, path, ci, piece,
+             row_number() OVER (PARTITION BY gid, path ORDER BY i0) AS k,
+             length(piece) < $chunkSize AS good
+      FROM (SELECT gid, path, ci, unnest(pl) AS piece, generate_subscripts(pl, 1) AS i0
+            FROM ${p}_lst)
+      WHERE piece <> '')"""
+      // big pieces with no separators left emit as chunks, untrimmed
+      chunkStreams += s"""SELECT gid,
+             path || lpad(CAST(k AS VARCHAR), $pad, '0') || lpad('0', $pad, '0') AS ord,
+             piece AS chunk
+      FROM ${p}_pc WHERE NOT good AND ci = 3"""
+      // big pieces with separators left recurse into the next level
+      if (lv < 4)
+        blocks += s"""$nx AS (
+      SELECT gid, path || lpad(CAST(k AS VARCHAR), $pad, '0') AS path,
+             ci + 1 AS rem, piece AS txt
+      FROM ${p}_pc WHERE NOT good AND ci < 3)"""
+      // d) runs (islands) of consecutive small pieces; per-run piece list T
+      // and prefix-sum list P (P[1]=0, P[i+1]=len(p1..pi), so piece i's
+      // length is P[i+1]-P[i])
+      blocks += s"""${p}_gr AS MATERIALIZED (
+      SELECT gid, path,
+             k - row_number() OVER (PARTITION BY gid, path ORDER BY k) AS rid,
+             piece, k
+      FROM ${p}_pc WHERE good)"""
+      blocks += s"""${p}_gp AS MATERIALIZED (
+      SELECT gid, path, rid, min(k) AS anchor, CAST(count(*) AS INTEGER) AS n,
+             list(piece ORDER BY k) AS T,
+             [0] || list(sp ORDER BY k) AS P
+      FROM (SELECT gid, path, rid, piece, k,
+                   CAST(SUM(length(piece)) OVER (PARTITION BY gid, path, rid ORDER BY k
+                        ROWS UNBOUNDED PRECEDING) AS INTEGER) AS sp
+            FROM ${p}_gr)
+      GROUP BY gid, path, rid)"""
+      // e) the greedy merge as a state machine over (i = next piece,
+      // j = window start): emit (j, i-1) when adding piece i would overflow
+      // a nonempty window, then backtrack j to the smallest non-violating
+      // window (monotone, so list_min over the candidate range)
+      blocks += s"""${p}_mrg AS (
+      SELECT gid, path, rid, anchor, n, P, 1 AS i, 1 AS j,
+             CAST(NULL AS INTEGER) AS ea, CAST(NULL AS INTEGER) AS eb
+      FROM ${p}_gp
+      UNION ALL
+      SELECT gid, path, rid, anchor, n, P, i + 1,
+        CASE WHEN (P[i] - P[j]) + (P[i+1] - P[i]) > $chunkSize AND j < i THEN
+          list_min(list_filter(range(j, i + 1), kk ->
+            NOT ((P[i] - P[kk]) > $overlap
+                 OR ((P[i] - P[kk]) + (P[i+1] - P[i]) > $chunkSize AND (P[i] - P[kk]) > 0))))
+        ELSE j END,
+        CASE WHEN (P[i] - P[j]) + (P[i+1] - P[i]) > $chunkSize AND j < i THEN j END,
+        CASE WHEN (P[i] - P[j]) + (P[i+1] - P[i]) > $chunkSize AND j < i THEN i - 1 END
+      FROM ${p}_mrg WHERE i <= n)"""
+      // f) emissions: transition emissions carry the destination state's i;
+      // the terminal window flushes from the same i = n+1 row, so it gets
+      // i+1 to sort strictly after the last transition emission
+      blocks += s"""${p}_em AS (
+      SELECT gid, path, rid, anchor, i AS st, ea, eb FROM ${p}_mrg WHERE ea IS NOT NULL
+      UNION ALL
+      SELECT gid, path, rid, anchor, i + 1 AS st, j AS ea, n AS eb
+      FROM ${p}_mrg WHERE i = n + 1)"""
+      chunkStreams += s"""SELECT e.gid,
+             e.path || lpad(CAST(e.anchor AS VARCHAR), $pad, '0')
+                    || lpad(CAST(row_number() OVER (PARTITION BY e.gid, e.path, e.rid ORDER BY e.st) AS VARCHAR), $pad, '0') AS ord,
+             ${jtrim("array_to_string(g.T[e.ea:e.eb], '')")} AS chunk
+      FROM ${p}_em e JOIN ${p}_gp g USING (gid, path, rid)"""
+    }
+    blocks += s"""${pfx}_c0 AS (${chunkStreams.mkString("\n      UNION ALL\n      ")})"""
+    blocks += s"""${pfx}_chunks AS MATERIALIZED (
+      SELECT gid, ord, chunk,
+             CAST(row_number() OVER (PARTITION BY gid ORDER BY ord) - 1 AS INTEGER) AS seq
+      FROM ${pfx}_c0 WHERE chunk <> '')"""
+    blocks.mkString(",\n    ")
   }
 
   // ------------------------------------------------------------- Porter SQL

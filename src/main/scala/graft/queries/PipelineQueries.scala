@@ -6,11 +6,15 @@ import graft.Tables
 import graft.operators.Multimodal
 import graft.pipelines.Pipelines
 
-/** End-to-end pipeline + multimodal plumbing queries. The chunker/embedder
-  * internals are not SQL-expressible, so pipe_chunk_stats / pipe_flagship /
-  * mm_feature_stats are registered WITHOUT oracle SQL (driver records the
-  * weaker rows-only check) and get their correctness from ChunkerSpec /
-  * EmbedderSpec / PipelineSpec instead; the rest are oracle-checked. */
+/** End-to-end pipeline + multimodal plumbing queries. The chunk family is
+  * oracle-checked since round 19 (DuckSql.chunkCtes replays the recursive
+  * splitter in pure SQL — pipe_sql_chunks / pipe_chunk_stats /
+  * pipe_doc_chunks / pipe_hierarchy_rel). The embedder's float32 token
+  * accumulation is NOT honestly SQL-replayable (DuckDB sums in double, so
+  * an oracle would re-round differently), so pipe_flagship* and
+  * mm_feature_stats stay registered WITHOUT oracle SQL (driver records the
+  * weaker rows-only check) and get their correctness from EmbedderSpec /
+  * PipelineSpec golden digests instead; the rest are oracle-checked. */
 object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -25,9 +29,10 @@ object PipelineQueries {
                .as("total_quality"))
     }),
 
-    // Feature pipeline output shape: chunks per document (rows-only check;
-    // splitter semantics covered by ChunkerSpec). Reads the stored chunk
-    // table (ChunkCatalog) — the reference's chunks collection.
+    // Feature pipeline output shape: chunks per document (oracle-checked —
+    // the chunkCtes replay over the cleaned text; splitter semantics also
+    // covered by ChunkerSpec). Reads the stored chunk table (ChunkCatalog)
+    // — the reference's chunks collection.
     "pipe_chunk_stats" -> ((s, dir) => {
       import s.implicits._
       graft.ChunkCatalog.flatChunks(s, dir)
@@ -70,11 +75,11 @@ object PipelineQueries {
 
     // §7.4 SQL surface end-to-end: the chunker as a Catalyst Generator via
     // LATERAL VIEW — a user who never leaves spark.sql chunks the corpus
-    // with the SAME kernel as the typed path (rows-only in the driver
-    // gate; GoldenSpec pins the values, ExpressionSpec pins row-for-row
-    // parity with ChunkOps.chunkFlat). chunk_id is the md5 over the
-    // chunk's unstripped text, so the digest covers content bytes without
-    // hauling the content column through the golden hash.
+    // with the SAME kernel as the typed path (oracle-checked against the
+    // chunkCtes replay over the raw text; GoldenSpec pins the values,
+    // ExpressionSpec pins row-for-row parity with ChunkOps.chunkFlat).
+    // chunk_id is the md5 over the chunk's unstripped text, so the oracle
+    // and digest cover content bytes without hauling the content column.
     "pipe_sql_chunks" -> ((s, dir) => {
       graft.expressions.GraftExtensions.register(s)
       Tables.documents(s, dir).createOrReplaceTempView("graft_sql_docs")
@@ -84,7 +89,7 @@ object PipelineQueries {
                LATERAL VIEW graft_chunk(d.doc_id, d.text) c""")
     }),
 
-    // S6/J2/T3: a document with its chunks in index order (rows-only).
+    // S6/J2/T3: a document with its chunks in index order (oracle-checked).
     // Bucketed chunk table ⋈ documents — shuffle-free on the chunk side.
     "pipe_doc_chunks" -> ((s, dir) => {
       import s.implicits._
@@ -94,7 +99,8 @@ object PipelineQueries {
         .select($"document_id", $"chunk_id", $"chunk_index", $"word_count", $"lang")
     }),
 
-    // C3: parent→children relationship map over the hierarchy (rows-only).
+    // C3: parent→children relationship map over the hierarchy
+    // (oracle-checked — both hierarchy levels replayed by chunkCtes).
     "pipe_hierarchy_rel" -> ((s, dir) => {
       import graft.operators.ChunkOps
       ChunkOps.parentChildRelationships(graft.ChunkCatalog.hierarchyChunks(s, dir))
@@ -344,6 +350,66 @@ object PipelineQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // The chunker replay (DuckSql.chunkCtes) oracles the whole C1 chunk
+    // family — golden-only before round 19. pipe_sql_chunks chunks the RAW
+    // text (the graft_chunk generator's contract); pipe_chunk_stats /
+    // pipe_doc_chunks chunk the CLEANED text (featurePipeline's contract,
+    // via the shared DuckSql.clean fragment); the min-50-stripped-chars
+    // drop and the md5-over-unstripped-take(100) id derivation are
+    // replayed verbatim.
+    "pipe_sql_chunks" ->
+      s"""WITH RECURSIVE src AS (
+            SELECT CAST(doc_id AS VARCHAR) AS gid, text AS txt FROM documents),
+          ${DuckSql.chunkCtes("ck", "src", 1000, 200)}
+          SELECT CAST(gid AS BIGINT) AS doc_id,
+                 md5(gid || '_' || CAST(seq AS VARCHAR) || '_' || substr(chunk, 1, 100)) AS chunk_id,
+                 seq AS chunk_index,
+                 CAST(${DuckSql.wc("chunk")} AS INTEGER) AS word_count,
+                 0 AS start_char,
+                 CAST(length(chunk) AS INTEGER) AS end_char
+          FROM ck_chunks
+          WHERE length(${DuckSql.jtrim("chunk")}) >= 50""",
+    "pipe_chunk_stats" ->
+      s"""WITH RECURSIVE src AS (
+            SELECT CAST(doc_id AS VARCHAR) AS gid, ${DuckSql.clean("text")} AS txt
+            FROM documents),
+          ${DuckSql.chunkCtes("ck", "src", 1000, 200)}
+          SELECT CAST(gid AS BIGINT) AS document_id,
+                 COUNT(*) AS n_chunks,
+                 CAST(SUM(CAST(${DuckSql.wc("chunk")} AS BIGINT)) AS BIGINT) AS total_words,
+                 384 AS embedding_dim
+          FROM ck_chunks
+          WHERE length(${DuckSql.jtrim("chunk")}) >= 50
+          GROUP BY gid""",
+    "pipe_doc_chunks" ->
+      s"""WITH RECURSIVE src AS (
+            SELECT CAST(doc_id AS VARCHAR) AS gid, ${DuckSql.clean("text")} AS txt
+            FROM documents WHERE doc_id = 22),
+          ${DuckSql.chunkCtes("ck", "src", 1000, 200)}
+          SELECT CAST(gid AS BIGINT) AS document_id,
+                 md5(gid || '_' || CAST(seq AS VARCHAR) || '_' || substr(chunk, 1, 100)) AS chunk_id,
+                 seq AS chunk_index,
+                 CAST(${DuckSql.wc("chunk")} AS INTEGER) AS word_count,
+                 (SELECT lang FROM documents WHERE doc_id = 22) AS lang
+          FROM ck_chunks
+          WHERE length(${DuckSql.jtrim("chunk")}) >= 50""",
+    // C2/C3: the parent-child hierarchy is the SAME splitText kernel
+    // instantiated twice — parents at 2000/400 over the raw text, children
+    // at 400/100 over each parent's text; ids are positional
+    // ({doc}_parent_{p}_child_{c}), so the relationship map is a pure
+    // group-by over the second instantiation.
+    "pipe_hierarchy_rel" ->
+      s"""WITH RECURSIVE dsrc AS (
+            SELECT CAST(doc_id AS VARCHAR) AS gid, text AS txt FROM documents),
+          ${DuckSql.chunkCtes("par", "dsrc", 2000, 400)},
+          csrc AS (SELECT gid || '_parent_' || CAST(seq AS VARCHAR) AS gid, chunk AS txt
+                   FROM par_chunks),
+          ${DuckSql.chunkCtes("chi", "csrc", 400, 100)}
+          SELECT gid AS parent_id,
+                 array_to_string(list_sort(list(gid || '_child_' || CAST(seq AS VARCHAR))), ',') AS child_ids,
+                 CAST(COUNT(*) AS INTEGER) AS n_children
+          FROM chi_chunks
+          GROUP BY gid""",
     "pipe_etl_status" ->
       s"""SELECT CASE WHEN length(text) = 0 THEN 'failed' ELSE 'completed' END AS processing_status,
             COUNT(*) AS n_docs,
