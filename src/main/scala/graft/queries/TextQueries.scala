@@ -19,7 +19,7 @@ object TextQueries {
     * and cvc+e rewrites, the full step-2/3/4 suffix tables, and the step-5
     * e/ll finals. Shared between the Spark query and the oracle SQL so the
     * matrix cannot drift. */
-  private[queries] val StemSuffixes: Seq[String] = Seq(
+  private[graft] val StemSuffixes: Seq[String] = Seq(
     "", "s", "es", "ies", "sses", "ss", "eed", "ed", "ing", "y",
     "ational", "tional", "enci", "anci", "izer", "abli", "alli", "entli",
     "eli", "ousli", "ization", "ation", "ator", "alism", "iveness",
