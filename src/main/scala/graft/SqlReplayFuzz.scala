@@ -123,6 +123,21 @@ object SqlReplayFuzz {
           ${DuckSql.porterStemCtes("pw")}
           SELECT w AS word, stem FROM stems"""
 
+    // the hashing embedder on the same adversarial texts: nonzero
+    // components, float32-exact (integer bucket sums + one normalize
+    // rounding — DuckSql.embedCtes replays both)
+    val embExpected = texts.flatMap { case (gid, txt) =>
+      graft.operators.Embedder.embedText(txt).zipWithIndex.collect {
+        case (v, i) if v != 0f => (gid, i, v)
+      }
+    }
+    embExpected.toDF("gid", "dim", "val").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings")
+    sqls("embeddings") =
+      s"""WITH RECURSIVE tsrc AS (SELECT gid, txt FROM texts),
+          ${DuckSql.embedCtes("tsrc")}
+          SELECT gid, dim, val FROM emb"""
+
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -24,8 +24,9 @@ object Embedder {
 
   val Dim = 384
   val ModelName = "hashing-ngram-v1"
-  private val TokenSeed = 0x7a11
-  private val TrigramSeed = 0x9e37
+  // shared with the SQL replay (DuckSql.embedCtes) so the seeds cannot drift
+  private[graft] val TokenSeed = 0x7a11
+  private[graft] val TrigramSeed = 0x9e37
 
   /** Deterministic hashing featurizer: lowercase, word unigrams + char
     * trigrams of '#'-padded tokens, signed bucket accumulation, l2 norm. */

@@ -232,6 +232,93 @@ object DuckSql {
     blocks.mkString(",\n    ")
   }
 
+  // ----------------------------------------------------------- embedder SQL
+
+  /** Pure-SQL replay of scala.util.hashing.MurmurHash3.stringHash (the
+    * Embedder's hash): WITH-less fragment turning `srcCte(g, seed)` into
+    * `mh(g, seed, h)` with `h` the signed 32-bit hash. State is unsigned
+    * BIGINT in [0, 2^32): 32-bit wrapping multiplies route through HUGEINT
+    * then mask, rotl splits into disjoint shifted halves (their sum is the
+    * or), xor/shift-right are exact on the unsigned domain. The char-pair
+    * loop (two UTF-16 units per mix round; ord() equals the UTF-16 unit for
+    * the BMP text these fixtures carry) runs as a recursive CTE; the odd
+    * tail takes mixLast and every string finalizes with the avalanche.
+    * Fuzz-pinned against the Scala kernel on 3.7k random words × both
+    * seeds plus 24 ground-truth hashes during development; oracle-pinned
+    * every round through `emb_vectors`/`pipe_flagship`. */
+  def murmurCtes(srcCte: String): String = {
+    def mul(a: String, b: Long): String =
+      s"CAST((CAST(($a) AS HUGEINT) * $b) % 4294967296 AS BIGINT)"
+    def rot(x: String, r: Int): String =
+      s"((($x) * ${1L << r}) % 4294967296 + (($x) // ${1L << (32 - r)}))"
+    def mixLast(h: String, k0: String): String = {
+      val kk1 = mul(k0, 0xcc9e2d51L)
+      val kk2 = rot(kk1, 15)
+      val kk3 = mul(kk2, 0x1b873593L)
+      s"xor($h, $kk3)"
+    }
+    def mix(h: String, k0: String): String = {
+      val h3 = mixLast(h, k0)
+      s"((${rot(h3, 13)}) % 4294967296 * 5 + 3864292196) % 4294967296"
+    }
+    val pair = "(ord(g[p]) * 65536 + ord(g[p+1]))"
+    s"""mst AS (
+      SELECT g, seed, length(g) AS L, 1 AS p, CAST(seed AS BIGINT) AS h FROM $srcCte
+      UNION ALL
+      SELECT g, seed, L, p + 2, ${mix("h", pair)}
+      FROM mst WHERE p + 1 <= L),
+    mfin AS (
+      SELECT g, seed, L,
+        CASE WHEN p <= L THEN ${mixLast("h", "ord(g[p])")} ELSE h END AS h2
+      FROM mst WHERE p + 1 > L AND p <= L + 1),
+    mav1 AS (SELECT g, seed, xor(xor(h2, L), xor(h2, L) // 65536) AS a1 FROM mfin),
+    mav2 AS (SELECT g, seed, ${mul("a1", 0x85ebca6bL)} AS a2 FROM mav1),
+    mav3 AS (SELECT g, seed, xor(a2, a2 // 8192) AS a3 FROM mav2),
+    mav4 AS (SELECT g, seed, ${mul("a3", 0xc2b2ae35L)} AS a4 FROM mav3),
+    mh AS MATERIALIZED (
+      SELECT g, seed,
+        CAST(CASE WHEN a5 >= 2147483648 THEN a5 - 4294967296 ELSE a5 END AS BIGINT) AS h
+      FROM (SELECT g, seed, xor(a4, a4 // 65536) AS a5 FROM mav4))"""
+  }
+
+  /** Pure-SQL replay of Embedder.embedText (Spark twin: Embedder.embed /
+    * featurePipeline's embedding column): WITH-less fragment turning
+    * `srcCte(gid, txt)` into `emb(gid, dim, val)` — the NONZERO components
+    * of the 384-dim l2-normalized hashing embedding. Exact to the bit
+    * despite float32 on the Spark side: bucket accumulation is ±1 counts
+    * (integers are exact in float32), so the only rounding is the final
+    * CAST(v × (1/√norm) AS REAL), replayed verbatim (multiply by the
+    * double reciprocal, NOT division — a different rounding). Tokens and
+    * '#'-padded char trigrams hash through [[murmurCtes]] once per
+    * DISTINCT gram (vocabulary-shaped, like the kernel's inner loop).
+    * lower() vs Java toLowerCase(ROOT) agree on the ASCII fixtures (the
+    * documented UTF divergence class of DuckSql.words applies). */
+  def embedCtes(srcCte: String): String =
+    s"""tok0 AS (SELECT gid, unnest(list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'),
+             t -> t <> '')) AS tok FROM $srcCte),
+    grams0 AS MATERIALIZED (
+      SELECT gid, tok AS g, ${graft.operators.Embedder.TokenSeed} AS seed FROM tok0
+      UNION ALL
+      SELECT gid, substr(p3, CAST(i AS INTEGER), 3) AS g,
+             ${graft.operators.Embedder.TrigramSeed} AS seed
+      FROM (SELECT gid, '#' || tok || '#' AS p3 FROM tok0),
+           LATERAL unnest(range(1, length(p3) - 1)) AS u(i)),
+    grams AS MATERIALIZED (SELECT DISTINCT g, seed FROM grams0),
+    ${murmurCtes("grams")},
+    hx AS MATERIALIZED (
+      SELECT g, seed, ((h % 384) + 384) % 384 AS idx,
+             CASE WHEN h >= 0 THEN 1 ELSE -1 END AS sgn
+      FROM mh),
+    bk AS (SELECT gid, idx, CAST(SUM(sgn) AS BIGINT) AS v
+           FROM grams0 JOIN hx USING (g, seed)
+           GROUP BY gid, idx
+           HAVING SUM(sgn) <> 0),
+    nm AS (SELECT gid, CAST(SUM(v * v) AS DOUBLE) AS n2 FROM bk GROUP BY gid),
+    emb AS MATERIALIZED (
+      SELECT gid, CAST(idx AS INTEGER) AS dim,
+             CAST(CAST(v AS DOUBLE) * (1.0 / sqrt(n2)) AS REAL) AS val
+      FROM bk JOIN nm USING (gid))"""
+
   // ------------------------------------------------------------- Porter SQL
 
   /** CV pattern of a lowercase token: vowels → V (y vocalic after a

@@ -6,15 +6,21 @@ import graft.Tables
 import graft.operators.Multimodal
 import graft.pipelines.Pipelines
 
-/** End-to-end pipeline + multimodal plumbing queries. The chunk family is
-  * oracle-checked since round 19 (DuckSql.chunkCtes replays the recursive
-  * splitter in pure SQL — pipe_sql_chunks / pipe_chunk_stats /
-  * pipe_doc_chunks / pipe_hierarchy_rel). The embedder's float32 token
-  * accumulation is NOT honestly SQL-replayable (DuckDB sums in double, so
-  * an oracle would re-round differently), so pipe_flagship* and
-  * mm_feature_stats stay registered WITHOUT oracle SQL (driver records the
-  * weaker rows-only check) and get their correctness from EmbedderSpec /
-  * PipelineSpec golden digests instead; the rest are oracle-checked. */
+/** End-to-end pipeline + multimodal plumbing queries. Oracle-checked since
+  * round 19: the chunk family (DuckSql.chunkCtes replays the recursive
+  * splitter — pipe_sql_chunks / pipe_chunk_stats / pipe_doc_chunks /
+  * pipe_hierarchy_rel), the embedding layer (DuckSql.embedCtes —
+  * MurmurHash3 replayed in SQL; float32 is EXACT here because bucket
+  * accumulation is ±1 integer counts and the only rounding is the final
+  * normalize cast, replayed verbatim), and the brute-force flagship
+  * composed from both. Still rows-only, each for a stated reason:
+  * pipe_flagship_ivf/ivfpq/pqbatch (recall is probe- and
+  * candidate-bounded by the STORED index — GoldenSpec digests +
+  * PipelineSpec overlap-vs-brute pins), mm_feature_stats (the codec
+  * stub's float32 accumulates fractional byte/255 terms — genuinely
+  * order-rounded — and DuckDB 1.0 has no md5(BLOB) to replay the
+  * synthetic payload chain anyway), and pipe_orchestrator (driver-side
+  * sequential MMR). */
 object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -42,8 +48,27 @@ object PipelineQueries {
              max(size($"embedding")).as("embedding_dim"))
     }),
 
-    // §7.3 flagship slice as a registered query (rows-only check).
+    // §7.3 flagship slice as a registered query. Oracle-checked since
+    // round 19: the DuckDB replay recomputes the WHOLE pipeline — clean →
+    // chunk (chunkCtes) → hashing embeddings (embedCtes: MurmurHash3 in
+    // SQL, integer bucket counts, the float32 normalize rounding replayed
+    // verbatim) → Atlas-scored cosine top-10 with the raw-score/id
+    // tie-break → attribution join.
     "pipe_flagship" -> ((s, dir) => Pipelines.flagship(s, dir)),
+
+    // The embedding layer pinned directly: every nonzero component of the
+    // stored chunk embeddings for a fixture subset, compared bit-for-bit
+    // against the SQL replay (float32 is exact here: ±1 integer bucket
+    // sums, then ONE rounding at the final normalize cast — see
+    // DuckSql.embedCtes).
+    "emb_vectors" -> ((s, dir) => {
+      import s.implicits._
+      graft.ChunkCatalog.flatChunks(s, dir)
+        .filter($"document_id" % 25 === 0)
+        .select($"chunk_id", posexplode($"embedding"))
+        .toDF("chunk_id", "dim", "val")
+        .filter($"val" =!= 0.0f)
+    }),
 
     // The flagship with retrieval through the stored IVF chunk index
     // (IvfCatalog.assignedChunks): partition-pruned probe instead of a
@@ -393,6 +418,51 @@ object PipelineQueries {
                  (SELECT lang FROM documents WHERE doc_id = 22) AS lang
           FROM ck_chunks
           WHERE length(${DuckSql.jtrim("chunk")}) >= 50""",
+    // The embedding layer word for word: chunk replay → embedCtes, nonzero
+    // components only (a bucket that nets to zero is 0.0f on the Spark
+    // side and absent here — both sides filter it).
+    "emb_vectors" ->
+      s"""WITH RECURSIVE src AS (
+            SELECT CAST(doc_id AS VARCHAR) AS gid, ${DuckSql.clean("text")} AS txt
+            FROM documents WHERE doc_id % 25 = 0),
+          ${DuckSql.chunkCtes("ck", "src", 1000, 200)},
+          fc AS (SELECT md5(gid || '_' || CAST(seq AS VARCHAR) || '_' || substr(chunk, 1, 100)) AS cid,
+                        ${DuckSql.jtrim("chunk")} AS content
+                 FROM ck_chunks WHERE length(${DuckSql.jtrim("chunk")}) >= 50),
+          esrc AS (SELECT cid AS gid, content AS txt FROM fc),
+          ${DuckSql.embedCtes("esrc")}
+          SELECT gid AS chunk_id, dim, val FROM emb""",
+    // The flagship, end to end in SQL: chunk replay over cleaned text →
+    // embeddings for every chunk AND the query text (one extra source row)
+    // → Atlas score (1+cos)/2 over double casts of the float32 components
+    // → top-10 on the RAW score with the id tie-break (knn's contract;
+    // rounding is output-only) → documents attribution join.
+    "pipe_flagship" ->
+      s"""WITH RECURSIVE src AS (
+            SELECT CAST(doc_id AS VARCHAR) AS gid, ${DuckSql.clean("text")} AS txt
+            FROM documents),
+          ${DuckSql.chunkCtes("ck", "src", 1000, 200)},
+          fc AS (SELECT CAST(gid AS BIGINT) AS document_id,
+                        md5(gid || '_' || CAST(seq AS VARCHAR) || '_' || substr(chunk, 1, 100)) AS cid,
+                        ${DuckSql.jtrim("chunk")} AS content,
+                        CAST(${DuckSql.wc("chunk")} AS INTEGER) AS word_count
+                 FROM ck_chunks WHERE length(${DuckSql.jtrim("chunk")}) >= 50),
+          esrc AS (SELECT cid AS gid, content AS txt FROM fc
+                   UNION ALL SELECT '##query##', 'spark join vector query'),
+          ${DuckSql.embedCtes("esrc")},
+          qv AS (SELECT dim, CAST(val AS DOUBLE) AS q FROM emb WHERE gid = '##query##'),
+          cv AS (SELECT gid, dim, CAST(val AS DOUBLE) AS c FROM emb WHERE gid <> '##query##'),
+          qn AS (SELECT sqrt(SUM(q * q)) AS qn FROM qv),
+          cn AS (SELECT gid, sqrt(SUM(c * c)) AS cn FROM cv GROUP BY gid),
+          dots AS (SELECT cv.gid, SUM(cv.c * qv.q) AS dot
+                   FROM cv JOIN qv USING (dim) GROUP BY cv.gid),
+          scored AS (SELECT fc.cid AS chunk_id, fc.document_id, fc.word_count,
+                            (dots.dot / (cn.cn * (SELECT qn FROM qn)) + 1.0e0) / 2.0e0 AS raw
+                     FROM dots JOIN cn USING (gid) JOIN fc ON fc.cid = dots.gid),
+          topk AS (SELECT * FROM scored ORDER BY raw DESC, chunk_id ASC LIMIT 10)
+          SELECT t.chunk_id, t.document_id, round(t.raw, 6) AS score,
+                 d.lang, d.source, t.word_count
+          FROM topk t LEFT JOIN documents d ON t.document_id = d.doc_id""",
     // C2/C3: the parent-child hierarchy is the SAME splitText kernel
     // instantiated twice — parents at 2000/400 over the raw text, children
     // at 400/100 over each parent's text; ids are positional
