@@ -533,10 +533,14 @@ object Dedup {
     val dfreq = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("df").asc, md5Hash60(col("s"), lit(0)).asc, col("s").asc)
-    val prefix = tok.join(dfreq, "s")
+    // persist: the prefix table feeds BOTH sides of the candidate self-join —
+    // without it the whole explode → doc-frequency → per-doc window pipeline
+    // (the expensive 2/3 of this operator) evaluates once per join side
+    // (measured 3.37 s → 2.30 s at sf0.1 from this persist alone)
+    val prefix = graft.Caches.persistTracked(tok.join(dfreq, "s")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
-      .select(col(idCol), col("s"))
+      .select(col(idCol), col("s")))
     val candidates = prefix.select(col("s"), col(idCol).as("id_a"))
       .join(prefix.select(col("s"), col(idCol).as("id_b")), "s")
       .filter(col("id_a") < col("id_b"))
@@ -1164,7 +1168,12 @@ object Dedup {
                      textCol: String = "text"): DataFrame = {
     require(k >= 2, s"window must be at least 2 tokens, got $k")
     require(minOcc >= 2, s"minOcc must be at least 2, got $minOcc")
-    val grams = spanGrams(docs, k, idCol, textCol)
+    // persist: the gram table feeds the count aggregation AND the semi-join
+    // probe side — without it the tokenize+md5-per-window kernel (the
+    // dominant cost of the pass) runs twice over the corpus. The sliced
+    // scale form below makes the same move per slice (DISK_ONLY); this is
+    // the in-memory twin for the monolithic small-corpus form.
+    val grams = graft.Caches.persistTracked(spanGrams(docs, k, idCol, textCol))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc).select(col("h"))
     mergeFlaggedWindows(grams.join(dup, Seq("h"), "left_semi"), k, idCol)

@@ -78,11 +78,19 @@ object Orchestrator {
     }
 
     val fused = Fusion.fuseStrategies(strategies, maxResults, idCol)
-    // payload join for diversity filtering (content needed for Jaccard)
+    // payload join for diversity filtering (content needed for Jaccard).
+    // The fused side is ≤ maxResults rows by construction — broadcast it
+    // into the payload scan, so the corpora are scanned (column-pruned to
+    // id+content) but never shuffled; a dropDuplicates BEFORE the join
+    // would instead shuffle the full corpus content payload to serve ~10
+    // rows. Dedup after the join is id-disjoint-safe and operates on the
+    // joined handful.
     val payload = flatChunks.select(col(idCol), col(contentCol))
       .unionByName(childChunks.select(col(idCol), col(contentCol)))
+    val collected = payload.join(broadcast(fused), idCol)
       .dropDuplicates(idCol)
-    val collected = fused.join(payload, idCol)
+      .select((col(idCol) +: fused.columns.filterNot(_ == idCol).map(col)
+        :+ col(contentCol)).toIndexedSeq: _*)
       .orderBy(col("score").desc, col(idCol).asc)
       .collect().toSeq // ≤ maxResults rows — the reference's driver-side step
     val diverse = Fusion.diversityFilter[org.apache.spark.sql.Row](
