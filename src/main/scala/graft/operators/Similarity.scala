@@ -120,10 +120,17 @@ object Similarity {
         key
       }
     })
-    // band on (table, bucket) carrying IDS ONLY — dragging vectors through
-    // the candidate join/distinct (as MLlib's approxSimilarityJoin does) is
-    // the dominant shuffle cost; vectors are only needed afterwards, once
-    // per surviving pair
+    // band on (table, bucket) carrying IDS + the row's own bucket-key array
+    // (nt longs) — never the vectors: dragging vectors through the
+    // candidate join (as MLlib's approxSimilarityJoin does) is the dominant
+    // shuffle cost; vectors are only needed afterwards, once per surviving
+    // pair. Persisted: the hot-bucket probe and the self-join's two sides
+    // would otherwise each re-run the projection UDF.
+    val hashedBk = graft.Caches.persistTracked(corpus
+      .filter(normSq(col(embCol)) > 0.0)
+      .select(col(idCol), bucketsUdf(col(embCol)).as("bk")))
+    val exploded = hashedBk
+      .select(col(idCol), col("bk"), posexplode(col("bk")).as(Seq("tbl", "bucket")))
     // hot-bucket guard (Dedup.capBuckets), OPT-IN here (maxBucket = 0
     // default): unlike a MinHash band key — where an equal key means equal
     // signature slots, i.e. near-identical documents — an equal projection
@@ -131,19 +138,43 @@ object Similarity {
     // default cap would silently drop true candidate pairs from an
     // exact-verification API. Deployments with boilerplate-shaped
     // embedding mass (the near-dup use, see Dedup.embeddingPairsDistributed)
-    // enable it deliberately. The hashed table is persisted: the guard's
-    // phases and the self-join's two sides would otherwise each re-run
-    // the projection UDF
-    val hashed = Dedup.capBuckets(graft.Caches.persistTracked(corpus
-      .filter(normSq(col(embCol)) > 0.0)
-      .select(col(idCol), bucketsUdf(col(embCol)).as("bk"))
-      .select(col(idCol), posexplode(col("bk")).as(Seq("tbl", "bucket")))),
-      Seq("tbl", "bucket"), idCol, maxBucket)
-    hashed.select(col("tbl"), col("bucket"), col(idCol).as("left_id"))
-      .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("right_id")),
-        Seq("tbl", "bucket"))
-      .filter(col("left_id") < col("right_id"))
-      .select("left_id", "right_id").distinct()
+    // enable it deliberately.
+    val hasHot = maxBucket > 0 && !exploded
+      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket).isEmpty
+    if (hasHot) {
+      // capped path: the guard truncates bucket membership, so "first
+      // shared table" is no longer derivable from the raw key arrays (a
+      // pair's earliest shared bucket may have been capped away while a
+      // later one survived) — candidates dedup through a distinct instead.
+      val hashed = Dedup.capBuckets(
+        exploded.select(col(idCol), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"), idCol, maxBucket)
+      hashed.select(col("tbl"), col("bucket"), col(idCol).as("left_id"))
+        .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("right_id")),
+          Seq("tbl", "bucket"))
+        .filter(col("left_id") < col("right_id"))
+        .select("left_id", "right_id").distinct()
+    } else {
+      // emit-at-first-collision: a pair sharing t of nt buckets must reach
+      // the output ONCE — deduping via distinct() shuffles every duplicate
+      // copy (t× the unique pairs; the copies live in different (tbl,
+      // bucket) partitions, so map-side partial aggregation removes
+      // nothing). Instead each side carries its nt-long key array through
+      // the join and a codegen coalesce-chain keeps a pair only in the
+      // FIRST table where the keys agree — exactly-once by construction,
+      // no candidate-scale exchange at all (measured at sf0.1 on the
+      // recall-1 fixture: 2.9 s → 1.7 s for ann_lsh_pairs).
+      val firstColl = coalesce((0 until nt).map { j =>
+        when(col("__bk_a")(j) === col("__bk_b")(j), lit(j))
+      }: _*)
+      exploded.select(col("tbl"), col("bucket"), col(idCol).as("left_id"),
+          col("bk").as("__bk_a"))
+        .join(exploded.select(col("tbl"), col("bucket"), col(idCol).as("right_id"),
+          col("bk").as("__bk_b")), Seq("tbl", "bucket"))
+        .filter(col("left_id") < col("right_id") && col("tbl") === firstColl)
+        .select("left_id", "right_id")
+    }
   }
 
   def lshJoin(corpus: DataFrame, minCosine: Double, bucketLength: Double = 0.0,

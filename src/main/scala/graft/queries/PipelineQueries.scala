@@ -323,9 +323,14 @@ object PipelineQueries {
       val rep = base.join(graft.ClusterCatalog.clusterIds(s, dir), Seq("doc_id"))
         .filter($"cluster_id" === $"doc_id").drop("cluster_id")
       // 3. quality gate evaluates the SCRUBBED text — a wall-to-wall
-      // duplicate scrubs to '' and gates out here with no special case
-      val gated = rep.filter(qualityScore($"text", lit(null).cast("string"),
-        lit(null).cast("string")) >= 0.25)
+      // duplicate scrubs to '' and gates out here with no special case.
+      // Persisted: the gated frame feeds BOTH the decontamination gram
+      // side and the surviving-rows join below — without it the whole
+      // scrub → representative → gate chain (the expensive half of the
+      // composition) evaluates twice.
+      val gated = graft.Caches.persistTracked(
+        rep.filter(qualityScore($"text", lit(null).cast("string"),
+          lit(null).cast("string")) >= 0.25))
       // 4. span decontamination: any surviving train doc sharing a
       // verbatim 8-token run with the eval set (original text) drops
       val train0 = gated.filter($"doc_id" >= 50)
