@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * accumulation so results are partition-order independent (and DuckDB-
   * comparable bit for bit).
   *
-  * Cache contract: `bm25` persists its per-doc token arrays (they feed the
-  * corpus stats, the scoring join and the term table — one analyzer pass
-  * over the corpus, not two), tracked in [[graft.Caches]] —
+  * Cache contract: `bm25` persists one small per-doc table (the lean
+  * lengths for the standard analyzer; the token arrays for a caller-
+  * supplied analyzer, so an expensive analyzer runs once, not twice),
+  * tracked in [[graft.Caches]] —
   * call `graft.Caches.release()` once the returned plan is materialized to
   * unpersist exactly the library's caches (Bench/Verify use the blunter
   * `clearCache()` between queries).
@@ -46,6 +47,13 @@ object TextSearch {
     * scoring math is analyzer-agnostic. */
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** [[tokens]] as a stable function VALUE — [[bm25]] decides by reference
+    * identity whether caching the per-doc token arrays is worth it (see
+    * the note there). Callers passing `tokens _` themselves get the
+    * cache-the-arrays treatment, which is safe, just not optimal for a
+    * pure-codegen analyzer. */
+  val standardTokens: Column => Column = tokens
 
   /** Porter-stemmed analyzer — the third pluggable option (standard regex /
     * caller-supplied / stemmed), closing the stemming half of the Lucene
@@ -88,26 +96,34 @@ object TextSearch {
     * query terms must come from the same analyzer. */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            idCol: String = "doc_id", textCol: String = "text",
-           analyzer: Column => Column = tokens): DataFrame = {
-    // analyze ONCE: the token arrays feed the per-doc lengths (stats +
-    // scoring join) AND the exploded term table — deriving each from the
-    // raw text would run the analyzer twice over the corpus, which for the
-    // stemmed variant means a second Porter-stem UDF pass (measured: the
-    // whole stemmed pipeline 1.42 s → 0.91 s at sf0.1 from this persist).
-    val toks = graft.Caches.persistTracked(docs
-      .select(col(idCol), analyzer(col(textCol)).as("__toks")))
-
-    // per-doc length over ALL documents, including zero-token ones — Lucene
-    // docCount semantics (deriving N/avgdl from the exploded term table
-    // would silently drop token-less docs and inflate every idf).
-    val docLen = toks.select(col(idCol), size(col("__toks")).cast("long").as("dl"))
+           analyzer: Column => Column = standardTokens): DataFrame = {
+    // Analyzer-cost-aware evaluation. The per-doc lengths (stats + scoring
+    // join — Lucene docCount semantics: ALL documents count, including
+    // zero-token ones; deriving N/avgdl from the exploded term table would
+    // silently drop token-less docs and inflate every idf) and the term
+    // table both need the analyzed tokens. For a caller-supplied analyzer
+    // (e.g. the Porter-stem UDF) the tokens are computed ONCE and the
+    // arrays cached — a second analyzer pass is the dominant cost
+    // (measured: txt_bm25_stemmed 1.42 s → 1.24 s at sf0.1). For the
+    // standard codegen split, re-evaluating per consumer is CHEAPER than
+    // materializing fat deserialized string arrays into storage memory, so
+    // only the lean (id, length) table is cached — the pre-round shape.
+    val (docLen, terms) =
+      if (analyzer eq standardTokens) {
+        (graft.Caches.persistTracked(docs
+           .select(col(idCol), size(analyzer(col(textCol))).cast("long").as("dl"))),
+         docs.select(col(idCol), explode(analyzer(col(textCol))).as("term")))
+      } else {
+        val toks = graft.Caches.persistTracked(docs
+          .select(col(idCol), analyzer(col(textCol)).as("__toks")))
+        (toks.select(col(idCol), size(col("__toks")).cast("long").as("dl")),
+         toks.select(col(idCol), explode(col("__toks")).as("term")))
+      }
 
     // corpus stats: N docs, avg doc length (exact-decimal mean)
     val stats = docLen.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avgdl"))
-
-    val terms = toks.select(col(idCol), explode(col("__toks")).as("term"))
 
     // per-(doc, query-term) term frequency
     val tf = terms.filter(col("term").isin(queryTerms: _*))
