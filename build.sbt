@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console UNWRAPPED: sbt's default
+// LoggedOutput prefixes every line with "[info] ", so a harness looking for
+// a line that STARTS with '{' (the bench's one-line JSON contract) never
+// matches — every BENCH_r*.json through r19 recorded `parsed: null` for
+// exactly this reason. StdoutOutput passes the forked JVM's stdout through
+// verbatim; the bench JSON line stays the last graft-written stdout line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -593,10 +593,17 @@ object DocLifecycle {
                                  trained: Boolean = false,
                                  pqM: Int = 0,
                                  pqKsub: Int = 32): (Long, Long, Long) =
-    scrubSpansInStore(spark, dir, docs,
-      graft.operators.Dedup.duplicateSpans(docs, k, minOcc, idCol, textCol),
-      nlist, qualityThreshold, idCol, textCol, trained,
-      pqM = pqM, pqKsub = pqKsub)
+    // releaseAfter: duplicateSpans persists its gram table and this call
+    // materializes everything internally (returns only counts) — without
+    // the scope each maintenance call would leave one dead cached plan in
+    // the Caches registry until a global release() (ADVICE r19; the same
+    // loop-shaped growth the r15 note warns about)
+    graft.Caches.releaseAfter {
+      scrubSpansInStore(spark, dir, docs,
+        graft.operators.Dedup.duplicateSpans(docs, k, minOcc, idCol, textCol),
+        nlist, qualityThreshold, idCol, textCol, trained,
+        pqM = pqM, pqKsub = pqKsub)
+    }
 
   /** Cascading delete of `ids`' chunks from the stored index — S10 at the
     * serving-index level. Returns the number of chunks removed. Mutation

@@ -13,8 +13,44 @@ import org.apache.spark.sql.functions._
 object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  /** Parquet scans parallelize by file and by row group, and each fixture
+    * table is ONE file with ONE row group — so every scan stage, including
+    * the expensive per-row kernels that run fused inside it (tokenize +
+    * digest-per-window, shingle sets, MinHash/SimHash signatures, analyzer
+    * UDFs), executes as a single task no matter how many cores the session
+    * has. Measured at sf0.1 on 32 cores: the span-digest kernel's scan
+    * stage ran 1 task while 31 cores idled, and the 8-core bench was
+    * indistinguishable from the 32-core one on every query (the r19
+    * verdict's "scaling evidence is structurally uninformative" item).
+    *
+    * Fix: below [[SpreadMaxBytes]] of on-disk input, redistribute the
+    * loaded rows round-robin across the session's default parallelism so
+    * downstream kernels use the machine. The exchange moves at most
+    * SpreadMaxBytes once; everything the kernels explode from the rows
+    * (shingles, window digests — typically 10-50× the input) is then
+    * produced AND consumed in parallel. Above the gate, file/row-group
+    * splits already provide scan parallelism and a corpus-shaped exchange
+    * would cost real shuffle bytes — never spread at scale (at 100 TB this
+    * gate simply never fires). Below [[SpreadMinBytes]] the table is a
+    * broadcast-sized dimension side (nation/region/supplier): an exchange
+    * buys nothing a single task doesn't already do in microseconds.
+    *
+    * Catalyst pushes filters and column pruning through a Repartition
+    * node, so PushedFilters/ReadSchema at the scan are unchanged (pinned
+    * by PlanSpec); round-robin repartition sorts its input partition first
+    * (spark.sql.execution.sortBeforeRepartition, default on), so the
+    * row-to-partition assignment is deterministic and replay-safe. */
+  val SpreadMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_MAX_BYTES").map(_.toLong).getOrElse(64L << 20)
+  val SpreadMinBytes: Long = 48L << 10
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(dir, name))
+    val bytes = GraftSession.dirBytes(path(dir, name))
+    if (bytes >= SpreadMinBytes && bytes < SpreadMaxBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 
   // RAG-domain tables (reference data model, SURVEY.md §1)
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")

@@ -296,20 +296,30 @@ object Dedup {
                                 idCol: String, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) banded
     else {
-      import org.apache.spark.sql.expressions.Window
       val kc = keys.map(col)
       val hot = banded.groupBy(kc: _*).agg(count(lit(1)).as("__bucket_n"))
         .filter(col("__bucket_n") > maxBucket).select(kc: _*)
       if (hot.isEmpty) banded
-      else {
-        val cold = banded.join(broadcast(hot), keys, "left_anti")
-        val w = Window.partitionBy(kc: _*).orderBy(col(idCol).asc)
-        val kept = banded.join(broadcast(hot), keys, "left_semi")
-          .withColumn("__bucket_rn", row_number().over(w))
-          .filter(col("__bucket_rn") <= maxBucket).drop("__bucket_rn")
-        cold.unionByName(kept)
-      }
+      else applyBucketCap(banded, keys, idCol, maxBucket, hot)
     }
+
+  /** The cap's APPLY half, for callers that already ran the hot-key probe
+    * (Similarity.lshCandidates needs the probe's verdict itself to choose
+    * its dedup strategy — re-running the aggregation inside [[capBuckets]]
+    * would double a full pass over the band table, ADVICE r19). `hot` must
+    * be exactly the over-cap key set of `banded`. */
+  private[graft] def applyBucketCap(banded: DataFrame, keys: Seq[String],
+                                    idCol: String, maxBucket: Int,
+                                    hot: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val cold = banded.join(broadcast(hot), keys, "left_anti")
+    val w = Window.partitionBy(kc: _*).orderBy(col(idCol).asc)
+    val kept = banded.join(broadcast(hot), keys, "left_semi")
+      .withColumn("__bucket_rn", row_number().over(w))
+      .filter(col("__bucket_rn") <= maxBucket).drop("__bucket_rn")
+    cold.unionByName(kept)
+  }
 
   /** Per-bucket population of a band table with the cap verdict — the
     * observability half of [[capBuckets]]: a curation cadence runs this
@@ -536,13 +546,23 @@ object Dedup {
     // persist: the prefix table feeds BOTH sides of the candidate self-join —
     // without it the whole explode → doc-frequency → per-doc window pipeline
     // (the expensive 2/3 of this operator) evaluates once per join side
-    // (measured 3.37 s → 2.30 s at sf0.1 from this persist alone)
+    // (measured 3.37 s → 2.30 s at sf0.1 from this persist alone).
+    //
+    // The persisted/joined payload is (id, xxhash64(shingle)) — 16 bytes a
+    // row — NOT the shingle string (guide §2.3 narrower types: the string
+    // is ~2-3× the bytes in cache and in both candidate-join exchanges). A
+    // 64-bit collision can only ADD a candidate pair, and every candidate
+    // is verified on its true shingle sets below, so the output is provably
+    // unchanged: any pair at jaccard ≥ threshold already shares a REAL
+    // prefix shingle (the SSJoin prefix theorem — the window above still
+    // orders true strings), and any collision-born pair below threshold is
+    // dropped by the verify.
     val prefix = graft.Caches.persistTracked(tok.join(dfreq, "s")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
-      .select(col(idCol), col("s")))
-    val candidates = prefix.select(col("s"), col(idCol).as("id_a"))
-      .join(prefix.select(col("s"), col(idCol).as("id_b")), "s")
+      .select(col(idCol), xxhash64(col("s")).as("hs")))
+    val candidates = prefix.select(col("hs"), col(idCol).as("id_a"))
+      .join(prefix.select(col("hs"), col(idCol).as("id_b")), "hs")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     verifyJaccard(candidates, sh, idCol, threshold)
@@ -1172,7 +1192,18 @@ object Dedup {
     // probe side — without it the tokenize+md5-per-window kernel (the
     // dominant cost of the pass) runs twice over the corpus. The sliced
     // scale form below makes the same move per slice (DISK_ONLY); this is
-    // the in-memory twin for the monolithic small-corpus form.
+    // the twin for the monolithic form (persist() = MEMORY_AND_DISK, so
+    // over-memory grams spill rather than evict-and-recompute).
+    //
+    // INPUT BOUND (the 100 TB contract, r19 verdict watch-item 4): this
+    // monolithic form materializes and twice-shuffles a corpus-shaped gram
+    // table — measured safe through the ×1000 decade (~6.5 GB footprint,
+    // SCALE.md) and out-of-disk at ×10000. Size the pass FIRST via
+    // [[spanWindowCount]] → [[estimatedSpanGramBytes]] →
+    // [[recommendedSpanSlices]]; when the recommendation exceeds 1 slice,
+    // call [[duplicateSpansSliced]] — the gate is the caller's because only
+    // the caller knows its disk budget, and an implicit in-operator count
+    // pass would charge every small-corpus call a full corpus scan.
     val grams = graft.Caches.persistTracked(spanGrams(docs, k, idCol, textCol))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc).select(col("h"))

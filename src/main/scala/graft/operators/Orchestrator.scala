@@ -85,6 +85,12 @@ object Orchestrator {
     // would instead shuffle the full corpus content payload to serve ~10
     // rows. Dedup after the join is id-disjoint-safe and operates on the
     // joined handful.
+    // the post-join select rebuilds column order from fused.columns and
+    // appends contentCol from the payload side — a fused frame that ever
+    // grew its own contentCol would make that select ambiguous at runtime;
+    // fail loudly at construction instead (ADVICE r19)
+    require(!fused.columns.contains(contentCol),
+      s"fused strategies must not carry the payload column '$contentCol'")
     val payload = flatChunks.select(col(idCol), col(contentCol))
       .unionByName(childChunks.select(col(idCol), col(contentCol)))
     val collected = payload.join(broadcast(fused), idCol)

@@ -139,17 +139,23 @@ object Similarity {
     // exact-verification API. Deployments with boilerplate-shaped
     // embedding mass (the near-dup use, see Dedup.embeddingPairsDistributed)
     // enable it deliberately.
-    val hasHot = maxBucket > 0 && !exploded
-      .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket).isEmpty
+    // ONE hot-bucket probe (ADVICE r19: the probe's verdict picks the dedup
+    // strategy AND feeds the cap's anti/semi joins — computing it here and
+    // handing it to applyBucketCap runs the bucket-size aggregation once,
+    // not twice). Persisted so the two broadcast joins on the capped path
+    // read the probe's result instead of re-aggregating.
+    val hotKeys = if (maxBucket <= 0) None else Some(graft.Caches.persistTracked(
+      exploded.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket).select(col("tbl"), col("bucket"))))
+    val hasHot = hotKeys.exists(h => !h.isEmpty)
     if (hasHot) {
       // capped path: the guard truncates bucket membership, so "first
       // shared table" is no longer derivable from the raw key arrays (a
       // pair's earliest shared bucket may have been capped away while a
       // later one survived) — candidates dedup through a distinct instead.
-      val hashed = Dedup.capBuckets(
+      val hashed = Dedup.applyBucketCap(
         exploded.select(col(idCol), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"), idCol, maxBucket)
+        Seq("tbl", "bucket"), idCol, maxBucket, hotKeys.get)
       hashed.select(col("tbl"), col("bucket"), col(idCol).as("left_id"))
         .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("right_id")),
           Seq("tbl", "bucket"))

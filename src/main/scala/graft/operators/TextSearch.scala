@@ -93,10 +93,16 @@ object TextSearch {
   /** BM25 scores of `queryTerms` over a corpus; returns (idCol, text_score)
     * for docs matching ≥1 term, text_score rounded to 6 decimals.
     * `analyzer` swaps the tokenizer (see the [[tokens]] divergence note);
-    * query terms must come from the same analyzer. */
+    * query terms must come from the same analyzer. `cacheTokens` overrides
+    * the per-analyzer caching default below — pass `Some(false)` when
+    * supplying a codegen-cheap analyzer by value (e.g. `tokens _`, which is
+    * a fresh function object the identity dispatch cannot recognize), or
+    * `Some(true)` to force one analyzer pass regardless. Either branch
+    * computes identical scores; the choice is purely a cost trade. */
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            idCol: String = "doc_id", textCol: String = "text",
-           analyzer: Column => Column = standardTokens): DataFrame = {
+           analyzer: Column => Column = standardTokens,
+           cacheTokens: Option[Boolean] = None): DataFrame = {
     // Analyzer-cost-aware evaluation. The per-doc lengths (stats + scoring
     // join — Lucene docCount semantics: ALL documents count, including
     // zero-token ones; deriving N/avgdl from the exploded term table would
@@ -109,7 +115,7 @@ object TextSearch {
     // materializing fat deserialized string arrays into storage memory, so
     // only the lean (id, length) table is cached — the pre-round shape.
     val (docLen, terms) =
-      if (analyzer eq standardTokens) {
+      if (!cacheTokens.getOrElse(!(analyzer eq standardTokens))) {
         (graft.Caches.persistTracked(docs
            .select(col(idCol), size(analyzer(col(textCol))).cast("long").as("dl"))),
          docs.select(col(idCol), explode(analyzer(col(textCol))).as("term")))

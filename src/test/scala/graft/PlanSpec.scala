@@ -266,11 +266,19 @@ class PlanSpec extends AnyFunSuite {
 
   test("samp_stratified filters inside the scan stage with no shuffle") {
     val p = plan("samp_stratified")
-    assert(!p.contains("Exchange"), "hash-membership sampling must not shuffle")
+    // the only Exchange allowed is Tables.load's small-input round-robin
+    // spread (RoundRobinPartitioning; scale-gated off above 64 MB) — the
+    // operator itself must never key-shuffle the corpus
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      "hash-membership sampling must not key-shuffle")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
       "scan must prune to the two output columns")
-    assert("\\* Filter".r.findFirstIn(p).isDefined,
-      "the hash filter must run inside whole-stage codegen")
+    // the hash filter must sit DIRECTLY on the scan — i.e. below the spread
+    // exchange, in the scan stage (the plan is AQE-wrapped now, so the
+    // formatted initial plan no longer prints codegen stars; adjacency in
+    // the tree is the invariant)
+    assert("Filter \\(\\d+\\)\\s*\\n\\s*\\+- Scan parquet".r.findFirstIn(p).isDefined,
+      s"the hash filter must run in the scan stage, below any exchange:\n$p")
   }
 
   // --- incremental celled near-dup: store scan pruned to probed cells -------
@@ -327,9 +335,14 @@ class PlanSpec extends AnyFunSuite {
     val semi = sp.collect {
       case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j }
     assert(semi.nonEmpty, s"eval digests must broadcast into a LeftSemi:\n$sp")
-    val shuffles = semi.head.left.collect { case e: ShuffleExchangeExec => e }
+    // Tables.load's small-input round-robin spread (scale-gated off above
+    // 64 MB) is the one permitted exchange below the join; the operator
+    // itself must never KEY-shuffle anything corpus-shaped there
+    val shuffles = semi.head.left.collect { case e: ShuffleExchangeExec
+      if !e.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e }
     assert(shuffles.isEmpty,
-      s"nothing corpus-shaped may shuffle below the decon semi join, found $shuffles:\n$sp")
+      s"nothing corpus-shaped may key-shuffle below the decon semi join, found $shuffles:\n$sp")
   }
 
   // --- span-dedup ingest path: the stored count table never shuffles --------

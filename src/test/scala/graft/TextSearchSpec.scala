@@ -132,4 +132,26 @@ class TextSearchSpec extends AnyFunSuite {
     assert(overlap >= 6, s"top-10 overlap $overlap < 6")
     graft.Caches.release()
   }
+
+  test("bm25 scores are identical across every caching branch (tokens _, " +
+       "cacheTokens overrides) — the dispatch is a cost choice, never a result one") {
+    // `TextSearch.tokens _` eta-expands to a FRESH function object the
+    // reference-identity default cannot recognize as the standard analyzer
+    // (ADVICE r19): it takes the cache-the-arrays branch. Both branches and
+    // both explicit overrides must score identically.
+    val docs = Tables.documents(spark, dir)
+    val terms = Seq("spark", "join", "vector")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaDefault = scores(TextSearch.bm25(docs, terms))
+    val viaEta     = scores(TextSearch.bm25(docs, terms, analyzer = TextSearch.tokens _))
+    val viaForceOn  = scores(TextSearch.bm25(docs, terms, cacheTokens = Some(true)))
+    val viaForceOff = scores(TextSearch.bm25(docs, terms,
+      analyzer = TextSearch.tokens _, cacheTokens = Some(false)))
+    assert(viaDefault.nonEmpty)
+    assert(viaEta === viaDefault)
+    assert(viaForceOn === viaDefault)
+    assert(viaForceOff === viaDefault)
+    graft.Caches.release()
+  }
 }
