@@ -31,6 +31,14 @@ object ClusterCatalog {
           .withColumnRenamed("id", "doc_id")
         docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          // clusterWrite (the BandCatalog/Pipelines discipline, missing only
+          // here): repartition on the bucket column with numPartitions ==
+          // buckets so each task holds exactly one bucket and writes ONE
+          // file — without it the writer emits one file per (input
+          // partition × bucket), and a broadcast-joined build fans the
+          // stored table into ~400 tiny files whose open cost then taxes
+          // every read (measured: dedup_cluster_ids 0.17 → 0.64 s warm)
+          .repartition(32, col("doc_id"))
           .write.mode("overwrite")
           .bucketBy(32, "doc_id").sortBy("doc_id")
           .format("parquet").saveAsTable(name)

@@ -44,8 +44,20 @@ object Tables {
     sys.env.get("SPARK_GRAFT_SPREAD_MAX_BYTES").map(_.toLong).getOrElse(64L << 20)
   val SpreadMinBytes: Long = 48L << 10
 
+  /** Only the KERNEL corpora spread: documents and embeddings are the
+    * tables every expensive per-row UDF kernel consumes — there the spread
+    * bought 1.3-2× warm (same-JVM A/B at sf0.1: ngram 3.2→1.7 s, lsh
+    * 1.9→0.9, bm25_stemmed 1.4→0.9, span_flags 1.5→1.2, neardup 1.8→1.2).
+    * The relational/event tables' queries are codegen scan→join→agg shapes
+    * whose single-task scan costs ≤150 ms; a paired interleave measured
+    * the spread on THOSE as a net cold-path loss (planning + an exchange
+    * with no kernel to feed: rel_revenue_by_nation +0.75 s, rel_top_orders
+    * +0.53 cold) — so they keep their natural split parallelism. */
+  private val SpreadTables = Set("documents", "embeddings")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(dir, name))
+    if (!SpreadTables.contains(name)) return df
     val bytes = GraftSession.dirBytes(path(dir, name))
     if (bytes >= SpreadMinBytes && bytes < SpreadMaxBytes)
       df.repartition(spark.sparkContext.defaultParallelism)

@@ -72,19 +72,26 @@ object Dedup {
     * the corpus' repetition factor — with bit-identical results. Capped to
     * bound executor memory; cleared wholesale when full. */
   private final class HashMemo(compute: (String, Int) => Array[Long]) {
-    private val cache = new ThreadLocal[scala.collection.mutable.HashMap[String, Array[Long]]] {
-      override def initialValue() = scala.collection.mutable.HashMap.empty
-    }
+    // JVM-SHARED map (was ThreadLocal until r20): a thread-local memo's hit
+    // rate depends on task-to-thread placement — with parallel scans (the
+    // r20 spread) a stage's tasks land on arbitrary pool threads, each
+    // holding a random memo subset, and re-evaluating consumers paid the
+    // full hash kernel where the single-task plan had paid a map lookup
+    // (measured: dedup_minhash_capped's guard stages at ~7× kernel cost).
+    // ConcurrentHashMap gets are lock-free, puts contend only per-bin, and
+    // the values are pure functions of the key, so sharing is bit-safe at
+    // any parallelism. Capped to bound executor memory; cleared wholesale
+    // when full (same policy as before).
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     private val Max = 1 << 20
 
     def row(s: String, k: Int): Array[Long] = {
-      val c = cache.get()
-      val cached = c.getOrElse(s, null)
+      val cached = cache.get(s)
       if (cached != null && cached.length >= k) cached
       else {
         val fresh = compute(s, math.max(k, MinHashK))
-        if (c.size >= Max) c.clear()
-        c.update(s, fresh)
+        if (cache.size >= Max) cache.clear()
+        cache.put(s, fresh)
         fresh
       }
     }

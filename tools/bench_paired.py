@@ -29,9 +29,12 @@ def sh(cmd, cwd=REPO, env=None):
 
 
 def bench_run(tree, sf_dir):
-    """One bench pass → (total, per-query dict)."""
+    """One bench run → (total, per-query dict). SPARK_GRAFT_BENCH_PASSES
+    (default 1) picks the regime: 1 = cold single-pass (cheap interleave),
+    5 = the driver's warm min-of-5 (what BENCH_r{N} actually grades)."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
-               SPARK_GRAFT_BENCH_PASSES="1")
+               SPARK_GRAFT_BENCH_PASSES=os.environ.get(
+                   "SPARK_GRAFT_BENCH_PASSES", "1"))
     r = sh('sbt -batch "runMain graft.Bench"', cwd=tree, env=env)
     m = re.search(r'\{"metric".*\}', r.stdout)
     if not m:
