@@ -110,6 +110,12 @@ object IvfPqCatalog {
         .toDF("subspace", "centroid_idx", "centroid_vec")
         .select(col("subspace"), col("centroid_idx"),
           col("centroid_vec").cast("array<float>").as("centroid_vec"))
+        // ONE file: m×ksub rows of index metadata — a local DataFrame
+        // otherwise writes default-parallelism part files (32 on the bench
+        // host), and every serving call's codebook collect then runs a
+        // 32-task job over 32 tiny files (measured: 2 stages × 32 tasks in
+        // every flagship IVFADC invocation's profile)
+        .coalesce(1)
         .write.mode("overwrite").format("parquet").saveAsTable(name)
     }
     val rows = tbl.select("subspace", "centroid_idx", "centroid_vec").collect()

@@ -44,16 +44,22 @@ object Tables {
     sys.env.get("SPARK_GRAFT_SPREAD_MAX_BYTES").map(_.toLong).getOrElse(64L << 20)
   val SpreadMinBytes: Long = 48L << 10
 
-  /** Only the KERNEL corpora spread: documents and embeddings are the
-    * tables every expensive per-row UDF kernel consumes — there the spread
-    * bought 1.3-2× warm (same-JVM A/B at sf0.1: ngram 3.2→1.7 s, lsh
-    * 1.9→0.9, bm25_stemmed 1.4→0.9, span_flags 1.5→1.2, neardup 1.8→1.2).
-    * The relational/event tables' queries are codegen scan→join→agg shapes
-    * whose single-task scan costs ≤150 ms; a paired interleave measured
-    * the spread on THOSE as a net cold-path loss (planning + an exchange
-    * with no kernel to feed: rel_revenue_by_nation +0.75 s, rel_top_orders
-    * +0.53 cold) — so they keep their natural split parallelism. */
-  private val SpreadTables = Set("documents", "embeddings")
+  /** Only the KERNEL corpus spreads: documents is the table every
+    * expensive per-row text kernel consumes (tokenize+digest windows,
+    * shingle sets, MinHash/SimHash signatures, analyzers, quality/clean
+    * regexes) — there the spread bought 1.3-2× warm (same-JVM A/B at
+    * sf0.1: ngram 3.2→1.7 s, bm25_stemmed 1.4→0.9, neardup 1.8→1.2,
+    * incremental 1.3→0.8). Everything else keeps its natural split
+    * parallelism: the relational/event tables' codegen scan→join→agg
+    * queries measured the spread as a net cold-path loss (paired
+    * interleave: rel_revenue_by_nation +0.75 s with no kernel to feed),
+    * and the embeddings table's float math is trivial per row — its two
+    * genuinely compute-bound consumers (the LSH band self-join and the
+    * exact O(n²) pair join) spread INSIDE the operator, where the fan-out
+    * actually happens (Similarity.lshCandidates /
+    * VectorSearch.similarityJoin), so the ~15 ANN serving rows don't pay
+    * an exchange for nothing. */
+  private val SpreadTables = Set("documents")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(dir, name))

@@ -126,9 +126,21 @@ object Similarity {
     // shuffle cost; vectors are only needed afterwards, once per surviving
     // pair. Persisted: the hot-bucket probe and the self-join's two sides
     // would otherwise each re-run the projection UDF.
-    val hashedBk = graft.Caches.persistTracked(corpus
+    //
+    // Parallelism floor: the candidate self-join's fan-out (up to nt×
+    // bucket² rows before the first-collision filter) executes with the
+    // STREAM side's partitioning — a small single-file corpus pins that to
+    // ONE task regardless of core count (measured: ann_lsh_pairs' 16M-row
+    // join-filter stage ran serially, 2.55 s vs 1.34 s once spread). The
+    // repartition moves only (id, nt longs) rows and is a no-op whenever
+    // the input already has enough partitions (any at-scale corpus).
+    val projected = corpus
       .filter(normSq(col(embCol)) > 0.0)
-      .select(col(idCol), bucketsUdf(col(embCol)).as("bk")))
+      .select(col(idCol), bucketsUdf(col(embCol)).as("bk"))
+    val dp = corpus.sparkSession.sparkContext.defaultParallelism
+    val hashedBk = graft.Caches.persistTracked(
+      if (projected.rdd.getNumPartitions >= dp) projected
+      else projected.repartition(dp))
     val exploded = hashedBk
       .select(col(idCol), col("bk"), posexplode(col("bk")).as(Seq("tbl", "bucket")))
     // hot-bucket guard (Dedup.capBuckets), OPT-IN here (maxBucket = 0
