@@ -378,9 +378,16 @@ object Dedup {
     val sh = graft.Caches.persistTracked(docs.select(col(idCol), shinglesUdf(col(textCol), lit(n)).as("sh")))
     // persist BEFORE the cap: the guard's phases rescan their input, and
     // the signature kernel must run once, not once per phase
-    val banded = capBuckets(
-      graft.Caches.persistTracked(bandTable(sh, idCol, k, bands, rows, sigUdf)),
-      Seq("band_idx", "band_key"), idCol, maxBucket)
+    val banded0 = graft.Caches.persistTracked(
+      bandTable(sh, idCol, k, bands, rows, sigUdf))
+    val capped = capBuckets(banded0, Seq("band_idx", "band_key"), idCol, maxBucket)
+    // persist AFTER the cap too, but only when the guard actually engaged
+    // (capBuckets returns its input object unchanged on a healthy corpus):
+    // the capped union (anti ∪ window-over-semi) otherwise re-evaluates
+    // once per candidate-join side (guide §2.4 — measured +0.6 s on the
+    // engaged dedup_minhash_capped fixture in the r20 interleave)
+    val banded =
+      if (capped eq banded0) banded0 else graft.Caches.persistTracked(capped)
     val left  = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
     val right = banded.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
     val candidates = left.join(right, Seq("band_idx", "band_key"))

@@ -35,7 +35,23 @@ def bench_run(tree, sf_dir):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_BENCH_PASSES=os.environ.get(
                    "SPARK_GRAFT_BENCH_PASSES", "1"))
+    # remove the previous record so a failed run can't be misread as fresh
+    try:
+        os.remove("/root/repo/BENCH_LOCAL.json")
+    except FileNotFoundError:
+        pass
     r = sh('sbt -batch "runMain graft.Bench"', cwd=tree, env=env)
+    # Prefer the repo-file record: Bench writes the COMPLETE per-query map
+    # to BENCH_LOCAL.json (stdout is budget-truncated to the slowest rows,
+    # which SELECTION-BIASES the common subset — a query one tree made fast
+    # falls off that tree's line and its improvement silently leaves the
+    # comparison; r20 measured common_n 48/138 under truncation).
+    try:
+        rec = json.load(open("/root/repo/BENCH_LOCAL.json"))
+        if "queries" in rec and "value" in rec:
+            return rec["value"], rec["queries"]
+    except Exception:
+        pass
     m = re.search(r'\{"metric".*\}', r.stdout)
     if not m:
         sys.exit(f"[paired] no bench line from {tree}:\n{r.stdout[-2000:]}")
